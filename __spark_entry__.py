@@ -1,38 +1,707 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` — flagship query (documents → clean → stopword-filter →
+bigram top-5 → structured keywords: the reference's richest pipeline shape,
+``src/reddit_consumer.py:139-155``, over the documents table).
+
+``queries()`` — one entry per implemented operator from SURVEY.md §2 (+ §2.9
+extensions). ``oracle_sql()`` — DuckDB twins generated from the SAME frozen
+constants (see ``ingestion_scripts_spark/oracle.py``).
+
+Conventions for cross-engine hash-stability:
+- every computed column aliased identically on both sides;
+- floats rounded before output AND before any ranking;
+- array sizes cast to bigint (DuckDB ``len`` is bigint);
+- timestamps stringified (``yyyy-MM-dd HH:mm:ss[.SSSSSS]``) to dodge
+  tz-encoding differences between engines.
 """
 
 from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ingestion_scripts_spark import oracle as O
+from ingestion_scripts_spark.functions import sentiment as S
+from ingestion_scripts_spark.functions import text as X
+from ingestion_scripts_spark.functions import timefns as TF
+from ingestion_scripts_spark.operators import dedup as D
+from ingestion_scripts_spark.operators import keywords as K
+from ingestion_scripts_spark.operators import similarity as SIM
+from ingestion_scripts_spark.operators import text_analysis as TA
+
+SF_SMOKE = "/root/testdata/sf0.001"
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    from ingestion_scripts_spark.sources.readers import load_table
+
+    return load_table(spark, sf_dir, name)
+
+
+def _fmt_ts(col, with_micros: bool = False):
+    pat = "yyyy-MM-dd HH:mm:ss.SSSSSS" if with_micros else "yyyy-MM-dd HH:mm:ss"
+    return F.date_format(col, pat)
+
+
+SQL_TS = "strftime({0}, '%Y-%m-%d %H:%M:%S')"
+SQL_TS_US = "strftime({0}, '%Y-%m-%d %H:%M:%S.%f')"
+
+
+# ---------------------------------------------------------------------------
+# flagship
+# ---------------------------------------------------------------------------
+
+def _doc_tokens(docs: DataFrame) -> DataFrame:
+    """documents → stopword-filtered tokens of cleaned text (F1+F5)."""
+    return docs.select(
+        "doc_id",
+        X.remove_stopwords(X.tokenize_ws(X.clean_text(F.col("text")))).alias("t"),
+    )
+
+
+def q_flagship_doc_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1+A2 over documents: per-doc top-5 canonical-bigram keywords."""
+    docs = _t(spark, sf_dir, "documents")
+    return K.extract_keywords(_doc_tokens(docs), "doc_id", "t", k=5)
+
+
+_TOKS_SQL = O.sql_remove_stopwords(O.sql_tokenize_ws(O.sql_clean_text("text")))
+
+SQL_FLAGSHIP = f"""
+WITH toks AS (SELECT doc_id, {_TOKS_SQL} AS t FROM documents),
+big AS (SELECT doc_id, unnest({O.sql_bigrams('t')}) AS bigram FROM toks),
+counted AS (SELECT doc_id, bigram, count(*) AS cnt FROM big GROUP BY doc_id, bigram),
+ranked AS (SELECT doc_id, bigram,
+           row_number() OVER (PARTITION BY doc_id ORDER BY cnt DESC, bigram ASC) AS rn
+           FROM counted),
+top AS (SELECT doc_id, list(bigram ORDER BY rn) AS bigs FROM ranked WHERE rn <= 5 GROUP BY doc_id),
+flat AS (SELECT doc_id, flatten(list_transform(bigs, b -> string_split(b, ' '))) AS words FROM top)
+SELECT doc_id, list_filter(words, (w, i) -> list_position(words, w) = i) AS keywords
+FROM flat
+"""
 
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    return q_flagship_doc_keywords(spark, SF_SMOKE)
+
+
+# ---------------------------------------------------------------------------
+# TPC-H-ish relational core (scan/filter/agg/join surface, SURVEY §2.1-2.5)
+# ---------------------------------------------------------------------------
+
+def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("2000-01-01"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("sum_disc_price"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+SQL_PRICING = """
+SELECT l_returnflag, l_linestatus,
+  round(sum(l_quantity), 2) AS sum_qty,
+  round(sum(l_extendedprice), 2) AS sum_base_price,
+  round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+  round(avg(l_quantity), 4) AS avg_qty,
+  round(avg(l_discount), 4) AS avg_disc,
+  count(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '2000-01-01'
+GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus
+"""
+
+
+def q_top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q3-shaped: revenue per BUILDING-segment order, deterministic top-10.
+
+    The customer dim is broadcast — at 100 TB lineitem is the only big side.
+    """
+    cust = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    rev = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("o_orderkey")
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "revenue"
+            )
+        )
+        .orderBy(F.desc("revenue"), F.asc("o_orderkey"))
+        .limit(10)
+    )
+    return rev
+
+
+SQL_TOP_ORDERS = """
+SELECT o_orderkey, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE c_mktsegment = 'BUILDING'
+GROUP BY o_orderkey
+ORDER BY revenue DESC, o_orderkey ASC
+LIMIT 10
+"""
+
+
+def q_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q5-shaped star join; all dims broadcast, lineitem streams through."""
+    region = _t(spark, sf_dir, "region")
+    nation = _t(spark, sf_dir, "nation")
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("r_name", "n_name")
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "revenue"
+            ),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+        .orderBy("r_name", "n_name")
+    )
+
+
+SQL_REGION_REVENUE = """
+SELECT r_name, n_name,
+  round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+  count(*) AS n_items
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY r_name, n_name
+ORDER BY r_name, n_name
+"""
+
+
+# ---------------------------------------------------------------------------
+# J1 anti-join dedup / K4 dead-letter / P3 routing
+# ---------------------------------------------------------------------------
+
+# early cutoff: all 150 users appear within the first day, so a later
+# cutoff would make the anti-join vacuously empty
+CUTOFF = "2024-01-01 06:00:00"
+
+
+def q_antijoin_new_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J1 — events after the cutoff whose user was never seen before it
+    (``remove_old_articles``, src/rss_consumer.py:68-74, key=user_id)."""
+    ev = _t(spark, sf_dir, "events")
+    existing = ev.filter(F.col("ts") < F.lit(CUTOFF)).select("user_id")
+    incoming = ev.filter(F.col("ts") >= F.lit(CUTOFF))
+    out = D.anti_join_dedup(incoming, existing, "user_id")
+    return out.select("event_id", "user_id", "event_type").orderBy("event_id")
+
+
+SQL_ANTIJOIN = f"""
+SELECT event_id, user_id, event_type
+FROM events e
+WHERE ts >= TIMESTAMP '{CUTOFF}'
+  AND NOT EXISTS (SELECT 1 FROM events x
+                  WHERE x.ts < TIMESTAMP '{CUTOFF}' AND x.user_id = e.user_id)
+ORDER BY event_id
+"""
+
+
+def q_dead_letter_routing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K4 + P3 — parse ``props`` (regex, null on failure), route rows into
+    good/dead channels, count per (event_type, channel)."""
+    ev = _t(spark, sf_dir, "events")
+    k = F.regexp_extract(F.col("props"), '"k":\\s*(\\d+)', 1).cast("int")
+    channel = F.when(k.isNotNull() & (k < 90), F.lit("good")).otherwise(F.lit("dead"))
+    return (
+        ev.select("event_type", channel.alias("channel"))
+        .groupBy("event_type", "channel")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("event_type", "channel")
+    )
+
+
+SQL_DEAD_LETTER = """
+SELECT event_type,
+  CASE WHEN TRY_CAST(regexp_extract(props, '"k":\\s*(\\d+)', 1) AS INT) < 90
+       THEN 'good' ELSE 'dead' END AS channel,
+  count(*) AS n
+FROM events
+GROUP BY 1, 2
+ORDER BY event_type, channel
+"""
+
+
+# ---------------------------------------------------------------------------
+# F-series scalar functions over documents
+# ---------------------------------------------------------------------------
+
+def q_clean_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select("doc_id", X.clean_text(F.col("text")).alias("clean"))
+
+
+SQL_CLEAN = f"SELECT doc_id, {O.sql_clean_text('text')} AS clean FROM documents"
+
+
+def q_hashtags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F2 over a synthesized hashtag-bearing column (documents carry none)."""
+    docs = _t(spark, sf_dir, "documents")
+    tagged = F.concat(F.lit("#"), F.col("source"), F.lit(" "), F.col("text"),
+                      F.lit(" #"), F.col("lang"))
+    return docs.select("doc_id", X.extract_hashtags(tagged).alias("hashtags"))
+
+
+SQL_HASHTAGS = (
+    "SELECT doc_id, "
+    + O.sql_hashtags("('#' || source || ' ' || text || ' #' || lang)")
+    + " AS hashtags FROM documents"
+)
+
+
+def q_stopword_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _doc_tokens(_t(spark, sf_dir, "documents")).withColumnRenamed("t", "tokens")
+
+
+SQL_STOPWORD = f"SELECT doc_id, {_TOKS_SQL} AS tokens FROM documents"
+
+
+def q_bigram_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    toks = _doc_tokens(_t(spark, sf_dir, "documents"))
+    bigrams = F.transform(
+        X.pairwise_bigrams(F.col("t")), lambda p: F.concat_ws(" ", p)
+    )
+    return toks.select("doc_id", bigrams.alias("bigrams"))
+
+
+SQL_BIGRAM_PAIRS = (
+    f"WITH toks AS (SELECT doc_id, {_TOKS_SQL} AS t FROM documents) "
+    f"SELECT doc_id, {O.sql_bigrams('t')} AS bigrams FROM toks"
+)
+
+
+# ---------------------------------------------------------------------------
+# time functions (F7-F10) — format→parse round trips, oracle = identity
+# ---------------------------------------------------------------------------
+
+def q_parse_rfc822(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F7 — RFC-822 strings (numeric offset for even keys, named zone for
+    odd) parsed back with the reference's tz-branch logic."""
+    orders = _t(spark, sf_dir, "orders")
+    rfc = F.when(
+        F.col("o_orderkey") % 2 == 0,
+        F.date_format("o_orderdate", "EEE, dd MMM yyyy HH:mm:ss Z"),
+    ).otherwise(F.date_format("o_orderdate", "EEE, dd MMM yyyy HH:mm:ss zzz"))
+    return orders.select(
+        "o_orderkey", _fmt_ts(TF.parse_rfc822(rfc)).alias("published")
+    ).orderBy("o_orderkey")
+
+
+SQL_PARSE_RFC822 = (
+    "SELECT o_orderkey, " + SQL_TS.format("o_orderdate") + " AS published "
+    "FROM orders ORDER BY o_orderkey"
+)
+
+
+def q_parse_struct_time(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F8 — 9-int struct_time list → timestamp (datetime(*x[:-2]))."""
+    ev = _t(spark, sf_dir, "events")
+    st = F.array(
+        F.year("ts"), F.month("ts"), F.dayofmonth("ts"),
+        F.hour("ts"), F.minute("ts"), F.second("ts"),
+        F.lit(0), F.lit(0), F.lit(0),
+    )
+    return ev.select(
+        "event_id", _fmt_ts(TF.struct_time_to_timestamp(st)).alias("published")
+    ).orderBy("event_id")
+
+
+SQL_PARSE_STRUCT_TIME = (
+    "SELECT event_id, " + SQL_TS.format("date_trunc('second', ts)") + " AS published "
+    "FROM events ORDER BY event_id"
+)
+
+
+def q_parse_simple(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F9 — '%Y-%m-%d %H:%M:%S' parse."""
+    ev = _t(spark, sf_dir, "events")
+    s = F.date_format("ts", "yyyy-MM-dd HH:mm:ss")
+    return ev.select(
+        "event_id", _fmt_ts(TF.parse_simple(s)).alias("created")
+    ).orderBy("event_id")
+
+
+SQL_PARSE_SIMPLE = (
+    "SELECT event_id, " + SQL_TS.format("date_trunc('second', ts)") + " AS created "
+    "FROM events ORDER BY event_id"
+)
+
+
+def q_parse_zoned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F10 — '%Y-%m-%d %H:%M:%S%z' parse."""
+    ev = _t(spark, sf_dir, "events")
+    s = F.concat(F.date_format("ts", "yyyy-MM-dd HH:mm:ss"), F.lit("+00:00"))
+    return ev.select(
+        "event_id", _fmt_ts(TF.parse_zoned(s)).alias("created_at")
+    ).orderBy("event_id")
+
+
+SQL_PARSE_ZONED = (
+    "SELECT event_id, " + SQL_TS.format("date_trunc('second', ts)") + " AS created_at "
+    "FROM events ORDER BY event_id"
+)
+
+
+# ---------------------------------------------------------------------------
+# extension: dedup family (SURVEY §2.9)
+# ---------------------------------------------------------------------------
+
+def q_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        D.exact_dedup(docs.select("doc_id", "lang", "source"), ["lang", "source"], ["doc_id"])
+        .orderBy("doc_id")
+    )
+
+
+SQL_EXACT_DEDUP = """
+SELECT doc_id, lang, source FROM (
+  SELECT doc_id, lang, source,
+         row_number() OVER (PARTITION BY lang, source ORDER BY doc_id) AS rn
+  FROM documents) WHERE rn = 1
+ORDER BY doc_id
+"""
+
+
+def q_minhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return D.minhash_dedup_pairs(docs, "doc_id", "text", threshold=0.8).orderBy(
+        "id_a", "id_b"
+    )
+
+
+_SH = O.sql_shingles("text", 3)
+_SIG = O.sql_minhash_signature("sh", 16)
+SQL_MINHASH = f"""
+WITH sh AS (SELECT doc_id, {_SH} AS sh FROM documents),
+sig AS (SELECT doc_id, sh, {_SIG} AS sig FROM sh WHERE len(sh) > 0),
+banded AS (
+  SELECT doc_id, b AS band,
+         md5(array_to_string(list_transform(sig[b*4+1:b*4+4], x -> x::VARCHAR), ',')) AS bucket
+  FROM sig, unnest([0,1,2,3]) AS u(b)),
+cand AS (
+  SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
+  FROM banded l JOIN banded r
+    ON l.band = r.band AND l.bucket = r.bucket AND l.doc_id < r.doc_id)
+SELECT id_a, id_b,
+  round(len(list_intersect(a.sh, b.sh))::DOUBLE /
+        len(list_distinct(a.sh || b.sh)), 6) AS jaccard
+FROM cand JOIN sh a ON cand.id_a = a.doc_id JOIN sh b ON cand.id_b = b.doc_id
+WHERE round(len(list_intersect(a.sh, b.sh))::DOUBLE /
+            len(list_distinct(a.sh || b.sh)), 6) >= 0.8
+ORDER BY id_a, id_b
+"""
+
+
+def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return D.ngram_jaccard_pairs(docs, "doc_id", "text", "lang", threshold=0.5).orderBy(
+        "id_a", "id_b"
+    )
+
+
+SQL_NGRAM_JACCARD = f"""
+WITH sh AS (SELECT doc_id, lang, {_SH} AS sh FROM documents)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+  round(len(list_intersect(a.sh, b.sh))::DOUBLE /
+        len(list_distinct(a.sh || b.sh)), 6) AS jaccard
+FROM sh a JOIN sh b ON a.lang = b.lang AND a.doc_id < b.doc_id
+WHERE round(len(list_intersect(a.sh, b.sh))::DOUBLE /
+            len(list_distinct(a.sh || b.sh)), 6) >= 0.5
+ORDER BY id_a, id_b
+"""
+
+
+def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select("doc_id", D.simhash(F.col("text")).alias("fp")).orderBy("doc_id")
+
+
+SQL_SIMHASH = (
+    f"SELECT doc_id, {O.sql_simhash('text')} AS fp FROM documents ORDER BY doc_id"
+)
+
+
+def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select("doc_id", TA.fingerprint(F.col("text")).alias("fp")).orderBy(
+        "doc_id"
+    )
+
+
+SQL_FINGERPRINT = (
+    f"SELECT doc_id, {O.sql_hash64('text')} AS fp FROM documents ORDER BY doc_id"
+)
+
+
+# ---------------------------------------------------------------------------
+# extension: similarity search
+# ---------------------------------------------------------------------------
+
+def q_embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 50 == 0)
+    return SIM.cosine_topk(queries, emb, k=10).orderBy("query_id", "rank")
+
+
+SQL_EMBEDDING_TOPK = f"""
+WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+           FROM embeddings WHERE vec_id % 50 = 0),
+c AS (SELECT vec_id AS match_id, embedding::DOUBLE[] AS cv FROM embeddings),
+scored AS (
+  SELECT query_id, match_id, round({O.sql_cosine('qv', 'cv')}, 6) AS sim
+  FROM q, c WHERE query_id <> match_id),
+ranked AS (
+  SELECT query_id, match_id, sim,
+         row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, match_id ASC) AS rank
+  FROM scored)
+SELECT query_id, match_id, sim, rank FROM ranked WHERE rank <= 10
+ORDER BY query_id, rank
+"""
+
+
+# ---------------------------------------------------------------------------
+# extension: text analysis
+# ---------------------------------------------------------------------------
+
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select("doc_id", TA.lang_id(F.col("text")).alias("lang_pred")).orderBy(
+        "doc_id"
+    )
+
+
+SQL_LANG_ID = (
+    f"SELECT doc_id, {O.sql_lang_id('text')} AS lang_pred FROM documents ORDER BY doc_id"
+)
+
+
+def q_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    q = TA.quality_score(F.col("text"))
+    return docs.select(
+        "doc_id",
+        q["n_chars"].cast("bigint").alias("n_chars"),
+        q["n_tokens"].cast("bigint").alias("n_tokens"),
+        q["mean_token_len"].alias("mean_token_len"),
+        q["punct_ratio"].alias("punct_ratio"),
+        q["digit_ratio"].alias("digit_ratio"),
+        q["quality"].alias("quality"),
+    ).orderBy("doc_id")
+
+
+_Q = O.sql_quality("text")
+SQL_QUALITY = (
+    "SELECT doc_id, "
+    + ", ".join(f"{_Q[c]} AS {c}" for c in
+                ["n_chars", "n_tokens", "mean_token_len", "punct_ratio",
+                 "digit_ratio", "quality"])
+    + " FROM documents ORDER BY doc_id"
+)
+
+
+def q_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        TA.token_count_ws(F.col("text")).cast("bigint").alias("n_ws"),
+        TA.token_count_bpe(F.col("text")).cast("bigint").alias("n_bpe"),
+    ).orderBy("doc_id")
+
+
+SQL_TOKEN_COUNTS = (
+    f"SELECT doc_id, CAST(len({O.sql_tokenize_ws('text')}) AS BIGINT) AS n_ws, "
+    f"{O.sql_token_count_bpe('text')} AS n_bpe FROM documents ORDER BY doc_id"
+)
+
+
+def q_sentiment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N1 — deterministic lexicon sentiment (vader-udf variant in tests)."""
+    docs = _t(spark, sf_dir, "documents")
+    s = S.sentiment_native(F.col("text"))
+    return docs.select(
+        "doc_id",
+        s["negative"].alias("negative"),
+        s["neutral"].alias("neutral"),
+        s["positive"].alias("positive"),
+        s["compound"].alias("compound"),
+    ).orderBy("doc_id")
+
+
+_SENT = O.sql_sentiment("text")
+SQL_SENTIMENT = (
+    "SELECT doc_id, "
+    + ", ".join(f"{_SENT[c]} AS {c}" for c in ["negative", "neutral", "positive", "compound"])
+    + " FROM documents ORDER BY doc_id"
+)
+
+
+# ---------------------------------------------------------------------------
+# streaming-shaped batch analytics over events
+# ---------------------------------------------------------------------------
+
+def q_hourly_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-hour event-time windows (streaming §2.8 batch analog)."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .select(
+            _fmt_ts(F.col("w.start")).alias("window_start"),
+            "event_type",
+            "n",
+            "total_value",
+        )
+        .orderBy("window_start", "event_type")
+    )
+
+
+SQL_HOURLY = (
+    "SELECT " + SQL_TS.format("date_trunc('hour', ts)") + " AS window_start, "
+    "event_type, count(*) AS n, round(sum(value), 2) AS total_value "
+    "FROM events GROUP BY 1, 2 ORDER BY window_start, event_type"
+)
+
+
+def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands sessionization, 30-minute inactivity gap."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.when(
+        F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(w) > 1800, 1
+    ).otherwise(0)
+    flagged = ev.select("user_id", "ts", "event_id", gap.alias("new_s"))
+    sess = flagged.withColumn(
+        "session_id",
+        F.sum("new_s").over(
+            Window.partitionBy("user_id").orderBy("ts", "event_id")
+            .rowsBetween(Window.unboundedPreceding, 0)
+        ),
+    )
+    return (
+        sess.groupBy("user_id", "session_id")
+        .agg(
+            _fmt_ts(F.min("ts"), with_micros=True).alias("session_start"),
+            _fmt_ts(F.max("ts"), with_micros=True).alias("session_end"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .orderBy("user_id", "session_id")
+    )
+
+
+SQL_SESSIONIZE = f"""
+WITH flagged AS (
+  SELECT user_id, ts, event_id,
+    CASE WHEN epoch(ts) - lag(epoch(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) > 1800
+         THEN 1 ELSE 0 END AS new_s
+  FROM events),
+sess AS (
+  SELECT user_id, ts,
+    sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM flagged)
+SELECT user_id, session_id,
+  {SQL_TS_US.format("min(ts)")} AS session_start,
+  {SQL_TS_US.format("max(ts)")} AS session_end,
+  count(*) AS n_events
+FROM sess GROUP BY user_id, session_id
+ORDER BY user_id, session_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# extension: multimodal plumbing (binary columns; decode stubbed — see
+# operators/multimodal.py tests)
+# ---------------------------------------------------------------------------
+
+def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    blob = F.encode(F.col("text"), "utf-8")
+    return docs.select(
+        "doc_id",
+        F.octet_length(blob).cast("bigint").alias("n_bytes"),
+        X.hash64(F.col("text")).alias("content_hash"),
+    ).orderBy("doc_id")
+
+
+SQL_MULTIMODAL = (
+    "SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes, "
+    f"{O.sql_hash64('text')} AS content_hash FROM documents ORDER BY doc_id"
+)
+
+
+# ---------------------------------------------------------------------------
+# registry
+# ---------------------------------------------------------------------------
+
+_REGISTRY: list[tuple[str, Callable[[SparkSession, str], DataFrame], str | None]] = [
+    ("flagship_doc_keywords", q_flagship_doc_keywords, SQL_FLAGSHIP),
+    ("pricing_summary", q_pricing_summary, SQL_PRICING),
+    ("top_orders", q_top_orders, SQL_TOP_ORDERS),
+    ("region_revenue", q_region_revenue, SQL_REGION_REVENUE),
+    ("antijoin_new_users", q_antijoin_new_users, SQL_ANTIJOIN),
+    ("dead_letter_routing", q_dead_letter_routing, SQL_DEAD_LETTER),
+    ("clean_text", q_clean_text, SQL_CLEAN),
+    ("hashtags", q_hashtags, SQL_HASHTAGS),
+    ("stopword_filter", q_stopword_filter, SQL_STOPWORD),
+    ("bigram_pairs", q_bigram_pairs, SQL_BIGRAM_PAIRS),
+    ("parse_rfc822", q_parse_rfc822, SQL_PARSE_RFC822),
+    ("parse_struct_time", q_parse_struct_time, SQL_PARSE_STRUCT_TIME),
+    ("parse_simple", q_parse_simple, SQL_PARSE_SIMPLE),
+    ("parse_zoned", q_parse_zoned, SQL_PARSE_ZONED),
+    ("exact_dedup", q_exact_dedup, SQL_EXACT_DEDUP),
+    ("minhash_near_dups", q_minhash_near_dups, SQL_MINHASH),
+    ("ngram_jaccard", q_ngram_jaccard, SQL_NGRAM_JACCARD),
+    ("simhash", q_simhash, SQL_SIMHASH),
+    ("fingerprint", q_fingerprint, SQL_FINGERPRINT),
+    ("embedding_topk", q_embedding_topk, SQL_EMBEDDING_TOPK),
+    ("lang_id", q_lang_id, SQL_LANG_ID),
+    ("quality_score", q_quality, SQL_QUALITY),
+    ("token_counts", q_token_counts, SQL_TOKEN_COUNTS),
+    ("sentiment", q_sentiment, SQL_SENTIMENT),
+    ("hourly_windows", q_hourly_windows, SQL_HOURLY),
+    ("sessionize", q_sessionize, SQL_SESSIONIZE),
+    ("multimodal_meta", q_multimodal_meta, SQL_MULTIMODAL),
+]
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {name: fn for name, fn, _ in _REGISTRY}
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {name: sql for name, _, sql in _REGISTRY if sql is not None}

@@ -1,0 +1,91 @@
+#!/usr/bin/env python
+"""Benchmark harness: run the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and print ONE
+JSON line: {"metric": ..., "value": N, "unit": "sec", "queries": {...},
+"sf": ...}.
+
+Each query is executed with a cheap terminal action (count of the collected
+result) so the full plan runs but driver-side materialization stays small.
+A warmup query first absorbs JVM/codegen startup so per-query numbers
+reflect steady-state execution.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import __spark_entry__ as E
+from ingestion_scripts_spark.session import build_session
+
+#: headline subset — the queries whose plans exercise every engine surface:
+#: shuffle+window agg, broadcast star join, anti-join, HOF text ops, LSH
+#: dedup, brute-force similarity, windows/sessionization.
+HEADLINE = [
+    "flagship_doc_keywords",
+    "pricing_summary",
+    "top_orders",
+    "region_revenue",
+    "antijoin_new_users",
+    "dead_letter_routing",
+    "clean_text",
+    "stopword_filter",
+    "exact_dedup",
+    "minhash_near_dups",
+    "ngram_jaccard",
+    "simhash",
+    "embedding_topk",
+    "lang_id",
+    "quality_score",
+    "token_counts",
+    "sentiment",
+    "hourly_windows",
+    "sessionize",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 4))
+    spark = build_session(
+        app_name="ingestion-scripts-spark-bench",
+        master=f"local[{cpus}]",
+        shuffle_partitions=cpus,
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    qs = E.queries()
+    names = [n for n in HEADLINE if n in qs]
+
+    # warmup: run the cheapest query once to absorb JVM + codegen startup
+    qs["pricing_summary"](spark, sf_dir).collect()
+
+    per_query: dict[str, float] = {}
+    for name in names:
+        t0 = time.perf_counter()
+        rows = qs[name](spark, sf_dir).collect()
+        per_query[name] = round(time.perf_counter() - t0, 3)
+        del rows
+
+    total = round(sum(per_query.values()), 3)
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_wall",
+                "value": total,
+                "unit": "sec",
+                "queries": per_query,
+                "sf": sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,91 @@
+"""NLP-ish enrichment — engine-native substitutes for newspaper3k (N3) and
+the nested-comment sentiment pattern (N2).
+
+The reference calls ``article.nlp()`` (newspaper3k TF-IDF-ish keywords +
+sentence-scoring summary, ``src/rss_consumer.py:90-92,112-116,142-145``).
+newspaper3k isn't installed here and isn't deterministic across versions, so
+the engine's default is a native, deterministic substitute (SURVEY.md §2.7
+N3): term-frequency top-k keywords and a first-k-sentences summary. Both are
+pure Catalyst HOF expressions — per-row, no shuffle, no Python.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .text import clean_text, remove_stopwords, tokenize_ws
+
+#: sentence boundary: split after ./!/? followed by whitespace
+SENTENCE_SPLIT = "(?<=[.!?])\\s+"
+
+
+def tf_top_tokens(toks: Column, k: int = 5) -> Column:
+    """Top-k tokens by in-row term frequency; ties break token-ascending.
+
+    Native trick: for each distinct token build struct(-count, token), sort
+    ascending (so highest count first, then token asc), slice k. O(d^2) per
+    row on distinct tokens — fine for document-sized rows, zero shuffle.
+    """
+    distinct = F.array_distinct(toks)
+    scored = F.transform(
+        distinct,
+        lambda t: F.struct(
+            (-F.size(F.filter(toks, lambda x: x == t))).alias("neg_cnt"),
+            t.alias("tok"),
+        ),
+    )
+    top = F.slice(F.array_sort(scored), 1, k)
+    return F.transform(top, lambda s: s["tok"])
+
+
+def keywords_native(text: Column, k: int = 5) -> Column:
+    """N3 keyword substitute: clean → tokenize → stopword-filter → TF top-k."""
+    return tf_top_tokens(remove_stopwords(tokenize_ws(clean_text(text))), k)
+
+
+def summary_native(text: Column, k_sentences: int = 2) -> Column:
+    """N3 summary substitute: first k sentences (deterministic)."""
+    return F.concat_ws(" ", F.slice(F.split(text, SENTENCE_SPLIT), 1, k_sentences))
+
+
+def enrich_nested_comments(
+    df: DataFrame,
+    id_col: str,
+    comments_col: str,
+    text_fn,
+    out_field: str,
+    sentiment_fn=None,
+) -> DataFrame:
+    """N2 — apply per-element transforms INSIDE an array-of-struct column,
+    preserving element order.
+
+    The reference mutates each comment dict in a Python loop
+    (``src/reddit_consumer.py:114-116,129-131``). Natively: posexplode →
+    transform → re-nest sorted by position (SURVEY.md §2.7 N2 option (a):
+    scales, stays columnar; no UDF-in-``transform`` limitation).
+
+    ``text_fn``: Column -> Column applied to each comment's ``text``;
+    ``sentiment_fn``: optional Column -> Column(struct) stored at
+    ``out_field``.
+    """
+    other_cols = [c for c in df.columns if c != comments_col]
+    ex = df.select(*other_cols, F.posexplode_outer(comments_col).alias("__pos", "__c"))
+    new_text = text_fn(F.col("__c.text")) if text_fn else F.col("__c.text")
+    fields = [new_text.alias("text")]
+    if sentiment_fn is not None:
+        fields.append(sentiment_fn(F.col("__c.text")).alias(out_field))
+    else:
+        fields.append(F.col(f"__c.{out_field}").alias(out_field))
+    rebuilt = ex.withColumn("__c2", F.when(F.col("__c").isNotNull(), F.struct(*fields)))
+    renested = (
+        rebuilt.groupBy(*other_cols)
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct(F.col("__pos").alias("p"), F.col("__c2").alias("c")))
+            ).alias("__pc")
+        )
+        .withColumn(comments_col, F.transform(F.col("__pc"), lambda x: x["c"]))
+        .drop("__pc")
+    )
+    return renested

@@ -1,0 +1,106 @@
+"""Multimodal columns — binary payloads with typed metadata (extension op).
+
+Design (SURVEY.md §2.9): image/audio/video are opaque ``binary`` columns plus
+a metadata struct; decode/feature-extract run as Arrow-batched
+``mapInPandas`` so each Python worker sees whole record batches. The actual
+media decoding libraries are NOT in this container, so the decode kernel is
+pluggable: callers pass ``decode_fn(bytes) -> features`` and the default is a
+deterministic fake (length + md5-prefix) marked as such. The Spark-side
+plumbing — schema, batching, partition sizing — is real and tested.
+
+Scale: binary payloads dominate row size; ``repartition`` by byte budget
+before the UDF so one Arrow batch fits executor memory (the helper computes
+target partitions from an explicit bytes-per-partition budget instead of row
+counts — rows are wildly non-uniform in media tables).
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Callable, Iterator
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+MEDIA_META = T.StructType(
+    [
+        T.StructField("media_type", T.StringType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("duration_ms", T.LongType()),
+    ]
+)
+
+FEATURE_SCHEMA = T.StructType(
+    [
+        T.StructField("n_bytes", T.LongType()),
+        T.StructField("digest", T.StringType()),
+        T.StructField("feature", T.ArrayType(T.FloatType())),
+    ]
+)
+
+
+def fake_decode(payload: bytes) -> tuple[int, str, list[float]]:
+    """Deterministic stand-in for a real media decoder (image/audio libs are
+    not installed here). Real deployments inject e.g. PIL/librosa kernels."""
+    if payload is None:
+        raise NotImplementedError("media decode of null payload")
+    digest = hashlib.md5(payload).hexdigest()
+    # 8 pseudo-features from the digest — stable, content-derived
+    feats = [int(digest[i * 2 : i * 2 + 2], 16) / 255.0 for i in range(8)]
+    return len(payload), digest, feats
+
+
+def extract_features(
+    df: DataFrame,
+    payload_col: str = "payload",
+    id_col: str = "media_id",
+    decode_fn: Callable[[bytes], tuple[int, str, list[float]]] = fake_decode,
+    bytes_per_partition: int = 128 << 20,
+    approx_total_bytes: int | None = None,
+) -> DataFrame:
+    """payload binary → (id, n_bytes, digest, feature[8]) via mapInPandas.
+
+    Arrow moves the binary column to Python in batches; failures yield null
+    features (dead-letter convention K4) instead of failing the stage.
+    """
+    if approx_total_bytes:
+        parts = max(1, approx_total_bytes // bytes_per_partition)
+        df = df.repartition(int(parts))
+
+    out_schema = T.StructType(
+        [T.StructField("media_id", T.LongType())] + list(FEATURE_SCHEMA.fields)
+    )
+
+    def run(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for mid, payload in zip(pdf[id_col], pdf[payload_col]):
+                try:
+                    n, digest, feats = decode_fn(bytes(payload))
+                    rows.append((mid, n, digest, feats))
+                except Exception:
+                    rows.append((mid, None, None, None))
+            yield pd.DataFrame(
+                rows, columns=["media_id", "n_bytes", "digest", "feature"]
+            )
+
+    return df.select(F.col(id_col), F.col(payload_col)).mapInPandas(run, out_schema)
+
+
+def text_to_media(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Test fixture builder: fabricate a binary media table from a text
+    table (utf-8 payload + metadata struct)."""
+    return df.select(
+        F.col(id_col).alias("media_id"),
+        F.encode(F.col(text_col), "utf-8").alias("payload"),
+        F.struct(
+            F.lit("text/fake").alias("media_type"),
+            F.lit(None).cast("int").alias("width"),
+            F.lit(None).cast("int").alias("height"),
+            F.lit(None).cast("bigint").alias("duration_ms"),
+        ).alias("meta"),
+    )

@@ -1,0 +1,138 @@
+"""Similarity search over embedding columns (extension ops, SURVEY.md §2.9).
+
+- ``cosine_topk`` — brute-force cosine top-k: the exactness baseline. The
+  query side is broadcast (queries are few); the corpus scan is
+  embarrassingly parallel; the only wide op is the per-query top-k, done with
+  a window over a dataset already reduced to (query, candidate, sim).
+- ``lsh_ann_topk`` — random-hyperplane LSH: sign-bit bucket per vector, join
+  on bucket, top-k within bucket. The 100 TB path: candidate set shrinks by
+  ~2^planes; hyperplanes are deterministic (md5-derived) so results are
+  reproducible and oracle-checkable.
+
+Dot products use ``zip_with`` + ``aggregate`` (native HOFs — sequential left
+fold, bit-identical to the DuckDB oracle's list fold). Similarities are
+rounded before ranking so cross-engine float drift cannot flip a rank.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(
+        F.aggregate(a, F.lit(0.0), lambda acc, x: acc + x * x)
+    )
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (norm(a) * norm(b))
+
+
+def _as_double(a: Column) -> Column:
+    return F.transform(a, lambda x: x.cast("double"))
+
+
+def cosine_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 10,
+) -> DataFrame:
+    """Brute-force cosine top-k of corpus vectors per query vector.
+
+    Returns (query_id, match_id, sim, rank). Self-matches excluded.
+    Deterministic ranking: sim is rounded to 6 dp BEFORE ranking, ties break
+    on match_id asc.
+    """
+    q = queries.select(
+        F.col(id_col).alias("query_id"), _as_double(F.col(vec_col)).alias("qv")
+    )
+    c = corpus.select(
+        F.col(id_col).alias("match_id"), _as_double(F.col(vec_col)).alias("cv")
+    )
+    scored = (
+        F.broadcast(q)
+        .crossJoin(c)
+        .filter(F.col("query_id") != F.col("match_id"))
+        .select(
+            "query_id",
+            "match_id",
+            F.round(cosine(F.col("qv"), F.col("cv")), 6).alias("sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("match_id"))
+    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
+def hyperplanes(num_planes: int, dim: int) -> list[list[float]]:
+    """Deterministic pseudo-random hyperplanes in [-1, 1]^dim.
+
+    Derived from md5("p,d") so any engine (incl. the DuckDB oracle) can
+    reproduce them; embedded as literals in the plan (num_planes*dim doubles
+    — tiny).
+    """
+    planes = []
+    for p in range(num_planes):
+        row = []
+        for d in range(dim):
+            h = int(hashlib.md5(f"{p},{d}".encode()).hexdigest()[:15], 16)
+            row.append((h % 2001 - 1000) / 1000.0)
+        planes.append(row)
+    return planes
+
+
+def lsh_bucket(vec: Column, planes: list[list[float]]) -> Column:
+    """Sign-bit LSH bucket id: bit p set iff dot(vec, plane_p) > 0."""
+    bucket = F.lit(0).cast("bigint")
+    for p, row in enumerate(planes):
+        plane = F.array(*[F.lit(v) for v in row])
+        bucket = bucket + F.when(
+            dot(vec, plane) > 0, F.lit(1 << p).cast("bigint")
+        ).otherwise(F.lit(0).cast("bigint"))
+    return bucket
+
+
+def lsh_ann_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    num_planes: int = 6,
+    k: int = 10,
+) -> DataFrame:
+    """Approximate NN: exact cosine top-k restricted to same-LSH-bucket
+    candidates. Recall < 1 by design (the scale path); rank/tiebreak rules
+    match ``cosine_topk``."""
+    planes = hyperplanes(num_planes, dim)
+    q = queries.select(
+        F.col(id_col).alias("query_id"), _as_double(F.col(vec_col)).alias("qv")
+    ).withColumn("bucket", lsh_bucket(F.col("qv"), planes))
+    c = corpus.select(
+        F.col(id_col).alias("match_id"), _as_double(F.col(vec_col)).alias("cv")
+    ).withColumn("bucket", lsh_bucket(F.col("cv"), planes))
+    scored = (
+        F.broadcast(q)
+        .join(c, "bucket")
+        .filter(F.col("query_id") != F.col("match_id"))
+        .select(
+            "query_id",
+            "match_id",
+            F.round(cosine(F.col("qv"), F.col("cv")), 6).alias("sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("match_id"))
+    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)

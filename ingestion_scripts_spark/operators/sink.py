@@ -1,0 +1,87 @@
+"""Sinks — K2 (audit-columned append), K3 (keyed idempotent write), K4
+(dead-letter split).
+
+The reference enforces idempotence with Mongo unique indexes that reject
+duplicate keys, errors swallowed (``src/rss_consumer.py:53,166-169``;
+``src/twitter_consumer.py:44,117-119``). Spark restatement: in-batch
+``dropDuplicates(keys)`` + left-anti join against the existing table, then
+append — usable both for batch writes and as a Structured Streaming
+``foreachBatch`` function (SURVEY.md §4.3).
+
+Scale: the anti-join's existing-keys side reads ONLY the key columns (column
+pruning reaches the parquet scan); for very large sinks partition the table
+on a key prefix so the join prunes partitions.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.timefns import audit_timestamp
+
+
+def with_audit(df: DataFrame, col_name: str = "insert_date") -> DataFrame:
+    """K2 — append the ``insert_date`` audit column
+    (``src/rss_consumer.py:165-166``)."""
+    return df.withColumn(col_name, audit_timestamp())
+
+
+def idempotent_append(
+    df: DataFrame,
+    path: str,
+    keys: list[str],
+    audit: bool = True,
+) -> None:
+    """K3 — keyed idempotent append to a parquet table at ``path``.
+
+    Semantics of the reference unique index: a key already present never gets
+    a second row; within the incoming batch the first (arbitrary but
+    in-batch-deduped) row wins.
+    """
+    spark = df.sparkSession
+    batch = df.dropDuplicates(keys)
+    if os.path.exists(path):
+        existing_keys = spark.read.parquet(path).select(*keys)
+        batch = batch.join(F.broadcast(existing_keys.dropDuplicates(keys)), keys, "left_anti")
+    if audit:
+        batch = with_audit(batch)
+    batch.write.mode("append").parquet(path)
+
+
+def make_foreach_batch_writer(path: str, keys: list[str], audit: bool = True):
+    """``foreachBatch``-compatible idempotent keyed writer for streams.
+
+    Checkpointing gives exactly-once *state*; the keyed anti-join makes the
+    write idempotent under micro-batch replay — together the at-least-once →
+    effectively-once upgrade the reference got from its unique index.
+    """
+
+    def write(batch_df: DataFrame, batch_id: int) -> None:
+        idempotent_append(batch_df, path, keys, audit=audit)
+
+    return write
+
+
+def dead_letter_split(
+    df: DataFrame, good_condition, observe_name: str | None = None
+) -> tuple[DataFrame, DataFrame]:
+    """K4 — split into (good, dead_letter) DataFrames.
+
+    The reference wraps every agent body in ``try/except: log`` and drops bad
+    records (e.g. ``src/rss_consumer.py:95-98``). Engine convention: parsing/
+    UDF stages yield NULL on failure; this operator routes rows by the
+    ``good_condition`` predicate and optionally attaches ``observe`` counters
+    so dead-letter volume is measurable without a second pass.
+    """
+    if observe_name:
+        df = df.observe(
+            observe_name,
+            F.count(F.lit(1)).alias("total"),
+            F.sum(F.when(good_condition, 0).otherwise(1)).alias("dead"),
+        )
+    good = df.filter(good_condition)
+    dead = df.filter(~good_condition | good_condition.isNull())
+    return good, dead

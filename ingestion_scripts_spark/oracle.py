@@ -1,0 +1,193 @@
+"""DuckDB oracle SQL builders.
+
+The driver's correctness gate runs each ``__spark_entry__.queries()`` entry in
+Spark AND its ``oracle_sql()`` ANSI-SQL twin in DuckDB, then compares
+row-count + schema + order-insensitive value hash. The builders here generate
+the DuckDB side from the SAME frozen constants the Spark operators use
+(regexes, stopword lists, lexicons, hash construction), so both engines
+compute the identical function.
+
+Cross-engine ground rules used throughout:
+- regexes restricted to syntax valid in both Java regex (Spark) and RE2
+  (DuckDB); DuckDB ``regexp_replace`` needs the ``'g'`` flag to match
+  Spark's replace-all.
+- hashes = first 15 hex digits of md5 as bigint (``functions.text.hash64``).
+- floats are rounded BEFORE ranking/comparison; sizes cast to bigint.
+"""
+
+from __future__ import annotations
+
+from .functions.sentiment import COMPOUND_ALPHA, NEGATIVE_WORDS, POSITIVE_WORDS
+from .functions.text import BRACKET_SPAN, DIGIT_WORD, HASHTAG, PUNCT_CLASS, STOPWORDS
+from .operators.text_analysis import LANG_MARKERS, TOKEN_PATTERN
+
+
+def sq(s: str) -> str:
+    """SQL-quote a string literal (single quotes doubled)."""
+    return "'" + s.replace("'", "''") + "'"
+
+
+def sql_list(words: list[str]) -> str:
+    return "[" + ", ".join(sq(w) for w in words) + "]"
+
+
+STOPWORD_LIST = sql_list(STOPWORDS)
+
+
+def sql_hash64(x: str) -> str:
+    """= functions.text.hash64"""
+    return f"CAST(('0x' || substr(md5({x}), 1, 15)) AS BIGINT)"
+
+
+def sql_clean_text(x: str) -> str:
+    """= functions.text.clean_text (F1): lower → strip [..] → punct → digit-words."""
+    c = f"lower({x})"
+    c = f"regexp_replace({c}, {sq(BRACKET_SPAN)}, '', 'g')"
+    c = f"regexp_replace({c}, {sq(PUNCT_CLASS)}, '', 'g')"
+    c = f"regexp_replace({c}, {sq(DIGIT_WORD)}, '', 'g')"
+    return c
+
+
+def sql_tokenize_ws(x: str) -> str:
+    """= functions.text.tokenize_ws: split on single space, drop empties."""
+    return f"list_filter(string_split({x}, ' '), t -> t <> '')"
+
+
+def sql_remove_stopwords(toks: str) -> str:
+    """= functions.text.remove_stopwords (F5): order/dup-preserving filter."""
+    return f"list_filter({toks}, t -> NOT list_contains({STOPWORD_LIST}, t))"
+
+
+def sql_hashtags(x: str) -> str:
+    """= functions.text.extract_hashtags (F2)."""
+    return f"regexp_extract_all({x}, {sq(HASHTAG)}, 1)"
+
+
+def sql_bigrams(t: str) -> str:
+    """= functions.text.pairwise_bigrams (F6) joined by ' ': canonical
+    (sorted) adjacent pairs."""
+    pair = (
+        f"CASE WHEN {t}[i] <= {t}[i+1] THEN {t}[i] || ' ' || {t}[i+1] "
+        f"ELSE {t}[i+1] || ' ' || {t}[i] END"
+    )
+    return f"list_transform(range(1, len({t})), i -> {pair})"
+
+
+def sql_ngrams(t: str, n: int) -> str:
+    """= functions.text.ngrams joined by ' '."""
+    joined = " || ' ' || ".join(f"{t}[i+{j}]" for j in range(n))
+    return f"list_transform(range(1, len({t}) - {n - 2}), i -> {joined})"
+
+
+def sql_shingles(x: str, n: int = 3) -> str:
+    """= operators.dedup.shingles: distinct word n-grams of lowercased text."""
+    toks = sql_tokenize_ws(f"lower({x})")
+    return f"list_distinct({sql_ngrams(toks, n)})"
+
+
+def sql_minhash_signature(sh: str, num_hashes: int = 16) -> str:
+    h = sql_hash64("(i::VARCHAR || '|' || s)")
+    return (
+        f"list_transform(range(0, {num_hashes}), "
+        f"i -> list_min(list_transform({sh}, s -> {h})))"
+    )
+
+
+def sql_simhash(x: str, bits: int = 32) -> str:
+    """= operators.dedup.simhash over distinct lowercased tokens."""
+    toks = f"list_distinct({sql_tokenize_ws(f'lower({x})')})"
+    hashes = f"list_transform({toks}, t -> {sql_hash64('t')})"
+    terms = []
+    for j in range(bits):
+        mask = 1 << j
+        vote = (
+            f"COALESCE(list_sum(list_transform({hashes}, "
+            f"h -> CASE WHEN (h & {mask}) <> 0 THEN 1 ELSE -1 END)), 0)"
+        )
+        terms.append(f"CASE WHEN {vote} > 0 THEN CAST({mask} AS BIGINT) ELSE 0 END")
+    return "(" + " + ".join(terms) + ")"
+
+
+def sql_sentiment(x: str) -> dict[str, str]:
+    """= functions.sentiment.sentiment_native → 4 named exprs."""
+    toks = sql_tokenize_ws(f"lower({x})")
+    pos_list = sql_list(sorted(POSITIVE_WORDS))
+    neg_list = sql_list(sorted(NEGATIVE_WORDS))
+    case = "CASE t " + " ".join(
+        f"WHEN {sq(w)} THEN {s!r}" for w, s in {**POSITIVE_WORDS, **NEGATIVE_WORDS}.items()
+    ) + " ELSE 0.0 END"
+    total = f"COALESCE(list_sum(list_transform({toks}, t -> {case})), 0.0)"
+    npos = f"len(list_filter({toks}, t -> list_contains({pos_list}, t)))"
+    nneg = f"len(list_filter({toks}, t -> list_contains({neg_list}, t)))"
+    ntok = f"greatest(len({toks}), 1)"
+    return {
+        "negative": f"round(({nneg})::DOUBLE / ({ntok}), 4)",
+        "neutral": f"round((({ntok}) - ({npos}) - ({nneg}))::DOUBLE / ({ntok}), 4)",
+        "positive": f"round(({npos})::DOUBLE / ({ntok}), 4)",
+        "compound": (
+            f"round(({total}) / sqrt(({total}) * ({total}) + {COMPOUND_ALPHA}), 4)"
+        ),
+    }
+
+
+def sql_lang_scores(x: str) -> dict[str, str]:
+    toks = sql_tokenize_ws(f"lower({x})")
+    return {
+        lang: f"len(list_filter({toks}, t -> list_contains({sql_list(words)}, t)))"
+        for lang, words in LANG_MARKERS.items()
+    }
+
+
+def sql_lang_id(x: str) -> str:
+    scores = sql_lang_scores(x)
+    langs = sorted(scores)
+    m = "greatest(" + ", ".join(scores[lang] for lang in langs) + ")"
+    whens = " ".join(f"WHEN ({scores[lang]}) = ({m}) THEN {sq(lang)}" for lang in langs)
+    return f"CASE WHEN ({m}) = 0 THEN 'und' {whens} ELSE 'und' END"
+
+
+def sql_token_count_bpe(x: str) -> str:
+    return f"CAST(len(regexp_extract_all({x}, {sq(TOKEN_PATTERN)})) AS BIGINT)"
+
+
+def sql_quality(x: str) -> dict[str, str]:
+    """= operators.text_analysis.quality_score → named exprs."""
+    toks = sql_tokenize_ws(x)
+    n_chars = f"length({x})"
+    n_tokens = f"greatest(len({toks}), 1)"
+    n_punct = f"len(regexp_extract_all({x}, {sq(PUNCT_CLASS)}))"
+    n_digit = f"len(regexp_extract_all({x}, '[0-9]'))"
+    # floor(x*1e4 + 0.5)/1e4 — IEEE-identical to the engine's r4 (see
+    # operators/text_analysis.quality_score) regardless of round() ties
+    r4 = "floor(({0}) * 10000.0 + 0.5) / 10000.0".format
+    mean_tok = r4(
+        f"COALESCE(list_sum(list_transform({toks}, t -> length(t))), 0)::DOUBLE"
+        f" / ({n_tokens})"
+    )
+    punct_ratio = r4(f"({n_punct})::DOUBLE / greatest({n_chars}, 1)")
+    digit_ratio = r4(f"({n_digit})::DOUBLE / greatest({n_chars}, 1)")
+    score = r4(
+        f"greatest(0.0, least(1.0, 1.0 - abs(({mean_tok}) - 5.5) / 10.0"
+        f" - ({punct_ratio}) - ({digit_ratio})))"
+    )
+    return {
+        "n_chars": f"CAST({n_chars} AS BIGINT)",
+        "n_tokens": f"CAST(len({toks}) AS BIGINT)",
+        "mean_token_len": mean_tok,
+        "punct_ratio": punct_ratio,
+        "digit_ratio": digit_ratio,
+        "quality": score,
+    }
+
+
+def sql_dot(a: str, b: str, dim_expr: str) -> str:
+    return f"list_sum(list_transform(range(1, {dim_expr} + 1), i -> {a}[i] * {b}[i]))"
+
+
+def sql_cosine(a: str, b: str) -> str:
+    """Cosine with the same sequential-fold shape as operators.similarity."""
+    dim = f"len({a})"
+    dot = sql_dot(a, b, dim)
+    na = f"sqrt(list_sum(list_transform(range(1, len({a}) + 1), i -> {a}[i] * {a}[i])))"
+    nb = f"sqrt(list_sum(list_transform(range(1, len({b}) + 1), i -> {b}[i] * {b}[i])))"
+    return f"({dot}) / (({na}) * ({nb}))"

@@ -1,0 +1,50 @@
+"""SparkSession factory with scale-oriented defaults.
+
+The engine targets a large multi-executor cluster reading ~100 TB; locally it
+runs ``local[N]``. The knobs below are the ones that matter at both scales:
+
+- AQE on (runtime shuffle coalescing + skew-join splitting),
+- explicit ``spark.sql.shuffle.partitions`` (callers size it to cores locally;
+  on a cluster you'd size to ~2-3x total cores),
+- Arrow enabled for the few pandas_udf operators,
+- broadcast threshold left at default so small dims (region/nation/supplier)
+  auto-broadcast; operators additionally hint ``F.broadcast`` where the small
+  side is known statically.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def build_session(
+    app_name: str = "ingestion-scripts-spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 4))
+    master = master or f"local[{cpus}]"
+    shuffle_partitions = shuffle_partitions or cpus
+
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    return builder.getOrCreate()
+
+
+def testdata_dir(sf: str = "0.001") -> str:
+    return os.environ.get("SPARK_GRAFT_SF_DIR", f"/root/testdata/sf{sf}")

@@ -1,0 +1,94 @@
+"""Sources — S1/S2 of the reference surface, batch and streaming.
+
+The reference subscribes to Kafka topics with typed JSON records
+(``src/rss_consumer.py:33-37`` etc.). Engine restatement: explicit-schema
+readers (never ``inferSchema`` — SURVEY.md §1.3). Kafka needs a broker, so the
+streaming tests use file sources with the same ``from_json`` decode path; the
+Kafka reader is the same function with a different format string.
+
+Scale: JSON decode happens once at the edge; everything downstream is
+columnar. For parquet scans, pass ``columns`` to prune at the reader so the
+scan's ReadSchema only carries what the query needs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+#: testdata columns stored as parquet INT64 TIMESTAMP(NANOS), which Spark's
+#: vectorized reader rejects outright (PARQUET_TYPE_ILLEGAL). Read them as
+#: raw nanos longs (legacy.parquet.nanosAsLong) and rebuild the timestamp
+#: with exact integer arithmetic — `div 1000` truncates ns→µs the same way
+#: DuckDB's TIMESTAMP_NS→µs conversion does. Float division would lose
+#: precision on 19-digit epoch-nanos.
+NANOS_TS_COLUMNS: dict[str, list[str]] = {"events": ["ts"]}
+
+
+def read_parquet(
+    spark: SparkSession, path: str, columns: list[str] | None = None
+) -> DataFrame:
+    df = spark.read.parquet(path)
+    return df.select(*columns) if columns else df
+
+
+def load_table(
+    spark: SparkSession, sf_dir: str, name: str, columns: list[str] | None = None
+) -> DataFrame:
+    """Read one testdata table, normalizing nanos-timestamp columns to
+    proper ``TimestampType`` so every downstream operator sees real
+    timestamps regardless of the writer's parquet flavor."""
+    ts_cols = NANOS_TS_COLUMNS.get(name, [])
+    if ts_cols:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    for c in ts_cols:
+        if dict(df.dtypes).get(c) == "bigint":
+            df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))
+    return df.select(*columns) if columns else df
+
+
+def read_json_records(
+    spark: SparkSession, path: str, schema: T.StructType
+) -> DataFrame:
+    """Batch analog of a typed Kafka topic: JSON-lines with a declared
+    schema. Bad records become nulls (PERMISSIVE) and flow to the
+    dead-letter split (K4) rather than killing the job."""
+    return spark.read.schema(schema).json(path)
+
+
+def decode_json_value(df: DataFrame, schema: T.StructType, value_col: str = "value") -> DataFrame:
+    """Kafka-style decode: a binary/string ``value`` column → typed columns
+    (``from_json(value, schema)``), the S1 mapping."""
+    return df.select(
+        F.from_json(F.col(value_col).cast("string"), schema).alias("rec")
+    ).select("rec.*")
+
+
+def read_kafka_stream(
+    spark: SparkSession, brokers: str, topic: str, schema: T.StructType
+) -> DataFrame:
+    """S1 — Kafka topic → typed streaming DataFrame. Requires a broker and
+    the spark-sql-kafka package at runtime; kept thin so the decode path is
+    shared with the file-source tests."""
+    raw = (
+        spark.readStream.format("kafka")
+        .option("kafka.bootstrap.servers", brokers)
+        .option("subscribe", topic)
+        .load()
+    )
+    return decode_json_value(raw, schema)
+
+
+def read_json_stream(
+    spark: SparkSession, path: str, schema: T.StructType, max_files: int = 10
+) -> DataFrame:
+    """File-source streaming twin of ``read_kafka_stream`` (used by tests —
+    no broker in this environment)."""
+    return (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", max_files)
+        .json(path)
+    )

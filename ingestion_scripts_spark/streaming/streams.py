@@ -1,0 +1,97 @@
+"""Structured Streaming variants of the pipelines (SURVEY.md §2.8).
+
+Reference semantics restated:
+- delivery: Kafka at-least-once + unique-index dedup →
+  checkpointed micro-batches + idempotent keyed ``foreachBatch`` sink
+  (effectively-once).
+- the ``links`` dedup state (``src/rss_consumer.py:56-65``, stale-refresh bug
+  and all) → EITHER a stream-static anti join (static side re-read every
+  micro-batch — the bug fixed for free) OR streaming ``dropDuplicates``
+  state, selectable per pipeline.
+- no watermarks exist in the reference; the engine adds watermarked tumbling
+  windows + session windows over event streams as first-class ops because any
+  100 TB ingest needs late-data policy.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming import StreamingQuery
+
+from ..operators.sink import make_foreach_batch_writer
+
+
+def stream_dedup_by_key(stream: DataFrame, key: str, use_state: bool = False,
+                        existing: DataFrame | None = None) -> DataFrame:
+    """J1 streaming: drop records whose key was already seen.
+
+    ``use_state=True`` → streaming ``dropDuplicates`` (state store, exact
+    within watermark); else stream-static left-anti join against ``existing``
+    (re-read per micro-batch)."""
+    if use_state:
+        return stream.dropDuplicates([key])
+    assert existing is not None
+    return stream.join(
+        F.broadcast(existing.select(key).dropDuplicates([key])), key, "left_anti"
+    )
+
+
+def windowed_counts(
+    stream: DataFrame,
+    ts_col: str = "ts",
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+    group_cols: tuple[str, ...] = ("event_type",),
+) -> DataFrame:
+    """Watermarked tumbling-window aggregation over an event stream."""
+    return (
+        stream.withWatermark(ts_col, watermark)
+        .groupBy(F.window(F.col(ts_col), window), *group_cols)
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("total_value"))
+    )
+
+
+def session_counts(
+    stream: DataFrame,
+    ts_col: str = "ts",
+    gap: str = "30 minutes",
+    watermark: str = "2 hours",
+    key: str = "user_id",
+) -> DataFrame:
+    """Native session windows (gap-based) — the streaming twin of the batch
+    gaps-and-islands ``sessionize`` query."""
+    return (
+        stream.withWatermark(ts_col, watermark)
+        .groupBy(F.session_window(F.col(ts_col), gap), key)
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+
+
+def run_to_table(
+    stream: DataFrame,
+    path: str,
+    checkpoint: str,
+    keys: list[str],
+    available_now: bool = True,
+) -> StreamingQuery:
+    """Sink a stream through the idempotent keyed writer (K2+K3) with
+    checkpointing; ``availableNow`` drains existing input then stops (used in
+    tests and backfills)."""
+    writer = make_foreach_batch_writer(path, keys)
+    q = stream.writeStream.foreachBatch(writer).option("checkpointLocation", checkpoint)
+    if available_now:
+        q = q.trigger(availableNow=True)
+    return q.start()
+
+
+def memory_sink(stream: DataFrame, name: str, spark: SparkSession,
+                output_mode: str = "append") -> StreamingQuery:
+    """Debug/test sink."""
+    return (
+        stream.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )

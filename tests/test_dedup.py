@@ -1,0 +1,58 @@
+"""Dedup operators: J1 anti-join, exact dedup, MinHash-LSH recall on planted
+near-dups, SimHash locality."""
+
+from pyspark.sql import functions as F
+
+from ingestion_scripts_spark.operators import dedup as D
+
+
+def test_anti_join_dedup(spark):
+    incoming = spark.createDataFrame(
+        [("a", 1), ("b", 2), ("c", 3)], "link string, v int"
+    )
+    existing = spark.createDataFrame([("b",), ("x",)], "link string")
+    out = D.anti_join_dedup(incoming, existing, "link")
+    assert sorted(r.link for r in out.collect()) == ["a", "c"]
+
+
+def test_exact_dedup_keeps_deterministic_winner(spark):
+    df = spark.createDataFrame(
+        [("k1", 3), ("k1", 1), ("k1", 2), ("k2", 9)], "k string, v int"
+    )
+    out = D.exact_dedup(df, ["k"], ["v"])
+    assert {(r.k, r.v) for r in out.collect()} == {("k1", 1), ("k2", 9)}
+
+
+def test_minhash_finds_planted_near_dup(spark):
+    base = "the quick brown fox jumps over the lazy dog again and again " * 5
+    near = base.replace("lazy", "sleepy", 1)
+    far = "completely different words about spark engines and columnar data " * 5
+    df = spark.createDataFrame(
+        [(1, base), (2, near), (3, far)], "doc_id int, text string"
+    )
+    pairs = D.minhash_dedup_pairs(df, "doc_id", "text", threshold=0.5).collect()
+    assert {(r.id_a, r.id_b) for r in pairs} == {(1, 2)}
+    assert all(r.jaccard > 0.5 for r in pairs)
+
+
+def test_simhash_locality(spark):
+    a = "alpha beta gamma delta epsilon zeta eta theta " * 3
+    b = a + "extra"
+    c = "unrelated totally different content here entirely now"
+    df = spark.createDataFrame([(1, a), (2, b), (3, c)], "id int, t string")
+    fps = {r.id: r.fp for r in df.select("id", D.simhash(F.col("t")).alias("fp")).collect()}
+
+    def hamming(x, y):
+        return bin(x ^ y).count("1")
+
+    assert hamming(fps[1], fps[2]) < hamming(fps[1], fps[3])
+
+
+def test_jaccard_exact(spark):
+    df = spark.createDataFrame([(1,)], "id int").select(
+        D.jaccard(
+            F.array(F.lit("a"), F.lit("b"), F.lit("c")),
+            F.array(F.lit("b"), F.lit("c"), F.lit("d")),
+        ).alias("j")
+    )
+    assert abs(df.collect()[0].j - 0.5) < 1e-9

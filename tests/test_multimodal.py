@@ -1,0 +1,33 @@
+"""Multimodal plumbing: binary columns through Arrow-batched mapInPandas."""
+
+from ingestion_scripts_spark.operators import multimodal as M
+
+
+def test_extract_features_roundtrip(spark):
+    docs = spark.createDataFrame(
+        [(1, "hello world"), (2, "spark engine")], "doc_id long, text string"
+    )
+    media = M.text_to_media(docs)
+    assert dict(media.dtypes)["payload"] == "binary"
+    feats = M.extract_features(media).collect()
+    by_id = {r.media_id: r for r in feats}
+    assert by_id[1].n_bytes == len(b"hello world")
+    assert len(by_id[1].feature) == 8
+    # deterministic fake decode
+    import hashlib
+    assert by_id[2].digest == hashlib.md5(b"spark engine").hexdigest()
+
+
+def test_decode_failure_dead_letters(spark):
+    media = spark.createDataFrame(
+        [(1, b"ok"), (2, b"fail")], "media_id long, payload binary"
+    )
+
+    def decoder(b):
+        if b == b"fail":
+            raise ValueError("boom")
+        return M.fake_decode(b)
+
+    rows = {r.media_id: r for r in M.extract_features(media, decode_fn=decoder).collect()}
+    assert rows[1].digest is not None
+    assert rows[2].digest is None  # null features, row preserved (K4)

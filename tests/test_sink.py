@@ -1,0 +1,26 @@
+"""K2/K3/K4 sink semantics: keyed idempotence across batches, dead-letter
+split with observe counters."""
+
+from pyspark.sql import functions as F
+
+from ingestion_scripts_spark.operators import sink as SK
+
+
+def test_idempotent_append(spark, tmp_path):
+    path = str(tmp_path / "tbl")
+    b1 = spark.createDataFrame([("a", 1), ("a", 2), ("b", 3)], "k string, v int")
+    SK.idempotent_append(b1, path, ["k"])
+    # duplicate within batch deduped; replay of 'a'/'b' + new 'c'
+    b2 = spark.createDataFrame([("a", 9), ("c", 4)], "k string, v int")
+    SK.idempotent_append(b2, path, ["k"])
+    got = spark.read.parquet(path)
+    assert got.count() == 3
+    assert {r.k for r in got.select("k").collect()} == {"a", "b", "c"}
+    assert "insert_date" in got.columns
+
+
+def test_dead_letter_split(spark):
+    df = spark.createDataFrame([(1, "ok"), (2, None), (3, "ok")], "id int, s string")
+    good, dead = SK.dead_letter_split(df, F.col("s").isNotNull(), observe_name="obs")
+    assert good.count() == 2
+    assert {r.id for r in dead.collect()} == {2}

@@ -1,0 +1,66 @@
+"""lang-ID, quality, token counts, fingerprints, winnowing; sentiment
+determinism; hypothesis property tests for clean_text."""
+
+from hypothesis import given, settings, strategies as st
+from pyspark.sql import functions as F
+
+from ingestion_scripts_spark.functions import sentiment as S
+from ingestion_scripts_spark.functions import text as X
+from ingestion_scripts_spark.operators import text_analysis as TA
+
+
+def _one(spark, col):
+    return spark.range(1).select(col.alias("v")).collect()[0].v
+
+
+def test_lang_id(spark):
+    assert _one(spark, TA.lang_id(F.lit("the cat and the dog of it"))) == "en"
+    assert _one(spark, TA.lang_id(F.lit("der hund und die katze ist"))) == "de"
+    assert _one(spark, TA.lang_id(F.lit("zzz qqq www"))) == "und"
+    # tie → alphabetically first language
+    assert _one(spark, TA.lang_id(F.lit("the und"))) == "de"
+
+
+def test_token_counts(spark):
+    assert _one(spark, TA.token_count_ws(F.lit("a b  c"))) == 3
+    assert _one(spark, TA.token_count_bpe(F.lit("hello, world! x2"))) == 5
+
+
+def test_quality_score_fields(spark):
+    q = _one(spark, TA.quality_score(F.lit("clean simple words here again")))
+    assert q.n_tokens == 5
+    assert q.punct_ratio == 0.0
+    assert 0.0 <= q.quality <= 1.0
+
+
+def test_fingerprint_stable(spark):
+    a = _one(spark, TA.fingerprint(F.lit("abc")))
+    assert a == 648541476951500027  # pinned md5-prefix value
+
+
+def test_winnow_fingerprints(spark):
+    v = _one(spark, TA.winnow_fingerprints(F.lit("a b c d e f g h i j k l")))
+    assert len(v) >= 1
+    w = _one(spark, TA.winnow_fingerprints(F.lit("short")))
+    assert w == []
+
+
+def test_sentiment_native_signs(spark):
+    pos = _one(spark, S.sentiment_native(F.lit("this is good great awesome")))
+    neg = _one(spark, S.sentiment_native(F.lit("bad terrible awful crash")))
+    neu = _one(spark, S.sentiment_native(F.lit("table chair window")))
+    assert pos.compound > 0 > neg.compound
+    assert neu.compound == 0.0
+    assert abs(pos.negative + pos.neutral + pos.positive - 1.0) < 1e-6
+
+
+@settings(max_examples=20, deadline=None)
+@given(st.text(alphabet=st.characters(codec="ascii"), max_size=80))
+def test_clean_text_property(spark, s):
+    import re, string
+    out = _one(spark, X.clean_text(F.lit(s)))
+    ref = s.lower()
+    ref = re.sub("\\[.*?\\]", "", ref)
+    ref = re.sub("[%s]" % re.escape(string.punctuation), "", ref)
+    ref = re.sub("\\w*\\d\\w*", "", ref)
+    assert out == ref

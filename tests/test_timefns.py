@@ -1,0 +1,47 @@
+"""Pin F7-F10 datetime parsing against the reference's strptime semantics
+(``src/rss_consumer.py:158-164``, ``src/reddit_consumer.py:162``,
+``src/twitter_consumer.py:114``)."""
+
+import datetime
+
+from pyspark.sql import functions as F
+
+from ingestion_scripts_spark.functions import timefns as TF
+
+
+def _one(spark, col):
+    return spark.range(1).select(col.alias("v")).collect()[0].v
+
+
+def test_rfc822_numeric_offset_branch(spark):
+    # tz token contains a digit → %z branch
+    v = _one(spark, TF.parse_rfc822(F.lit("Mon, 02 Jan 2023 10:20:30 +0200")))
+    assert v == datetime.datetime(2023, 1, 2, 8, 20, 30)  # UTC session tz
+
+
+def test_rfc822_named_zone_branch(spark):
+    v = _one(spark, TF.parse_rfc822(F.lit("Mon, 02 Jan 2023 10:20:30 UTC")))
+    assert v == datetime.datetime(2023, 1, 2, 10, 20, 30)
+
+
+def test_struct_time_list(spark):
+    # datetime(*x[:-2]) — 9-int struct_time drops wday/yday
+    lst = F.array(*[F.lit(x) for x in [2023, 5, 17, 1, 2, 3, 9, 9, 9]])
+    assert _one(spark, TF.struct_time_to_timestamp(lst)) == datetime.datetime(
+        2023, 5, 17, 1, 2, 3
+    )
+
+
+def test_parse_simple(spark):
+    assert _one(spark, TF.parse_simple(F.lit("2021-12-31 23:59:58"))) == (
+        datetime.datetime(2021, 12, 31, 23, 59, 58)
+    )
+
+
+def test_parse_zoned(spark):
+    assert _one(spark, TF.parse_zoned(F.lit("2021-06-01 12:00:00+02:00"))) == (
+        datetime.datetime(2021, 6, 1, 10, 0, 0)
+    )
+    assert _one(spark, TF.parse_zoned(F.lit("2021-06-01 12:00:00+0000"))) == (
+        datetime.datetime(2021, 6, 1, 12, 0, 0)
+    )
