@@ -54,6 +54,20 @@ MORE_STOPWORDS = ["it's", "im", "lol", "i'm", "got", "yeah", "it’s", "i’m", 
 STOPWORDS = sorted(set(NLTK_ENGLISH_STOPWORDS) | set(MORE_STOPWORDS))
 
 
+def let_(expr: Column, body) -> Column:
+    """Expression-level ``let``: evaluate ``expr`` ONCE per row and bind it as
+    a lambda variable inside ``body``.
+
+    Catalyst evaluates a higher-order-function lambda's references to *outer*
+    expressions once per array ELEMENT, so e.g. ``transform(idx, i ->
+    element_at(tokens, i))`` re-computes the whole ``tokens`` expression for
+    every element. ``transform(array(expr), x -> body(x))[1]`` makes the
+    binding explicit and O(1) per row — the difference is >10× on nested
+    text ops (tokenize→ngrams→minhash chains).
+    """
+    return F.element_at(F.transform(F.array(expr), body), 1)
+
+
 def clean_text(col: Column) -> Column:
     """F1 — lowercase; strip ``[...]`` spans; strip punctuation; strip words
     containing digits. Regex-for-regex parity with the reference's
@@ -102,16 +116,19 @@ def pairwise_bigrams(tokens: Column) -> Column:
     Native: ``transform(sequence(1, n-1), i -> array_sort([t[i], t[i+1]]))``
     with 1-based ``element_at``. Empty/1-token input → empty array.
     """
-    n = F.size(tokens)
-    idx = F.when(n >= 2, F.sequence(F.lit(1), n - 1)).otherwise(
-        F.array().cast("array<int>")
-    )
-    return F.transform(
-        idx,
-        lambda i: F.array_sort(
-            F.array(F.element_at(tokens, i), F.element_at(tokens, i + 1))
-        ),
-    )
+    def body(t: Column) -> Column:
+        n = F.size(t)
+        idx = F.when(n >= 2, F.sequence(F.lit(1), n - 1)).otherwise(
+            F.array().cast("array<int>")
+        )
+        return F.transform(
+            idx,
+            lambda i: F.array_sort(
+                F.array(F.element_at(t, i), F.element_at(t, i + 1))
+            ),
+        )
+
+    return let_(tokens, body)
 
 
 def html_strip_native(col: Column) -> Column:
@@ -129,16 +146,19 @@ def html_strip_native(col: Column) -> Column:
 def ngrams(tokens: Column, n: int, sep: str = " ") -> Column:
     """Word n-gram shingles joined by ``sep`` (extension op building block —
     dedup/fingerprinting, SURVEY.md §2.9). Native HOFs only."""
-    size = F.size(tokens)
-    idx = F.when(size >= n, F.sequence(F.lit(1), size - (n - 1))).otherwise(
-        F.array().cast("array<int>")
-    )
-    return F.transform(
-        idx,
-        lambda i: F.concat_ws(
-            sep, *[F.element_at(tokens, i + j) for j in range(n)]
-        ),
-    )
+    def body(t: Column) -> Column:
+        size = F.size(t)
+        idx = F.when(size >= n, F.sequence(F.lit(1), size - (n - 1))).otherwise(
+            F.array().cast("array<int>")
+        )
+        return F.transform(
+            idx,
+            lambda i: F.concat_ws(
+                sep, *[F.element_at(t, i + j) for j in range(n)]
+            ),
+        )
+
+    return let_(tokens, body)
 
 
 def distinct_preserving_order(arr: Column) -> Column:

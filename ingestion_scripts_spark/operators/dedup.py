@@ -30,7 +30,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-from ..functions.text import hash64, ngrams, tokenize_ws
+from ..functions.text import hash64, let_, ngrams, tokenize_ws
 
 
 def anti_join_dedup(
@@ -77,14 +77,56 @@ def minhash_signature(shingles_col: Column, num_hashes: int = 16) -> Column:
     Seeded by prefixing the seed index — identical in the DuckDB oracle.
     Empty shingle sets get NULL mins (handled by callers filtering empties).
     """
-    return F.transform(
-        F.sequence(F.lit(0), F.lit(num_hashes - 1)),
-        lambda i: F.array_min(
-            F.transform(
-                shingles_col,
-                lambda s: hash64(F.concat(i.cast("string"), F.lit("|"), s)),
-            )
+    return let_(
+        shingles_col,
+        lambda sh: F.transform(
+            F.sequence(F.lit(0), F.lit(num_hashes - 1)),
+            lambda i: F.array_min(
+                F.transform(
+                    sh,
+                    lambda s: hash64(F.concat(i.cast("string"), F.lit("|"), s)),
+                )
+            ),
         ),
+    )
+
+
+def minhash_signatures(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n_shingle: int = 3,
+    num_hashes: int = 16,
+) -> DataFrame:
+    """(id, sig: array<bigint>) MinHash signatures, shuffle-based.
+
+    Same values as ``minhash_signature`` (sig[i] = min over shingles of
+    ``hash64(i || '|' || s)``), but computed as explode → per-(doc, seed)
+    min-aggregate → ordered re-nest instead of one 16-wide nested-HOF
+    expression. Why: (a) tiny expression tree → fast codegen; (b) map-side
+    partial min shrinks the shuffle to num_hashes rows per doc; (c) the two
+    sides of the LSH self-join share this exact shuffle subplan, so Spark
+    reuses the exchange instead of recomputing signatures twice. Docs with
+    empty shingle sets are dropped (they cannot reach any positive
+    threshold).
+    """
+    sh = df.select(
+        F.col(id_col), shingles(F.col(text_col), n_shingle).alias("sh")
+    ).filter(F.size("sh") > 0)
+    hashed = (
+        sh.select(id_col, F.explode("sh").alias("s"))
+        .select(id_col, "s", F.explode(F.sequence(F.lit(0), F.lit(num_hashes - 1))).alias("seed"))
+        .select(
+            id_col,
+            "seed",
+            hash64(F.concat(F.col("seed").cast("string"), F.lit("|"), F.col("s"))).alias("h"),
+        )
+    )
+    mins = hashed.groupBy(id_col, "seed").agg(F.min("h").alias("mh"))
+    return (
+        mins.groupBy(id_col)
+        .agg(F.array_sort(F.collect_list(F.struct("seed", "mh"))).alias("sm"))
+        .select(id_col, F.transform("sm", lambda x: x["mh"]).alias("sig"))
     )
 
 
@@ -103,10 +145,7 @@ def minhash_lsh_candidates(
     scale; bucket keys are md5 over the band's signature slice.
     """
     rows_per_band = num_hashes // bands
-    sig = df.select(
-        F.col(id_col),
-        minhash_signature(shingles(F.col(text_col), n_shingle), num_hashes).alias("sig"),
-    ).filter(F.size(F.col("sig")) > 0)
+    sig = minhash_signatures(df, id_col, text_col, n_shingle, num_hashes)
 
     banded = sig.select(
         id_col,
@@ -129,21 +168,27 @@ def minhash_lsh_candidates(
         ).alias("bb"),
     ).select(id_col, "bb.band", "bb.bucket")
 
-    left = banded.alias("l")
-    right = banded.alias("r")
-    return (
-        left.join(
-            right,
-            (F.col("l.band") == F.col("r.band"))
-            & (F.col("l.bucket") == F.col("r.bucket"))
-            & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")),
-        )
+    # pair generation WITHOUT a self-join: one shuffle groups ids per
+    # (band, bucket); in-bucket combinations come from array HOFs. A
+    # self-join would rescan and recompute the signature pipeline for both
+    # sides; this way the expensive lineage runs once. Bucket skew (a huge
+    # bucket → |ids|^2 pairs) is inherent to LSH banding either way.
+    pairs = (
+        banded.groupBy("band", "bucket")
+        .agg(F.array_sort(F.collect_list(F.col(id_col))).alias("ids"))
+        .filter(F.size("ids") > 1)
         .select(
-            F.col(f"l.{id_col}").alias("id_a"),
-            F.col(f"r.{id_col}").alias("id_b"),
+            F.explode(
+                F.expr(
+                    "flatten(transform(ids, (x, i) -> "
+                    "transform(slice(ids, i + 2, size(ids)), "
+                    "y -> struct(x AS id_a, y AS id_b))))"
+                )
+            ).alias("p")
         )
-        .dropDuplicates(["id_a", "id_b"])
+        .select("p.id_a", "p.id_b")
     )
+    return pairs.dropDuplicates(["id_a", "id_b"])
 
 
 def jaccard(a: Column, b: Column) -> Column:
@@ -192,28 +237,47 @@ def ngram_jaccard_pairs(
     threshold: float = 0.3,
     n_shingle: int = 3,
 ) -> DataFrame:
-    """Blocked exact n-gram Jaccard similarity join (no hashing).
+    """Blocked exact n-gram Jaccard similarity join via inverted index.
 
-    All pairs WITHIN a block (e.g. language) are compared — the exact
-    baseline against which MinHash recall is judged. Blocking keeps the
-    self-join from being O(n^2) globally; at scale choose a higher-cardinality
-    block key or fall back to ``minhash_dedup_pairs``.
+    Instead of evaluating Jaccard per candidate pair inside a quadratic
+    blocked self-join (per-pair set intersection is the classic similarity
+    -join bottleneck), explode the distinct shingle sets and equi-join on
+    (shingle, block): only pairs sharing at least one shingle are generated,
+    the per-pair intersection size falls out of a groupBy count, and
+    ``|union| = |A| + |B| - |intersect|``. For any ``threshold > 0`` the
+    result is identical to the all-pairs formulation (zero-overlap pairs
+    have jaccard 0), but the work is proportional to shared-shingle pairs
+    and entirely shuffle-based — the shape that survives a 100x scale-up.
+    The exact baseline against which MinHash recall is judged.
     """
     sh = df.select(
         F.col(id_col), F.col(block_col), shingles(F.col(text_col), n_shingle).alias("sh")
+    ).filter(F.size("sh") > 0)
+    ex = sh.select(
+        F.col(id_col),
+        F.col(block_col),
+        F.size("sh").alias("n"),
+        F.explode("sh").alias("s"),
     )
-    a, b = sh.alias("a"), sh.alias("b")
-    return (
+    a, b = ex.alias("a"), ex.alias("b")
+    inter = (
         a.join(
             b,
-            (F.col(f"a.{block_col}") == F.col(f"b.{block_col}"))
+            (F.col("a.s") == F.col("b.s"))
+            & (F.col(f"a.{block_col}") == F.col(f"b.{block_col}"))
             & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
         )
-        .select(
+        .groupBy(
             F.col(f"a.{id_col}").alias("id_a"),
             F.col(f"b.{id_col}").alias("id_b"),
-            F.round(jaccard(F.col("a.sh"), F.col("b.sh")), 6).alias("jaccard"),
+            F.col("a.n").alias("n_a"),
+            F.col("b.n").alias("n_b"),
         )
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    jac = F.col("n_inter") / (F.col("n_a") + F.col("n_b") - F.col("n_inter"))
+    return (
+        inter.select("id_a", "id_b", F.round(jac, 6).alias("jaccard"))
         .filter(F.col("jaccard") >= threshold)
     )
 
@@ -227,8 +291,6 @@ def simhash(text_col: Column, bits: int = 32) -> Column:
     literals (shift amounts must be constants), so the expression is a sum of
     ``bits`` windowless aggregates — all JVM-side.
     """
-    toks = F.array_distinct(tokenize_ws(F.lower(text_col)))
-    hashes = F.transform(toks, hash64)
     def _vote(mask: int):
         # note: HOF lambdas must take exactly the arity Spark expects, so the
         # mask is bound via closure, not a default arg
@@ -236,10 +298,14 @@ def simhash(text_col: Column, bits: int = 32) -> Column:
             h.bitwiseAND(F.lit(mask)) != 0, F.lit(1)
         ).otherwise(F.lit(-1))
 
-    fp = F.lit(0).cast("bigint")
-    for j in range(bits):
-        vote_j = F.aggregate(hashes, F.lit(0).cast("bigint"), _vote(1 << j))
-        fp = fp + F.when(vote_j > 0, F.lit(1 << j).cast("bigint")).otherwise(
-            F.lit(0).cast("bigint")
-        )
-    return fp
+    def body(hashes: Column) -> Column:
+        fp = F.lit(0).cast("bigint")
+        for j in range(bits):
+            vote_j = F.aggregate(hashes, F.lit(0).cast("bigint"), _vote(1 << j))
+            fp = fp + F.when(vote_j > 0, F.lit(1 << j).cast("bigint")).otherwise(
+                F.lit(0).cast("bigint")
+            )
+        return fp
+
+    toks = F.array_distinct(tokenize_ws(F.lower(text_col)))
+    return let_(F.transform(toks, hash64), body)
