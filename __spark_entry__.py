@@ -374,6 +374,143 @@ SQL_PARSE_ZONED = (
 
 
 # ---------------------------------------------------------------------------
+# relational surface widening: semi/outer joins, rollup, distinct, as-of
+# ---------------------------------------------------------------------------
+
+def q_semi_join_urgent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-semi join (EXISTS): customers with >=1 urgent open order."""
+    cust = _t(spark, sf_dir, "customer")
+    urgent = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderpriority") == "1-URGENT") & (F.col("o_orderstatus") == "O")
+    )
+    return (
+        cust.join(urgent, cust.c_custkey == urgent.o_custkey, "left_semi")
+        .select("c_custkey", "c_name", "c_mktsegment")
+        .orderBy("c_custkey")
+    )
+
+
+SQL_SEMI_JOIN = """
+SELECT c_custkey, c_name, c_mktsegment
+FROM customer c
+WHERE EXISTS (SELECT 1 FROM orders o
+              WHERE o.o_custkey = c.c_custkey
+                AND o.o_orderpriority = '1-URGENT' AND o.o_orderstatus = 'O')
+ORDER BY c_custkey
+"""
+
+
+def q_cust_order_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q13-shaped: left-outer join + two-level agg — how many customers
+    placed k orders, INCLUDING the zero-order customers an inner join would
+    drop."""
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    per_cust = (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+        .orderBy(F.desc("custdist"), F.desc("c_count"))
+    )
+
+
+SQL_CUST_ORDER_DIST = """
+SELECT c_count, count(*) AS custdist
+FROM (SELECT c_custkey, count(o_orderkey) AS c_count
+      FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+      GROUP BY c_custkey)
+GROUP BY c_count
+ORDER BY custdist DESC, c_count DESC
+"""
+
+
+def q_rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP (region, nation) revenue with grouping level — subtotals and a
+    grand total in one pass (partial aggregation handles all levels)."""
+    region = _t(spark, sf_dir, "region")
+    nation = _t(spark, sf_dir, "nation")
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .rollup("r_name", "n_name")
+        .agg(
+            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+            F.grouping_id().alias("lvl"),
+        )
+        .orderBy(F.asc_nulls_first("r_name"), F.asc_nulls_first("n_name"))
+    )
+
+
+SQL_ROLLUP = """
+SELECT r_name, n_name, round(sum(o_totalprice), 2) AS revenue,
+       grouping(r_name) * 2 + grouping(n_name) AS lvl
+FROM orders
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY ROLLUP (r_name, n_name)
+ORDER BY r_name ASC NULLS FIRST, n_name ASC NULLS FIRST
+"""
+
+
+def q_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COUNT(DISTINCT) per group (exact; the approx_count_distinct variant
+    is engine-side only — sketches differ across engines)."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.countDistinct("user_id").alias("n_users"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .orderBy("event_type")
+    )
+
+
+SQL_DISTINCT_USERS = """
+SELECT event_type, count(DISTINCT user_id) AS n_users, count(*) AS n_events
+FROM events GROUP BY event_type ORDER BY event_type
+"""
+
+
+def q_asof_clicks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (union-window form, operators/joins.py): each purchase
+    event gets the same user's latest click at or before it."""
+    from ingestion_scripts_spark.operators.joins import asof_join
+
+    ev = _t(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select("user_id", "ts")
+    out = asof_join(purchases, clicks, on="user_id", right_values=[])
+    return out.select(
+        "event_id",
+        "user_id",
+        _fmt_ts(F.col("ts"), with_micros=True).alias("purchase_ts"),
+        _fmt_ts(F.col("asof_ts"), with_micros=True).alias("last_click_ts"),
+    ).orderBy("event_id")
+
+
+SQL_ASOF = f"""
+SELECT p.event_id, p.user_id,
+  {SQL_TS_US.format('p.ts')} AS purchase_ts,
+  {SQL_TS_US.format('''(SELECT max(c.ts) FROM events c
+     WHERE c.user_id = p.user_id AND c.event_type = 'click' AND c.ts <= p.ts)''')}
+    AS last_click_ts
+FROM events p WHERE p.event_type = 'purchase'
+ORDER BY p.event_id
+"""
+
+
+# ---------------------------------------------------------------------------
 # extension: dedup family (SURVEY §2.9)
 # ---------------------------------------------------------------------------
 
@@ -488,6 +625,60 @@ ranked AS (
   FROM scored)
 SELECT query_id, match_id, sim, rank FROM ranked WHERE rank <= 10
 ORDER BY query_id, rank
+"""
+
+
+def q_lsh_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-bucketed approximate NN (the scale path): exact cosine only
+    within the query's sign-bit bucket. Deterministic md5-derived
+    hyperplanes are embedded as literals on BOTH engines."""
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 50 == 0)
+    return SIM.lsh_ann_topk(queries, emb, dim=64, num_planes=6, k=5).orderBy(
+        "query_id", "rank"
+    )
+
+
+_PLANES = SIM.hyperplanes(6, 64)
+
+
+def _sql_lsh_ann() -> str:
+    bq = O.sql_lsh_bucket("qv", _PLANES)
+    bc = O.sql_lsh_bucket("cv", _PLANES)
+    return f"""
+WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv,
+                  {bq} AS bucket
+           FROM embeddings WHERE vec_id % 50 = 0),
+c AS (SELECT vec_id AS match_id, embedding::DOUBLE[] AS cv,
+             {bc} AS bucket
+      FROM embeddings),
+scored AS (
+  SELECT query_id, match_id, round({O.sql_cosine('qv', 'cv')}, 6) AS sim
+  FROM q JOIN c USING (bucket) WHERE query_id <> match_id),
+ranked AS (
+  SELECT query_id, match_id, sim,
+         row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, match_id ASC) AS rank
+  FROM scored)
+SELECT query_id, match_id, sim, rank FROM ranked WHERE rank <= 5
+ORDER BY query_id, rank
+"""
+
+
+def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs, blocked by label (IVF-cell stand-in)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return SIM.blocked_cosine_pairs(emb, "label", threshold=0.35).orderBy(
+        "id_a", "id_b"
+    )
+
+
+SQL_EMBEDDING_NEAR_DUP = f"""
+WITH v AS (SELECT label, vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       round({O.sql_cosine('a.v', 'b.v')}, 6) AS cos
+FROM v a JOIN v b ON a.label = b.label AND a.vec_id < b.vec_id
+WHERE round({O.sql_cosine('a.v', 'b.v')}, 6) >= 0.35
+ORDER BY id_a, id_b
 """
 
 
@@ -644,6 +835,161 @@ ORDER BY user_id, session_id
 
 
 # ---------------------------------------------------------------------------
+# the reference's three pipeline topologies (SURVEY §3), driven end-to-end
+# over record-shaped inputs synthesized deterministically from documents
+# ---------------------------------------------------------------------------
+
+#: deterministic per-doc timestamp: 2024-03-01T08:30:00Z + doc_id * 3671 s
+_EPOCH0 = 1709281800
+
+
+def _doc_ts(spark_side: bool = True):
+    return F.timestamp_seconds(F.lit(_EPOCH0) + F.col("doc_id") * 3671)
+
+
+_SQL_DOC_TS = (
+    "(TIMESTAMP '2024-03-01 08:30:00' + to_seconds(doc_id * 3671))"
+)
+
+
+def q_twitter_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Twitter topology end-to-end (src/twitter_consumer.py): sentiment N1 →
+    demojize F3 (identity: no emoji lib) → hashtags F2 → zoned parse F10."""
+    from ingestion_scripts_spark.plans.pipelines import twitter_pipeline
+
+    docs = _t(spark, sf_dir, "documents")
+    tweets = docs.select(
+        F.col("doc_id").alias("tweet_id"),
+        F.concat(F.lit("#"), F.col("source"), F.lit(" "), F.col("text")).alias("text"),
+        F.concat(
+            F.date_format(_doc_ts(), "yyyy-MM-dd HH:mm:ss"), F.lit("+00:00")
+        ).alias("created_at"),
+        F.col("lang").alias("trend"),
+    )
+    out = twitter_pipeline(tweets)
+    return out.select(
+        "tweet_id",
+        F.col("sentiment.compound").alias("compound"),
+        "hashtags",
+        _fmt_ts(F.col("created_at_ts")).alias("created_ts"),
+    ).orderBy("tweet_id")
+
+
+_TW_TEXT = "('#' || source || ' ' || text)"
+_TW_SENT = O.sql_sentiment(_TW_TEXT)
+SQL_TWITTER_PIPELINE = (
+    f"SELECT doc_id AS tweet_id, {_TW_SENT['compound']} AS compound, "
+    f"{O.sql_hashtags(_TW_TEXT)} AS hashtags, "
+    + SQL_TS.format(_SQL_DOC_TS)
+    + " AS created_ts FROM documents ORDER BY tweet_id"
+)
+
+
+def q_reddit_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reddit topology end-to-end (src/reddit_consumer.py): N1 title
+    sentiment + N2 per-comment sentiment → F3/F1 demojize+clean → F5/F6/A1/A2
+    keywords → F9 date parse."""
+    from ingestion_scripts_spark.plans.pipelines import reddit_pipeline
+
+    docs = _t(spark, sf_dir, "documents")
+    posts = docs.select(
+        F.col("doc_id").alias("id"),
+        F.col("source").alias("title"),
+        F.array(F.struct(F.col("text").alias("text"))).alias("comments"),
+        F.date_format(_doc_ts(), "yyyy-MM-dd HH:mm:ss").alias("created"),
+    )
+    out = reddit_pipeline(posts)
+    return out.select(
+        "id",
+        F.col("sentiment.compound").alias("title_compound"),
+        F.element_at("comments", 1)["sentiment"]["compound"].alias("c0_compound"),
+        "keywords",
+        _fmt_ts(F.col("created_ts")).alias("created_ts"),
+    ).orderBy("id")
+
+
+_RD_TITLE_SENT = O.sql_sentiment("source")
+_RD_COMMENT_SENT = O.sql_sentiment("text")
+SQL_REDDIT_PIPELINE = f"""
+WITH toks AS (SELECT doc_id, {_TOKS_SQL} AS t FROM documents),
+big AS (SELECT doc_id, unnest({O.sql_bigrams('t')}) AS bigram FROM toks),
+counted AS (SELECT doc_id, bigram, count(*) AS cnt FROM big GROUP BY doc_id, bigram),
+ranked AS (SELECT doc_id, bigram,
+           row_number() OVER (PARTITION BY doc_id ORDER BY cnt DESC, bigram ASC) AS rn
+           FROM counted),
+top AS (SELECT doc_id, list(bigram ORDER BY rn) AS bigs FROM ranked WHERE rn <= 5 GROUP BY doc_id),
+flat AS (SELECT doc_id, flatten(list_transform(bigs, b -> string_split(b, ' '))) AS words FROM top),
+kw AS (SELECT doc_id, list_filter(words, (w, i) -> list_position(words, w) = i) AS keywords FROM flat)
+SELECT d.doc_id AS id,
+  {_RD_TITLE_SENT['compound']} AS title_compound,
+  {_RD_COMMENT_SENT['compound']} AS c0_compound,
+  kw.keywords AS keywords,
+  {SQL_TS.format(_SQL_DOC_TS.replace("doc_id", "d.doc_id"))} AS created_ts
+FROM documents d LEFT JOIN kw ON d.doc_id = kw.doc_id
+ORDER BY id
+"""
+
+
+def q_rss_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RSS topology end-to-end (src/rss_consumer.py): J1 anti-join dedup →
+    P3 html/text routing → N3 keywords+summary (native substitutes) → P4
+    summary backfill → F7/F8 date-branch normalization."""
+    from ingestion_scripts_spark.plans.pipelines import rss_pipeline
+
+    docs = _t(spark, sf_dir, "documents")
+    ts = _doc_ts()
+    feeds = docs.select(
+        F.col("doc_id"),
+        F.concat(F.lit("L"), F.col("doc_id")).alias("link"),
+        F.col("source").alias("title"),
+        F.when(
+            F.col("doc_id") % 3 == 0, F.concat(F.lit("<p>"), F.col("text"), F.lit("</p>"))
+        ).otherwise(F.col("text")).alias("content"),
+        F.when(
+            F.col("doc_id") % 2 == 0,
+            F.concat(F.lit("<b>"), F.col("source"), F.lit(" digest</b>")),
+        ).alias("summary"),
+        F.when(F.col("doc_id") % 2 == 0,
+               F.concat(F.date_format(ts, "EEE, dd MMM yyyy HH:mm:ss"), F.lit(" +0000")))
+        .otherwise(F.concat(F.date_format(ts, "EEE, dd MMM yyyy HH:mm:ss"), F.lit(" UTC")))
+        .alias("published"),
+        F.when(
+            F.col("doc_id") % 5 == 0,
+            F.array(
+                F.year(ts), F.month(ts), F.dayofmonth(ts),
+                F.hour(ts), F.minute(ts), F.second(ts),
+                F.lit(0), F.lit(0), F.lit(0),
+            ),
+        ).alias("published_parsed"),
+    )
+    existing = feeds.filter(F.col("doc_id") % 7 == 0).select("link")
+    out = rss_pipeline(feeds.drop("doc_id"), existing)
+    return out.select(
+        "link",
+        "tags",
+        "summary",
+        _fmt_ts(F.col("published_ts")).alias("published"),
+    ).orderBy("link")
+
+
+_RSS_CONTENT = (
+    "CASE WHEN doc_id % 3 = 0 THEN '<p>' || text || '</p>' ELSE text END"
+)
+# the html branch strips tags before enrichment; text branch passes through —
+# net effect on synthesized input: enrichment always sees the raw text
+_RSS_ROUTED = f"CASE WHEN doc_id % 3 = 0 THEN {O.sql_html_strip(_RSS_CONTENT)} ELSE text END"
+SQL_RSS_PIPELINE = f"""
+SELECT 'L' || doc_id AS link,
+  {O.sql_keywords_native(_RSS_ROUTED)} AS tags,
+  CASE WHEN doc_id % 2 = 0 THEN source || ' digest'
+       ELSE {O.sql_summary(_RSS_ROUTED)} END AS summary,
+  {SQL_TS.format(_SQL_DOC_TS)} AS published
+FROM documents WHERE doc_id % 7 <> 0
+ORDER BY link
+"""
+
+
+# ---------------------------------------------------------------------------
 # extension: multimodal plumbing (binary columns; decode stubbed — see
 # operators/multimodal.py tests)
 # ---------------------------------------------------------------------------
@@ -675,6 +1021,11 @@ _REGISTRY: list[tuple[str, Callable[[SparkSession, str], DataFrame], str | None]
     ("region_revenue", q_region_revenue, SQL_REGION_REVENUE),
     ("antijoin_new_users", q_antijoin_new_users, SQL_ANTIJOIN),
     ("dead_letter_routing", q_dead_letter_routing, SQL_DEAD_LETTER),
+    ("semi_join_urgent", q_semi_join_urgent, SQL_SEMI_JOIN),
+    ("cust_order_dist", q_cust_order_dist, SQL_CUST_ORDER_DIST),
+    ("rollup_revenue", q_rollup_revenue, SQL_ROLLUP),
+    ("distinct_users", q_distinct_users, SQL_DISTINCT_USERS),
+    ("asof_clicks", q_asof_clicks, SQL_ASOF),
     ("clean_text", q_clean_text, SQL_CLEAN),
     ("hashtags", q_hashtags, SQL_HASHTAGS),
     ("stopword_filter", q_stopword_filter, SQL_STOPWORD),
@@ -689,12 +1040,17 @@ _REGISTRY: list[tuple[str, Callable[[SparkSession, str], DataFrame], str | None]
     ("simhash", q_simhash, SQL_SIMHASH),
     ("fingerprint", q_fingerprint, SQL_FINGERPRINT),
     ("embedding_topk", q_embedding_topk, SQL_EMBEDDING_TOPK),
+    ("lsh_ann_topk", q_lsh_ann_topk, _sql_lsh_ann()),
+    ("embedding_near_dup", q_embedding_near_dup, SQL_EMBEDDING_NEAR_DUP),
     ("lang_id", q_lang_id, SQL_LANG_ID),
     ("quality_score", q_quality, SQL_QUALITY),
     ("token_counts", q_token_counts, SQL_TOKEN_COUNTS),
     ("sentiment", q_sentiment, SQL_SENTIMENT),
     ("hourly_windows", q_hourly_windows, SQL_HOURLY),
     ("sessionize", q_sessionize, SQL_SESSIONIZE),
+    ("twitter_pipeline", q_twitter_pipeline, SQL_TWITTER_PIPELINE),
+    ("reddit_pipeline", q_reddit_pipeline, SQL_REDDIT_PIPELINE),
+    ("rss_pipeline", q_rss_pipeline, SQL_RSS_PIPELINE),
     ("multimodal_meta", q_multimodal_meta, SQL_MULTIMODAL),
 ]
 

@@ -32,6 +32,11 @@ HEADLINE = [
     "region_revenue",
     "antijoin_new_users",
     "dead_letter_routing",
+    "semi_join_urgent",
+    "cust_order_dist",
+    "rollup_revenue",
+    "distinct_users",
+    "asof_clicks",
     "clean_text",
     "stopword_filter",
     "exact_dedup",
@@ -39,12 +44,17 @@ HEADLINE = [
     "ngram_jaccard",
     "simhash",
     "embedding_topk",
+    "lsh_ann_topk",
+    "embedding_near_dup",
     "lang_id",
     "quality_score",
     "token_counts",
     "sentiment",
     "hourly_windows",
     "sessionize",
+    "twitter_pipeline",
+    "reddit_pipeline",
+    "rss_pipeline",
 ]
 
 

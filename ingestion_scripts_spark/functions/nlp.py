@@ -14,10 +14,12 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from .text import clean_text, remove_stopwords, tokenize_ws
+from .text import clean_text, let_, remove_stopwords, tokenize_ws
 
-#: sentence boundary: split after ./!/? followed by whitespace
-SENTENCE_SPLIT = "(?<=[.!?])\\s+"
+#: one sentence: a run of non-terminators plus its trailing ./!/? run.
+#: Extract-based (not lookbehind-split) so the IDENTICAL pattern runs on
+#: DuckDB's RE2, which has no lookaround.
+SENTENCE_PATTERN = "[^.!?]+[.!?]*"
 
 
 def tf_top_tokens(toks: Column, k: int = 5) -> Column:
@@ -27,16 +29,18 @@ def tf_top_tokens(toks: Column, k: int = 5) -> Column:
     ascending (so highest count first, then token asc), slice k. O(d^2) per
     row on distinct tokens — fine for document-sized rows, zero shuffle.
     """
-    distinct = F.array_distinct(toks)
-    scored = F.transform(
-        distinct,
-        lambda t: F.struct(
-            (-F.size(F.filter(toks, lambda x: x == t))).alias("neg_cnt"),
-            t.alias("tok"),
-        ),
-    )
-    top = F.slice(F.array_sort(scored), 1, k)
-    return F.transform(top, lambda s: s["tok"])
+    def body(t: Column) -> Column:
+        scored = F.transform(
+            F.array_distinct(t),
+            lambda d: F.struct(
+                (-F.size(F.filter(t, lambda x: x == d))).alias("neg_cnt"),
+                d.alias("tok"),
+            ),
+        )
+        top = F.slice(F.array_sort(scored), 1, k)
+        return F.transform(top, lambda s: s["tok"])
+
+    return let_(toks, body)
 
 
 def keywords_native(text: Column, k: int = 5) -> Column:
@@ -45,8 +49,12 @@ def keywords_native(text: Column, k: int = 5) -> Column:
 
 
 def summary_native(text: Column, k_sentences: int = 2) -> Column:
-    """N3 summary substitute: first k sentences (deterministic)."""
-    return F.concat_ws(" ", F.slice(F.split(text, SENTENCE_SPLIT), 1, k_sentences))
+    """N3 summary substitute: first k sentences (deterministic; RE2-safe
+    extract + trim so the DuckDB oracle computes the identical string)."""
+    sentences = F.transform(
+        F.regexp_extract_all(text, F.lit(SENTENCE_PATTERN), 0), F.trim
+    )
+    return F.concat_ws(" ", F.slice(sentences, 1, k_sentences))
 
 
 def enrich_nested_comments(

@@ -77,6 +77,44 @@ def cosine_topk(
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
 
 
+def blocked_cosine_pairs(
+    df: DataFrame,
+    block_col: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.35,
+) -> DataFrame:
+    """Embedding-cosine near-dup pairs within a blocking key.
+
+    All pairs INSIDE a block (a cluster/IVF-cell assignment at scale; the
+    ``label`` column in testdata) are scored with exact cosine; pairs at or
+    above ``threshold`` survive. The block key bounds the quadratic blowup
+    the way an IVF coarse quantizer does — global all-pairs cosine is never
+    materialized. Returns (id_a, id_b, cos) with id_a < id_b, cosine rounded
+    to 6 dp before the threshold test (cross-engine determinism).
+    """
+    v = df.select(
+        F.col(block_col).alias("__b"),
+        F.col(id_col),
+        _as_double(F.col(vec_col)).alias("v"),
+    )
+    a, b = v.alias("a"), v.alias("b")
+    cos = F.round(cosine(F.col("a.v"), F.col("b.v")), 6)
+    return (
+        a.join(
+            b,
+            (F.col("a.__b") == F.col("b.__b"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            cos.alias("cos"),
+        )
+        .filter(F.col("cos") >= threshold)
+    )
+
+
 def hyperplanes(num_planes: int, dim: int) -> list[list[float]]:
     """Deterministic pseudo-random hyperplanes in [-1, 1]^dim.
 

@@ -191,3 +191,39 @@ def sql_cosine(a: str, b: str) -> str:
     na = f"sqrt(list_sum(list_transform(range(1, len({a}) + 1), i -> {a}[i] * {a}[i])))"
     nb = f"sqrt(list_sum(list_transform(range(1, len({b}) + 1), i -> {b}[i] * {b}[i])))"
     return f"({dot}) / (({na}) * ({nb}))"
+
+
+def sql_lsh_bucket(v: str, planes: list[list[float]]) -> str:
+    """= operators.similarity.lsh_bucket with the SAME deterministic
+    hyperplanes embedded as list literals."""
+    terms = []
+    for p, row in enumerate(planes):
+        lit = "[" + ", ".join(repr(x) for x in row) + "]"
+        dot = f"list_sum(list_transform(range(1, {len(row)} + 1), i -> ({v})[i] * ({lit})[i]))"
+        terms.append(f"CASE WHEN ({dot}) > 0 THEN {1 << p} ELSE 0 END")
+    return "(" + " + ".join(terms) + ")"
+
+
+def sql_html_strip(x: str) -> str:
+    """= functions.text.html_strip_native (F4)."""
+    c = f"regexp_replace({x}, '(?s)<(script|style)[^>]*>.*?</(script|style)>', '', 'g')"
+    return f"regexp_replace({c}, '<[^>]+>', '', 'g')"
+
+
+def sql_summary(x: str, k: int = 2) -> str:
+    """= functions.nlp.summary_native: first k extracted-and-trimmed sentences."""
+    from .functions.nlp import SENTENCE_PATTERN
+
+    sents = f"list_transform(regexp_extract_all({x}, {sq(SENTENCE_PATTERN)}), s -> trim(s))"
+    return f"array_to_string(({sents})[1:{k}], ' ')"
+
+
+def sql_keywords_native(x: str, k: int = 5) -> str:
+    """= functions.nlp.keywords_native: TF top-k over cleaned stopword-
+    filtered tokens; ties (count, token) ascending on the negated count."""
+    toks = sql_remove_stopwords(sql_tokenize_ws(sql_clean_text(x)))
+    scored = (
+        f"list_transform(list_distinct({toks}), "
+        f"d -> {{'neg_cnt': -len(list_filter({toks}, x2 -> x2 = d)), 'tok': d}})"
+    )
+    return f"list_transform(list_sort({scored})[1:{k}], s -> s.tok)"
