@@ -71,24 +71,41 @@ def shingles(text_col: Column, n: int = 3) -> Column:
     return F.array_distinct(ngrams(tokenize_ws(F.lower(text_col)), n))
 
 
-def minhash_signature(shingles_col: Column, num_hashes: int = 16) -> Column:
-    """MinHash signature: sig[i] = min over shingles of hash64(i || '|' || s).
+#: 2^40 — bounds the second hash so seed * h2 + h1 stays < 2^63 for
+#: num_hashes <= ~8000 (DuckDB BIGINT errors on overflow; Spark wraps —
+#: staying in-range keeps both engines on the same exact integers)
+_H2_MOD = 1 << 40
 
-    Seeded by prefixing the seed index — identical in the DuckDB oracle.
-    Empty shingle sets get NULL mins (handled by callers filtering empties).
-    """
-    return let_(
-        shingles_col,
-        lambda sh: F.transform(
-            F.sequence(F.lit(0), F.lit(num_hashes - 1)),
-            lambda i: F.array_min(
-                F.transform(
-                    sh,
-                    lambda s: hash64(F.concat(i.cast("string"), F.lit("|"), s)),
-                )
-            ),
-        ),
+
+def seeded_hashes(s: Column, num_hashes: int) -> Column:
+    """Carter-Wegman 2-universal seeded hash family: two md5-derived base
+    hashes per value, then ``h_i = h1 + i * (h2 % 2^40)`` — 2 md5s instead
+    of ``num_hashes``, exact in int64 on both engines."""
+    h1 = hash64(s)
+    h2 = hash64(F.concat(s, F.lit("#"))) % F.lit(_H2_MOD)
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(num_hashes - 1)),
+        lambda i: h1 + i.cast("bigint") * h2,
     )
+
+
+def minhash_signature(shingles_col: Column, num_hashes: int = 16) -> Column:
+    """MinHash signature: sig[i] = min over shingles of the i-th seeded hash
+    (``seeded_hashes``). Empty shingle sets get NULL mins (handled by
+    callers filtering empties)."""
+
+    def body(sh: Column) -> Column:
+        return let_(
+            F.transform(sh, lambda s: seeded_hashes(s, num_hashes)),
+            lambda per: F.transform(
+                F.sequence(F.lit(0), F.lit(num_hashes - 1)),
+                lambda i: F.array_min(
+                    F.transform(per, lambda hs: F.element_at(hs, i + 1))
+                ),
+            ),
+        )
+
+    return let_(shingles_col, body)
 
 
 def minhash_signatures(
@@ -115,11 +132,21 @@ def minhash_signatures(
     ).filter(F.size("sh") > 0)
     hashed = (
         sh.select(id_col, F.explode("sh").alias("s"))
-        .select(id_col, "s", F.explode(F.sequence(F.lit(0), F.lit(num_hashes - 1))).alias("seed"))
+        .select(
+            id_col,
+            hash64(F.col("s")).alias("h1"),
+            (hash64(F.concat(F.col("s"), F.lit("#"))) % F.lit(_H2_MOD)).alias("h2"),
+        )
+        .select(
+            id_col,
+            F.explode(F.sequence(F.lit(0), F.lit(num_hashes - 1))).alias("seed"),
+            "h1",
+            "h2",
+        )
         .select(
             id_col,
             "seed",
-            hash64(F.concat(F.col("seed").cast("string"), F.lit("|"), F.col("s"))).alias("h"),
+            (F.col("h1") + F.col("seed").cast("bigint") * F.col("h2")).alias("h"),
         )
     )
     mins = hashed.groupBy(id_col, "seed").agg(F.min("h").alias("mh"))

@@ -86,10 +86,14 @@ def sql_shingles(x: str, n: int = 3) -> str:
 
 
 def sql_minhash_signature(sh: str, num_hashes: int = 16) -> str:
-    h = sql_hash64("(i::VARCHAR || '|' || s)")
+    """= operators.dedup.minhash_signature: Carter-Wegman seeded family
+    h_i = h1 + i * (h2 % 2^40), exact in BIGINT on both engines."""
+    h1 = sql_hash64("s")
+    h2_base = sql_hash64("(s || '#')")
+    h2 = f"({h2_base} % {1 << 40})"
     return (
         f"list_transform(range(0, {num_hashes}), "
-        f"i -> list_min(list_transform({sh}, s -> {h})))"
+        f"i -> list_min(list_transform({sh}, s -> ({h1}) + i * {h2})))"
     )
 
 
