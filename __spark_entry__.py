@@ -1010,6 +1010,40 @@ SQL_MULTIMODAL = (
 )
 
 
+def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The FULL multimodal path — binary payload → Arrow-batched mapInPandas
+    decode (operators/multimodal.py) — differential-tested against SQL: the
+    deterministic fake decoder derives features from md5 bytes, which the
+    oracle recomputes. Features are mapped back to their exact byte values
+    (int) so float32 Arrow transport cannot introduce rounding flips."""
+    from ingestion_scripts_spark.operators.multimodal import (
+        extract_features,
+        text_to_media,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    media = text_to_media(docs)
+    feats = extract_features(media)
+    return feats.select(
+        "media_id",
+        "n_bytes",
+        "digest",
+        F.transform(
+            F.col("feature"), lambda x: F.round(x * 255).cast("int")
+        ).alias("feature_bytes"),
+    ).orderBy("media_id")
+
+
+SQL_MULTIMODAL_FEATURES = """
+SELECT doc_id AS media_id,
+  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+  md5(text) AS digest,
+  list_transform(range(0, 8),
+                 i -> CAST(('0x' || substr(md5(text), i*2 + 1, 2)) AS INT)) AS feature_bytes
+FROM documents ORDER BY media_id
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -1052,6 +1086,7 @@ _REGISTRY: list[tuple[str, Callable[[SparkSession, str], DataFrame], str | None]
     ("reddit_pipeline", q_reddit_pipeline, SQL_REDDIT_PIPELINE),
     ("rss_pipeline", q_rss_pipeline, SQL_RSS_PIPELINE),
     ("multimodal_meta", q_multimodal_meta, SQL_MULTIMODAL),
+    ("multimodal_features", q_multimodal_features, SQL_MULTIMODAL_FEATURES),
 ]
 
 
