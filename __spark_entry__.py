@@ -510,6 +510,58 @@ ORDER BY p.event_id
 """
 
 
+def q_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q17-shaped correlated scalar subquery, decorrelated as a pre-agg +
+    broadcast join: lineitems under 50% of their part's average quantity.
+    At 100 TB the per-part averages are a small aggregate joined broadcast;
+    the naive correlated subquery would rescan lineitem per row."""
+    li = _t(spark, sf_dir, "lineitem")
+    part_avg = li.groupBy("l_partkey").agg(
+        (F.avg("l_quantity") * 0.5).alias("half_avg_qty")
+    )
+    return (
+        li.join(F.broadcast(part_avg), "l_partkey")
+        .filter(F.col("l_quantity") < F.col("half_avg_qty"))
+        .agg(
+            F.round(F.sum("l_extendedprice") / 7.0, 2).alias("avg_yearly"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+SQL_SMALL_QTY = """
+SELECT round(sum(l_extendedprice) / 7.0, 2) AS avg_yearly, count(*) AS n_items
+FROM lineitem l
+WHERE l_quantity < (SELECT 0.5 * avg(l_quantity) FROM lineitem x
+                    WHERE x.l_partkey = l.l_partkey)
+"""
+
+
+def q_in_subquery_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IN-subquery (left-semi under the hood): parts that ship in
+    return-flagged lineitems, counted by brand-ish prefix of name."""
+    part = _t(spark, sf_dir, "part")
+    returned = _t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    return (
+        part.join(
+            returned.select("l_partkey").dropDuplicates(["l_partkey"]),
+            part.p_partkey == F.col("l_partkey"),
+            "left_semi",
+        )
+        .groupBy(F.col("p_brand").alias("brand"))
+        .agg(F.count(F.lit(1)).alias("n_parts"))
+        .orderBy("brand")
+    )
+
+
+SQL_IN_SUBQUERY = """
+SELECT p_brand AS brand, count(*) AS n_parts
+FROM part
+WHERE p_partkey IN (SELECT l_partkey FROM lineitem WHERE l_returnflag = 'R')
+GROUP BY 1 ORDER BY brand
+"""
+
+
 # ---------------------------------------------------------------------------
 # extension: dedup family (SURVEY §2.9)
 # ---------------------------------------------------------------------------
@@ -612,12 +664,16 @@ def q_embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SIM.cosine_topk(queries, emb, k=10).orderBy("query_id", "rank")
 
 
+_SQL_NORM = "sqrt(list_sum(list_transform(range(1, len({0}) + 1), i -> {0}[i] * {0}[i])))".format
+
 SQL_EMBEDDING_TOPK = f"""
-WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
-           FROM embeddings WHERE vec_id % 50 = 0),
-c AS (SELECT vec_id AS match_id, embedding::DOUBLE[] AS cv FROM embeddings),
+WITH q0 AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS v
+            FROM embeddings WHERE vec_id % 50 = 0),
+q AS (SELECT query_id, list_transform(v, x -> x / {_SQL_NORM('v')}) AS qv FROM q0),
+c0 AS (SELECT vec_id AS match_id, embedding::DOUBLE[] AS v FROM embeddings),
+c AS (SELECT match_id, list_transform(v, x -> x / {_SQL_NORM('v')}) AS cv FROM c0),
 scored AS (
-  SELECT query_id, match_id, round({O.sql_cosine('qv', 'cv')}, 6) AS sim
+  SELECT query_id, match_id, round({O.sql_dot('qv', 'cv', 'len(qv)')}, 6) AS sim
   FROM q, c WHERE query_id <> match_id),
 ranked AS (
   SELECT query_id, match_id, sim,
@@ -645,15 +701,17 @@ _PLANES = SIM.hyperplanes(6, 64)
 def _sql_lsh_ann() -> str:
     bq = O.sql_lsh_bucket("qv", _PLANES)
     bc = O.sql_lsh_bucket("cv", _PLANES)
+    nrm = "sqrt(list_sum(list_transform(range(1, len({0}) + 1), i -> {0}[i] * {0}[i])))".format
     return f"""
-WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv,
-                  {bq} AS bucket
-           FROM embeddings WHERE vec_id % 50 = 0),
-c AS (SELECT vec_id AS match_id, embedding::DOUBLE[] AS cv,
-             {bc} AS bucket
-      FROM embeddings),
+WITH q0 AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS v
+            FROM embeddings WHERE vec_id % 50 = 0),
+q AS (SELECT query_id, qv, {bq} AS bucket FROM
+      (SELECT query_id, list_transform(v, x -> x / {nrm('v')}) AS qv FROM q0)),
+c0 AS (SELECT vec_id AS match_id, embedding::DOUBLE[] AS v FROM embeddings),
+c AS (SELECT match_id, cv, {bc} AS bucket FROM
+      (SELECT match_id, list_transform(v, x -> x / {nrm('v')}) AS cv FROM c0)),
 scored AS (
-  SELECT query_id, match_id, round({O.sql_cosine('qv', 'cv')}, 6) AS sim
+  SELECT query_id, match_id, round({O.sql_dot('qv', 'cv', 'len(qv)')}, 6) AS sim
   FROM q JOIN c USING (bucket) WHERE query_id <> match_id),
 ranked AS (
   SELECT query_id, match_id, sim,
@@ -673,11 +731,13 @@ def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 SQL_EMBEDDING_NEAR_DUP = f"""
-WITH v AS (SELECT label, vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+WITH v0 AS (SELECT label, vec_id, embedding::DOUBLE[] AS r FROM embeddings),
+v AS (SELECT label, vec_id,
+             list_transform(r, x -> x / {_SQL_NORM('r')}) AS v FROM v0)
 SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-       round({O.sql_cosine('a.v', 'b.v')}, 6) AS cos
+       round({O.sql_dot('a.v', 'b.v', 'len(a.v)')}, 6) AS cos
 FROM v a JOIN v b ON a.label = b.label AND a.vec_id < b.vec_id
-WHERE round({O.sql_cosine('a.v', 'b.v')}, 6) >= 0.35
+WHERE round({O.sql_dot('a.v', 'b.v', 'len(a.v)')}, 6) >= 0.35
 ORDER BY id_a, id_b
 """
 
@@ -1060,6 +1120,8 @@ _REGISTRY: list[tuple[str, Callable[[SparkSession, str], DataFrame], str | None]
     ("rollup_revenue", q_rollup_revenue, SQL_ROLLUP),
     ("distinct_users", q_distinct_users, SQL_DISTINCT_USERS),
     ("asof_clicks", q_asof_clicks, SQL_ASOF),
+    ("small_quantity_revenue", q_small_quantity_revenue, SQL_SMALL_QTY),
+    ("in_subquery_parts", q_in_subquery_parts, SQL_IN_SUBQUERY),
     ("clean_text", q_clean_text, SQL_CLEAN),
     ("hashtags", q_hashtags, SQL_HASHTAGS),
     ("stopword_filter", q_stopword_filter, SQL_STOPWORD),

@@ -44,6 +44,23 @@ def _as_double(a: Column) -> Column:
     return F.transform(a, lambda x: x.cast("double"))
 
 
+def _normed(df: DataFrame, id_alias: str, id_col: str, vec_col: str, out: str) -> DataFrame:
+    """(id, unit-norm vector). Norm computed ONCE per row as a projected
+    column (an attribute, so the transform lambda's reference is O(1));
+    downstream cosine is then a plain dot product — at 100 TB this turns
+    every pairwise score from 3 array folds into 1."""
+    return (
+        df.select(
+            F.col(id_col).alias(id_alias), _as_double(F.col(vec_col)).alias("__v")
+        )
+        .withColumn("__n", norm(F.col("__v")))
+        .select(
+            id_alias,
+            F.transform(F.col("__v"), lambda x: x / F.col("__n")).alias(out),
+        )
+    )
+
+
 def cosine_topk(
     queries: DataFrame,
     corpus: DataFrame,
@@ -57,12 +74,8 @@ def cosine_topk(
     Deterministic ranking: sim is rounded to 6 dp BEFORE ranking, ties break
     on match_id asc.
     """
-    q = queries.select(
-        F.col(id_col).alias("query_id"), _as_double(F.col(vec_col)).alias("qv")
-    )
-    c = corpus.select(
-        F.col(id_col).alias("match_id"), _as_double(F.col(vec_col)).alias("cv")
-    )
+    q = _normed(queries, "query_id", id_col, vec_col, "qv")
+    c = _normed(corpus, "match_id", id_col, vec_col, "cv")
     scored = (
         F.broadcast(q)
         .crossJoin(c)
@@ -70,7 +83,7 @@ def cosine_topk(
         .select(
             "query_id",
             "match_id",
-            F.round(cosine(F.col("qv"), F.col("cv")), 6).alias("sim"),
+            F.round(dot(F.col("qv"), F.col("cv")), 6).alias("sim"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("match_id"))
@@ -93,13 +106,19 @@ def blocked_cosine_pairs(
     materialized. Returns (id_a, id_b, cos) with id_a < id_b, cosine rounded
     to 6 dp before the threshold test (cross-engine determinism).
     """
-    v = df.select(
-        F.col(block_col).alias("__b"),
-        F.col(id_col),
-        _as_double(F.col(vec_col)).alias("v"),
+    v = (
+        df.select(
+            F.col(block_col).alias("__b"), F.col(id_col),
+            _as_double(F.col(vec_col)).alias("__raw"),
+        )
+        .withColumn("__n", norm(F.col("__raw")))
+        .select(
+            "__b", id_col,
+            F.transform(F.col("__raw"), lambda x: x / F.col("__n")).alias("v"),
+        )
     )
     a, b = v.alias("a"), v.alias("b")
-    cos = F.round(cosine(F.col("a.v"), F.col("b.v")), 6)
+    cos = F.round(dot(F.col("a.v"), F.col("b.v")), 6)
     return (
         a.join(
             b,
@@ -156,12 +175,15 @@ def lsh_ann_topk(
     candidates. Recall < 1 by design (the scale path); rank/tiebreak rules
     match ``cosine_topk``."""
     planes = hyperplanes(num_planes, dim)
-    q = queries.select(
-        F.col(id_col).alias("query_id"), _as_double(F.col(vec_col)).alias("qv")
-    ).withColumn("bucket", lsh_bucket(F.col("qv"), planes))
-    c = corpus.select(
-        F.col(id_col).alias("match_id"), _as_double(F.col(vec_col)).alias("cv")
-    ).withColumn("bucket", lsh_bucket(F.col("cv"), planes))
+    # bucket computed from the unit vector (sign bits are scale-invariant
+    # mathematically; computing on the SAME normalized values both here and
+    # in the oracle keeps borderline-zero dots bit-identical cross-engine)
+    q = _normed(queries, "query_id", id_col, vec_col, "qv").withColumn(
+        "bucket", lsh_bucket(F.col("qv"), planes)
+    )
+    c = _normed(corpus, "match_id", id_col, vec_col, "cv").withColumn(
+        "bucket", lsh_bucket(F.col("cv"), planes)
+    )
     scored = (
         F.broadcast(q)
         .join(c, "bucket")
@@ -169,7 +191,7 @@ def lsh_ann_topk(
         .select(
             "query_id",
             "match_id",
-            F.round(cosine(F.col("qv"), F.col("cv")), 6).alias("sim"),
+            F.round(dot(F.col("qv"), F.col("cv")), 6).alias("sim"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("match_id"))
