@@ -654,6 +654,67 @@ SQL_FINGERPRINT = (
 )
 
 
+def q_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling-hash winnowing fingerprints (Schleimer et al. SIGMOD'03):
+    min n-gram-hash per sliding window, deduped; sorted for canonical
+    cross-engine order."""
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.array_sort(TA.winnow_fingerprints(F.col("text"))).alias("fps"),
+    ).orderBy("doc_id")
+
+
+SQL_WINNOW = (
+    f"SELECT doc_id, {O.sql_winnow('text')} AS fps FROM documents ORDER BY doc_id"
+)
+
+
+def q_salted_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-phase salted COUNT(DISTINCT): exact, skew-proof — per-salt
+    distinct counts partition the value space and sum to the true count
+    (operators/skew.py). Oracle is the plain COUNT(DISTINCT)."""
+    from ingestion_scripts_spark.operators.skew import salted_count_distinct
+
+    ev = _t(spark, sf_dir, "events")
+    return salted_count_distinct(
+        ev, ["event_type"], "user_id", n_salts=16, out_col="n_users"
+    ).orderBy("event_type")
+
+
+SQL_SALTED_DISTINCT = """
+SELECT event_type, count(DISTINCT user_id) AS n_users
+FROM events GROUP BY event_type ORDER BY event_type
+"""
+
+
+def q_skew_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Replicated-salt skew join (operators/skew.py): orders fanned across
+    salts, customer dim replicated; result provably equals the plain join —
+    the oracle IS the plain join."""
+    from ingestion_scripts_spark.operators.skew import replicated_skew_join
+
+    orders = _t(spark, sf_dir, "orders").withColumnRenamed("o_custkey", "c_custkey")
+    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    joined = replicated_skew_join(orders, cust, on="c_custkey", n_salts=8,
+                                  salt_src="o_orderkey")
+    return (
+        joined.groupBy("c_mktsegment")
+        .agg(
+            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+SQL_SKEW_JOIN = """
+SELECT c_mktsegment, round(sum(o_totalprice), 2) AS revenue, count(*) AS n_orders
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY c_mktsegment ORDER BY c_mktsegment
+"""
+
+
 # ---------------------------------------------------------------------------
 # extension: similarity search
 # ---------------------------------------------------------------------------
@@ -1135,6 +1196,9 @@ _REGISTRY: list[tuple[str, Callable[[SparkSession, str], DataFrame], str | None]
     ("ngram_jaccard", q_ngram_jaccard, SQL_NGRAM_JACCARD),
     ("simhash", q_simhash, SQL_SIMHASH),
     ("fingerprint", q_fingerprint, SQL_FINGERPRINT),
+    ("winnow_fingerprints", q_winnow_fingerprints, SQL_WINNOW),
+    ("salted_distinct_users", q_salted_distinct_users, SQL_SALTED_DISTINCT),
+    ("skew_join_revenue", q_skew_join_revenue, SQL_SKEW_JOIN),
     ("embedding_topk", q_embedding_topk, SQL_EMBEDDING_TOPK),
     ("lsh_ann_topk", q_lsh_ann_topk, _sql_lsh_ann()),
     ("embedding_near_dup", q_embedding_near_dup, SQL_EMBEDDING_NEAR_DUP),

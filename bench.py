@@ -43,6 +43,9 @@ HEADLINE = [
     "minhash_near_dups",
     "ngram_jaccard",
     "simhash",
+    "winnow_fingerprints",
+    "salted_distinct_users",
+    "skew_join_revenue",
     "embedding_topk",
     "lsh_ann_topk",
     "embedding_near_dup",

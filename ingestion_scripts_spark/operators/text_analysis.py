@@ -120,16 +120,20 @@ def winnow_fingerprints(text_col: Column, n: int = 4, window: int = 4) -> Column
     deduped. Used for robust near-dup/overlap detection at corpus scale."""
     from ..functions.text import ngrams
 
-    hashes = F.transform(ngrams(tokenize_ws(F.lower(text_col)), n), hash64)
-    m = F.size(hashes)
-    idx = F.when(m >= window, F.sequence(F.lit(1), m - (window - 1))).otherwise(
-        F.when(m > 0, F.array(F.lit(1))).otherwise(F.array().cast("array<int>"))
-    )
-    return F.array_distinct(
-        F.transform(
-            idx,
-            lambda i: F.array_min(
-                F.slice(hashes, i, F.least(F.lit(window), m))
-            ),
+    from ..functions.text import let_
+
+    def body(hashes: Column) -> Column:
+        m = F.size(hashes)
+        idx = F.when(m >= window, F.sequence(F.lit(1), m - (window - 1))).otherwise(
+            F.when(m > 0, F.array(F.lit(1))).otherwise(F.array().cast("array<int>"))
         )
-    )
+        return F.array_distinct(
+            F.transform(
+                idx,
+                lambda i: F.array_min(
+                    F.slice(hashes, i, F.least(F.lit(window), m))
+                ),
+            )
+        )
+
+    return let_(F.transform(ngrams(tokenize_ws(F.lower(text_col)), n), hash64), body)

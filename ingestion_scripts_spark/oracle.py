@@ -231,3 +231,21 @@ def sql_keywords_native(x: str, k: int = 5) -> str:
         f"d -> {{'neg_cnt': -len(list_filter({toks}, x2 -> x2 = d)), 'tok': d}})"
     )
     return f"list_transform(list_sort({scored})[1:{k}], s -> s.tok)"
+
+
+def sql_winnow(x: str, n: int = 4, window: int = 4) -> str:
+    """= operators.text_analysis.winnow_fingerprints, sorted for canonical
+    cross-engine order (Spark keeps first occurrence, DuckDB does not
+    guarantee one)."""
+    toks = sql_tokenize_ws(f"lower({x})")
+    grams = sql_ngrams(toks, n)
+    h = f"list_transform({grams}, g -> {sql_hash64('g')})"
+    full = (
+        f"list_transform(range(1, len({h}) - {window - 2}), "
+        f"i -> list_min(({h})[i : i + {window - 1}]))"
+    )
+    short = f"[list_min({h})]"
+    return (
+        f"list_sort(list_distinct(CASE WHEN len({h}) >= {window} THEN {full} "
+        f"WHEN len({h}) > 0 THEN {short} ELSE CAST([] AS BIGINT[]) END))"
+    )
