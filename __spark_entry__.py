@@ -1084,7 +1084,14 @@ def q_rss_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("published_parsed"),
     )
     existing = feeds.filter(F.col("doc_id") % 7 == 0).select("link")
-    out = rss_pipeline(feeds.drop("doc_id"), existing)
+    # S4 — the per-record HTTP fetch, modeled offline as a join against a
+    # pre-fetched (link, content) table (SURVEY §2.1 S4): every 11th doc
+    # has a fetched body that overrides the feed's own content
+    fetched = docs.filter(F.col("doc_id") % 11 == 0).select(
+        F.concat(F.lit("L"), F.col("doc_id")).alias("link"),
+        F.concat(F.lit("fetched "), F.col("text")).alias("content"),
+    )
+    out = rss_pipeline(feeds.drop("doc_id"), existing, fetched_content=fetched)
     return out.select(
         "link",
         "tags",
@@ -1096,9 +1103,12 @@ def q_rss_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
 _RSS_CONTENT = (
     "CASE WHEN doc_id % 3 = 0 THEN '<p>' || text || '</p>' ELSE text END"
 )
-# the html branch strips tags before enrichment; text branch passes through —
-# net effect on synthesized input: enrichment always sees the raw text
-_RSS_ROUTED = f"CASE WHEN doc_id % 3 = 0 THEN {O.sql_html_strip(_RSS_CONTENT)} ELSE text END"
+# fetched content (S4) wins over the feed's own; the html branch strips tags
+# before enrichment; the plain-text branches pass through unchanged
+_RSS_ROUTED = (
+    "CASE WHEN doc_id % 11 = 0 THEN 'fetched ' || text "
+    f"WHEN doc_id % 3 = 0 THEN {O.sql_html_strip(_RSS_CONTENT)} ELSE text END"
+)
 SQL_RSS_PIPELINE = f"""
 SELECT 'L' || doc_id AS link,
   {O.sql_keywords_native(_RSS_ROUTED)} AS tags,

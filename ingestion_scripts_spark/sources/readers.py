@@ -40,6 +40,9 @@ def load_table(
     """Read one testdata table, normalizing nanos-timestamp columns to
     proper ``TimestampType`` so every downstream operator sees real
     timestamps regardless of the writer's parquet flavor."""
+    # timestamp formatting/parsing must be tz-stable regardless of the
+    # caller's session defaults (the DuckDB oracle is tz-naive/UTC)
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     ts_cols = NANOS_TS_COLUMNS.get(name, [])
     if ts_cols:
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
