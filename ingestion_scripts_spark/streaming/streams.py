@@ -95,3 +95,28 @@ def memory_sink(stream: DataFrame, name: str, spark: SparkSession,
         .trigger(availableNow=True)
         .start()
     )
+
+
+def write_kafka_stream(
+    df: DataFrame,
+    brokers: str,
+    topic: str,
+    checkpoint: str,
+    value_cols: list[str] | None = None,
+) -> StreamingQuery:
+    """K1 — inter-app Kafka handoff (``await topic.send``, e.g.
+    ``src/rss_consumer.py:72``). Inside the engine the reference's
+    intermediate topics collapse into one DataFrame DAG; this sink exists
+    only for the cross-app boundary. Serializes selected columns as one
+    JSON object per message (the reference's record serializer). Requires a
+    broker + the spark-sql-kafka package at runtime (not in this container)."""
+    payload = df.select(
+        F.to_json(F.struct(*[F.col(c) for c in (value_cols or df.columns)])).alias("value")
+    )
+    return (
+        payload.writeStream.format("kafka")
+        .option("kafka.bootstrap.servers", brokers)
+        .option("topic", topic)
+        .option("checkpointLocation", checkpoint)
+        .start()
+    )

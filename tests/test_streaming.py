@@ -74,3 +74,27 @@ def test_session_window_stream(spark, tmp_path):
     rows = spark.sql("select * from sessions").collect()
     # events 1,2 chain (15-min gap) into one session; event 3 alone
     assert sorted(r.n_events for r in rows) == [1, 2]
+
+
+def test_udf_factories_fall_back_gracefully():
+    """The optional-library UDF factories (vader, emoji, bs4) must return
+    None when the library is absent — pipelines then use the deterministic
+    native paths. This container has none of the three installed."""
+    from ingestion_scripts_spark.functions.sentiment import (
+        make_demojize_udf,
+        make_html_strip_udf,
+        make_sentiment_udf,
+    )
+
+    for factory, lib in [
+        (make_sentiment_udf, "vaderSentiment"),
+        (make_demojize_udf, "emoji"),
+        (make_html_strip_udf, "bs4"),
+    ]:
+        try:
+            __import__(lib)
+            installed = True
+        except ImportError:
+            installed = False
+        udf = factory()
+        assert (udf is not None) == installed
