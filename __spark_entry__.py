@@ -909,6 +909,56 @@ SQL_HOURLY = (
 )
 
 
+def q_stream_hourly_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SAME hourly-window aggregation run as a REAL Structured Streaming
+    job: parquet file source → readStream → window agg (complete mode) →
+    memory sink, availableNow trigger. The oracle is the identical batch
+    SQL — streaming and batch must agree exactly (§2.8)."""
+    import tempfile
+    import uuid
+
+    from ingestion_scripts_spark.sources.readers import load_table
+
+    load_table(spark, sf_dir, "events")  # sets nanosAsLong + UTC session confs
+    raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    stream = (
+        spark.readStream.schema(raw_schema)
+        .option("pathGlobFilter", "events.parquet")  # file source needs a dir
+        .parquet(sf_dir)
+        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    )
+    agg = (
+        stream.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+    )
+    name = "stream_hourly_" + uuid.uuid4().hex[:8]
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="ckpt_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return (
+        spark.table(name)
+        .select(
+            _fmt_ts(F.col("w.start")).alias("window_start"),
+            "event_type",
+            "n",
+            "total_value",
+        )
+        .orderBy("window_start", "event_type")
+    )
+
+
+SQL_STREAM_HOURLY = SQL_HOURLY
+
+
 def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gaps-and-islands sessionization, 30-minute inactivity gap."""
     ev = _t(spark, sf_dir, "events")
@@ -1218,6 +1268,7 @@ _REGISTRY: list[tuple[str, Callable[[SparkSession, str], DataFrame], str | None]
     ("sentiment", q_sentiment, SQL_SENTIMENT),
     ("hourly_windows", q_hourly_windows, SQL_HOURLY),
     ("sessionize", q_sessionize, SQL_SESSIONIZE),
+    ("stream_hourly_windows", q_stream_hourly_windows, SQL_STREAM_HOURLY),
     ("twitter_pipeline", q_twitter_pipeline, SQL_TWITTER_PIPELINE),
     ("reddit_pipeline", q_reddit_pipeline, SQL_REDDIT_PIPELINE),
     ("rss_pipeline", q_rss_pipeline, SQL_RSS_PIPELINE),

@@ -54,6 +54,7 @@ HEADLINE = [
     "token_counts",
     "sentiment",
     "hourly_windows",
+    "stream_hourly_windows",
     "sessionize",
     "twitter_pipeline",
     "reddit_pipeline",
