@@ -45,3 +45,29 @@ def test_parse_zoned(spark):
     assert _one(spark, TF.parse_zoned(F.lit("2021-06-01 12:00:00+0000"))) == (
         datetime.datetime(2021, 6, 1, 12, 0, 0)
     )
+
+
+def test_roundtrip_property(spark):
+    """format → parse → format is identity for a spread of timestamps
+    (all four parse paths), incl. second boundaries and month edges."""
+    from pyspark.sql import functions as F
+
+    from ingestion_scripts_spark.functions import timefns as TF
+
+    base = spark.range(0, 200).select(
+        F.timestamp_seconds(
+            F.lit(1700000000) + F.col("id") * 86461 + (F.col("id") % 60)
+        ).alias("ts")
+    )
+    checks = base.select(
+        (TF.parse_simple(F.date_format("ts", "yyyy-MM-dd HH:mm:ss")) == F.col("ts")).alias("a"),
+        (TF.parse_zoned(F.concat(F.date_format("ts", "yyyy-MM-dd HH:mm:ss"), F.lit("+00:00"))) == F.col("ts")).alias("b"),
+        (TF.parse_rfc822(F.concat(F.date_format("ts", "EEE, dd MMM yyyy HH:mm:ss"), F.lit(" +0000"))) == F.col("ts")).alias("c"),
+        (TF.parse_rfc822(F.concat(F.date_format("ts", "EEE, dd MMM yyyy HH:mm:ss"), F.lit(" UTC"))) == F.col("ts")).alias("d"),
+        (TF.struct_time_to_timestamp(
+            F.array(F.year("ts"), F.month("ts"), F.dayofmonth("ts"),
+                    F.hour("ts"), F.minute("ts"), F.second("ts"),
+                    F.lit(0), F.lit(0), F.lit(0))) == F.col("ts")).alias("e"),
+    )
+    agg = checks.agg(*[F.min(c).alias(c) for c in "abcde"]).collect()[0]
+    assert all([agg.a, agg.b, agg.c, agg.d, agg.e]), agg
