@@ -562,6 +562,109 @@ GROUP BY 1 ORDER BY brand
 """
 
 
+def q_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles per group (Spark ``percentile`` ==
+    DuckDB ``quantile_cont``). The approx_percentile sketch variant exists
+    engine-side for the 100 TB path but is not oracle-comparable."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.round(F.expr("percentile(value, 0.5)"), 4).alias("p50"),
+            F.round(F.expr("percentile(value, 0.9)"), 4).alias("p90"),
+            F.round(F.expr("percentile(value, 0.99)"), 4).alias("p99"),
+        )
+        .orderBy("event_type")
+    )
+
+
+SQL_PERCENTILES = """
+SELECT event_type,
+  round(quantile_cont(value, 0.5), 4) AS p50,
+  round(quantile_cont(value, 0.9), 4) AS p90,
+  round(quantile_cont(value, 0.99), 4) AS p99
+FROM events GROUP BY event_type ORDER BY event_type
+"""
+
+
+def q_pivot_weekday(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot: event counts per type x ISO weekday as columns (fixed pivot
+    value list, so the plan is a single pass of conditional aggregates)."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.select("event_type", F.dayofweek("ts").alias("dow"))
+        .groupBy("event_type")
+        .pivot("dow", list(range(1, 8)))
+        .agg(F.count(F.lit(1)))
+        .na.fill(0)
+        .select(
+            "event_type",
+            *[F.col(str(d)).cast("bigint").alias(f"d{d}") for d in range(1, 8)],
+        )
+        .orderBy("event_type")
+    )
+
+
+SQL_PIVOT = (
+    "SELECT event_type, "
+    + ", ".join(
+        # DuckDB dayofweek: 0=Sunday; Spark dayofweek: 1=Sunday
+        f"CAST(count(*) FILTER (dayofweek(ts) = {d - 1}) AS BIGINT) AS d{d}"
+        for d in range(1, 8)
+    )
+    + " FROM events GROUP BY event_type ORDER BY event_type"
+)
+
+
+def q_running_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window-function suite: running cumulative sum + centered-free 3-row
+    moving average of value per user ordered by event time."""
+    ev = _t(spark, sf_dir, "events").filter(F.col("user_id") < 10)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return ev.select(
+        "user_id",
+        "event_id",
+        F.round(F.sum("value").over(w.rowsBetween(Window.unboundedPreceding, 0)), 4).alias(
+            "running_total"
+        ),
+        F.round(F.avg("value").over(w.rowsBetween(-2, 0)), 4).alias("mavg3"),
+        F.rank().over(w).alias("rk"),
+    ).orderBy("user_id", "event_id")
+
+
+SQL_RUNNING = """
+SELECT user_id, event_id,
+  round(sum(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                         ROWS UNBOUNDED PRECEDING), 4) AS running_total,
+  round(avg(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                         ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 4) AS mavg3,
+  rank() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rk
+FROM events WHERE user_id < 10
+ORDER BY user_id, event_id
+"""
+
+
+def q_clicked_never_purchased(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set operation (EXCEPT): users who clicked but had not purchased in
+    the first four days (every user eventually purchases, so the un-windowed
+    variant is vacuous)."""
+    ev = _t(spark, sf_dir, "events")
+    clickers = ev.filter(F.col("event_type") == "click").select("user_id")
+    buyers = ev.filter(
+        (F.col("event_type") == "purchase") & (F.col("ts") < F.lit("2024-01-05"))
+    ).select("user_id")
+    return clickers.subtract(buyers).orderBy("user_id")  # EXCEPT (distinct)
+
+
+SQL_EXCEPT = """
+SELECT DISTINCT user_id FROM events WHERE event_type = 'click'
+EXCEPT
+SELECT user_id FROM events
+WHERE event_type = 'purchase' AND ts < TIMESTAMP '2024-01-05'
+ORDER BY user_id
+"""
+
+
 # ---------------------------------------------------------------------------
 # extension: dedup family (SURVEY §2.9)
 # ---------------------------------------------------------------------------
@@ -1243,6 +1346,10 @@ _REGISTRY: list[tuple[str, Callable[[SparkSession, str], DataFrame], str | None]
     ("asof_clicks", q_asof_clicks, SQL_ASOF),
     ("small_quantity_revenue", q_small_quantity_revenue, SQL_SMALL_QTY),
     ("in_subquery_parts", q_in_subquery_parts, SQL_IN_SUBQUERY),
+    ("value_percentiles", q_value_percentiles, SQL_PERCENTILES),
+    ("pivot_weekday", q_pivot_weekday, SQL_PIVOT),
+    ("running_user_value", q_running_user_value, SQL_RUNNING),
+    ("clicked_never_purchased", q_clicked_never_purchased, SQL_EXCEPT),
     ("clean_text", q_clean_text, SQL_CLEAN),
     ("hashtags", q_hashtags, SQL_HASHTAGS),
     ("stopword_filter", q_stopword_filter, SQL_STOPWORD),

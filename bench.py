@@ -37,6 +37,9 @@ HEADLINE = [
     "rollup_revenue",
     "distinct_users",
     "asof_clicks",
+    "value_percentiles",
+    "pivot_weekday",
+    "running_user_value",
     "clean_text",
     "stopword_filter",
     "exact_dedup",
