@@ -64,3 +64,20 @@ def test_clean_text_property(spark, s):
     ref = re.sub("[%s]" % re.escape(string.punctuation), "", ref)
     ref = re.sub("\\w*\\d\\w*", "", ref)
     assert out == ref
+
+
+def test_approx_sketches_within_tolerance(spark):
+    """The 100 TB path uses sketches (HLL count-distinct, approx quantiles);
+    they are engine-side only (not oracle-comparable across engines) but must
+    track the exact answers within their error bounds."""
+    from ingestion_scripts_spark.sources.readers import load_table
+
+    ev = load_table(spark, "/root/testdata/sf0.001", "events")
+    row = ev.agg(
+        F.countDistinct("user_id").alias("exact"),
+        F.approx_count_distinct("user_id", rsd=0.02).alias("approx"),
+        F.expr("percentile(value, 0.5)").alias("p50"),
+        F.expr("approx_percentile(value, 0.5, 10000)").alias("p50a"),
+    ).collect()[0]
+    assert abs(row.approx - row.exact) <= max(3, 0.05 * row.exact)
+    assert abs(row.p50a - row.p50) <= max(0.01, 0.05 * abs(row.p50))
