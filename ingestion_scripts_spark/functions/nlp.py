@@ -51,8 +51,11 @@ def keywords_native(text: Column, k: int = 5) -> Column:
 def summary_native(text: Column, k_sentences: int = 2) -> Column:
     """N3 summary substitute: first k sentences (deterministic; RE2-safe
     extract + trim so the DuckDB oracle computes the identical string)."""
+    # single-arg lambda is load-bearing: passing F.trim directly lets
+    # transform() bind its (element, index) pair to trim's optional
+    # trim-characters parameter, silently stripping digits
     sentences = F.transform(
-        F.regexp_extract_all(text, F.lit(SENTENCE_PATTERN), 0), F.trim
+        F.regexp_extract_all(text, F.lit(SENTENCE_PATTERN), 0), lambda s: F.trim(s)
     )
     return F.concat_ws(" ", F.slice(sentences, 1, k_sentences))
 

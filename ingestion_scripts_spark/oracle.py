@@ -218,19 +218,26 @@ def sql_summary(x: str, k: int = 2) -> str:
     """= functions.nlp.summary_native: first k extracted-and-trimmed sentences."""
     from .functions.nlp import SENTENCE_PATTERN
 
-    sents = f"list_transform(regexp_extract_all({x}, {sq(SENTENCE_PATTERN)}), s -> trim(s))"
-    return f"array_to_string(({sents})[1:{k}], ' ')"
+    sents = (
+        f"list_transform(regexp_extract_all({x}, {sq(SENTENCE_PATTERN)}),"
+        " sent_lv -> trim(sent_lv))"
+    )
+    # COALESCE: DuckDB array_to_string of an empty slice is NULL; Spark
+    # concat_ws of an empty array is '' — pin the Spark behavior
+    return f"COALESCE(array_to_string(({sents})[1:{k}], ' '), '')"
 
 
 def sql_keywords_native(x: str, k: int = 5) -> str:
     """= functions.nlp.keywords_native: TF top-k over cleaned stopword-
     filtered tokens; ties (count, token) ascending on the negated count."""
     toks = sql_remove_stopwords(sql_tokenize_ws(sql_clean_text(x)))
+    # lambda vars carry a _lv suffix: DuckDB's binder can resolve a bare
+    # single-letter lambda variable against a same-named table column
     scored = (
         f"list_transform(list_distinct({toks}), "
-        f"d -> {{'neg_cnt': -len(list_filter({toks}, x2 -> x2 = d)), 'tok': d}})"
+        f"d_lv -> {{'neg_cnt': -len(list_filter({toks}, x2_lv -> x2_lv = d_lv)), 'tok': d_lv}})"
     )
-    return f"list_transform(list_sort({scored})[1:{k}], s -> s.tok)"
+    return f"list_transform(list_sort({scored})[1:{k}], kw_lv -> kw_lv.tok)"
 
 
 def sql_winnow(x: str, n: int = 4, window: int = 4) -> str:

@@ -1,0 +1,57 @@
+"""Cross-engine property tests: for random ASCII inputs, each Spark operator
+must produce EXACTLY what its oracle.py DuckDB twin produces — the same
+differential the driver runs on real data, but on adversarial generated
+inputs (quotes, brackets, punctuation runs, digit-words, empty strings)."""
+
+import string
+
+import duckdb
+import pytest
+from hypothesis import given, settings, strategies as st
+from pyspark.sql import functions as F
+
+from ingestion_scripts_spark import oracle as O
+from ingestion_scripts_spark.functions import sentiment as S
+from ingestion_scripts_spark.functions import text as X
+from ingestion_scripts_spark.functions.nlp import keywords_native, summary_native
+from ingestion_scripts_spark.operators import text_analysis as TA
+
+ASCII = st.text(alphabet=string.printable.replace("\r", ""), max_size=100)
+
+CASES = [
+    ("clean_text", lambda c: X.clean_text(c), O.sql_clean_text),
+    ("tokens", lambda c: X.remove_stopwords(X.tokenize_ws(X.clean_text(c))),
+     lambda x: O.sql_remove_stopwords(O.sql_tokenize_ws(O.sql_clean_text(x)))),
+    ("hashtags", lambda c: X.extract_hashtags(c), O.sql_hashtags),
+    ("summary", lambda c: summary_native(c), O.sql_summary),
+    ("keywords", lambda c: keywords_native(c), O.sql_keywords_native),
+    ("compound", lambda c: S.sentiment_native(c)["compound"],
+     lambda x: O.sql_sentiment(x)["compound"]),
+    ("lang", lambda c: TA.lang_id(c), O.sql_lang_id),
+    ("simhash", lambda c: TA.fingerprint(c), O.sql_hash64),
+    ("winnow", lambda c: F.array_sort(TA.winnow_fingerprints(c)), O.sql_winnow),
+]
+
+
+def _canon(v):
+    if isinstance(v, (list, tuple)):
+        return [_canon(x) for x in v]
+    return v
+
+
+@pytest.mark.parametrize("name,spark_fn,sql_fn", CASES, ids=[c[0] for c in CASES])
+@settings(max_examples=5, deadline=None)
+@given(rows=st.lists(ASCII, min_size=1, max_size=30))
+def test_spark_matches_duckdb(spark, name, spark_fn, sql_fn, rows):
+    sdf = spark.createDataFrame([(i, r) for i, r in enumerate(rows)], "i int, s string")
+    got = {
+        r.i: _canon(r.o)
+        for r in sdf.select("i", spark_fn(F.col("s")).alias("o")).collect()
+    }
+    con = duckdb.connect()
+    con.register("t", __import__("pandas").DataFrame({"i": range(len(rows)), "s": rows}))
+    expect = {
+        i: _canon(o)
+        for i, o in con.execute(f"SELECT i, {sql_fn('s')} FROM t").fetchall()
+    }
+    assert got == expect
