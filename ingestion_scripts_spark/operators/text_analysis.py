@@ -22,8 +22,10 @@ LANG_MARKERS: dict[str, list[str]] = {
     "zh": ["的", "是", "了", "在", "我", "有", "和", "不", "人", "这"],
 }
 
-#: BPE-ish word/punct token pattern (valid in Java regex and RE2)
-TOKEN_PATTERN = "[a-zA-Z0-9_]+|[^a-zA-Z0-9_\\s]"
+#: BPE-ish word/punct token pattern. Whitespace is an EXPLICIT class, not
+#: ``\s``: Java's \s includes \x0B (vertical tab), RE2's does not — the
+#: explicit class keeps Spark and the DuckDB oracle byte-identical.
+TOKEN_PATTERN = "[a-zA-Z0-9_]+|[^a-zA-Z0-9_ \\t\\n\\x0B\\f\\r]"
 
 
 def lang_scores(text_col: Column) -> dict[str, Column]:

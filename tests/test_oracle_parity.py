@@ -14,6 +14,7 @@ from ingestion_scripts_spark import oracle as O
 from ingestion_scripts_spark.functions import sentiment as S
 from ingestion_scripts_spark.functions import text as X
 from ingestion_scripts_spark.functions.nlp import keywords_native, summary_native
+from ingestion_scripts_spark.operators import dedup as D
 from ingestion_scripts_spark.operators import text_analysis as TA
 
 ASCII = st.text(alphabet=string.printable.replace("\r", ""), max_size=100)
@@ -28,8 +29,25 @@ CASES = [
     ("compound", lambda c: S.sentiment_native(c)["compound"],
      lambda x: O.sql_sentiment(x)["compound"]),
     ("lang", lambda c: TA.lang_id(c), O.sql_lang_id),
-    ("simhash", lambda c: TA.fingerprint(c), O.sql_hash64),
+    ("hash64", lambda c: TA.fingerprint(c), O.sql_hash64),
     ("winnow", lambda c: F.array_sort(TA.winnow_fingerprints(c)), O.sql_winnow),
+    ("simhash", lambda c: D.simhash(c), O.sql_simhash),
+    ("bpe_count", lambda c: TA.token_count_bpe(c).cast("bigint"), O.sql_token_count_bpe),
+    ("bigrams", lambda c: F.transform(
+        X.pairwise_bigrams(X.tokenize_ws(c)), lambda p: F.concat_ws(" ", p)),
+     lambda x: O.sql_bigrams(O.sql_tokenize_ws(x))),
+    ("shingles", lambda c: F.array_sort(D.shingles(c, 3)),
+     lambda x: f"list_sort({O.sql_shingles(x, 3)})"),
+    # empty shingle sets: Spark yields [null x 16] (array_min of empty), the
+    # pipeline filters them; compare only the non-empty case on both sides
+    ("minhash_sig", lambda c: F.when(
+        F.size(D.shingles(c, 3)) > 0, D.minhash_signature(D.shingles(c, 3))
+    ).otherwise(F.array().cast("array<bigint>")),
+     lambda x: f"CASE WHEN len({O.sql_shingles(x, 3)}) > 0 THEN "
+               f"{O.sql_minhash_signature(O.sql_shingles(x, 3))} "
+               f"ELSE CAST([] AS BIGINT[]) END"),
+    ("quality", lambda c: TA.quality_score(c)["quality"],
+     lambda x: O.sql_quality(x)["quality"]),
 ]
 
 
