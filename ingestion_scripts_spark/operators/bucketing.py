@@ -42,3 +42,18 @@ def bucketed_join(
     """Join two same-bucketed tables on their bucket key — plans with no
     Exchange when bucket specs line up (pinned by test)."""
     return spark.table(left_table).join(spark.table(right_table), on, how)
+
+
+def write_partitioned(
+    df: DataFrame,
+    path: str,
+    partition_cols: list[str],
+    mode: str = "overwrite",
+) -> None:
+    """Hive-style partitioned parquet layout: one directory per partition
+    value. Queries filtering on the partition column read ONLY matching
+    directories (partition pruning — the scan never opens other files).
+    Partition on low-cardinality, frequently-filtered columns; high-
+    cardinality keys belong in buckets, not partitions (small-files blowup).
+    """
+    df.write.mode(mode).partitionBy(*partition_cols).parquet(path)

@@ -33,3 +33,22 @@ def test_bucketed_join_has_no_shuffle(spark, tmp_path):
         spark.sql("DROP TABLE IF EXISTS bkt_right")
         spark.sql("USE default")
         spark.sql("DROP DATABASE IF EXISTS bktdb")
+
+
+def test_partitioned_write_prunes_partitions(spark, tmp_path):
+    from ingestion_scripts_spark.operators.bucketing import write_partitioned
+
+    df = spark.range(0, 1000).select(
+        F.col("id"), (F.col("id") % 4).cast("string").alias("part")
+    )
+    path = str(tmp_path / "parted")
+    write_partitioned(df, path, ["part"])
+    got = spark.read.parquet(path).filter(F.col("part") == "2")
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert got.count() == 250
+    # the partition filter must reach the scan's PartitionFilters, and the
+    # scan must actually skip non-matching directories
+    assert "PartitionFilters" in plan and "part" in plan.split("PartitionFilters")[1][:80]
+    n_files = got.select(F.input_file_name()).distinct().count()
+    all_files = spark.read.parquet(path).select(F.input_file_name()).distinct().count()
+    assert n_files < all_files
