@@ -120,3 +120,39 @@ def write_kafka_stream(
         .option("checkpointLocation", checkpoint)
         .start()
     )
+
+
+def stateful_user_counts(
+    stream: DataFrame,
+    key: str = "user_id",
+) -> DataFrame:
+    """Custom stateful operator (``applyInPandasWithState``): per-key event
+    counter that survives across micro-batches — the engine's template for
+    arbitrary keyed state (rate limiting, running dedup, decayed counters)
+    beyond what windows/dropDuplicates express.
+
+    Emits one row per key per trigger: (key, n_new in this batch,
+    running_total across all batches). State is one bigint per key —
+    bounded, partitioned by the shuffle on ``key``, checkpointed with the
+    query; at 1000 executors each task owns its key range's state store.
+    """
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    out_schema = f"{key} bigint, n_new bigint, running_total bigint"
+    state_schema = "total bigint"
+
+    def update(key_tuple, pdfs, state: GroupState):
+        import pandas as pd
+
+        n = 0
+        for pdf in pdfs:
+            n += len(pdf)
+        total = (state.get[0] if state.exists else 0) + n
+        state.update((total,))
+        yield pd.DataFrame(
+            {key: [key_tuple[0]], "n_new": [n], "running_total": [total]}
+        )
+
+    return stream.groupBy(key).applyInPandasWithState(
+        update, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
+    )

@@ -98,3 +98,41 @@ def test_udf_factories_fall_back_gracefully():
             installed = False
         udf = factory()
         assert (udf is not None) == installed
+
+
+def test_stateful_user_counts_across_batches(spark, tmp_path):
+    """applyInPandasWithState keeps per-key totals across micro-batches."""
+    import json as _json
+
+    src = tmp_path / "stateful_in"
+    src.mkdir()
+    with open(src / "b1.json", "w") as f:
+        for r in [{"user_id": 1}, {"user_id": 1}, {"user_id": 2}]:
+            f.write(_json.dumps(r) + "\n")
+    with open(src / "b2.json", "w") as f:
+        for r in [{"user_id": 1}, {"user_id": 2}, {"user_id": 2}]:
+            f.write(_json.dumps(r) + "\n")
+
+    schema = T.StructType([T.StructField("user_id", T.LongType())])
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .json(str(src))
+    )
+    out = ST.stateful_user_counts(stream)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("stateful_counts")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    rows = spark.table("stateful_counts").collect()
+    # final running totals must sum BOTH batches per user
+    finals = {}
+    for r in rows:
+        finals[r.user_id] = max(finals.get(r.user_id, 0), r.running_total)
+    assert finals == {1: 3, 2: 3}
+    assert len(rows) >= 3  # at least one emission per key per seen batch
