@@ -886,6 +886,43 @@ ORDER BY query_id, rank
 """
 
 
+def q_ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-style ANN (single-probe coarse cell, deterministic centroids) —
+    the non-hashing scale path beside lsh_ann_topk."""
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 50 == 0)
+    return SIM.ivf_ann_topk(queries, emb, dim=64, n_cells=8, k=5).orderBy(
+        "query_id", "rank"
+    )
+
+
+_IVF_CENTS = SIM.ivf_centroids(8, 64)
+
+
+def _sql_ivf_ann() -> str:
+    cq = O.sql_ivf_cell("qv", _IVF_CENTS)
+    cc = O.sql_ivf_cell("cv", _IVF_CENTS)
+    nrm = "sqrt(list_sum(list_transform(range(1, len({0}) + 1), i -> {0}[i] * {0}[i])))".format
+    return f"""
+WITH q0 AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS v
+            FROM embeddings WHERE vec_id % 50 = 0),
+q AS (SELECT query_id, qv, {cq} AS cell FROM
+      (SELECT query_id, list_transform(v, x -> x / {nrm('v')}) AS qv FROM q0)),
+c0 AS (SELECT vec_id AS match_id, embedding::DOUBLE[] AS v FROM embeddings),
+c AS (SELECT match_id, cv, {cc} AS cell FROM
+      (SELECT match_id, list_transform(v, x -> x / {nrm('v')}) AS cv FROM c0)),
+scored AS (
+  SELECT query_id, match_id, round({O.sql_dot('qv', 'cv', 'len(qv)')}, 6) AS sim
+  FROM q JOIN c USING (cell) WHERE query_id <> match_id),
+ranked AS (
+  SELECT query_id, match_id, sim,
+         row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, match_id ASC) AS rank
+  FROM scored)
+SELECT query_id, match_id, sim, rank FROM ranked WHERE rank <= 5
+ORDER BY query_id, rank
+"""
+
+
 def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup pairs, blocked by label (IVF-cell stand-in)."""
     emb = _t(spark, sf_dir, "embeddings")
@@ -1368,6 +1405,7 @@ _REGISTRY: list[tuple[str, Callable[[SparkSession, str], DataFrame], str | None]
     ("skew_join_revenue", q_skew_join_revenue, SQL_SKEW_JOIN),
     ("embedding_topk", q_embedding_topk, SQL_EMBEDDING_TOPK),
     ("lsh_ann_topk", q_lsh_ann_topk, _sql_lsh_ann()),
+    ("ivf_ann_topk", q_ivf_ann_topk, _sql_ivf_ann()),
     ("embedding_near_dup", q_embedding_near_dup, SQL_EMBEDDING_NEAR_DUP),
     ("lang_id", q_lang_id, SQL_LANG_ID),
     ("quality_score", q_quality, SQL_QUALITY),

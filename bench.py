@@ -51,6 +51,7 @@ HEADLINE = [
     "skew_join_revenue",
     "embedding_topk",
     "lsh_ann_topk",
+    "ivf_ann_topk",
     "embedding_near_dup",
     "lang_id",
     "quality_score",

@@ -162,6 +162,79 @@ def lsh_bucket(vec: Column, planes: list[list[float]]) -> Column:
     return bucket
 
 
+def ivf_centroids(n_cells: int, dim: int) -> list[list[float]]:
+    """Deterministic pseudo-random coarse centroids in [-1, 1]^dim
+    (md5-derived, engine-reproducible — a stand-in for trained k-means
+    centroids; production swaps in learned ones, the plan shape is
+    identical)."""
+    cells = []
+    for c in range(n_cells):
+        row = []
+        for d in range(dim):
+            h = int(hashlib.md5(f"ivf:{c},{d}".encode()).hexdigest()[:15], 16)
+            row.append((h % 2001 - 1000) / 1000.0)
+        cells.append(row)
+    return cells
+
+
+def ivf_cell(vec: Column, centroids: list[list[float]]) -> Column:
+    """Nearest-centroid assignment (squared L2, ties → lowest cell id) —
+    the IVF coarse quantizer as a pure expression: n_cells distance folds
+    per row, argmin as a least() + first-match CASE chain."""
+    dists = []
+    for row in centroids:
+        cen = F.array(*[F.lit(v) for v in row])
+        d2 = F.aggregate(
+            F.zip_with(vec, cen, lambda x, c: (x - c) * (x - c)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        dists.append(d2)
+    m = F.least(*dists)
+    cell = F.lit(-1)
+    chain = None
+    for i, d2 in enumerate(dists):
+        if chain is None:
+            chain = F.when(d2 == m, F.lit(i))
+        else:
+            chain = chain.when(d2 == m, F.lit(i))
+    return chain.otherwise(cell)
+
+
+def ivf_ann_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    n_cells: int = 8,
+    k: int = 10,
+) -> DataFrame:
+    """IVF-style approximate NN: exact cosine top-k restricted to the
+    query's coarse cell (single-probe). The non-hashing scale path next to
+    ``lsh_ann_topk``; recall grows with probes — multi-probe is a union of
+    per-cell joins. Cells assigned on unit vectors; scoring is one dot."""
+    cents = ivf_centroids(n_cells, dim)
+    q = _normed(queries, "query_id", id_col, vec_col, "qv").withColumn(
+        "cell", ivf_cell(F.col("qv"), cents)
+    )
+    c = _normed(corpus, "match_id", id_col, vec_col, "cv").withColumn(
+        "cell", ivf_cell(F.col("cv"), cents)
+    )
+    scored = (
+        F.broadcast(q)
+        .join(c, "cell")
+        .filter(F.col("query_id") != F.col("match_id"))
+        .select(
+            "query_id",
+            "match_id",
+            F.round(dot(F.col("qv"), F.col("cv")), 6).alias("sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("match_id"))
+    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
 def lsh_ann_topk(
     queries: DataFrame,
     corpus: DataFrame,

@@ -256,3 +256,22 @@ def sql_winnow(x: str, n: int = 4, window: int = 4) -> str:
         f"list_sort(list_distinct(CASE WHEN len({h}) >= {window} THEN {full} "
         f"WHEN len({h}) > 0 THEN {short} ELSE CAST([] AS BIGINT[]) END))"
     )
+
+
+def sql_ivf_cell(v: str, centroids: list[list[float]]) -> str:
+    """= operators.similarity.ivf_cell with the SAME centroid literals:
+    argmin squared L2, ties -> lowest cell id (first-match CASE chain)."""
+    dists = []
+    for row in centroids:
+        lit = "[" + ", ".join(repr(x) for x in row) + "]"
+        d2 = (
+            f"list_sum(list_transform(range(1, {len(row)} + 1), "
+            f"i -> (({v})[i] - ({lit})[i]) * (({v})[i] - ({lit})[i])))"
+        )
+        dists.append(f"({d2})"
+        )
+    m = "least(" + ", ".join(dists) + ")"
+    whens = " ".join(
+        f"WHEN {d2} = ({m}) THEN {i}" for i, d2 in enumerate(dists)
+    )
+    return f"(CASE {whens} ELSE -1 END)"
