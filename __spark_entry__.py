@@ -931,6 +931,17 @@ def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_embedding_near_dup_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vectorized applyInPandas twin of embedding_near_dup (numpy gram
+    matrix per block). numpy summation order can differ from the SQL fold
+    in the last ulp, so this entry is rows-only checked by the driver;
+    exact agreement with the fold operator is pinned by pytest."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return SIM.blocked_cosine_pairs_pandas(emb, "label", threshold=0.35).orderBy(
+        "id_a", "id_b"
+    )
+
+
 SQL_EMBEDDING_NEAR_DUP = f"""
 WITH v0 AS (SELECT label, vec_id, embedding::DOUBLE[] AS r FROM embeddings),
 v AS (SELECT label, vec_id,
@@ -1407,6 +1418,7 @@ _REGISTRY: list[tuple[str, Callable[[SparkSession, str], DataFrame], str | None]
     ("lsh_ann_topk", q_lsh_ann_topk, _sql_lsh_ann()),
     ("ivf_ann_topk", q_ivf_ann_topk, _sql_ivf_ann()),
     ("embedding_near_dup", q_embedding_near_dup, SQL_EMBEDDING_NEAR_DUP),
+    ("embedding_near_dup_pandas", q_embedding_near_dup_pandas, None),
     ("lang_id", q_lang_id, SQL_LANG_ID),
     ("quality_score", q_quality, SQL_QUALITY),
     ("token_counts", q_token_counts, SQL_TOKEN_COUNTS),

@@ -53,6 +53,7 @@ HEADLINE = [
     "lsh_ann_topk",
     "ivf_ann_topk",
     "embedding_near_dup",
+    "embedding_near_dup_pandas",
     "lang_id",
     "quality_score",
     "token_counts",

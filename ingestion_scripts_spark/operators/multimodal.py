@@ -104,3 +104,76 @@ def text_to_media(df: DataFrame, text_col: str = "text", id_col: str = "doc_id")
             F.lit(None).cast("bigint").alias("duration_ms"),
         ).alias("meta"),
     )
+
+
+def fake_resize(payload: bytes, width: int, height: int) -> bytes:
+    """Deterministic stand-in for an image resize kernel (no image libs in
+    this container — real deployments inject a PIL kernel). Marked fake:
+    emits a content-derived byte string of length width*height."""
+    if payload is None:
+        raise NotImplementedError("media resize of null payload")
+    digest = hashlib.md5(payload).digest()
+    need = max(0, width * height)
+    return (digest * (need // len(digest) + 1))[:need]
+
+
+def resize_images(
+    df: DataFrame,
+    width: int,
+    height: int,
+    payload_col: str = "payload",
+    id_col: str = "media_id",
+    resize_fn: Callable[[bytes, int, int], bytes] = fake_resize,
+) -> DataFrame:
+    """payload → resized payload + updated meta, via mapInPandas (Arrow
+    moves binary batches; kernel pluggable, default deterministic fake)."""
+    out_schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType()),
+            T.StructField("payload", T.BinaryType()),
+            T.StructField("meta", MEDIA_META),
+        ]
+    )
+
+    def run(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for mid, payload in zip(pdf[id_col], pdf[payload_col]):
+                try:
+                    out = resize_fn(bytes(payload), width, height)
+                    rows.append((mid, out, ("image/fake", width, height, None)))
+                except Exception:
+                    rows.append((mid, None, None))
+            yield pd.DataFrame(rows, columns=["media_id", "payload", "meta"])
+
+    return df.select(F.col(id_col), F.col(payload_col)).mapInPandas(run, out_schema)
+
+
+def sample_frames(
+    df: DataFrame,
+    every_nth_byte: int = 64,
+    max_frames: int = 8,
+    payload_col: str = "payload",
+    id_col: str = "media_id",
+) -> DataFrame:
+    """Frame-sampling plumbing for video-like payloads: emits one row per
+    sampled "frame" (posexplode shape). The frame extractor is a
+    deterministic fake (every Nth byte slice) — real deployments plug a
+    decoder; the exploded schema, ordering column and per-row lineage are
+    the real contract."""
+    frames = F.slice(
+        F.transform(
+            F.sequence(F.lit(0), F.lit(max_frames - 1)),
+            lambda i: F.substring(
+                F.base64(F.col(payload_col)), i * every_nth_byte + 1, 16
+            ),
+        ),
+        1,
+        max_frames,
+    )
+    ex = df.select(
+        F.col(id_col), F.posexplode(frames).alias("frame_no", "frame_token")
+    )
+    return ex.filter(F.col("frame_token") != "")

@@ -134,6 +134,50 @@ def blocked_cosine_pairs(
     )
 
 
+def blocked_cosine_pairs_pandas(
+    df: DataFrame,
+    block_col: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.35,
+) -> DataFrame:
+    """Vectorized twin of ``blocked_cosine_pairs``: one numpy gram matrix
+    per block via ``applyInPandas`` instead of per-pair expression folds.
+
+    ~10-50x less CPU per pair (BLAS matmul vs interpreted HOF folds); the
+    scale caveat is one block per task — block sizes must fit executor
+    memory, which the IVF-cell blocking guarantees by construction. numpy's
+    pairwise summation can differ from the sequential fold in the last ulp,
+    so this variant is exposed with a rows-only driver check; exact
+    equality with the fold-based operator on testdata is pinned by pytest.
+    """
+    import pandas as pd
+
+    def per_block(pdf: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+
+        if len(pdf) < 2:
+            return pd.DataFrame({"id_a": [], "id_b": [], "cos": []}).astype(
+                {"id_a": "int64", "id_b": "int64", "cos": "float64"}
+            )
+        order = pdf[id_col].to_numpy().argsort()
+        ids = pdf[id_col].to_numpy()[order]
+        E = np.array(list(pdf[vec_col].to_numpy()[order]), dtype=np.float64)
+        E /= np.linalg.norm(E, axis=1, keepdims=True)
+        S = np.round(E @ E.T, 6)
+        iu, ju = np.triu_indices(len(ids), k=1)
+        keep = S[iu, ju] >= threshold
+        return pd.DataFrame(
+            {"id_a": ids[iu[keep]], "id_b": ids[ju[keep]], "cos": S[iu, ju][keep]}
+        )
+
+    return (
+        df.select(F.col(block_col), F.col(id_col), F.col(vec_col))
+        .groupBy(block_col)
+        .applyInPandas(per_block, "id_a bigint, id_b bigint, cos double")
+    )
+
+
 def hyperplanes(num_planes: int, dim: int) -> list[list[float]]:
     """Deterministic pseudo-random hyperplanes in [-1, 1]^dim.
 

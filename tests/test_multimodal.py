@@ -31,3 +31,31 @@ def test_decode_failure_dead_letters(spark):
     rows = {r.media_id: r for r in M.extract_features(media, decode_fn=decoder).collect()}
     assert rows[1].digest is not None
     assert rows[2].digest is None  # null features, row preserved (K4)
+
+
+def test_resize_and_frame_sample_plumbing(spark):
+    from ingestion_scripts_spark.operators.multimodal import (
+        resize_images,
+        sample_frames,
+        text_to_media,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "hello world " * 40), (2, "tiny")], "doc_id long, text string"
+    )
+    media = text_to_media(docs)
+
+    resized = resize_images(media, width=8, height=4).collect()
+    by_id = {r.media_id: r for r in resized}
+    assert len(by_id[1].payload) == 32 and len(by_id[2].payload) == 32
+    assert by_id[1].meta.width == 8 and by_id[1].meta.media_type == "image/fake"
+    # deterministic: same content → same bytes
+    again = {r.media_id: r for r in resize_images(media, 8, 4).collect()}
+    assert bytes(again[1].payload) == bytes(by_id[1].payload)
+
+    frames = sample_frames(media).collect()
+    per_doc = {}
+    for r in frames:
+        per_doc.setdefault(r.media_id, []).append(r.frame_no)
+    assert per_doc[1] == sorted(per_doc[1])  # ordered frame index
+    assert len(per_doc[1]) > len(per_doc.get(2, []))  # longer payload → more frames

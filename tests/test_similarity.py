@@ -40,3 +40,25 @@ def test_lsh_ann_subset_of_exact_ranking(spark):
 def test_hyperplanes_deterministic():
     assert S.hyperplanes(2, 4) == S.hyperplanes(2, 4)
     assert all(-1.0 <= v <= 1.0 for row in S.hyperplanes(3, 8) for v in row)
+
+
+def test_pandas_cosine_pairs_match_fold_operator(spark):
+    """The numpy applyInPandas kernel must produce the same pairs (and
+    round-6 sims) as the expression-fold operator on real testdata."""
+    from ingestion_scripts_spark.operators.similarity import (
+        blocked_cosine_pairs,
+        blocked_cosine_pairs_pandas,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    exact = {
+        (r.id_a, r.id_b): r.cos
+        for r in blocked_cosine_pairs(emb, "label", threshold=0.3).collect()
+    }
+    fast = {
+        (r.id_a, r.id_b): r.cos
+        for r in blocked_cosine_pairs_pandas(emb, "label", threshold=0.3).collect()
+    }
+    assert set(exact) == set(fast)
+    for k in exact:
+        assert abs(exact[k] - fast[k]) < 1e-9, (k, exact[k], fast[k])
