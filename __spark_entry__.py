@@ -980,6 +980,7 @@ def q_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         q["mean_token_len"].alias("mean_token_len"),
         q["punct_ratio"].alias("punct_ratio"),
         q["digit_ratio"].alias("digit_ratio"),
+        q["stop_ratio"].alias("stop_ratio"),
         q["quality"].alias("quality"),
     ).orderBy("doc_id")
 
@@ -989,7 +990,7 @@ SQL_QUALITY = (
     "SELECT doc_id, "
     + ", ".join(f"{_Q[c]} AS {c}" for c in
                 ["n_chars", "n_tokens", "mean_token_len", "punct_ratio",
-                 "digit_ratio", "quality"])
+                 "digit_ratio", "stop_ratio", "quality"])
     + " FROM documents ORDER BY doc_id"
 )
 

@@ -88,6 +88,15 @@ def quality_score(text_col: Column) -> Column:
     )
     punct_ratio = r4(n_punct / F.greatest(n_chars, F.lit(1)))
     digit_ratio = r4(n_digit / F.greatest(n_chars, F.lit(1)))
+    # stopword share of lowercased tokens: natural text sits in a mid band;
+    # ~0 flags keyword-stuffed or non-linguistic content
+    from ..functions.text import STOPWORDS
+
+    sw = F.array(*[F.lit(s) for s in STOPWORDS])
+    n_stop = F.size(
+        F.filter(tokenize_ws(F.lower(text_col)), lambda t: F.array_contains(sw, t))
+    )
+    stop_ratio = r4(n_stop / n_tokens)
     # composite: reward 3..10-char mean tokens and low symbol density
     score = r4(
         F.greatest(
@@ -107,6 +116,7 @@ def quality_score(text_col: Column) -> Column:
         mean_tok_len.alias("mean_token_len"),
         punct_ratio.alias("punct_ratio"),
         digit_ratio.alias("digit_ratio"),
+        stop_ratio.alias("stop_ratio"),
         score.alias("quality"),
     )
 

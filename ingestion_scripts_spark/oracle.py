@@ -170,6 +170,9 @@ def sql_quality(x: str) -> dict[str, str]:
     )
     punct_ratio = r4(f"({n_punct})::DOUBLE / greatest({n_chars}, 1)")
     digit_ratio = r4(f"({n_digit})::DOUBLE / greatest({n_chars}, 1)")
+    toks_lower = sql_tokenize_ws(f"lower({x})")
+    n_stop = f"len(list_filter({toks_lower}, t -> list_contains({STOPWORD_LIST}, t)))"
+    stop_ratio = r4(f"({n_stop})::DOUBLE / ({n_tokens})")
     score = r4(
         f"greatest(0.0, least(1.0, 1.0 - abs(({mean_tok}) - 5.5) / 10.0"
         f" - ({punct_ratio}) - ({digit_ratio})))"
@@ -180,6 +183,7 @@ def sql_quality(x: str) -> dict[str, str]:
         "mean_token_len": mean_tok,
         "punct_ratio": punct_ratio,
         "digit_ratio": digit_ratio,
+        "stop_ratio": stop_ratio,
         "quality": score,
     }
 
