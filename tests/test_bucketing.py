@@ -52,3 +52,14 @@ def test_partitioned_write_prunes_partitions(spark, tmp_path):
     n_files = got.select(F.input_file_name()).distinct().count()
     all_files = spark.read.parquet(path).select(F.input_file_name()).distinct().count()
     assert n_files < all_files
+
+
+def test_load_table_column_pruning(spark):
+    """load_table(columns=...) must shrink the scan's ReadSchema to exactly
+    the requested columns (S2 projection pushdown)."""
+    from ingestion_scripts_spark.sources.readers import load_table
+
+    df = load_table(spark, "/root/testdata/sf0.001", "lineitem",
+                    columns=["l_orderkey", "l_quantity"])
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "ReadSchema: struct<l_orderkey:bigint,l_quantity:double>" in plan

@@ -28,6 +28,14 @@ CASES = [
     ("keywords", lambda c: keywords_native(c), O.sql_keywords_native),
     ("compound", lambda c: S.sentiment_native(c)["compound"],
      lambda x: O.sql_sentiment(x)["compound"]),
+    ("sent_neg", lambda c: S.sentiment_native(c)["negative"],
+     lambda x: O.sql_sentiment(x)["negative"]),
+    ("sent_pos", lambda c: S.sentiment_native(c)["positive"],
+     lambda x: O.sql_sentiment(x)["positive"]),
+    ("sent_neu", lambda c: S.sentiment_native(c)["neutral"],
+     lambda x: O.sql_sentiment(x)["neutral"]),
+    ("stop_ratio", lambda c: TA.quality_score(c)["stop_ratio"],
+     lambda x: O.sql_quality(x)["stop_ratio"]),
     ("lang", lambda c: TA.lang_id(c), O.sql_lang_id),
     ("hash64", lambda c: TA.fingerprint(c), O.sql_hash64),
     ("winnow", lambda c: F.array_sort(TA.winnow_fingerprints(c)), O.sql_winnow),
