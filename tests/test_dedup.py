@@ -56,3 +56,35 @@ def test_jaccard_exact(spark):
         ).alias("j")
     )
     assert abs(df.collect()[0].j - 0.5) < 1e-9
+
+
+def test_canonical_minhash_collapses_exact_dups(spark):
+    """Exact duplicates collapse to one representative (min id) before LSH;
+    group sizes ride along; near-dup pairs among representatives match the
+    plain operator run on unique texts."""
+    from pyspark.sql import functions as F
+
+    from ingestion_scripts_spark.operators.dedup import (
+        minhash_dedup_pairs,
+        minhash_dedup_pairs_canonical,
+    )
+
+    base = [
+        "the quick brown fox jumps over the lazy dog again and again today",
+        "the quick brown fox jumps over the lazy dog again and again tomorrow",
+        "completely different text about spark engines and shuffle behavior",
+    ]
+    rows = [(i * 10 + r, base[i]) for i in range(3) for r in range(3)]  # 3 dups each
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    got = minhash_dedup_pairs_canonical(df, "doc_id", "text", threshold=0.5).collect()
+    uniq = spark.createDataFrame(
+        [(i * 10, base[i]) for i in range(3)], "doc_id long, text string"
+    )
+    expect = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in minhash_dedup_pairs(uniq, "doc_id", "text", threshold=0.5).collect()
+    }
+    assert {(r.id_a, r.id_b): r.jaccard for r in got} == expect
+    assert all(r.size_a == 3 and r.size_b == 3 for r in got)
+    assert len(got) >= 1  # the two fox variants are near-dups
