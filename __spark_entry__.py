@@ -510,6 +510,41 @@ ORDER BY p.event_id
 """
 
 
+def q_purchase_error_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-banded range join (operators/joins.py::banded_interval_join —
+    equi-join on (user, time bucket) + residual filter, never a per-key
+    nested loop): errors within 1 hour after each purchase."""
+    from ingestion_scripts_spark.operators.joins import banded_interval_join
+
+    ev = _t(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"), "user_id", F.col("ts").alias("pts")
+    )
+    errors = ev.filter(F.col("event_type") == "error").select(
+        "user_id", F.col("ts").alias("ets")
+    )
+    joined = banded_interval_join(
+        purchases, errors, on="user_id", left_ts="pts", right_ts="ets",
+        window_seconds=3600,
+    )
+    return (
+        joined.groupBy("purchase_id")
+        .agg(F.count(F.lit(1)).alias("n_errors_1h"))
+        .orderBy("purchase_id")
+    )
+
+
+SQL_FUNNEL = """
+SELECT l.event_id AS purchase_id, count(*) AS n_errors_1h
+FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase') l
+JOIN (SELECT user_id, ts FROM events WHERE event_type = 'error') r
+  ON l.user_id = r.user_id AND r.ts > l.ts
+ AND r.ts <= l.ts + INTERVAL 3600 SECOND
+GROUP BY l.event_id
+ORDER BY purchase_id
+"""
+
+
 def q_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Q17-shaped correlated scalar subquery, decorrelated as a pre-agg +
     broadcast join: lineitems under 50% of their part's average quantity.
@@ -1393,6 +1428,7 @@ _REGISTRY: list[tuple[str, Callable[[SparkSession, str], DataFrame], str | None]
     ("rollup_revenue", q_rollup_revenue, SQL_ROLLUP),
     ("distinct_users", q_distinct_users, SQL_DISTINCT_USERS),
     ("asof_clicks", q_asof_clicks, SQL_ASOF),
+    ("purchase_error_funnel", q_purchase_error_funnel, SQL_FUNNEL),
     ("small_quantity_revenue", q_small_quantity_revenue, SQL_SMALL_QTY),
     ("in_subquery_parts", q_in_subquery_parts, SQL_IN_SUBQUERY),
     ("value_percentiles", q_value_percentiles, SQL_PERCENTILES),

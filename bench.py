@@ -37,6 +37,7 @@ HEADLINE = [
     "rollup_revenue",
     "distinct_users",
     "asof_clicks",
+    "purchase_error_funnel",
     "value_percentiles",
     "pivot_weekday",
     "running_user_value",

@@ -76,3 +76,48 @@ def asof_join(
         *[F.col(f"__m.{c}").alias(f"{prefix}{c}") for c in right_values],
     )
     return out
+
+
+def banded_interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    left_ts: str,
+    right_ts: str,
+    window_seconds: int,
+) -> DataFrame:
+    """Time-banded range join: match right rows with
+    ``left_ts < right_ts <= left_ts + window_seconds`` per key — as an
+    EQUI-join on (key, time_bucket) plus an exact residual filter.
+
+    The naive formulation (equi key + range predicate) degrades to
+    per-key nested-loop work when keys are hot; bucketing time by the
+    window width makes the join key (key, bucket) uniform: a left interval
+    spans at most 2 buckets, so the left side is duplicated at most 2x and
+    the join is a plain hash/sort-merge equi-join — the shape that scales.
+    Returns left rows joined to matching right rows (inner).
+    """
+    lb = F.floor(F.col(left_ts).cast("double") / window_seconds).cast("bigint")
+    l2 = left.withColumn(
+        "__bucket", F.explode(F.array(lb, lb + 1))
+    )
+    r2 = right.withColumn(
+        "__bucket",
+        F.floor(F.col(right_ts).cast("double") / window_seconds).cast("bigint"),
+    )
+    # residual filter in exact timestamp+interval arithmetic (micros), not
+    # float seconds — cross-engine boundary semantics stay identical
+    upper = F.col(f"l.{left_ts}") + F.expr(f"INTERVAL {window_seconds} SECONDS")
+    cond = (F.col(f"r.{right_ts}") > F.col(f"l.{left_ts}")) & (
+        F.col(f"r.{right_ts}") <= upper
+    )
+    return (
+        l2.alias("l")
+        .join(
+            r2.alias("r"),
+            (F.col(f"l.{on}") == F.col(f"r.{on}"))
+            & (F.col("l.__bucket") == F.col("r.__bucket"))
+            & cond,
+        )
+        .drop("__bucket")
+    )
