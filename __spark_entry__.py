@@ -1096,6 +1096,69 @@ SQL_HOURLY = (
 )
 
 
+def q_stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native session windows (30-min gap) as a REAL streaming job, checked
+    against the batch gaps-and-islands SQL: Spark's session_window merges
+    events within the gap, so (user, session_start=min ts, session_end=
+    max ts, n_events) must equal the island decomposition exactly."""
+    import tempfile
+    import uuid
+
+    from ingestion_scripts_spark.sources.readers import load_table
+
+    load_table(spark, sf_dir, "events")  # sets nanosAsLong + UTC confs
+    raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    stream = (
+        spark.readStream.schema(raw_schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    )
+    agg = (
+        stream.groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            _fmt_ts(F.min("ts"), with_micros=True).alias("session_start"),
+            _fmt_ts(F.max("ts"), with_micros=True).alias("session_end"),
+        )
+    )
+    name = "stream_sess_" + uuid.uuid4().hex[:8]
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="ckpt_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return (
+        spark.table(name)
+        .select("user_id", "session_start", "session_end", "n_events")
+        .orderBy("user_id", "session_start")
+    )
+
+
+SQL_STREAM_SESSIONIZE = f"""
+WITH flagged AS (
+  SELECT user_id, ts,
+    CASE WHEN epoch(ts) - lag(epoch(ts)) OVER (PARTITION BY user_id ORDER BY ts) > 1800
+         THEN 1 ELSE 0 END AS new_s
+  FROM events),
+sess AS (
+  SELECT user_id, ts,
+    sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                     ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM flagged)
+SELECT user_id,
+  {SQL_TS_US.format("min(ts)")} AS session_start,
+  {SQL_TS_US.format("max(ts)")} AS session_end,
+  count(*) AS n_events
+FROM sess GROUP BY user_id, session_id
+ORDER BY user_id, session_start
+"""
+
+
 def q_stream_hourly_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The SAME hourly-window aggregation run as a REAL Structured Streaming
     job: parquet file source → readStream → window agg (complete mode) →
@@ -1463,6 +1526,7 @@ _REGISTRY: list[tuple[str, Callable[[SparkSession, str], DataFrame], str | None]
     ("hourly_windows", q_hourly_windows, SQL_HOURLY),
     ("sessionize", q_sessionize, SQL_SESSIONIZE),
     ("stream_hourly_windows", q_stream_hourly_windows, SQL_STREAM_HOURLY),
+    ("stream_sessionize", q_stream_sessionize, SQL_STREAM_SESSIONIZE),
     ("twitter_pipeline", q_twitter_pipeline, SQL_TWITTER_PIPELINE),
     ("reddit_pipeline", q_reddit_pipeline, SQL_REDDIT_PIPELINE),
     ("rss_pipeline", q_rss_pipeline, SQL_RSS_PIPELINE),

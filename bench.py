@@ -61,6 +61,7 @@ HEADLINE = [
     "sentiment",
     "hourly_windows",
     "stream_hourly_windows",
+    "stream_sessionize",
     "sessionize",
     "twitter_pipeline",
     "reddit_pipeline",
