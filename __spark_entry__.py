@@ -1476,6 +1476,77 @@ FROM documents ORDER BY media_id
 
 
 # ---------------------------------------------------------------------------
+# end-to-end LLM training-data curation (the composed §2.9 story)
+# ---------------------------------------------------------------------------
+
+def q_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full curation flow in ONE DataFrame program: quality gate →
+    exact dedup (content hash, min-id survivor) → near-dup removal
+    (MinHash-LSH pairs, drop the higher id) → per-doc token accounting.
+    Every stage is an operator already verified in isolation; this query
+    verifies their composition against one SQL program."""
+    docs = _t(spark, sf_dir, "documents")
+    q = TA.quality_score(F.col("text"))
+    gated = docs.select(
+        "doc_id", "text", "lang", q["quality"].alias("quality")
+    ).filter(F.col("quality") >= 0.5)
+
+    keyed = gated.withColumn("__h", X.hash64(F.col("text")))
+    w = Window.partitionBy("__h").orderBy("doc_id")
+    uniq = (
+        keyed.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn", "__h")
+    )
+
+    near = D.minhash_dedup_pairs(uniq, "doc_id", "text", threshold=0.8)
+    drop_ids = near.select(F.col("id_b").alias("doc_id")).dropDuplicates(["doc_id"])
+    kept = uniq.join(F.broadcast(drop_ids), "doc_id", "left_anti")
+
+    return kept.select(
+        "doc_id",
+        "lang",
+        TA.token_count_ws(F.col("text")).cast("bigint").alias("n_tokens"),
+        "quality",
+    ).orderBy("doc_id")
+
+
+_CUR_Q = O.sql_quality("text")["quality"]
+_CUR_SH = O.sql_shingles("text", 3)
+_CUR_SIG = O.sql_minhash_signature("sh", 16)
+SQL_CURATION = f"""
+WITH gated AS (
+  SELECT doc_id, text, lang, {_CUR_Q} AS quality
+  FROM documents WHERE {_CUR_Q} >= 0.5),
+uniq AS (
+  SELECT doc_id, text, lang, quality FROM (
+    SELECT *, row_number() OVER (PARTITION BY {O.sql_hash64('text')}
+                                 ORDER BY doc_id) AS rn
+    FROM gated) WHERE rn = 1),
+sh AS (SELECT doc_id, {_CUR_SH} AS sh FROM uniq),
+sig AS (SELECT doc_id, sh, {_CUR_SIG} AS sig FROM sh WHERE len(sh) > 0),
+banded AS (
+  SELECT doc_id, b AS band,
+         md5(array_to_string(list_transform(sig[b*4+1:b*4+4], x -> x::VARCHAR), ',')) AS bucket
+  FROM sig, unnest([0,1,2,3]) AS u(b)),
+cand AS (
+  SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
+  FROM banded l JOIN banded r
+    ON l.band = r.band AND l.bucket = r.bucket AND l.doc_id < r.doc_id),
+near AS (
+  SELECT DISTINCT cand.id_b AS doc_id
+  FROM cand JOIN sh a ON cand.id_a = a.doc_id JOIN sh b ON cand.id_b = b.doc_id
+  WHERE round(len(list_intersect(a.sh, b.sh))::DOUBLE /
+              len(list_distinct(a.sh || b.sh)), 6) >= 0.8)
+SELECT u.doc_id, u.lang,
+       CAST(len({O.sql_tokenize_ws('u.text')}) AS BIGINT) AS n_tokens,
+       u.quality
+FROM uniq u ANTI JOIN near n ON u.doc_id = n.doc_id
+ORDER BY u.doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
 
@@ -1532,6 +1603,7 @@ _REGISTRY: list[tuple[str, Callable[[SparkSession, str], DataFrame], str | None]
     ("rss_pipeline", q_rss_pipeline, SQL_RSS_PIPELINE),
     ("multimodal_meta", q_multimodal_meta, SQL_MULTIMODAL),
     ("multimodal_features", q_multimodal_features, SQL_MULTIMODAL_FEATURES),
+    ("curation_pipeline", q_curation_pipeline, SQL_CURATION),
 ]
 
 

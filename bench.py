@@ -66,6 +66,7 @@ HEADLINE = [
     "twitter_pipeline",
     "reddit_pipeline",
     "rss_pipeline",
+    "curation_pipeline",
 ]
 
 
