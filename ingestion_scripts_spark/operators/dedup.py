@@ -37,7 +37,7 @@ def anti_join_dedup(
     incoming: DataFrame,
     existing_keys: DataFrame,
     key: str,
-    broadcast_existing: bool = True,
+    broadcast_existing: bool | None = None,
 ) -> DataFrame:
     """J1 — stream/batch-static left-anti join on ``key``.
 
@@ -45,10 +45,24 @@ def anti_join_dedup(
     probes an in-memory list loaded at startup; the broken refresh timer
     (``src/rss_consumer.py:63-65``) is NOT replicated — re-reading the static
     side per batch is Spark's default (SURVEY.md §1.5).
+
+    ``broadcast_existing`` is a tri-state size gate. The existing-key set
+    grows with the sink, so an unconditional broadcast is a 100x scale
+    killer (it must fit in driver AND every executor):
+    - ``None`` (default, auto): no hint — Catalyst broadcasts only under
+      ``spark.sql.autoBroadcastJoinThreshold`` using actual scan stats, and
+      AQE can still convert a shuffled anti-join to broadcast at runtime
+      from the true shuffle size. This IS the size gate, computed from real
+      sizes rather than a hand-rolled count.
+    - ``True``: force broadcast (caller statically knows the side is tiny).
+    - ``False``: force a shuffled hash anti-join — guaranteed no
+      BroadcastExchange regardless of estimated size.
     """
     keys = existing_keys.select(key).dropDuplicates([key])
-    if broadcast_existing:
+    if broadcast_existing is True:
         keys = F.broadcast(keys)
+    elif broadcast_existing is False:
+        keys = keys.hint("shuffle_hash")
     return incoming.join(keys, on=key, how="left_anti")
 
 

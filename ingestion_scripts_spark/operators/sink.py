@@ -34,18 +34,30 @@ def idempotent_append(
     path: str,
     keys: list[str],
     audit: bool = True,
+    broadcast_existing: bool | None = None,
 ) -> None:
     """K3 — keyed idempotent append to a parquet table at ``path``.
 
     Semantics of the reference unique index: a key already present never gets
     a second row; within the incoming batch the first (arbitrary but
     in-batch-deduped) row wins.
+
+    ``broadcast_existing``: tri-state size gate for the existing-key
+    anti-join. The key set grows with the sink, so the default is auto
+    (``None``): no broadcast hint — Catalyst broadcasts only when the pruned
+    key scan is under ``autoBroadcastJoinThreshold``, and AQE can upgrade
+    the shuffled plan at runtime. ``True`` forces broadcast (known-tiny
+    sink), ``False`` forces a shuffled hash anti-join (known-huge sink).
     """
     spark = df.sparkSession
     batch = df.dropDuplicates(keys)
     if os.path.exists(path):
-        existing_keys = spark.read.parquet(path).select(*keys)
-        batch = batch.join(F.broadcast(existing_keys.dropDuplicates(keys)), keys, "left_anti")
+        existing = spark.read.parquet(path).select(*keys).dropDuplicates(keys)
+        if broadcast_existing is True:
+            existing = F.broadcast(existing)
+        elif broadcast_existing is False:
+            existing = existing.hint("shuffle_hash")
+        batch = batch.join(existing, keys, "left_anti")
     if audit:
         batch = with_audit(batch)
     batch.write.mode("append").parquet(path)

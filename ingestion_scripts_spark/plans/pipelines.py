@@ -57,8 +57,10 @@ def rss_pipeline(
         fetched = fetched_content.select(
             F.col("link").alias("__link"), F.col("content").alias("__fetched")
         )
+        # no broadcast hint: fetched-content has feed cardinality (one row
+        # per fetched record) — AQE broadcasts at runtime iff actually small
         deduped = deduped.join(
-            F.broadcast(fetched), deduped.link == fetched.__link, "left"
+            fetched, deduped.link == fetched.__link, "left"
         ).withColumn(
             "content", F.coalesce(F.col("__fetched"), F.col("content"))
         ).drop("__link", "__fetched")

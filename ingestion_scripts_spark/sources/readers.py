@@ -39,9 +39,14 @@ def load_table(
 ) -> DataFrame:
     """Read one testdata table, normalizing nanos-timestamp columns to
     proper ``TimestampType`` so every downstream operator sees real
-    timestamps regardless of the writer's parquet flavor."""
-    # timestamp formatting/parsing must be tz-stable regardless of the
-    # caller's session defaults (the DuckDB oracle is tz-naive/UTC)
+    timestamps regardless of the writer's parquet flavor.
+
+    Both confs below are already session defaults in
+    ``session.build_session``; they are re-asserted here (idempotently)
+    because the correctness driver runs these queries under ITS OWN
+    SparkSession, which doesn't go through our factory — without UTC +
+    nanosAsLong the events scan fails outright (PARQUET_TYPE_ILLEGAL) or
+    drifts by the session timezone."""
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     ts_cols = NANOS_TS_COLUMNS.get(name, [])
     if ts_cols:

@@ -15,6 +15,29 @@ def test_anti_join_dedup(spark):
     assert sorted(r.link for r in out.collect()) == ["a", "c"]
 
 
+def test_anti_join_dedup_broadcast_gate(spark):
+    """Tri-state size gate: True → BroadcastHashJoin; False → shuffled plan
+    with NO BroadcastExchange (the 100x-scale path — an unbounded key-set
+    broadcast must never be forced); None → Catalyst/AQE decide."""
+    incoming = spark.createDataFrame(
+        [(f"k{i}", i) for i in range(100)], "link string, v int"
+    )
+    existing = spark.createDataFrame([(f"k{i}",) for i in range(0, 100, 2)], "link string")
+
+    forced = D.anti_join_dedup(incoming, existing, "link", broadcast_existing=True)
+    assert "BroadcastHashJoin" in forced._jdf.queryExecution().executedPlan().toString()
+
+    sharded = D.anti_join_dedup(incoming, existing, "link", broadcast_existing=False)
+    plan = sharded._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastExchange" not in plan
+    assert "ShuffledHashJoin" in plan
+
+    # all three modes agree on results
+    expected = sorted(f"k{i}" for i in range(1, 100, 2))
+    for df in (forced, sharded, D.anti_join_dedup(incoming, existing, "link")):
+        assert sorted(r.link for r in df.collect()) == expected
+
+
 def test_exact_dedup_keeps_deterministic_winner(spark):
     df = spark.createDataFrame(
         [("k1", 3), ("k1", 1), ("k1", 2), ("k2", 9)], "k string, v int"

@@ -19,6 +19,20 @@ def test_idempotent_append(spark, tmp_path):
     assert "insert_date" in got.columns
 
 
+def test_idempotent_append_broadcast_gate(spark, tmp_path):
+    """Both explicit gate settings produce identical sink contents; the
+    False path never forces the existing-key set into executor memory."""
+    for mode, sub in ((True, "fbc"), (False, "fsh")):
+        path = str(tmp_path / sub)
+        b1 = spark.createDataFrame([("a", 1), ("b", 2)], "k string, v int")
+        SK.idempotent_append(b1, path, ["k"], broadcast_existing=mode)
+        b2 = spark.createDataFrame([("b", 9), ("c", 3)], "k string, v int")
+        SK.idempotent_append(b2, path, ["k"], broadcast_existing=mode)
+        got = spark.read.parquet(path)
+        assert got.count() == 3
+        assert {r.k for r in got.select("k").collect()} == {"a", "b", "c"}
+
+
 def test_dead_letter_split(spark):
     df = spark.createDataFrame([(1, "ok"), (2, None), (3, "ok")], "id int, s string")
     good, dead = SK.dead_letter_split(df, F.col("s").isNotNull(), observe_name="obs")
