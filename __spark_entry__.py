@@ -1590,6 +1590,132 @@ ORDER BY u.doc_id
 
 
 # ---------------------------------------------------------------------------
+# extension: curation-gate text analytics (repetition, PII, contamination,
+# sampling) — the quality/safety operators a 100 TB training-data pipeline
+# runs between ingestion and dedup
+# ---------------------------------------------------------------------------
+
+def q_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition signals: dup-token fraction (narrow) +
+    top-bigram coverage (explode → partial-agg'd groupBy — shuffle-based so
+    a 1 GB document cannot blow up a per-doc HOF)."""
+    docs = _t(spark, sf_dir, "documents")
+    return TA.repetition_signals(docs, "doc_id", "text").orderBy("doc_id")
+
+
+SQL_REPETITION = f"""
+WITH toks AS (SELECT doc_id, {O.sql_tokenize_ws('lower(text)')} AS t FROM documents),
+base AS (
+  SELECT doc_id, CAST(len(t) AS BIGINT) AS n_tokens,
+    {O.sql_r4('1.0 - len(list_distinct(t))::DOUBLE / greatest(len(t), 1)')} AS dup_token_frac
+  FROM toks),
+big AS (SELECT doc_id, unnest({O.sql_ngrams('t', 2)}) AS bg FROM toks),
+top AS (SELECT doc_id, max(cnt) AS top_cnt
+        FROM (SELECT doc_id, bg, count(*) AS cnt FROM big GROUP BY doc_id, bg)
+        GROUP BY doc_id)
+SELECT b.doc_id, b.n_tokens, b.dup_token_frac,
+  {O.sql_r4('coalesce(top_cnt, 0) * 2.0 / greatest(b.n_tokens, 1)')} AS top_bigram_frac
+FROM base b LEFT JOIN top USING (doc_id)
+ORDER BY doc_id
+"""
+
+
+#: deterministic PII-bearing text (documents carry none): one email, one
+#: phone, one URL appended per doc — identical synthesis on both engines
+def _pii_text():
+    did = F.col("doc_id").cast("string")
+    return F.concat(
+        F.col("text"),
+        F.lit(" contact u"), did,
+        F.lit("@ex-"), F.col("source"), F.lit(".org or 010-555-"),
+        F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+        F.lit(" via https://ex.org/d/"), did, F.lit(" ok"),
+    )
+
+
+_SQL_PII_TEXT = (
+    "(text || ' contact u' || doc_id || '@ex-' || source || '.org or 010-555-'"
+    " || lpad((doc_id % 10000)::VARCHAR, 4, '0')"
+    " || ' via https://ex.org/d/' || doc_id || ' ok')"
+)
+
+
+def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    p = TA.scrub_pii(_pii_text())
+    return docs.select(
+        "doc_id",
+        p["n_emails"].alias("n_emails"),
+        p["n_phones"].alias("n_phones"),
+        p["n_urls"].alias("n_urls"),
+        p["scrubbed"].alias("scrubbed"),
+    ).orderBy("doc_id")
+
+
+_PII = O.sql_scrub_pii(_SQL_PII_TEXT)
+SQL_PII_SCRUB = (
+    "SELECT doc_id, "
+    + ", ".join(f"{_PII[c]} AS {c}" for c in ["n_emails", "n_phones", "n_urls", "scrubbed"])
+    + " FROM documents ORDER BY doc_id"
+)
+
+
+def q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark-contamination scan: share of each doc's 3-gram shingles
+    found in the eval set (docs with doc_id % 97 == 0 stand in for a
+    benchmark suite; includes themselves at contam_frac = 1.0 as the
+    positive control)."""
+    docs = _t(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % 97 == 0).select(
+        F.explode(D.shingles(F.col("text"), 3)).alias("shingle")
+    )
+    return TA.ngram_contamination(docs, bench, "doc_id", "text", n=3).orderBy("doc_id")
+
+
+SQL_CONTAMINATION = f"""
+WITH sh AS (SELECT doc_id, {O.sql_shingles('text', 3)} AS sh FROM documents),
+bench AS (SELECT DISTINCT unnest(sh) AS shingle FROM sh WHERE doc_id % 97 = 0),
+hits AS (
+  SELECT doc_id, count(*) AS n_cont
+  FROM (SELECT doc_id, unnest(sh) AS shingle FROM sh) d
+  JOIN bench USING (shingle)
+  GROUP BY doc_id)
+SELECT s.doc_id,
+  CAST(len(s.sh) AS BIGINT) AS n_shingles,
+  CAST(coalesce(n_cont, 0) AS BIGINT) AS n_contaminated,
+  {O.sql_r4('coalesce(n_cont, 0)::DOUBLE / greatest(len(s.sh), 1)')} AS contam_frac
+FROM sh s LEFT JOIN hits USING (doc_id)
+ORDER BY doc_id
+"""
+
+
+#: per-language keep rates (percent): downsample the majority language,
+#: keep scarce ones — the standard corpus-mixing move
+_SAMPLE_RATES = {"en": 10, "zh": 80}
+_SAMPLE_DEFAULT = 40
+
+
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return TA.stratified_sample(
+        docs.select("doc_id", "lang"), "lang", "doc_id",
+        _SAMPLE_RATES, _SAMPLE_DEFAULT,
+    ).orderBy("doc_id")
+
+
+_SAMPLE_CASE = (
+    "CASE lang "
+    + " ".join(f"WHEN '{s}' THEN {p}" for s, p in sorted(_SAMPLE_RATES.items()))
+    + f" ELSE {_SAMPLE_DEFAULT} END"
+)
+SQL_STRATIFIED_SAMPLE = f"""
+SELECT doc_id, lang FROM documents
+WHERE {O.sql_hash64("(lang || '|' || doc_id)")} % 100 < {_SAMPLE_CASE}
+ORDER BY doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
 
@@ -1644,6 +1770,10 @@ _REGISTRY: list[tuple[str, Callable[[SparkSession, str], DataFrame], str | None]
     ("twitter_pipeline", q_twitter_pipeline, SQL_TWITTER_PIPELINE),
     ("reddit_pipeline", q_reddit_pipeline, SQL_REDDIT_PIPELINE),
     ("rss_pipeline", q_rss_pipeline, SQL_RSS_PIPELINE),
+    ("repetition_signals", q_repetition_signals, SQL_REPETITION),
+    ("pii_scrub", q_pii_scrub, SQL_PII_SCRUB),
+    ("contamination", q_contamination, SQL_CONTAMINATION),
+    ("stratified_sample", q_stratified_sample, SQL_STRATIFIED_SAMPLE),
     ("multimodal_meta", q_multimodal_meta, SQL_MULTIMODAL),
     ("multimodal_features", q_multimodal_features, SQL_MULTIMODAL_FEATURES),
     ("curation_pipeline", q_curation_pipeline, SQL_CURATION),

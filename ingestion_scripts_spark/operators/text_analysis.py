@@ -27,6 +27,19 @@ LANG_MARKERS: dict[str, list[str]] = {
 #: explicit class keeps Spark and the DuckDB oracle byte-identical.
 TOKEN_PATTERN = "[a-zA-Z0-9_]+|[^a-zA-Z0-9_ \\t\\n\\x0B\\f\\r]"
 
+#: PII patterns — syntax valid in BOTH Java regex and RE2 (no lookaround,
+#: no backreferences) so the scrubber and its oracle agree byte-for-byte.
+PII_EMAIL = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+PII_PHONE = "[0-9]{3}-[0-9]{3}-[0-9]{4}"
+PII_URL = "https?://[^ ]+"
+
+
+def r4(c: Column) -> Column:
+    """Round-to-4 as floor(x*1e4+0.5)/1e4: pure IEEE double ops, so Spark
+    and the DuckDB oracle are bit-identical even on .xxxx5 ties (engine
+    ``round()`` half-handling differs across implementations)."""
+    return F.floor(c * 10000.0 + 0.5) / 10000.0
+
 
 def lang_scores(text_col: Column) -> dict[str, Column]:
     """Per-language marker-hit count over lowercased whitespace tokens."""
@@ -119,6 +132,118 @@ def quality_score(text_col: Column) -> Column:
         stop_ratio.alias("stop_ratio"),
         score.alias("quality"),
     )
+
+
+def scrub_pii(text_col: Column) -> dict[str, Column]:
+    """PII redaction for training corpora: emails → ``<EMAIL>``, URLs →
+    ``<URL>``, phone numbers → ``<PHONE>``, plus per-doc match counts
+    (counted on the ORIGINAL text, before any replacement can shadow a
+    later pattern). Narrow map — regexp only, JVM-side, zero shuffle."""
+    scrubbed = F.regexp_replace(text_col, PII_EMAIL, "<EMAIL>")
+    scrubbed = F.regexp_replace(scrubbed, PII_URL, "<URL>")
+    scrubbed = F.regexp_replace(scrubbed, PII_PHONE, "<PHONE>")
+    return {
+        "scrubbed": scrubbed,
+        "n_emails": F.regexp_count(text_col, F.lit(PII_EMAIL)),
+        "n_phones": F.regexp_count(text_col, F.lit(PII_PHONE)),
+        "n_urls": F.regexp_count(text_col, F.lit(PII_URL)),
+    }
+
+
+def repetition_signals(df, id_col: str, text_col: str):
+    """Gopher-style repetition quality signals, shuffle-based (scales to any
+    doc length — no per-doc O(n²) HOF):
+
+    - ``dup_token_frac`` — 1 − |distinct tokens| / |tokens| (narrow map)
+    - ``top_bigram_frac`` — tokens covered by the single most frequent
+      adjacent bigram: 2·max_count / n_tokens, via explode → two-level
+      partial-agg'd groupBy (the same plan shape at 100 TB; the key space
+      is (doc, bigram) so skew is bounded by the longest document).
+
+    High values flag boilerplate/generated text for the curation gate.
+    """
+    from ..functions.text import ngrams, tokenize_ws
+
+    toks = df.select(
+        F.col(id_col), tokenize_ws(F.lower(F.col(text_col))).alias("__t")
+    )
+    base = toks.select(
+        id_col,
+        F.size("__t").cast("bigint").alias("n_tokens"),
+        r4(
+            F.lit(1.0)
+            - F.size(F.array_distinct(F.col("__t")))
+            / F.greatest(F.size("__t"), F.lit(1))
+        ).alias("dup_token_frac"),
+    )
+    top = (
+        toks.select(F.col(id_col), F.explode(ngrams(F.col("__t"), 2)).alias("__bg"))
+        .groupBy(id_col, "__bg")
+        .agg(F.count(F.lit(1)).alias("__cnt"))
+        .groupBy(id_col)
+        .agg(F.max("__cnt").alias("__top"))
+    )
+    return base.join(top, id_col, "left").select(
+        id_col,
+        "n_tokens",
+        "dup_token_frac",
+        r4(
+            F.coalesce(F.col("__top"), F.lit(0)) * 2.0
+            / F.greatest(F.col("n_tokens"), F.lit(1))
+        ).alias("top_bigram_frac"),
+    )
+
+
+def ngram_contamination(df, benchmark, id_col: str = "doc_id",
+                        text_col: str = "text", n: int = 3):
+    """Train/test contamination scan: fraction of each document's distinct
+    word n-gram shingles that appear in a benchmark shingle set
+    (``benchmark``: DataFrame with one ``shingle`` column).
+
+    Plan: explode doc shingles → left-semi join against the (deduped)
+    benchmark set → per-doc hit count. The benchmark side is a bounded
+    eval-suite — small relative to the corpus — so Catalyst/AQE broadcast
+    it from actual stats; no forced hint (it still grows with suite count).
+    """
+    from .dedup import shingles
+
+    sh = df.select(F.col(id_col), shingles(F.col(text_col), n).alias("__sh"))
+    base = sh.select(id_col, F.size("__sh").cast("bigint").alias("n_shingles"))
+    hits = (
+        sh.select(F.col(id_col), F.explode("__sh").alias("shingle"))
+        .join(benchmark.dropDuplicates(["shingle"]), "shingle", "left_semi")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("__hits"))
+    )
+    return base.join(hits, id_col, "left").select(
+        id_col,
+        "n_shingles",
+        F.coalesce(F.col("__hits"), F.lit(0)).cast("bigint").alias("n_contaminated"),
+        r4(
+            F.coalesce(F.col("__hits"), F.lit(0))
+            / F.greatest(F.col("n_shingles"), F.lit(1))
+        ).alias("contam_frac"),
+    )
+
+
+def stratified_sample(df, strata_col: str, id_col: str,
+                      rates: dict[str, int], default_rate: int):
+    """Deterministic hash-based stratified sampling: keep a row iff
+    ``hash64(strata || '|' || id) % 100 < rate(strata)`` (rates in percent).
+
+    No RNG state — reproducible across engines, runs, and partitionings
+    (``df.sample`` is seed- AND partitioning-dependent, so re-partitioning
+    the 100 TB input would silently change the sample). Narrow map."""
+    key = F.concat(
+        F.col(strata_col).cast("string"), F.lit("|"), F.col(id_col).cast("string")
+    )
+    chain = None
+    for s, pct in sorted(rates.items()):
+        chain = (chain.when if chain is not None else F.when)(
+            F.col(strata_col) == s, F.lit(pct)
+        )
+    rate = chain.otherwise(F.lit(default_rate)) if chain is not None else F.lit(default_rate)
+    return df.filter(hash64(key) % 100 < rate)
 
 
 def fingerprint(text_col: Column) -> Column:

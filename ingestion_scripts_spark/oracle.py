@@ -19,7 +19,13 @@ from __future__ import annotations
 
 from .functions.sentiment import COMPOUND_ALPHA, NEGATIVE_WORDS, POSITIVE_WORDS
 from .functions.text import BRACKET_SPAN, DIGIT_WORD, HASHTAG, PUNCT_CLASS, STOPWORDS
-from .operators.text_analysis import LANG_MARKERS, TOKEN_PATTERN
+from .operators.text_analysis import (
+    LANG_MARKERS,
+    PII_EMAIL,
+    PII_PHONE,
+    PII_URL,
+    TOKEN_PATTERN,
+)
 
 
 def sq(s: str) -> str:
@@ -185,6 +191,26 @@ def sql_quality(x: str) -> dict[str, str]:
         "digit_ratio": digit_ratio,
         "stop_ratio": stop_ratio,
         "quality": score,
+    }
+
+
+def sql_r4(x: str) -> str:
+    """= operators.text_analysis.r4 — floor(x*1e4+0.5)/1e4, IEEE-identical
+    to the engine regardless of round() tie policy."""
+    return f"floor(({x}) * 10000.0 + 0.5) / 10000.0"
+
+
+def sql_scrub_pii(x: str) -> dict[str, str]:
+    """= operators.text_analysis.scrub_pii (same pattern constants, same
+    email → URL → phone replacement order; counts on the original text)."""
+    scrubbed = f"regexp_replace({x}, {sq(PII_EMAIL)}, '<EMAIL>', 'g')"
+    scrubbed = f"regexp_replace({scrubbed}, {sq(PII_URL)}, '<URL>', 'g')"
+    scrubbed = f"regexp_replace({scrubbed}, {sq(PII_PHONE)}, '<PHONE>', 'g')"
+    return {
+        "scrubbed": scrubbed,
+        "n_emails": f"CAST(len(regexp_extract_all({x}, {sq(PII_EMAIL)})) AS INT)",
+        "n_phones": f"CAST(len(regexp_extract_all({x}, {sq(PII_PHONE)})) AS INT)",
+        "n_urls": f"CAST(len(regexp_extract_all({x}, {sq(PII_URL)})) AS INT)",
     }
 
 

@@ -66,6 +66,59 @@ def test_clean_text_property(spark, s):
     assert out == ref
 
 
+def test_scrub_pii(spark):
+    p = TA.scrub_pii(
+        F.lit("mail a.b@x.org or 010-555-1234 see https://x.org/p now")
+    )
+    row = spark.range(1).select(
+        p["scrubbed"].alias("s"), p["n_emails"].alias("e"),
+        p["n_phones"].alias("p"), p["n_urls"].alias("u"),
+    ).collect()[0]
+    assert row.s == "mail <EMAIL> or <PHONE> see <URL> now"
+    assert (row.e, row.p, row.u) == (1, 1, 1)
+
+
+def test_repetition_signals(spark):
+    df = spark.createDataFrame(
+        [(1, "a b a b a b"), (2, "u v w x y z")], "doc_id int, text string"
+    )
+    got = {r.doc_id: r for r in TA.repetition_signals(df, "doc_id", "text").collect()}
+    # doc 1: 6 tokens, 2 distinct → dup 0.6667; "a b" appears 3× of 5 bigrams
+    assert got[1].n_tokens == 6
+    assert got[1].dup_token_frac == 0.6667
+    assert got[1].top_bigram_frac == 1.0  # 3*2/6
+    assert got[2].dup_token_frac == 0.0
+    assert got[2].top_bigram_frac == round(2 / 6, 4)
+
+
+def test_ngram_contamination(spark):
+    docs = spark.createDataFrame(
+        [(1, "a b c d e"), (2, "v w x y z")], "doc_id int, text string"
+    )
+    bench = spark.createDataFrame([("a b c",), ("b c d",)], "shingle string")
+    got = {r.doc_id: r for r in
+           TA.ngram_contamination(docs, bench, "doc_id", "text").collect()}
+    assert got[1].n_shingles == 3 and got[1].n_contaminated == 2
+    assert got[1].contam_frac == 0.6667
+    assert got[2].n_contaminated == 0 and got[2].contam_frac == 0.0
+
+
+def test_stratified_sample_deterministic(spark):
+    df = spark.createDataFrame(
+        [(i, "en" if i % 2 == 0 else "fr") for i in range(200)],
+        "doc_id int, lang string",
+    )
+    a = sorted(r.doc_id for r in
+               TA.stratified_sample(df, "lang", "doc_id", {"en": 10}, 50).collect())
+    b = sorted(r.doc_id for r in
+               TA.stratified_sample(df.repartition(7), "lang", "doc_id",
+                                    {"en": 10}, 50).collect())
+    assert a == b  # partitioning-independent (df.sample is not)
+    en = sum(1 for i in a if i % 2 == 0)
+    fr = len(a) - en
+    assert en < fr  # 10% stratum really is downsampled vs 50%
+
+
 def test_approx_sketches_within_tolerance(spark):
     """The 100 TB path uses sketches (HLL count-distinct, approx quantiles);
     they are engine-side only (not oracle-comparable across engines) but must
