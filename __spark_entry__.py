@@ -1715,6 +1715,117 @@ ORDER BY doc_id
 """
 
 
+def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-aware keywords: per-doc top-3 TF-IDF terms (keywords.py);
+    N comes from a broadcast 1-row aggregate, never a driver collect."""
+    docs = _t(spark, sf_dir, "documents")
+    return K.tfidf_top_terms(docs, "doc_id", "text", k=3).orderBy("doc_id", "rank")
+
+
+SQL_TFIDF = f"""
+WITH toks AS (SELECT doc_id, unnest({O.sql_tokenize_ws('lower(text)')}) AS term FROM documents),
+tf AS (SELECT doc_id, term, count(*) AS cnt FROM toks GROUP BY 1, 2),
+dl AS (SELECT doc_id, sum(cnt) AS dl FROM tf GROUP BY 1),
+dfreq AS (SELECT term, count(*) AS dfc FROM tf GROUP BY 1),
+nd AS (SELECT count(DISTINCT doc_id) AS nd FROM documents),
+scored AS (
+  SELECT doc_id, term,
+    floor((cnt::DOUBLE / dl) * (ln((nd + 1.0) / (dfc + 1.0)) + 1.0)
+          * 1000000.0 + 0.5) / 1000000.0 AS tfidf
+  FROM tf JOIN dl USING (doc_id) JOIN dfreq USING (term) CROSS JOIN nd),
+ranked AS (
+  SELECT doc_id, term, tfidf,
+    row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, term ASC) AS rank
+  FROM scored)
+SELECT doc_id, term, tfidf, rank FROM ranked WHERE rank <= 3
+ORDER BY doc_id, rank
+"""
+
+
+def q_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-level dedup: MinHash near-dup pairs → connected components
+    (iterative min-label propagation, operators/dedup.py) → every doc keyed
+    to its duplicate-cluster id (= min doc id in the component; singletons
+    are their own cluster). ``is_rep`` marks the canonical survivor —
+    pair-level dedup would under-delete transitive A~B~C clusters."""
+    docs = _t(spark, sf_dir, "documents")
+    pairs = D.minhash_dedup_pairs(docs, "doc_id", "text", threshold=0.8)
+    comps = D.connected_components(pairs, "id_a", "id_b")
+    return (
+        docs.select("doc_id")
+        .join(comps, docs.doc_id == comps.node, "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("comp"), F.col("doc_id")).cast("bigint").alias("cluster_id"),
+        )
+        .withColumn(
+            "is_rep",
+            F.when(F.col("cluster_id") == F.col("doc_id"), 1).otherwise(0).cast("int"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+SQL_DUP_CLUSTERS = f"""
+WITH RECURSIVE sh AS (SELECT doc_id, {_SH} AS sh FROM documents),
+sig AS (SELECT doc_id, sh, {_SIG} AS sig FROM sh WHERE len(sh) > 0),
+banded AS (
+  SELECT doc_id, b AS band,
+         md5(array_to_string(list_transform(sig[b*4+1:b*4+4], x -> x::VARCHAR), ',')) AS bucket
+  FROM sig, unnest([0,1,2,3]) AS u(b)),
+cand AS (
+  SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
+  FROM banded l JOIN banded r
+    ON l.band = r.band AND l.bucket = r.bucket AND l.doc_id < r.doc_id),
+pairs AS (
+  SELECT id_a, id_b
+  FROM cand JOIN sh a ON cand.id_a = a.doc_id JOIN sh b ON cand.id_b = b.doc_id
+  WHERE round(len(list_intersect(a.sh, b.sh))::DOUBLE /
+              len(list_distinct(a.sh || b.sh)), 6) >= 0.8),
+edges AS (SELECT id_a AS a, id_b AS b FROM pairs
+          UNION SELECT id_b, id_a FROM pairs),
+reach AS (SELECT a, b FROM edges
+          UNION SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+comp AS (SELECT a AS node, least(a, min(b)) AS comp FROM reach GROUP BY a)
+SELECT d.doc_id,
+  CAST(coalesce(c.comp, d.doc_id) AS BIGINT) AS cluster_id,
+  CAST(CASE WHEN coalesce(c.comp, d.doc_id) = d.doc_id THEN 1 ELSE 0 END AS INT) AS is_rep
+FROM documents d LEFT JOIN comp c ON d.doc_id = c.node
+ORDER BY doc_id
+"""
+
+
+def q_hll_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic HyperLogLog cardinality per event_type next to the
+    exact count (operators/sketches.py) — the one-narrow-shuffle sketch
+    that replaces exact COUNT(DISTINCT) at 100 TB; md5-derived registers
+    make the estimate reproducible in the DuckDB oracle."""
+    from ingestion_scripts_spark.operators.sketches import hll_count_distinct
+
+    ev = _t(spark, sf_dir, "events")
+    hll = hll_count_distinct(ev, ["event_type"], "user_id")
+    exact = ev.groupBy("event_type").agg(F.countDistinct("user_id").alias("n_exact"))
+    return (
+        exact.join(hll, "event_type")
+        .select("event_type", "n_exact", "n_hll")
+        .orderBy("event_type")
+    )
+
+
+def _sql_hll() -> str:
+    from ingestion_scripts_spark.operators.sketches import sql_hll_count_distinct
+
+    inner = sql_hll_count_distinct("events", "event_type", "user_id::VARCHAR")
+    return f"""
+WITH hll AS ({inner}),
+exact AS (SELECT event_type, count(DISTINCT user_id) AS n_exact
+          FROM events GROUP BY 1)
+SELECT e.event_type, e.n_exact, h.n_hll
+FROM exact e JOIN hll h USING (event_type)
+ORDER BY event_type
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -1770,6 +1881,9 @@ _REGISTRY: list[tuple[str, Callable[[SparkSession, str], DataFrame], str | None]
     ("twitter_pipeline", q_twitter_pipeline, SQL_TWITTER_PIPELINE),
     ("reddit_pipeline", q_reddit_pipeline, SQL_REDDIT_PIPELINE),
     ("rss_pipeline", q_rss_pipeline, SQL_RSS_PIPELINE),
+    ("tfidf_top_terms", q_tfidf_top_terms, SQL_TFIDF),
+    ("dup_clusters", q_dup_clusters, SQL_DUP_CLUSTERS),
+    ("hll_distinct_users", q_hll_distinct_users, _sql_hll()),
     ("repetition_signals", q_repetition_signals, SQL_REPETITION),
     ("pii_scrub", q_pii_scrub, SQL_PII_SCRUB),
     ("contamination", q_contamination, SQL_CONTAMINATION),

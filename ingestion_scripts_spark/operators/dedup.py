@@ -391,3 +391,69 @@ def minhash_dedup_pairs_canonical(
               .withColumnRenamed("group_size", "size_b"), "id_b")
         .select("id_a", "id_b", "jaccard", "size_a", "size_b")
     )
+
+
+def connected_components(
+    pairs: DataFrame,
+    src: str = "id_a",
+    dst: str = "id_b",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Duplicate-CLUSTER resolution: connected components over a near-dup
+    pair graph, as iterative min-label propagation.
+
+    Pair-level dedup under-deletes: if A~B and B~C but A≁C, dropping only
+    the higher id of each pair keeps two of three docs of one duplicate
+    cluster. The component id (= min doc id in the cluster) gives the
+    canonical survivor per CLUSTER.
+
+    Each iteration is one shuffle (edges ⋈ labels, then min-agg); the label
+    frontier converges in O(graph diameter) rounds — near-dup clusters are
+    dense and shallow, so typically 2-4. ``localCheckpoint`` truncates the
+    lineage each round so the plan does not grow unboundedly (at cluster
+    scale, swap in reliable ``checkpoint``; the alternating large-star /
+    small-star variant [Kiveris et al., SoCC'14] halves diameter per round
+    for adversarially long chains — same join/agg shapes).
+
+    Returns (node, component): every node that appears in ``pairs``, keyed
+    to the minimum id reachable from it. Singletons never enter the graph —
+    callers coalesce(component, id) when mapping a full table.
+    """
+    e = pairs.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+    edges = (
+        e.union(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
+        .distinct()
+        .localCheckpoint()
+    )
+    labels = edges.select(F.col("a").alias("node")).distinct().select(
+        "node", F.col("node").alias("comp")
+    )
+    for _ in range(max_iter):
+        nbr = (
+            edges.join(
+                labels.select(F.col("node").alias("b"), "comp"), "b"
+            )
+            .groupBy("a")
+            .agg(F.min("comp").alias("nbr_comp"))
+        )
+        new_labels = (
+            labels.join(nbr, labels.node == nbr.a, "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("comp"), F.coalesce(F.col("nbr_comp"), F.col("comp"))
+                ).alias("comp"),
+            )
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.comp") != F.col("o.comp"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels

@@ -78,3 +78,49 @@ def extract_keywords(
     """A1+A2 composed: tokens → per-group keyword list (the full ``tag_post``
     semantics, ``src/reddit_consumer.py:139-155``)."""
     return structure_keywords(bigram_topk(df, group_col, tokens_col, k), group_col)
+
+
+def tfidf_top_terms(
+    df: DataFrame, id_col: str, text_col: str, k: int = 3
+) -> DataFrame:
+    """Corpus-aware keyword extraction: per-doc top-k terms by TF-IDF.
+
+    Plan (all keyed shuffles with map-side partial aggregation — the same
+    shape at 100 TB):
+      explode tokens → (doc, term) counts            [shuffle on (doc, term)]
+      → doc lengths (sum of counts)                  [shuffle on doc]
+      → document frequency per term                  [shuffle on term]
+      → corpus size N as a 1-row agg, broadcast-joined (never collected)
+      → score = tf · (ln((N+1)/(df+1)) + 1), rounded to 6 dp BEFORE the
+        per-doc rank window (ties: term asc) so cross-engine float drift
+        cannot flip a rank.
+
+    Returns (id, term, tfidf, rank), rank 1..k.
+    """
+    from ..functions.text import tokenize_ws
+
+    r6 = lambda c: F.floor(c * 1000000.0 + 0.5) / 1000000.0  # noqa: E731
+    toks = df.select(
+        F.col(id_col), F.explode(tokenize_ws(F.lower(F.col(text_col)))).alias("term")
+    )
+    tf = toks.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("cnt"))
+    doclen = tf.groupBy(id_col).agg(F.sum("cnt").alias("dl"))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("dfc"))
+    n_docs = df.select(F.countDistinct(id_col).alias("nd"))
+    scored = (
+        tf.join(doclen, id_col)
+        .join(dfreq, "term")
+        .join(F.broadcast(n_docs))
+        .select(
+            id_col,
+            "term",
+            r6(
+                (F.col("cnt") / F.col("dl"))
+                * (F.log((F.col("nd") + 1.0) / (F.col("dfc") + 1.0)) + 1.0)
+            ).alias("tfidf"),
+        )
+    )
+    w = Window.partitionBy(id_col).orderBy(F.desc("tfidf"), F.asc("term"))
+    return scored.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= k
+    )

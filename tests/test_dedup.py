@@ -58,6 +58,40 @@ def test_minhash_finds_planted_near_dup(spark):
     assert all(r.jaccard > 0.5 for r in pairs)
 
 
+def test_connected_components_transitive_cluster(spark):
+    """A~B, B~C, D~E: pair-level dedup keeps 2 of {A,B,C}; components key
+    all three to min id. Singletons stay out of the result."""
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11)], "id_a int, id_b int"
+    )
+    got = {r.node: r.comp for r in D.connected_components(pairs).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10}
+
+
+def test_connected_components_long_chain(spark):
+    """A path graph needs multiple propagation rounds (diameter > 1)."""
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(8)], "id_a int, id_b int"
+    )
+    got = {r.node: r.comp for r in D.connected_components(pairs).collect()}
+    assert got == {i: 0 for i in range(9)}
+
+
+def test_hll_count_distinct_accuracy(spark):
+    """b=8 → ~6.5% standard error; 1000 known-distinct values must land
+    well inside 3 sigma. Also merge-invariance: repartitioning the input
+    cannot change the registers, hence not the estimate."""
+    from ingestion_scripts_spark.operators.sketches import hll_count_distinct
+
+    df = spark.createDataFrame(
+        [("g", f"v{i}") for i in range(1000)], "g string, v string"
+    )
+    est = hll_count_distinct(df, ["g"], "v").collect()[0].n_hll
+    assert abs(est - 1000) <= 200
+    est2 = hll_count_distinct(df.repartition(13), ["g"], "v").collect()[0].n_hll
+    assert est2 == est
+
+
 def test_simhash_locality(spark):
     a = "alpha beta gamma delta epsilon zeta eta theta " * 3
     b = a + "extra"

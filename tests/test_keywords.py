@@ -52,3 +52,23 @@ def test_tie_break_is_count_desc_then_bigram_asc(spark):
     df = spark.createDataFrame([(1, toks)], "id int, toks array<string>")
     out = extract_keywords(df, "id", "toks", k=2).collect()[0].keywords
     assert list(out) == ref_keywords(toks, k=2) == ["a", "b", "z"]
+
+
+def test_tfidf_top_terms(spark):
+    """A corpus-unique term must outrank terms shared across all docs."""
+    from ingestion_scripts_spark.operators.keywords import tfidf_top_terms
+
+    docs = spark.createDataFrame(
+        [
+            (1, "common unique unique"),
+            (2, "common common other words"),
+            (3, "common stuff more words"),
+        ],
+        "doc_id int, text string",
+    )
+    top1 = {
+        r.doc_id: r.term
+        for r in tfidf_top_terms(docs, "doc_id", "text", k=1).collect()
+    }
+    # 'unique': tf 2/3 · idf ln(4/2)+1 ≈ 1.13 beats 'common': tf 1/3 · idf 1
+    assert top1[1] == "unique"
