@@ -979,6 +979,42 @@ ORDER BY query_id, rank
 """
 
 
+def q_ivf_ann_topk_mp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-probe IVF ANN (probes=2): the query fans out to its two
+    nearest coarse cells — recovering boundary-vector recall at 2x candidate
+    cost. Corpus rows live in exactly one cell, so the probe union is
+    dedup-free."""
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 50 == 0)
+    return SIM.ivf_ann_topk(queries, emb, dim=64, n_cells=8, k=5, probes=2).orderBy(
+        "query_id", "rank"
+    )
+
+
+def _sql_ivf_ann_mp() -> str:
+    cq = O.sql_ivf_probe_cells("qv", _IVF_CENTS, 2)
+    cc = O.sql_ivf_cell("cv", _IVF_CENTS)
+    nrm = "sqrt(list_sum(list_transform(range(1, len({0}) + 1), i -> {0}[i] * {0}[i])))".format
+    return f"""
+WITH q0 AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS v
+            FROM embeddings WHERE vec_id % 50 = 0),
+q AS (SELECT query_id, qv, unnest({cq}) AS cell FROM
+      (SELECT query_id, list_transform(v, x -> x / {nrm('v')}) AS qv FROM q0)),
+c0 AS (SELECT vec_id AS match_id, embedding::DOUBLE[] AS v FROM embeddings),
+c AS (SELECT match_id, cv, {cc} AS cell FROM
+      (SELECT match_id, list_transform(v, x -> x / {nrm('v')}) AS cv FROM c0)),
+scored AS (
+  SELECT query_id, match_id, round({O.sql_dot('qv', 'cv', 'len(qv)')}, 6) AS sim
+  FROM q JOIN c USING (cell) WHERE query_id <> match_id),
+ranked AS (
+  SELECT query_id, match_id, sim,
+         row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, match_id ASC) AS rank
+  FROM scored)
+SELECT query_id, match_id, sim, rank FROM ranked WHERE rank <= 5
+ORDER BY query_id, rank
+"""
+
+
 def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup pairs, blocked by label (IVF-cell stand-in).
 
@@ -1233,6 +1269,55 @@ def q_stream_hourly_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 SQL_STREAM_HOURLY = SQL_HOURLY
+
+
+def q_stream_dedup_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly-once under at-least-once replay, as a REAL streaming job:
+    every event is emitted TWICE into the stream (simulated broker
+    redelivery), streaming ``dropDuplicates`` state collapses the replays,
+    and the per-type counts must equal the plain batch counts — the §2.8
+    delivery-semantics guarantee made oracle-checkable. (Unbounded keyed
+    state is fine under availableNow; the long-running variant is
+    ``dropDuplicatesWithinWatermark``.)"""
+    import tempfile
+    import uuid
+
+    from ingestion_scripts_spark.sources.readers import load_table
+
+    load_table(spark, sf_dir, "events")  # sets nanosAsLong + UTC confs
+    raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    stream = (
+        spark.readStream.schema(raw_schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    doubled = stream.select(
+        "event_id", "event_type",
+        F.explode(F.array(F.lit(0), F.lit(1))).alias("__replay"),
+    )
+    dedup = doubled.dropDuplicates(["event_id"]).select("event_id", "event_type")
+    name = "stream_dedup_" + uuid.uuid4().hex[:8]
+    q = (
+        dedup.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="ckpt_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return (
+        spark.table(name)
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("event_type")
+    )
+
+
+SQL_STREAM_DEDUP = """
+SELECT event_type, count(*) AS n FROM events GROUP BY event_type
+ORDER BY event_type
+"""
 
 
 def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1868,6 +1953,7 @@ _REGISTRY: list[tuple[str, Callable[[SparkSession, str], DataFrame], str | None]
     ("embedding_topk", q_embedding_topk, SQL_EMBEDDING_TOPK),
     ("lsh_ann_topk", q_lsh_ann_topk, _sql_lsh_ann()),
     ("ivf_ann_topk", q_ivf_ann_topk, _sql_ivf_ann()),
+    ("ivf_ann_topk_mp", q_ivf_ann_topk_mp, _sql_ivf_ann_mp()),
     ("embedding_near_dup", q_embedding_near_dup, SQL_EMBEDDING_NEAR_DUP),
     ("embedding_near_dup_fold", q_embedding_near_dup_fold, SQL_EMBEDDING_NEAR_DUP),
     ("lang_id", q_lang_id, SQL_LANG_ID),
@@ -1878,6 +1964,7 @@ _REGISTRY: list[tuple[str, Callable[[SparkSession, str], DataFrame], str | None]
     ("sessionize", q_sessionize, SQL_SESSIONIZE),
     ("stream_hourly_windows", q_stream_hourly_windows, SQL_STREAM_HOURLY),
     ("stream_sessionize", q_stream_sessionize, SQL_STREAM_SESSIONIZE),
+    ("stream_dedup_counts", q_stream_dedup_counts, SQL_STREAM_DEDUP),
     ("twitter_pipeline", q_twitter_pipeline, SQL_TWITTER_PIPELINE),
     ("reddit_pipeline", q_reddit_pipeline, SQL_REDDIT_PIPELINE),
     ("rss_pipeline", q_rss_pipeline, SQL_RSS_PIPELINE),

@@ -81,6 +81,7 @@ HEADLINE = [
 STREAMING = [
     "stream_hourly_windows",
     "stream_sessionize",
+    "stream_dedup_counts",
 ]
 
 

@@ -225,15 +225,7 @@ def ivf_cell(vec: Column, centroids: list[list[float]]) -> Column:
     """Nearest-centroid assignment (squared L2, ties → lowest cell id) —
     the IVF coarse quantizer as a pure expression: n_cells distance folds
     per row, argmin as a least() + first-match CASE chain."""
-    dists = []
-    for row in centroids:
-        cen = F.array(*[F.lit(v) for v in row])
-        d2 = F.aggregate(
-            F.zip_with(vec, cen, lambda x, c: (x - c) * (x - c)),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        )
-        dists.append(d2)
+    dists = _ivf_dists(vec, centroids)
     m = F.least(*dists)
     cell = F.lit(-1)
     chain = None
@@ -245,6 +237,32 @@ def ivf_cell(vec: Column, centroids: list[list[float]]) -> Column:
     return chain.otherwise(cell)
 
 
+def _ivf_dists(vec: Column, centroids: list[list[float]]) -> list[Column]:
+    dists = []
+    for row in centroids:
+        cen = F.array(*[F.lit(v) for v in row])
+        dists.append(
+            F.aggregate(
+                F.zip_with(vec, cen, lambda x, c: (x - c) * (x - c)),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+        )
+    return dists
+
+
+def ivf_probe_cells(vec: Column, centroids: list[list[float]], probes: int) -> Column:
+    """The ``probes`` nearest coarse cells, nearest first (ties → lower cell
+    id, matching ``ivf_cell``): sort (distance, cell) structs, slice, project.
+    Multi-probe recovers the recall a single-probe query loses to vectors
+    near cell boundaries, at probes× candidate cost."""
+    dists = _ivf_dists(vec, centroids)
+    pairs = F.array(
+        *[F.struct(d2.alias("d"), F.lit(i).alias("c")) for i, d2 in enumerate(dists)]
+    )
+    return F.transform(F.slice(F.array_sort(pairs), 1, probes), lambda s: s["c"])
+
+
 def ivf_ann_topk(
     queries: DataFrame,
     corpus: DataFrame,
@@ -253,15 +271,21 @@ def ivf_ann_topk(
     dim: int = 64,
     n_cells: int = 8,
     k: int = 10,
+    probes: int = 1,
 ) -> DataFrame:
     """IVF-style approximate NN: exact cosine top-k restricted to the
-    query's coarse cell (single-probe). The non-hashing scale path next to
-    ``lsh_ann_topk``; recall grows with probes — multi-probe is a union of
-    per-cell joins. Cells assigned on unit vectors; scoring is one dot."""
+    query's ``probes`` nearest coarse cells. The non-hashing scale path next
+    to ``lsh_ann_topk``. Corpus vectors live in exactly ONE cell, so probe
+    candidate sets are disjoint — the multi-probe union needs no dedup.
+    Cells assigned on unit vectors; scoring is one dot."""
     cents = ivf_centroids(n_cells, dim)
-    q = _normed(queries, "query_id", id_col, vec_col, "qv").withColumn(
-        "cell", ivf_cell(F.col("qv"), cents)
-    )
+    q = _normed(queries, "query_id", id_col, vec_col, "qv")
+    if probes <= 1:
+        q = q.withColumn("cell", ivf_cell(F.col("qv"), cents))
+    else:
+        q = q.withColumn(
+            "cell", F.explode(ivf_probe_cells(F.col("qv"), cents, probes))
+        )
     c = _normed(corpus, "match_id", id_col, vec_col, "cv").withColumn(
         "cell", ivf_cell(F.col("cv"), cents)
     )

@@ -288,6 +288,24 @@ def sql_winnow(x: str, n: int = 4, window: int = 4) -> str:
     )
 
 
+def _sql_ivf_d2(v: str, row: list[float]) -> str:
+    lit = "[" + ", ".join(repr(x) for x in row) + "]"
+    return (
+        f"list_sum(list_transform(range(1, {len(row)} + 1), "
+        f"i -> (({v})[i] - ({lit})[i]) * (({v})[i] - ({lit})[i])))"
+    )
+
+
+def sql_ivf_probe_cells(v: str, centroids: list[list[float]], probes: int) -> str:
+    """= operators.similarity.ivf_probe_cells: sort {d, c} structs (struct
+    comparison is field-order lexicographic in both engines), slice, project."""
+    pairs = "[" + ", ".join(
+        f"{{'d': {_sql_ivf_d2(v, row)}, 'c': {i}}}"
+        for i, row in enumerate(centroids)
+    ) + "]"
+    return f"list_transform(list_sort({pairs})[1:{probes}], s_lv -> s_lv.c)"
+
+
 def sql_ivf_cell(v: str, centroids: list[list[float]]) -> str:
     """= operators.similarity.ivf_cell with the SAME centroid literals:
     argmin squared L2, ties -> lowest cell id (first-match CASE chain)."""

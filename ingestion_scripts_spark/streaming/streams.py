@@ -28,12 +28,13 @@ def stream_dedup_by_key(stream: DataFrame, key: str, use_state: bool = False,
 
     ``use_state=True`` → streaming ``dropDuplicates`` (state store, exact
     within watermark); else stream-static left-anti join against ``existing``
-    (re-read per micro-batch)."""
+    (re-read per micro-batch; no broadcast hint — the existing-key set grows
+    with the sink, Catalyst/AQE broadcast from actual size)."""
     if use_state:
         return stream.dropDuplicates([key])
     assert existing is not None
     return stream.join(
-        F.broadcast(existing.select(key).dropDuplicates([key])), key, "left_anti"
+        existing.select(key).dropDuplicates([key]), key, "left_anti"
     )
 
 
