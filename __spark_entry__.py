@@ -720,6 +720,135 @@ ORDER BY user_id
 """
 
 
+def q_late_ship_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated EXISTS (TPC-H Q4 shape, adapted to this schema): orders
+    with at least one lineitem shipped >60 days after the order date,
+    counted per priority. Spark: LEFT SEMI join with a non-equi conjunct —
+    the equi half (l_orderkey = o_orderkey) keeps it a shuffled hash join
+    at any scale; the date predicate rides along as a join residual, so no
+    cartesian blow-up and both sides stream through one shuffle."""
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate", "o_orderpriority")
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    late = o.join(
+        li,
+        (F.col("l_orderkey") == F.col("o_orderkey"))
+        & (F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")),
+        "left_semi",
+    )
+    return (
+        late.groupBy("o_orderpriority")
+        .agg(F.count("*").alias("late_orders"))
+        .orderBy("o_orderpriority")
+    )
+
+
+SQL_LATE_SHIP = """
+SELECT o_orderpriority, count(*) AS late_orders
+FROM orders o
+WHERE EXISTS (SELECT 1 FROM lineitem l
+              WHERE l.l_orderkey = o.o_orderkey
+                AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY)
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+
+def q_parts_never_discounted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated NOT EXISTS (TPC-H Q21/Q22 shape): parts that never
+    shipped with a deep discount (>0.09), with their item count and
+    revenue. Spark: LEFT ANTI against the distinct offender-key set —
+    the offender side is pre-aggregated to distinct keys before the join,
+    so the anti side shuffles |distinct parts| not |lineitem| rows."""
+    li = _t(spark, sf_dir, "lineitem")
+    offenders = (
+        li.filter(F.col("l_discount") > 0.09).select("l_partkey").distinct()
+    )
+    return (
+        li.join(offenders, "l_partkey", "left_anti")
+        .groupBy("l_partkey")
+        .agg(
+            F.count("*").alias("n_items"),
+            F.round(F.sum("l_extendedprice"), 2).alias("revenue"),
+        )
+        .orderBy("l_partkey")
+    )
+
+
+SQL_PARTS_NEVER_DISC = """
+SELECT l_partkey, count(*) AS n_items, round(sum(l_extendedprice), 2) AS revenue
+FROM lineitem l
+WHERE NOT EXISTS (SELECT 1 FROM lineitem d
+                  WHERE d.l_partkey = l.l_partkey AND d.l_discount > 0.09)
+GROUP BY l_partkey
+ORDER BY l_partkey
+"""
+
+
+def q_user_value_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NTILE quartiles per user over event value (deterministic tie-break
+    on event_id), then per-(user, quartile) stats. The window is
+    PARTITIONED BY user_id — each user's sort runs in its own task, so the
+    op scales horizontally; a GLOBAL ntile would funnel every row through
+    one task and is deliberately avoided (the scale path for global
+    quantiles is `value_percentiles`' boundary-based bucketing)."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.col("value"), F.col("event_id"))
+    return (
+        ev.select("user_id", "event_id", "value", F.ntile(4).over(w).alias("quartile"))
+        .groupBy("user_id", "quartile")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.min("value"), 4).alias("lo"),
+            F.round(F.max("value"), 4).alias("hi"),
+            TA.r4(F.avg("value")).alias("mean_value"),
+        )
+        .orderBy("user_id", "quartile")
+    )
+
+
+SQL_USER_QUARTILES = f"""
+WITH t AS (
+  SELECT user_id, event_id, value,
+         ntile(4) OVER (PARTITION BY user_id ORDER BY value, event_id) AS quartile
+  FROM events)
+SELECT user_id, quartile, count(*) AS n,
+       round(min(value), 4) AS lo, round(max(value), 4) AS hi,
+       {O.sql_r4('avg(value)')} AS mean_value
+FROM t GROUP BY user_id, quartile
+ORDER BY user_id, quartile
+"""
+
+
+def q_props_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Typed JSON payload decode (S1's decode step as a batch op):
+    ``get_json_object`` pulls ``$.k`` out of the raw ``props`` JSON string,
+    casts it, and aggregates per event type. JSON path evaluation is
+    JVM-side (Jackson) inside codegen — no Python in the loop — and the
+    narrow projection precedes the shuffle, so only (event_type, k) moves."""
+    ev = _t(spark, sf_dir, "events")
+    k = F.get_json_object(F.col("props"), "$.k").cast("bigint")
+    return (
+        ev.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("k").alias("sum_k"),
+            TA.r4(F.avg("k")).alias("avg_k"),
+        )
+        .orderBy("event_type")
+    )
+
+
+SQL_PROPS_EXTRACT = f"""
+SELECT event_type, count(*) AS n,
+       sum(json_extract(props, '$.k')::BIGINT) AS sum_k,
+       {O.sql_r4("avg(json_extract(props, '$.k')::BIGINT)")} AS avg_k
+FROM events
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
 # ---------------------------------------------------------------------------
 # extension: dedup family (SURVEY §2.9)
 # ---------------------------------------------------------------------------
@@ -1934,6 +2063,10 @@ _REGISTRY: list[tuple[str, Callable[[SparkSession, str], DataFrame], str | None]
     ("pivot_weekday", q_pivot_weekday, SQL_PIVOT),
     ("running_user_value", q_running_user_value, SQL_RUNNING),
     ("clicked_never_purchased", q_clicked_never_purchased, SQL_EXCEPT),
+    ("late_ship_priority", q_late_ship_priority, SQL_LATE_SHIP),
+    ("parts_never_discounted", q_parts_never_discounted, SQL_PARTS_NEVER_DISC),
+    ("user_value_quartiles", q_user_value_quartiles, SQL_USER_QUARTILES),
+    ("props_extract", q_props_extract, SQL_PROPS_EXTRACT),
     ("clean_text", q_clean_text, SQL_CLEAN),
     ("hashtags", q_hashtags, SQL_HASHTAGS),
     ("stopword_filter", q_stopword_filter, SQL_STOPWORD),

@@ -49,6 +49,10 @@ HEADLINE = [
     "value_percentiles",
     "pivot_weekday",
     "running_user_value",
+    "late_ship_priority",
+    "parts_never_discounted",
+    "user_value_quartiles",
+    "props_extract",
     "clean_text",
     "stopword_filter",
     "exact_dedup",
