@@ -870,6 +870,36 @@ ORDER BY doc_id
 """
 
 
+def q_segment_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document segment-level exact dedup (the RefinedWeb/CCNet
+    line-dedup step): drop every 8-word chunk that occurs verbatim in
+    more than one document, reassemble survivors in order."""
+    docs = _t(spark, sf_dir, "documents")
+    return D.segment_dedup(docs, seg_words=8, max_docs=1).orderBy("doc_id")
+
+
+SQL_SEGMENT_DEDUP = f"""
+WITH toks AS (SELECT doc_id, {O.sql_tokenize_ws('text')} AS t FROM documents),
+idx AS (SELECT doc_id, t,
+               unnest(generate_series(0, (ceil(len(t)/8.0))::INT - 1)) AS i
+        FROM toks),
+seg AS (SELECT doc_id, i AS seg_idx,
+               array_to_string(list_slice(t, i*8+1, i*8+8), ' ') AS seg
+        FROM idx),
+cnt AS (SELECT seg, count(DISTINCT doc_id) AS seg_df FROM seg GROUP BY seg),
+kept AS (SELECT s.doc_id, s.seg_idx, s.seg
+         FROM seg s JOIN cnt c USING (seg) WHERE c.seg_df <= 1),
+agg AS (SELECT doc_id, string_agg(seg, ' ' ORDER BY seg_idx) AS dedup_text,
+               count(*) AS n_kept
+        FROM kept GROUP BY doc_id),
+tot AS (SELECT doc_id, (ceil(len(t)/8.0))::BIGINT AS n_seg FROM toks)
+SELECT t.doc_id, coalesce(a.dedup_text, '') AS dedup_text, t.n_seg,
+       coalesce(a.n_kept, 0)::BIGINT AS n_kept
+FROM tot t LEFT JOIN agg a USING (doc_id)
+ORDER BY t.doc_id
+"""
+
+
 def q_minhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
     return D.minhash_dedup_pairs(docs, "doc_id", "text", threshold=0.8).orderBy(
@@ -2076,6 +2106,7 @@ _REGISTRY: list[tuple[str, Callable[[SparkSession, str], DataFrame], str | None]
     ("parse_simple", q_parse_simple, SQL_PARSE_SIMPLE),
     ("parse_zoned", q_parse_zoned, SQL_PARSE_ZONED),
     ("exact_dedup", q_exact_dedup, SQL_EXACT_DEDUP),
+    ("segment_dedup", q_segment_dedup, SQL_SEGMENT_DEDUP),
     ("minhash_near_dups", q_minhash_near_dups, SQL_MINHASH),
     ("ngram_jaccard", q_ngram_jaccard, SQL_NGRAM_JACCARD),
     ("simhash", q_simhash, SQL_SIMHASH),

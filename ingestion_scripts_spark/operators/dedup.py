@@ -457,3 +457,64 @@ def connected_components(
         if changed == 0:
             break
     return labels
+
+
+def segment_dedup(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    seg_words: int = 8,
+    max_docs: int = 1,
+) -> DataFrame:
+    """Cross-document exact segment dedup — the line-level dedup step of
+    web-curation pipelines (RefinedWeb/CCNet drop lines repeated across
+    pages) re-expressed for unstructured text: tokenize, chunk into fixed
+    ``seg_words``-word segments, drop every segment whose verbatim text
+    occurs in more than ``max_docs`` distinct documents, reassemble the
+    survivors in original order.
+
+    Output: (id, dedup_text, n_seg, n_kept) — one row per input document,
+    ``dedup_text = ''`` when nothing survives.
+
+    Scale shape: one shuffle keyed on segment text for document frequency
+    (map-side partial agg), one co-partitioned join of frequencies back
+    onto segments (Catalyst reuses the groupBy exchange on the count
+    side), one shuffle regrouping by document. Reassembly sorts only the
+    per-document segment list (array_sort after collect_list) — there is
+    no global sort, and no segment's state exceeds its own (doc, idx)
+    postings, so skewed popular segments cost their posting list, never a
+    cross-product.
+    """
+    toks = docs.select(id_col, tokenize_ws(F.col(text_col)).alias("t"))
+    nseg = F.ceil(F.size("t") / F.lit(float(seg_words))).cast("int")
+    seg_of = lambda i: F.array_join(  # noqa: E731
+        F.slice(F.col("t"), i * seg_words + F.lit(1), seg_words), " "
+    )
+    segs = toks.select(
+        id_col,
+        F.posexplode(
+            F.when(nseg > 0, F.transform(F.sequence(F.lit(0), nseg - 1), seg_of))
+            .otherwise(F.array().cast("array<string>"))
+        ).alias("seg_idx", "seg"),
+    )
+    seg_df = segs.groupBy("seg").agg(
+        F.countDistinct(id_col).alias("seg_df")
+    )
+    kept = segs.join(seg_df, "seg").filter(F.col("seg_df") <= max_docs)
+    reassembled = kept.groupBy(id_col).agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("seg_idx", "seg"))),
+                lambda s: s["seg"],
+            ),
+            " ",
+        ).alias("dedup_text"),
+        F.count("*").alias("n_kept"),
+    )
+    totals = toks.select(id_col, nseg.cast("bigint").alias("n_seg"))
+    return totals.join(reassembled, id_col, "left").select(
+        id_col,
+        F.coalesce("dedup_text", F.lit("")).alias("dedup_text"),
+        "n_seg",
+        F.coalesce("n_kept", F.lit(0)).cast("bigint").alias("n_kept"),
+    )

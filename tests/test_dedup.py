@@ -145,3 +145,38 @@ def test_canonical_minhash_collapses_exact_dups(spark):
     assert {(r.id_a, r.id_b): r.jaccard for r in got} == expect
     assert all(r.size_a == 3 and r.size_b == 3 for r in got)
     assert len(got) >= 1  # the two fox variants are near-dups
+
+
+def test_segment_dedup_removes_shared_chunks_preserves_order(spark):
+    from ingestion_scripts_spark.operators.dedup import segment_dedup
+
+    shared = "a b c"  # one 3-word segment shared by docs 1 and 2
+    df = spark.createDataFrame(
+        [
+            (1, shared + " x y z"),       # segs: "a b c", "x y z"
+            (2, shared + " p q r"),       # segs: "a b c", "p q r"
+            (3, "u v w only here once"),  # segs: "u v w", "only here once" - unique
+            (4, shared),                  # entirely duplicated -> empty
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in segment_dedup(df, seg_words=3).collect()}
+    assert out[1].dedup_text == "x y z" and out[1].n_seg == 2 and out[1].n_kept == 1
+    assert out[2].dedup_text == "p q r"
+    assert out[3].dedup_text == "u v w only here once" and out[3].n_kept == 2
+    assert out[4].dedup_text == "" and out[4].n_kept == 0 and out[4].n_seg == 1
+
+
+def test_segment_dedup_in_doc_order_and_threshold(spark):
+    from ingestion_scripts_spark.operators.dedup import segment_dedup
+
+    # 2-word segments; doc 1 keeps its unique segments in original order
+    df = spark.createDataFrame(
+        [(1, "k1 k1 s s k2 k2"), (2, "s s"), (3, "s s")],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in segment_dedup(df, seg_words=2).collect()}
+    assert out[1].dedup_text == "k1 k1 k2 k2"  # "s s" in 3 docs, dropped
+    # max_docs=3 tolerates the triplicated segment
+    out3 = {r.doc_id: r for r in segment_dedup(df, seg_words=2, max_docs=3).collect()}
+    assert out3[1].dedup_text == "k1 k1 s s k2 k2"
