@@ -1251,6 +1251,26 @@ SQL_QUALITY = (
 )
 
 
+def q_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model-based quality gate: frozen-weight linear classifier (hard
+    sigmoid) over the quality features — the 'fasttext keep/drop' stage of
+    an LLM curation pipeline. Pure narrow map, no shuffle."""
+    docs = _t(spark, sf_dir, "documents")
+    qc = TA.quality_classify(F.col("text"))
+    return docs.select(
+        "doc_id",
+        qc["gate_score"].alias("gate_score"),
+        qc["keep"].alias("keep"),
+    ).orderBy("doc_id")
+
+
+_QG = O.sql_quality_classify("text")
+SQL_QUALITY_GATE = (
+    f"SELECT doc_id, {_QG['gate_score']} AS gate_score, {_QG['keep']} AS keep"
+    " FROM documents ORDER BY doc_id"
+)
+
+
 def q_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
     return docs.select(
@@ -2122,6 +2142,7 @@ _REGISTRY: list[tuple[str, Callable[[SparkSession, str], DataFrame], str | None]
     ("embedding_near_dup_fold", q_embedding_near_dup_fold, SQL_EMBEDDING_NEAR_DUP),
     ("lang_id", q_lang_id, SQL_LANG_ID),
     ("quality_score", q_quality, SQL_QUALITY),
+    ("quality_gate", q_quality_gate, SQL_QUALITY_GATE),
     ("token_counts", q_token_counts, SQL_TOKEN_COUNTS),
     ("sentiment", q_sentiment, SQL_SENTIMENT),
     ("hourly_windows", q_hourly_windows, SQL_HOURLY),

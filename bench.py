@@ -69,6 +69,7 @@ HEADLINE = [
     "embedding_near_dup_fold",
     "lang_id",
     "quality_score",
+    "quality_gate",
     "token_counts",
     "sentiment",
     "hourly_windows",

@@ -274,3 +274,42 @@ def winnow_fingerprints(text_col: Column, n: int = 4, window: int = 4) -> Column
         )
 
     return let_(F.transform(ngrams(tokenize_ws(F.lower(text_col)), n), hash64), body)
+
+
+#: Frozen linear quality-gate weights — a fasttext-style quality classifier
+#: distilled to a linear model over the quality_score features. The
+#: activation is a HARD sigmoid (clip(0.25 z + 0.5, 0, 1)): exact IEEE
+#: add/mul/clip on both engines, unlike exp() whose libm differs between
+#: the JVM and DuckDB by ULPs that r4 could round apart.
+QGATE_BIAS = -1.2
+QGATE_W_LEN = 0.8     # bounded length: least(n_tokens, 100)/100
+QGATE_W_MTL = -0.35   # |mean_token_len - 5.5|
+QGATE_W_PUNCT = -4.0
+QGATE_W_DIGIT = -3.0
+QGATE_W_STOP = 1.5
+
+
+def quality_classify(text_col: Column) -> Column:
+    """Model-based quality gate (the 'quality classifier' stage of LLM data
+    curation, e.g. fasttext keep/drop filters): frozen-weight linear model
+    over the quality_score features, hard-sigmoid score in [0,1], keep
+    decision from the raw margin sign (exact — no rounding at the decision
+    boundary).
+
+    Narrow, JVM-side, no shuffle: scales as a pure map over documents.
+    """
+    q = quality_score(text_col)
+    len_feat = F.least(q["n_tokens"], F.lit(100)).cast("double") / 100.0
+    z = (
+        F.lit(QGATE_BIAS)
+        + QGATE_W_LEN * len_feat
+        + QGATE_W_MTL * F.abs(q["mean_token_len"] - 5.5)
+        + QGATE_W_PUNCT * q["punct_ratio"]
+        + QGATE_W_DIGIT * q["digit_ratio"]
+        + QGATE_W_STOP * q["stop_ratio"]
+    )
+    score = r4(F.greatest(F.lit(0.0), F.least(F.lit(1.0), 0.25 * z + 0.5)))
+    return F.struct(
+        score.alias("gate_score"),
+        (z >= 0).cast("int").alias("keep"),
+    )

@@ -24,6 +24,12 @@ from .operators.text_analysis import (
     PII_EMAIL,
     PII_PHONE,
     PII_URL,
+    QGATE_BIAS,
+    QGATE_W_DIGIT,
+    QGATE_W_LEN,
+    QGATE_W_MTL,
+    QGATE_W_PUNCT,
+    QGATE_W_STOP,
     TOKEN_PATTERN,
 )
 
@@ -198,6 +204,24 @@ def sql_r4(x: str) -> str:
     """= operators.text_analysis.r4 — floor(x*1e4+0.5)/1e4, IEEE-identical
     to the engine regardless of round() tie policy."""
     return f"floor(({x}) * 10000.0 + 0.5) / 10000.0"
+
+
+def sql_quality_classify(x: str) -> dict[str, str]:
+    """= operators.text_analysis.quality_classify: same frozen weights
+    (imported, not re-typed), same left-to-right sum association so the
+    IEEE double result is bit-identical, hard-sigmoid score, keep from the
+    raw margin sign."""
+    q = sql_quality(x)
+    len_feat = f"least({q['n_tokens']}, 100)::DOUBLE / 100.0"
+    z = (
+        f"({QGATE_BIAS!r} + {QGATE_W_LEN!r} * ({len_feat})"
+        f" + {QGATE_W_MTL!r} * abs(({q['mean_token_len']}) - 5.5)"
+        f" + {QGATE_W_PUNCT!r} * ({q['punct_ratio']})"
+        f" + {QGATE_W_DIGIT!r} * ({q['digit_ratio']})"
+        f" + {QGATE_W_STOP!r} * ({q['stop_ratio']}))"
+    )
+    score = sql_r4(f"greatest(0.0, least(1.0, 0.25 * {z} + 0.5))")
+    return {"gate_score": score, "keep": f"(({z}) >= 0)::INT"}
 
 
 def sql_scrub_pii(x: str) -> dict[str, str]:

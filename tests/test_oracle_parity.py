@@ -56,6 +56,10 @@ CASES = [
                f"ELSE CAST([] AS BIGINT[]) END"),
     ("quality", lambda c: TA.quality_score(c)["quality"],
      lambda x: O.sql_quality(x)["quality"]),
+    ("gate_score", lambda c: TA.quality_classify(c)["gate_score"],
+     lambda x: O.sql_quality_classify(x)["gate_score"]),
+    ("gate_keep", lambda c: TA.quality_classify(c)["keep"],
+     lambda x: O.sql_quality_classify(x)["keep"]),
 ]
 
 
