@@ -1251,6 +1251,45 @@ SQL_QUALITY = (
 )
 
 
+def q_vocab_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary build — the tokenizer-training precursor: global
+    term frequency + document frequency with a deterministic top-N
+    (tf desc, term asc). The groupBy does map-side partial aggregation, so
+    the shuffle carries one row per (partition, term), not per token; the
+    final rank runs over the already-aggregated vocab table, which Heaps'
+    law keeps sublinear in corpus size, so the single-task window is over
+    the small side by construction."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.explode(X.tokenize_ws(F.lower(F.col("text")))).alias("term"),
+    )
+    vocab = toks.groupBy("term").agg(
+        F.count("*").alias("tf"),
+        F.countDistinct("doc_id").alias("df"),
+    )
+    w = Window.orderBy(F.col("tf").desc(), F.col("term"))
+    return (
+        vocab.withColumn("rnk", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rnk") <= 200)
+        .orderBy("rnk")
+    )
+
+
+SQL_VOCAB = f"""
+WITH toks AS (
+  SELECT doc_id, unnest({O.sql_tokenize_ws('lower(text)')}) AS term FROM documents),
+vocab AS (
+  SELECT term, count(*) AS tf, count(DISTINCT doc_id) AS df
+  FROM toks GROUP BY term),
+ranked AS (
+  SELECT term, tf, df,
+         row_number() OVER (ORDER BY tf DESC, term ASC) AS rnk
+  FROM vocab)
+SELECT term, tf, df, rnk FROM ranked WHERE rnk <= 200 ORDER BY rnk
+"""
+
+
 def q_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Model-based quality gate: frozen-weight linear classifier (hard
     sigmoid) over the quality features — the 'fasttext keep/drop' stage of
@@ -2143,6 +2182,7 @@ _REGISTRY: list[tuple[str, Callable[[SparkSession, str], DataFrame], str | None]
     ("lang_id", q_lang_id, SQL_LANG_ID),
     ("quality_score", q_quality, SQL_QUALITY),
     ("quality_gate", q_quality_gate, SQL_QUALITY_GATE),
+    ("vocab_topn", q_vocab_topn, SQL_VOCAB),
     ("token_counts", q_token_counts, SQL_TOKEN_COUNTS),
     ("sentiment", q_sentiment, SQL_SENTIMENT),
     ("hourly_windows", q_hourly_windows, SQL_HOURLY),

@@ -71,6 +71,8 @@ HEADLINE = [
     "quality_score",
     "quality_gate",
     "token_counts",
+    "vocab_topn",
+    "segment_dedup",
     "sentiment",
     "hourly_windows",
     "sessionize",
