@@ -2129,6 +2129,313 @@ ORDER BY event_type
 """
 
 
+def q_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic distributed k-means over the embedding corpus
+    (operators/clustering.py) — the clustering stage of cluster-balanced
+    curation. Per iteration: literal-centroid assignment (narrow map, no
+    join) + a k-row groupBy re-center (map-side partial agg), the MLlib
+    loop shape restated on the DataFrame API. The oracle re-runs the whole
+    algorithm from scratch in SQL — an independent differential test of
+    init, assignment, and re-centering."""
+    from ingestion_scripts_spark.operators.clustering import kmeans_fit
+
+    emb = _t(spark, sf_dir, "embeddings")
+    _, assigned = kmeans_fit(emb, "embedding", "vec_id", k=8, iters=3)
+    return assigned.select(
+        F.col("__id").alias("vec_id"),
+        F.col("cluster_id").cast("bigint").alias("cluster_id"),
+        "d2",
+    ).orderBy("vec_id")
+
+
+def _sql_kmeans_base() -> str:
+    from ingestion_scripts_spark.operators.clustering import sql_kmeans
+
+    return sql_kmeans("embeddings", "embedding", "vec_id", k=8, iters=3, dim=64)
+
+
+def _sql_kmeans_clusters() -> str:
+    return (
+        f"SELECT vec_id, CAST(cluster_id AS BIGINT) AS cluster_id, d2 "
+        f"FROM ({_sql_kmeans_base()}) base ORDER BY vec_id"
+    )
+
+
+def q_kmeans_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-balanced sampling: the 3 most-central vectors per k-means
+    cluster (ties → lowest id) — the 'diversify' step after dedup in a
+    curation pipeline: per-cluster quotas instead of global top-N, so no
+    single mode of the corpus dominates the training mix."""
+    from ingestion_scripts_spark.operators.clustering import kmeans_fit
+
+    emb = _t(spark, sf_dir, "embeddings")
+    _, assigned = kmeans_fit(emb, "embedding", "vec_id", k=8, iters=3)
+    w = Window.partitionBy("cluster_id").orderBy(F.col("d2").asc(), F.col("__id").asc())
+    return (
+        assigned.withColumn("rnk", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rnk") <= 3)
+        .select(
+            F.col("cluster_id").cast("bigint").alias("cluster_id"),
+            "rnk",
+            F.col("__id").alias("vec_id"),
+            "d2",
+        )
+        .orderBy("cluster_id", "rnk")
+    )
+
+
+def _sql_kmeans_sample() -> str:
+    return f"""
+WITH ranked AS (
+  SELECT CAST(cluster_id AS BIGINT) AS cluster_id, vec_id, d2,
+         CAST(row_number() OVER (PARTITION BY cluster_id
+                                 ORDER BY d2 ASC, vec_id ASC) AS BIGINT) AS rnk
+  FROM ({_sql_kmeans_base()}) base)
+SELECT cluster_id, rnk, vec_id, d2 FROM ranked WHERE rnk <= 3
+ORDER BY cluster_id, rnk
+"""
+
+
+_DSIR_B = 1024  #: hashed-feature buckets (Xie et al., DSIR: n-gram features
+#: hashed to a fixed bucket space so the weight table is O(B), not O(vocab))
+
+
+def q_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR-style importance weights: per-document log-likelihood ratio of
+    a hashed-unigram bag model between a target corpus (lang = 'en') and
+    the raw corpus. Plan: tokenize (narrow) → bucket counts (two tiny
+    keyed shuffles with map-side partials) → B-row weight table broadcast
+    back → per-doc sum (one shuffle keyed by doc_id). The weight table is
+    O(B) regardless of corpus size — the property that makes hashed DSIR
+    run at 100 TB where an exact-vocab LM would not."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        "lang",
+        F.explode(X.tokenize_ws(F.lower(F.col("text")))).alias("t"),
+    ).withColumn("b", X.hash64(F.col("t")) % _DSIR_B)
+    raw = toks.groupBy("b").agg(F.count(F.lit(1)).alias("cr"))
+    tgt = (
+        toks.filter(F.col("lang") == "en")
+        .groupBy("b")
+        .agg(F.count(F.lit(1)).alias("ct"))
+    )
+    totals = toks.agg(
+        F.count(F.lit(1)).alias("nr"),
+        F.sum(F.when(F.col("lang") == "en", 1).otherwise(0)).alias("nt"),
+    )
+    w = (
+        raw.join(tgt, "b", "left")
+        .na.fill({"ct": 0})
+        .crossJoin(F.broadcast(totals))
+        .select(
+            "b",
+            (
+                F.log((F.col("ct") + 1) / (F.col("nt") + _DSIR_B))
+                - F.log((F.col("cr") + 1) / (F.col("nr") + _DSIR_B))
+            ).alias("lw"),
+        )
+    )
+    return (
+        toks.join(F.broadcast(w), "b")
+        .groupBy("doc_id")
+        .agg(
+            F.round(F.sum("lw"), 6).alias("weight"),
+            F.count(F.lit(1)).alias("n_tokens"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+SQL_IMPORTANCE = f"""
+WITH tb AS (
+  SELECT doc_id, lang, {O.sql_hash64('t')} % {_DSIR_B} AS b
+  FROM (SELECT doc_id, lang, unnest({O.sql_tokenize_ws('lower(text)')}) AS t
+        FROM documents)),
+raw AS (SELECT b, count(*) AS cr FROM tb GROUP BY b),
+tgt AS (SELECT b, count(*) AS ct FROM tb WHERE lang = 'en' GROUP BY b),
+tot AS (SELECT count(*) AS nr,
+               sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS nt FROM tb),
+w AS (
+  SELECT b, ln((coalesce(ct, 0) + 1) / (nt + {_DSIR_B}))
+            - ln((cr + 1) / (nr + {_DSIR_B})) AS lw
+  FROM raw LEFT JOIN tgt USING (b), tot)
+SELECT doc_id, round(sum(lw), 6) AS weight, CAST(count(*) AS BIGINT) AS n_tokens
+FROM tb JOIN w USING (b) GROUP BY doc_id ORDER BY doc_id
+"""
+
+
+def q_pmi_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pointwise mutual information over adjacent token bigrams (min count
+    5, top 100) — the collocation/term-association statistic used for
+    phrase mining over a corpus. All counting is keyed groupBy with
+    map-side partials; the ln ratio runs over the already-aggregated
+    (and min-count-filtered) bigram table, so the final rank window sees
+    the provably small side."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(X.tokenize_ws(F.lower(F.col("text"))).alias("t"))
+    uni = (
+        toks.select(F.explode("t").alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    bi = (
+        toks.select(F.explode(X.ngrams(F.col("t"), 2)).alias("bg"))
+        .groupBy("bg")
+        .agg(F.count(F.lit(1)).alias("cab"))
+        .filter(F.col("cab") >= 5)
+    )
+    totals = toks.select(
+        F.sum(F.size("t")).alias("nu"),
+        F.sum(F.greatest(F.size("t") - 1, F.lit(0))).alias("nb"),
+    )
+    scored = (
+        bi.withColumn("a", F.split(F.col("bg"), " ").getItem(0))
+        .withColumn("b2", F.split(F.col("bg"), " ").getItem(1))
+        .join(F.broadcast(uni.select(F.col("w").alias("a"), F.col("c").alias("ca"))), "a")
+        .join(F.broadcast(uni.select(F.col("w").alias("b2"), F.col("c").alias("cb"))), "b2")
+        .crossJoin(F.broadcast(totals))
+        .select(
+            "bg",
+            F.col("cab"),
+            F.round(
+                F.log(
+                    (F.col("cab") / F.col("nb"))
+                    / ((F.col("ca") / F.col("nu")) * (F.col("cb") / F.col("nu")))
+                ),
+                6,
+            ).alias("pmi"),
+        )
+    )
+    w = Window.orderBy(F.col("pmi").desc(), F.col("bg").asc())
+    return (
+        scored.withColumn("rnk", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rnk") <= 100)
+        .orderBy("rnk")
+    )
+
+
+_SQL_TOKS_LOWER = O.sql_tokenize_ws("lower(text)")
+SQL_PMI = f"""
+WITH toks AS (SELECT {_SQL_TOKS_LOWER} AS t FROM documents),
+uni AS (SELECT w, count(*) AS c
+        FROM (SELECT unnest(t) AS w FROM toks) GROUP BY w),
+bi AS (SELECT bg, count(*) AS cab
+       FROM (SELECT unnest({O.sql_ngrams('t', 2)}) AS bg FROM toks)
+       GROUP BY bg HAVING count(*) >= 5),
+tot AS (SELECT sum(len(t)) AS nu,
+               sum(greatest(len(t) - 1, 0)) AS nb FROM toks),
+scored AS (
+  SELECT bg, cab,
+         round(ln((cab / nb) / ((ua.c / nu) * (ub.c / nu))), 6) AS pmi
+  FROM bi
+  JOIN uni ua ON ua.w = string_split(bg, ' ')[1]
+  JOIN uni ub ON ub.w = string_split(bg, ' ')[2]
+  CROSS JOIN tot),
+ranked AS (
+  SELECT bg, cab, pmi,
+         CAST(row_number() OVER (ORDER BY pmi DESC, bg ASC) AS BIGINT) AS rnk
+  FROM scored)
+SELECT bg, cab, pmi, rnk FROM ranked WHERE rnk <= 100 ORDER BY rnk
+"""
+
+
+def q_nation_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9-shaped multi-way join: revenue of PROMO parts by supplier
+    nation × order year. Shape at scale: part (filtered) / supplier /
+    nation broadcast onto the lineitem scan — the filter on part prunes
+    BEFORE the join so the probe side never widens — then ONE big-big
+    shuffle join (lineitem ⋈ orders on orderkey), then a keyed agg with
+    map-side partials. Catalyst reorders the dimension joins; AQE picks
+    broadcast automatically once the part filter collapses the build side."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part").filter(F.col("p_type") == "PROMO")
+    sup = _t(spark, sf_dir, "supplier")
+    nat = _t(spark, sf_dir, "nation")
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(F.broadcast(sup), li.l_suppkey == sup.s_suppkey)
+        .join(F.broadcast(nat), sup.s_nationkey == nat.n_nationkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").cast("bigint").alias("o_year"),
+        )
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("profit"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+        .orderBy("nation", "o_year")
+    )
+
+
+SQL_NATION_PROFIT = """
+SELECT n_name AS nation,
+       CAST(year(o_orderdate) AS BIGINT) AS o_year,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS profit,
+       CAST(count(*) AS BIGINT) AS n_items
+FROM lineitem
+JOIN part ON l_partkey = p_partkey AND p_type = 'PROMO'
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+JOIN orders ON l_orderkey = o_orderkey
+GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
+def q_stream_enriched_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S3 (periodic state refresh) as a REAL streaming job: a stream-static
+    join — the static customer dimension is re-read per micro-batch (the
+    Structured Streaming contract), which IS the reference's periodic
+    lookup-table refresh. The join itself is stateless (append mode);
+    per-segment totals aggregate the sink table batch-side."""
+    import tempfile
+    import uuid
+
+    from ingestion_scripts_spark.sources.readers import load_table
+
+    cust = load_table(spark, sf_dir, "customer")  # sets session confs too
+    raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    stream = (
+        spark.readStream.schema(raw_schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    enriched = stream.join(
+        F.broadcast(cust), stream.user_id == cust.c_custkey
+    ).select("event_id", "c_mktsegment", "value")
+    name = "stream_enriched_" + uuid.uuid4().hex[:8]
+    q = (
+        enriched.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="ckpt_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return (
+        spark.table(name)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+SQL_STREAM_ENRICHED = """
+SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n,
+       round(sum(value), 2) AS total_value
+FROM events JOIN customer ON user_id = c_custkey
+GROUP BY 1 ORDER BY 1
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -2200,6 +2507,12 @@ _REGISTRY: list[tuple[str, Callable[[SparkSession, str], DataFrame], str | None]
     ("pii_scrub", q_pii_scrub, SQL_PII_SCRUB),
     ("contamination", q_contamination, SQL_CONTAMINATION),
     ("stratified_sample", q_stratified_sample, SQL_STRATIFIED_SAMPLE),
+    ("kmeans_clusters", q_kmeans_clusters, _sql_kmeans_clusters()),
+    ("kmeans_sample", q_kmeans_sample, _sql_kmeans_sample()),
+    ("importance_weights", q_importance_weights, SQL_IMPORTANCE),
+    ("pmi_bigrams", q_pmi_bigrams, SQL_PMI),
+    ("nation_profit", q_nation_profit, SQL_NATION_PROFIT),
+    ("stream_enriched_counts", q_stream_enriched_counts, SQL_STREAM_ENRICHED),
     ("multimodal_meta", q_multimodal_meta, SQL_MULTIMODAL),
     ("multimodal_features", q_multimodal_features, SQL_MULTIMODAL_FEATURES),
     ("curation_pipeline", q_curation_pipeline, SQL_CURATION),

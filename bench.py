@@ -73,6 +73,10 @@ HEADLINE = [
     "token_counts",
     "vocab_topn",
     "segment_dedup",
+    "kmeans_clusters",
+    "importance_weights",
+    "pmi_bigrams",
+    "nation_profit",
     "sentiment",
     "hourly_windows",
     "sessionize",
@@ -89,6 +93,7 @@ STREAMING = [
     "stream_hourly_windows",
     "stream_sessionize",
     "stream_dedup_counts",
+    "stream_enriched_counts",
 ]
 
 

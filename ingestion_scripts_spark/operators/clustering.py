@@ -1,0 +1,158 @@
+"""Deterministic distributed k-means over embedding columns (extension op,
+SURVEY §2.9 — the clustering stage of cluster-balanced data curation, e.g.
+dedup-then-diversify corpus selection before LLM training).
+
+Spark-first shape (identical to MLlib's k-means loop, restated on the
+DataFrame API so the whole per-iteration pass stays in whole-stage codegen):
+
+- centroids live on the DRIVER as k×dim literals (tiny — k=8, dim=64) and
+  are embedded into the assignment expression each iteration, exactly like
+  a broadcast: no join, no shuffle for assignment, one narrow map.
+- the re-center step is a single groupBy(cluster) with per-dimension
+  ``avg`` — map-side partial aggregation means the shuffle moves k rows per
+  task, independent of corpus size. Per iteration: 1 narrow map + 1 tiny
+  keyed shuffle + a k-row collect. This is the canonical 100 TB k-means:
+  cost is O(n·k·dim) compute, O(k·dim) driver memory, O(tasks·k) shuffle.
+
+Cross-engine determinism (the DuckDB oracle re-runs the SAME algorithm from
+scratch — a genuinely independent differential test, no shared state):
+
+- init: centroids = the k embeddings with the smallest ids (no RNG).
+- every centroid coordinate is rounded to 6 decimals each iteration; the
+  two engines' ``avg`` over the same multiset differs by ~1e-13 (summation
+  order), which the 1e-6 quantum absorbs.
+- squared-L2 distances are rounded to 6 decimals BEFORE the argmin and
+  ties break to the lowest cluster id, so assignment is identical even
+  when two centroids are equidistant at the 1e-6 grid.
+- empty clusters keep their previous centroid on both engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _sq_dist(vec, row: list[float]):
+    """Squared L2 between an array column and a literal centroid — a
+    zip_with/aggregate fold, JVM-side, index order (matches the oracle's
+    list_transform(range) sum order)."""
+    cen = F.array(*[F.lit(v) for v in row])
+    return F.aggregate(
+        F.zip_with(vec, cen, lambda x, c: (x - c) * (x - c)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def assign_clusters(
+    pts: DataFrame, centroids: list[list[float]], vec_col: str = "v"
+) -> DataFrame:
+    """Append ``cluster_id`` / ``d2`` = argmin over literal centroids.
+
+    Rounded-distance argmin with lowest-id tie-break: sort an array of
+    (d2, cid) structs (struct comparison is field-order lexicographic)
+    and take the head — one expression, no join, no shuffle.
+    """
+    vec = F.col(vec_col)
+    pairs = F.array(
+        *[
+            F.struct(
+                F.round(_sq_dist(vec, row), 6).alias("d"), F.lit(i).alias("c")
+            )
+            for i, row in enumerate(centroids)
+        ]
+    )
+    best = F.array_sort(pairs).getItem(0)
+    return pts.withColumn("cluster_id", best["c"]).withColumn("d2", best["d"])
+
+
+def kmeans_fit(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    k: int = 8,
+    iters: int = 3,
+) -> tuple[list[list[float]], DataFrame]:
+    """Lloyd's k-means, ``iters`` rounds, deterministic init (k smallest
+    ids). Returns (final centroids, assignment DataFrame with
+    ``cluster_id``/``d2``). The only driver-side data is k×dim floats per
+    iteration — the distributed passes never materialize on the driver."""
+    pts = df.select(
+        F.col(id_col).alias("__id"), F.col(vec_col).cast("array<double>").alias("v")
+    )
+    seed_rows = pts.orderBy("__id").limit(k).collect()
+    centroids = [[round(float(x), 6) for x in r["v"]] for r in seed_rows]
+    dim = len(centroids[0])
+
+    for _ in range(iters):
+        assigned = assign_clusters(pts, centroids)
+        stats = (
+            assigned.groupBy("cluster_id")
+            .agg(*[F.avg(F.col("v").getItem(i)).alias(f"m{i}") for i in range(dim)])
+            .collect()
+        )
+        new = {
+            r["cluster_id"]: [round(float(r[f"m{i}"]), 6) for i in range(dim)]
+            for r in stats
+        }
+        centroids = [new.get(c, centroids[c]) for c in range(len(centroids))]
+
+    return centroids, assign_clusters(pts, centroids)
+
+
+def sql_kmeans(
+    table: str = "embeddings",
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    k: int = 8,
+    iters: int = 3,
+    dim: int = 64,
+) -> str:
+    """DuckDB twin of ``kmeans_fit``: the iteration unrolled as CTEs,
+    recomputing init/assign/re-center from scratch (independent
+    differential test of the whole algorithm). Yields
+    (vec_id, v, cluster_id, d2) after the final assignment."""
+    d2 = (
+        f"round(list_sum(list_transform(range(1, {dim} + 1), "
+        "i -> (v[i] - c[i]) * (v[i] - c[i]))), 6)"
+    )
+    ctes = [
+        f"pts AS (SELECT {id_col} AS vec_id, {vec_col}::DOUBLE[] AS v FROM {table})",
+        (
+            "cent0 AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, "
+            "list_transform(v, x -> round(x, 6)) AS c "
+            f"FROM (SELECT vec_id, v FROM pts ORDER BY vec_id LIMIT {k}))"
+        ),
+    ]
+    for t in range(iters):
+        nxt = t + 1
+        ctes += [
+            (
+                f"a{t} AS (SELECT vec_id, v, cid, {d2} AS d2, "
+                "row_number() OVER (PARTITION BY vec_id ORDER BY "
+                f"{d2} ASC, cid ASC) AS rn FROM pts, cent{t})"
+            ),
+            (
+                f"pc{t} AS (SELECT cid, ii.i AS i, round(avg(v[ii.i]), 6) AS m "
+                f"FROM a{t}, (SELECT unnest(range(1, {dim} + 1)) AS i) ii "
+                "WHERE rn = 1 GROUP BY 1, 2)"
+            ),
+            (
+                f"cent{nxt} AS (SELECT c0.cid, coalesce(n.c, c0.c) AS c "
+                f"FROM cent{t} c0 LEFT JOIN "
+                f"(SELECT cid, list(m ORDER BY i) AS c FROM pc{t} GROUP BY cid) n "
+                "USING (cid))"
+            ),
+        ]
+    ctes.append(
+        (
+            f"fin AS (SELECT vec_id, v, cid AS cluster_id, {d2} AS d2, "
+            "row_number() OVER (PARTITION BY vec_id ORDER BY "
+            f"{d2} ASC, cid ASC) AS rn FROM pts, cent{iters})"
+        )
+    )
+    return (
+        "WITH " + ",\n".join(ctes)
+        + "\nSELECT vec_id, cluster_id, d2 FROM fin WHERE rn = 1"
+    )

@@ -1,0 +1,58 @@
+"""Semantic sanity for the corpus-statistics queries (DSIR importance
+weights, PMI collocations, k-means sampling) — the cross-engine value
+equality is pinned by tools/oracle_check.py; these pin the STATISTICS
+actually meaning what they claim on the real testdata."""
+
+from __future__ import annotations
+
+import __spark_entry__ as E
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_importance_weights_favor_target_language(spark):
+    """DSIR weight = log p_target/p_raw under hashed-unigram LMs with the
+    target = lang('en') slice: the mean weight of en docs must exceed the
+    mean weight of non-en docs (that's the whole point of the statistic)."""
+    rows = E.queries()["importance_weights"](spark, SF).collect()
+    docs = {
+        r["doc_id"]: r["lang"]
+        for r in spark.read.parquet(f"{SF}/documents.parquet")
+        .select("doc_id", "lang")
+        .collect()
+    }
+    en = [r["weight"] for r in rows if docs[r["doc_id"]] == "en"]
+    other = [r["weight"] for r in rows if docs[r["doc_id"]] != "en"]
+    assert en and other
+    assert sum(en) / len(en) > sum(other) / len(other)
+
+
+def test_pmi_ranked_and_min_count(spark):
+    rows = E.queries()["pmi_bigrams"](spark, SF).collect()
+    assert rows, "corpus produces collocations"
+    assert all(r["cab"] >= 5 for r in rows)
+    pmis = [r["pmi"] for r in rows]
+    assert pmis == sorted(pmis, reverse=True) or all(
+        a >= b or abs(a - b) < 1e-9 for a, b in zip(pmis, pmis[1:])
+    )
+    assert [r["rnk"] for r in rows] == list(range(1, len(rows) + 1))
+
+
+def test_kmeans_sample_is_per_cluster_quota(spark):
+    rows = E.queries()["kmeans_sample"](spark, SF).collect()
+    per = {}
+    for r in rows:
+        per.setdefault(r["cluster_id"], []).append(r)
+    for cid, members in per.items():
+        assert len(members) <= 3
+        assert [m["rnk"] for m in members] == list(range(1, len(members) + 1))
+        d2s = [m["d2"] for m in members]
+        assert d2s == sorted(d2s)
+
+
+def test_nation_profit_positive_and_keyed(spark):
+    rows = E.queries()["nation_profit"](spark, SF).collect()
+    assert rows
+    keys = [(r["nation"], r["o_year"]) for r in rows]
+    assert len(keys) == len(set(keys))
+    assert all(r["profit"] > 0 and r["n_items"] > 0 for r in rows)
