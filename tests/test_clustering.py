@@ -94,3 +94,33 @@ def test_kmeans_matches_duckdb_twin(spark, tmp_path, k, iters):
     sql = sql_kmeans("embeddings", "embedding", "vec_id", k=k, iters=iters, dim=8)
     want = sorted(tuple(t) for t in con.execute(sql).fetchall())
     assert got == want
+
+
+def test_assignment_plan_is_narrow(spark):
+    """The k-means assignment must be a pure narrow map: literal centroids
+    mean NO join, NO Exchange of any kind — the property that makes one
+    iteration cost a single pass over the data at 100 TB."""
+    df = _emb_df(spark, n=40)
+    pts = df.select(F.col("vec_id").alias("__id"), F.col("embedding").alias("v"))
+    plan = (
+        assign_clusters(pts, [[0.0] * 8, [1.0] * 8])
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Exchange" not in plan, plan
+    assert "Join" not in plan, plan
+
+
+def test_recenter_plan_has_partial_aggregation(spark):
+    """The re-center groupBy must plan as partial HashAggregate → Exchange
+    → final HashAggregate, so each task ships k rows, not its points."""
+    df = _emb_df(spark, n=40)
+    pts = df.select(F.col("vec_id").alias("__id"), F.col("embedding").alias("v"))
+    assigned = assign_clusters(pts, [[0.0] * 8, [1.0] * 8])
+    agg = assigned.groupBy("cluster_id").agg(
+        *[F.avg(F.col("v").getItem(i)).alias(f"m{i}") for i in range(8)]
+    )
+    plan = agg._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("HashAggregate") >= 2, plan
+    assert "Exchange hashpartitioning(cluster_id" in plan, plan

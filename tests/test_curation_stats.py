@@ -56,3 +56,12 @@ def test_nation_profit_positive_and_keyed(spark):
     keys = [(r["nation"], r["o_year"]) for r in rows]
     assert len(keys) == len(set(keys))
     assert all(r["profit"] > 0 and r["n_items"] > 0 for r in rows)
+
+
+def test_importance_weights_broadcast_plan(spark):
+    """The O(B) weight table must come back to the token stream as a
+    BroadcastHashJoin — a sort-merge join here would shuffle every token
+    at 100 TB for a 1024-row build side."""
+    df = E.queries()["importance_weights"](spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan, plan
