@@ -2436,6 +2436,87 @@ GROUP BY 1 ORDER BY 1
 """
 
 
+def q_stream_late_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermark LATE-DATA-DROP semantics (§2.8), made oracle-checkable:
+    the stream is split into three deterministic micro-batches — even
+    event_ids, an EMPTY batch, then odd event_ids. Spark ≥3.4 filters late
+    rows with the watermark from two batches back (SPARK-40925's
+    late-events/eviction split), so the empty middle batch is what arms
+    the filter: during the odd batch the late-events watermark stands at
+    max(even ts) - 2h and every odd row whose 1-hour window closed under
+    it MUST be dropped; append mode then emits only windows closed under
+    the final watermark. The DuckDB oracle replays that watermark algebra
+    in SQL — the one streaming behavior (dropping, not just windowing)
+    that batch twins can't cover."""
+    import glob
+    import os
+    import tempfile
+    import time
+    import uuid
+
+    from ingestion_scripts_spark.sources.readers import load_table
+
+    ev = load_table(spark, sf_dir, "events").select("event_id", "ts")
+    src = tempfile.mkdtemp(prefix="late_src_")
+    ev.filter(F.col("event_id") % 2 == 0).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(f"{src}/b0")
+    ev.filter(F.lit(False)).coalesce(1).write.mode("overwrite").parquet(
+        f"{src}/b1"
+    )
+    ev.filter(F.col("event_id") % 2 == 1).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(f"{src}/b2")
+    # the file source orders batches by modification time: pin it
+    now = time.time()
+    for i, d in enumerate(("b0", "b1", "b2")):
+        for p in glob.glob(f"{src}/{d}/*.parquet"):
+            os.utime(p, (now - 200 + 50 * i, now - 200 + 50 * i))
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .option("recursiveFileLookup", "true")
+        .parquet(src)
+    )
+    agg = (
+        stream.withWatermark("ts", "2 hours")
+        .groupBy(F.window("ts", "1 hour").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    name = "stream_late_" + uuid.uuid4().hex[:8]
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="ckpt_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return (
+        spark.table(name)
+        .select(_fmt_ts(F.col("w.start")).alias("window_start"), "n")
+        .orderBy("window_start")
+    )
+
+
+SQL_STREAM_LATE_DROP = f"""
+WITH wm1 AS (SELECT date_trunc('milliseconds', max(ts)) - INTERVAL 2 HOUR AS w
+             FROM events WHERE event_id % 2 = 0),
+kept AS (
+  SELECT ts FROM events WHERE event_id % 2 = 0
+  UNION ALL
+  SELECT ts FROM events, wm1
+  WHERE event_id % 2 = 1 AND date_trunc('hour', ts) + INTERVAL 1 HOUR > wm1.w),
+wm2 AS (SELECT date_trunc('milliseconds', max(ts)) - INTERVAL 2 HOUR AS w
+        FROM events),
+agg AS (SELECT date_trunc('hour', ts) AS ws, count(*) AS n FROM kept GROUP BY 1)
+SELECT {SQL_TS.format('ws')} AS window_start, n
+FROM agg, wm2 WHERE ws + INTERVAL 1 HOUR <= wm2.w
+ORDER BY window_start
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -2513,6 +2594,7 @@ _REGISTRY: list[tuple[str, Callable[[SparkSession, str], DataFrame], str | None]
     ("pmi_bigrams", q_pmi_bigrams, SQL_PMI),
     ("nation_profit", q_nation_profit, SQL_NATION_PROFIT),
     ("stream_enriched_counts", q_stream_enriched_counts, SQL_STREAM_ENRICHED),
+    ("stream_late_drop", q_stream_late_drop, SQL_STREAM_LATE_DROP),
     ("multimodal_meta", q_multimodal_meta, SQL_MULTIMODAL),
     ("multimodal_features", q_multimodal_features, SQL_MULTIMODAL_FEATURES),
     ("curation_pipeline", q_curation_pipeline, SQL_CURATION),

@@ -94,6 +94,7 @@ STREAMING = [
     "stream_sessionize",
     "stream_dedup_counts",
     "stream_enriched_counts",
+    "stream_late_drop",
 ]
 
 

@@ -81,6 +81,10 @@ def kmeans_fit(
     pts = df.select(
         F.col(id_col).alias("__id"), F.col(vec_col).cast("array<double>").alias("v")
     )
+    # iterative access pattern: every iteration re-scans the working set, so
+    # cache it once (exactly what MLlib's KMeans does with its norm-augmented
+    # input) — at cluster scale this turns `iters` parquet scans into one
+    pts = pts.persist()
     seed_rows = pts.orderBy("__id").limit(k).collect()
     centroids = [[round(float(x), 6) for x in r["v"]] for r in seed_rows]
     dim = len(centroids[0])
