@@ -2517,6 +2517,76 @@ ORDER BY window_start
 """
 
 
+def q_simhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash Hamming-ball near-dup pairs via banded candidates (Manku et
+    al., WWW'07) — the bitwise complement to the set-based MinHash-LSH
+    path; candidates equi-join on bit-bands, never all-pairs."""
+    docs = _t(spark, sf_dir, "documents")
+    return D.simhash_near_dup_pairs(
+        docs, "doc_id", "text", bits=60, bands=4, max_hamming=3
+    ).orderBy("id_a", "id_b")
+
+
+def _sql_simhash_pairs() -> str:
+    inner = O.sql_simhash_near_dup_pairs(
+        "documents", "doc_id", "text", bits=60, bands=4, max_hamming=3
+    )
+    return f"SELECT * FROM ({inner}) p ORDER BY id_a, id_b"
+
+
+_PACK_SEQ_LEN = 2048
+
+
+def q_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GPT-style sequence packing: documents concatenate in deterministic
+    (source, doc_id) order and split into fixed {_PACK_SEQ_LEN}-token
+    sequences; each doc reports the sequence it starts in and its offset.
+    The prefix-sum window partitions by source, so packing parallelizes
+    across shards — the inherently sequential part is per-shard, which is
+    how a 100 TB packing job is actually laid out (one writer per shard,
+    never a global order)."""
+    docs = _t(spark, sf_dir, "documents")
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    n_tok = TA.token_count_ws(F.col("text")).cast("bigint")
+    return (
+        docs.select("doc_id", "source", n_tok.alias("n_tok"))
+        .withColumn(
+            "cum_before", F.coalesce(F.sum("n_tok").over(w), F.lit(0)).cast("bigint")
+        )
+        .select(
+            "doc_id",
+            "source",
+            "n_tok",
+            F.expr(f"cum_before div {_PACK_SEQ_LEN}").alias("seq_id"),
+            (F.col("cum_before") % _PACK_SEQ_LEN).alias("offset"),
+        )
+        .orderBy("source", "doc_id")
+    )
+
+
+SQL_SEQUENCE_PACKING = f"""
+WITH toks AS (
+  SELECT doc_id, source,
+         CAST(len({O.sql_tokenize_ws('text')}) AS BIGINT) AS n_tok
+  FROM documents),
+cum AS (
+  SELECT doc_id, source, n_tok,
+         CAST(coalesce(sum(n_tok) OVER (
+           PARTITION BY source ORDER BY doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+           AS cum_before
+  FROM toks)
+SELECT doc_id, source, n_tok,
+       cum_before // {_PACK_SEQ_LEN} AS seq_id,
+       cum_before % {_PACK_SEQ_LEN} AS offset
+FROM cum ORDER BY source, doc_id
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -2588,6 +2658,8 @@ _REGISTRY: list[tuple[str, Callable[[SparkSession, str], DataFrame], str | None]
     ("pii_scrub", q_pii_scrub, SQL_PII_SCRUB),
     ("contamination", q_contamination, SQL_CONTAMINATION),
     ("stratified_sample", q_stratified_sample, SQL_STRATIFIED_SAMPLE),
+    ("simhash_near_dups", q_simhash_near_dups, _sql_simhash_pairs()),
+    ("sequence_packing", q_sequence_packing, SQL_SEQUENCE_PACKING),
     ("kmeans_clusters", q_kmeans_clusters, _sql_kmeans_clusters()),
     ("kmeans_sample", q_kmeans_sample, _sql_kmeans_sample()),
     ("importance_weights", q_importance_weights, SQL_IMPORTANCE),

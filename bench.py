@@ -59,6 +59,8 @@ HEADLINE = [
     "minhash_near_dups",
     "ngram_jaccard",
     "simhash",
+    "simhash_near_dups",
+    "sequence_packing",
     "winnow_fingerprints",
     "salted_distinct_users",
     "skew_join_revenue",

@@ -352,6 +352,72 @@ def simhash(text_col: Column, bits: int = 32) -> Column:
     return let_(F.transform(toks, hash64), body)
 
 
+def simhash_near_dup_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    bits: int = 32,
+    bands: int = 4,
+    max_hamming: int = 3,
+) -> DataFrame:
+    """SimHash near-duplicate JOIN via banded candidates (Manku et al.,
+    WWW'07): any pair within Hamming distance d < ``bands`` must agree on
+    at least one of the ``bands`` bit-bands (pigeonhole), so candidates are
+    an equi-join on (band index, band value) — never all-pairs — and the
+    verify step is one ``bit_count(xor)`` per candidate.
+
+    100 TB shape: explode is a narrow ×bands map; the self-join shuffles on
+    the compound band key (same scaling law as MinHash-LSH banding); the
+    distinct collapses multi-band matches before the cheap popcount verify.
+    Complements MinHash (set Jaccard) with the bitwise/Hamming notion of
+    near-duplication.
+    """
+    if bands <= max_hamming:
+        raise ValueError("pigeonhole guarantee needs bands > max_hamming")
+    band_width = bits // bands
+    mask = (1 << band_width) - 1
+    fp = df.select(F.col(id_col).alias("id"), simhash(F.col(text_col), bits).alias("fp"))
+    banded = fp.select(
+        "id",
+        "fp",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("bi"),
+                        F.shiftright(F.col("fp"), i * band_width)
+                        .bitwiseAND(F.lit(mask))
+                        .alias("bv"),
+                    )
+                    for i in range(bands)
+                ]
+            )
+        ).alias("b"),
+    ).select("id", "fp", F.col("b.bi").alias("bi"), F.col("b.bv").alias("bv"))
+    a, b = banded.alias("a"), banded.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.bi") == F.col("b.bi"))
+            & (F.col("a.bv") == F.col("b.bv"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.col("a.fp").alias("fa"),
+            F.col("b.fp").alias("fb"),
+        )
+        .distinct()
+    )
+    ham = F.bit_count(F.col("fa").bitwiseXOR(F.col("fb"))).cast("bigint")
+    return (
+        cand.withColumn("hamming", ham)
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )
+
+
 def minhash_dedup_pairs_canonical(
     df: DataFrame,
     id_col: str,

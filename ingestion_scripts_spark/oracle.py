@@ -124,6 +124,33 @@ def sql_simhash(x: str, bits: int = 32) -> str:
     return "(" + " + ".join(terms) + ")"
 
 
+def sql_simhash_near_dup_pairs(
+    table: str,
+    id_col: str,
+    text_col: str,
+    bits: int = 32,
+    bands: int = 4,
+    max_hamming: int = 3,
+) -> str:
+    """= operators.dedup.simhash_near_dup_pairs: banded candidate equi-join
+    + bit_count(xor) verify, identical band arithmetic."""
+    band_width = bits // bands
+    mask = (1 << band_width) - 1
+    fp = sql_simhash(text_col, bits)
+    return f"""
+WITH fp AS (SELECT {id_col} AS id, {fp} AS fp FROM {table}),
+banded AS (
+  SELECT id, fp, ii.i AS bi, (fp >> (ii.i * {band_width})) & {mask} AS bv
+  FROM fp, (SELECT unnest(range(0, {bands})) AS i) ii),
+cand AS (
+  SELECT DISTINCT a.id AS id_a, b.id AS id_b, a.fp AS fa, b.fp AS fb
+  FROM banded a JOIN banded b
+    ON a.bi = b.bi AND a.bv = b.bv AND a.id < b.id)
+SELECT id_a, id_b, CAST(bit_count(xor(fa, fb)) AS BIGINT) AS hamming
+FROM cand WHERE bit_count(xor(fa, fb)) <= {max_hamming}
+"""
+
+
 def sql_sentiment(x: str) -> dict[str, str]:
     """= functions.sentiment.sentiment_native → 4 named exprs."""
     toks = sql_tokenize_ws(f"lower({x})")

@@ -180,3 +180,28 @@ def test_segment_dedup_in_doc_order_and_threshold(spark):
     # max_docs=3 tolerates the triplicated segment
     out3 = {r.doc_id: r for r in segment_dedup(df, seg_words=2, max_docs=3).collect()}
     assert out3[1].dedup_text == "k1 k1 s s k2 k2"
+
+
+def test_simhash_near_dup_pairs(spark):
+    from ingestion_scripts_spark.operators.dedup import simhash_near_dup_pairs
+
+    import pytest as _pytest
+
+    rows = [
+        (1, "alpha beta gamma delta epsilon zeta"),
+        (2, "alpha beta gamma delta epsilon zeta"),   # exact dup of 1
+        (3, "alpha beta gamma delta epsilon eta"),    # near dup of 1
+        (4, "one two three four five six seven"),     # unrelated
+    ]
+    df = spark.createDataFrame(rows, "doc_id: long, text: string")
+    got = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in simhash_near_dup_pairs(
+            df, "doc_id", "text", bits=60, bands=4, max_hamming=3
+        ).collect()
+    }
+    assert got.get((1, 2)) == 0          # identical text -> hamming 0
+    assert all(a < b for a, b in got)    # canonical pair order
+    assert (1, 4) not in got and (2, 4) not in got and (3, 4) not in got
+    with _pytest.raises(ValueError):
+        simhash_near_dup_pairs(df, "doc_id", "text", bands=3, max_hamming=3)
