@@ -2587,6 +2587,132 @@ FROM cum ORDER BY source, doc_id
 """
 
 
+def q_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-STREAM inner join with an event-time range condition (§2.8's
+    hardest join shape): purchases ⋈ clicks on user_id where the click
+    falls in the hour before the purchase. Both sides carry watermarks and
+    the range condition is what lets Spark bound each side's buffered
+    state to (range + delay) — without it, stream-stream state grows
+    unboundedly. Run under availableNow, the result must equal the batch
+    range join exactly, which is the DuckDB oracle."""
+    import tempfile
+    import uuid
+
+    from ingestion_scripts_spark.sources.readers import load_table
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "event_type"
+    )
+    src = tempfile.mkdtemp(prefix="ssj_src_")
+    ev.filter(F.col("event_type") == "purchase").coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(f"{src}/purchases")
+    ev.filter(F.col("event_type") == "click").coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(f"{src}/clicks")
+    schema = ev.schema
+
+    def _stream(sub: str, prefix: str) -> DataFrame:
+        s = spark.readStream.schema(schema).parquet(f"{src}/{sub}")
+        return s.select(
+            *[F.col(c).alias(f"{prefix}_{c}") for c in s.columns]
+        ).withWatermark(f"{prefix}_ts", "2 hours")
+
+    p, c = _stream("purchases", "p"), _stream("clicks", "c")
+    joined = p.join(
+        c,
+        (F.col("p_user_id") == F.col("c_user_id"))
+        & (F.col("c_ts") >= F.col("p_ts") - F.expr("INTERVAL 1 HOUR"))
+        & (F.col("c_ts") <= F.col("p_ts")),
+    ).select(
+        F.col("p_event_id").alias("purchase_id"),
+        F.col("c_event_id").alias("click_id"),
+    )
+    name = "ssj_" + uuid.uuid4().hex[:8]
+    q = (
+        joined.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="ckpt_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name).orderBy("purchase_id", "click_id")
+
+
+SQL_STREAM_STREAM_JOIN = """
+SELECT p.event_id AS purchase_id, c.event_id AS click_id
+FROM events p JOIN events c
+  ON p.event_type = 'purchase' AND c.event_type = 'click'
+ AND p.user_id = c.user_id
+ AND c.ts >= p.ts - INTERVAL 1 HOUR AND c.ts <= p.ts
+ORDER BY purchase_id, click_id
+"""
+
+
+def q_scd_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Type-2 SCD merge (operators/sink.py::scd2_apply): apply an update
+    batch (acctbal bumped for custkey % 7 == 0) to a versioned customer
+    dimension — changed keys get their open version closed at the batch
+    date and a version-2 row appended; unchanged keys pass through. The
+    versioned-history generalization of the reference's keyed Mongo
+    upsert (K3)."""
+    from ingestion_scripts_spark.operators.sink import scd2_apply
+
+    cust = _t(spark, sf_dir, "customer").select(
+        "c_custkey", "c_acctbal", "c_mktsegment"
+    )
+    cur = (
+        cust.withColumn("version", F.lit(1).cast("bigint"))
+        .withColumn("valid_from", F.lit("2024-01-01"))
+        .withColumn("valid_to", F.lit(None).cast("string"))
+    )
+    upd = cust.withColumn(
+        "c_acctbal",
+        F.col("c_acctbal")
+        + F.when(F.col("c_custkey") % 7 == 0, F.lit(100.0)).otherwise(F.lit(0.0)),
+    )
+    out = scd2_apply(
+        cur, upd, "c_custkey", ["c_acctbal", "c_mktsegment"], "2024-06-01"
+    )
+    return out.select(
+        "c_custkey",
+        "c_acctbal",
+        "c_mktsegment",
+        F.col("version").cast("bigint").alias("version"),
+        "valid_from",
+        "valid_to",
+    ).orderBy("c_custkey", "version")
+
+
+SQL_SCD_UPSERT = """
+WITH cur AS (
+  SELECT c_custkey, c_acctbal, c_mktsegment FROM customer),
+upd AS (
+  SELECT c_custkey,
+         c_acctbal + CASE WHEN c_custkey % 7 = 0 THEN 100.0 ELSE 0.0 END
+           AS c_acctbal,
+         c_mktsegment
+  FROM customer),
+changed AS (
+  SELECT u.c_custkey FROM upd u JOIN cur c USING (c_custkey)
+  WHERE u.c_acctbal IS DISTINCT FROM c.c_acctbal
+     OR u.c_mktsegment IS DISTINCT FROM c.c_mktsegment)
+SELECT c_custkey, c_acctbal, c_mktsegment,
+       CAST(1 AS BIGINT) AS version, '2024-01-01' AS valid_from,
+       CASE WHEN c_custkey IN (SELECT c_custkey FROM changed)
+            THEN '2024-06-01' END AS valid_to
+FROM cur
+UNION ALL
+SELECT c_custkey, c_acctbal, c_mktsegment,
+       CAST(2 AS BIGINT) AS version, '2024-06-01' AS valid_from,
+       NULL AS valid_to
+FROM upd WHERE c_custkey IN (SELECT c_custkey FROM changed)
+ORDER BY c_custkey, version
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -2667,6 +2793,8 @@ _REGISTRY: list[tuple[str, Callable[[SparkSession, str], DataFrame], str | None]
     ("nation_profit", q_nation_profit, SQL_NATION_PROFIT),
     ("stream_enriched_counts", q_stream_enriched_counts, SQL_STREAM_ENRICHED),
     ("stream_late_drop", q_stream_late_drop, SQL_STREAM_LATE_DROP),
+    ("stream_stream_join", q_stream_stream_join, SQL_STREAM_STREAM_JOIN),
+    ("scd_upsert", q_scd_upsert, SQL_SCD_UPSERT),
     ("multimodal_meta", q_multimodal_meta, SQL_MULTIMODAL),
     ("multimodal_features", q_multimodal_features, SQL_MULTIMODAL_FEATURES),
     ("curation_pipeline", q_curation_pipeline, SQL_CURATION),

@@ -79,6 +79,7 @@ HEADLINE = [
     "importance_weights",
     "pmi_bigrams",
     "nation_profit",
+    "scd_upsert",
     "sentiment",
     "hourly_windows",
     "sessionize",
@@ -97,6 +98,7 @@ STREAMING = [
     "stream_dedup_counts",
     "stream_enriched_counts",
     "stream_late_drop",
+    "stream_stream_join",
 ]
 
 

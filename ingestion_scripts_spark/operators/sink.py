@@ -97,3 +97,67 @@ def dead_letter_split(
     good = df.filter(good_condition)
     dead = df.filter(~good_condition | good_condition.isNull())
     return good, dead
+
+
+def scd2_apply(
+    current: DataFrame,
+    updates: DataFrame,
+    key: str,
+    tracked: list[str],
+    batch_ts: str,
+    valid_from: str = "valid_from",
+    valid_to: str = "valid_to",
+    version: str = "version",
+) -> DataFrame:
+    """Type-2 slowly-changing-dimension merge — the versioned-history
+    generalization of the reference's keyed Mongo upsert (K3): instead of
+    rejecting the duplicate key, close the open version and append a new
+    one stamped ``batch_ts``.
+
+    Pure DataFrame restatement of MERGE: one keyed join of the update
+    batch against OPEN versions decides changed/unchanged; the output is
+    union(untouched ∪ closed old versions ∪ new versions). Everything is
+    keyed shuffle + union — no driver loop, no window over the whole dim —
+    so it scales with the dimension like any co-partitioned join. At
+    warehouse scale both sides would be bucketed by ``key`` to make the
+    join exchange-free.
+    """
+    data_cols = [c for c in current.columns if c not in (valid_from, valid_to, version)]
+    open_rows = current.filter(F.col(valid_to).isNull())
+    closed_rows = current.filter(F.col(valid_to).isNotNull())
+
+    diff = None
+    for c in tracked:
+        d = ~F.col(f"u.{c}").eqNullSafe(F.col(f"c.{c}"))
+        diff = d if diff is None else (diff | d)
+
+    j = updates.alias("u").join(open_rows.alias("c"), on=key, how="inner")
+    changed_keys = j.filter(diff).select(key, *[F.col(f"c.{version}").alias(version)])
+
+    # close the open version of every changed key at batch_ts
+    closing = (
+        open_rows.alias("c")
+        .join(changed_keys.alias("k"), on=key, how="left_semi")
+        .withColumn(valid_to, F.lit(batch_ts))
+    )
+    untouched_open = open_rows.alias("c").join(
+        changed_keys.alias("k"), on=key, how="left_anti"
+    )
+    # new version rows carry the update's attributes
+    fresh = (
+        j.filter(diff)
+        .select(
+            key,
+            *[F.col(f"u.{c}").alias(c) for c in data_cols if c != key],
+            (F.col(f"c.{version}") + 1).alias(version),
+        )
+        .withColumn(valid_from, F.lit(batch_ts))
+        .withColumn(valid_to, F.lit(None).cast("string"))
+    )
+    out_cols = [key] + [c for c in data_cols if c != key] + [version, valid_from, valid_to]
+    return (
+        closed_rows.select(*out_cols)
+        .unionByName(untouched_open.select(*out_cols))
+        .unionByName(closing.select(*out_cols))
+        .unionByName(fresh.select(*out_cols))
+    )
