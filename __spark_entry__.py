@@ -2713,6 +2713,95 @@ ORDER BY c_custkey, version
 """
 
 
+_DUPSPAN_N = 13  #: span width in tokens (Lee et al., "Deduplicating
+#: Training Data Makes Language Models Better": 50 BPE tokens ≈ 13 words
+#: scaled to this corpus's short docs)
+
+
+def q_dup_span_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Substring-granularity duplication: per document, the fraction of its
+    token {_DUPSPAN_N}-gram occurrences that also appear in ANOTHER
+    document — the signal behind substring-level dedup (finer than
+    whole-doc MinHash, coarser than suffix arrays, and the practical
+    middle ground at corpus scale). Shape: explode spans (narrow) →
+    span-key groupBy for cross-doc frequency (map-side partials) → join
+    back on the 64-bit span hash (never the raw string — the shuffle
+    carries 8 bytes per span) → per-doc ratio."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", X.tokenize_ws(F.lower(F.col("text"))).alias("t")
+    )
+    spans = toks.select(
+        "doc_id",
+        F.explode(X.ngrams(F.col("t"), _DUPSPAN_N)).alias("g"),
+    ).select("doc_id", X.hash64(F.col("g")).alias("h"))
+    freq = spans.groupBy("h").agg(F.countDistinct("doc_id").alias("nd"))
+    return (
+        spans.join(freq, "h")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_spans"),
+            F.round(
+                F.sum(F.when(F.col("nd") > 1, 1).otherwise(0))
+                / F.count(F.lit(1)),
+                6,
+            ).alias("dup_frac"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+SQL_DUP_SPAN = f"""
+WITH spans AS (
+  SELECT doc_id, {O.sql_hash64('g')} AS h
+  FROM (SELECT doc_id,
+               unnest({O.sql_ngrams(O.sql_tokenize_ws('lower(text)'), _DUPSPAN_N)})
+                 AS g
+        FROM documents)),
+freq AS (SELECT h, count(DISTINCT doc_id) AS nd FROM spans GROUP BY h)
+SELECT doc_id, count(*) AS n_spans,
+       round(sum(CASE WHEN nd > 1 THEN 1 ELSE 0 END) / count(*), 6) AS dup_frac
+FROM spans JOIN freq USING (h)
+GROUP BY doc_id ORDER BY doc_id
+"""
+
+
+def q_jsonl_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S1 end-to-end on a REAL JSON-lines source: the documents table is
+    round-tripped through JSONL files and re-read with an explicit schema
+    (never inference — at 100 TB schema inference is a full extra scan),
+    then aggregated per (source, lang). The oracle aggregates the parquet
+    directly, so the JSON encode/decode path must be lossless."""
+    import tempfile
+
+    docs = _t(spark, sf_dir, "documents")
+    tmp = tempfile.mkdtemp(prefix="jsonl_src_")
+    docs.select("doc_id", "text", "lang", "source", "n_chars").coalesce(
+        4
+    ).write.mode("overwrite").json(tmp)
+    schema = (
+        "doc_id bigint, text string, lang string, source string, n_chars bigint"
+    )
+    back = spark.read.schema(schema).json(tmp)
+    return (
+        back.groupBy("source", "lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+            F.sum(F.length("text")).alias("total_text_len"),
+        )
+        .orderBy("source", "lang")
+    )
+
+
+SQL_JSONL_SOURCE = """
+SELECT source, lang, count(*) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS total_chars,
+       CAST(sum(length(text)) AS BIGINT) AS total_text_len
+FROM documents GROUP BY 1, 2 ORDER BY source, lang
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -2795,6 +2884,8 @@ _REGISTRY: list[tuple[str, Callable[[SparkSession, str], DataFrame], str | None]
     ("stream_late_drop", q_stream_late_drop, SQL_STREAM_LATE_DROP),
     ("stream_stream_join", q_stream_stream_join, SQL_STREAM_STREAM_JOIN),
     ("scd_upsert", q_scd_upsert, SQL_SCD_UPSERT),
+    ("dup_span_fraction", q_dup_span_fraction, SQL_DUP_SPAN),
+    ("jsonl_source", q_jsonl_source, SQL_JSONL_SOURCE),
     ("multimodal_meta", q_multimodal_meta, SQL_MULTIMODAL),
     ("multimodal_features", q_multimodal_features, SQL_MULTIMODAL_FEATURES),
     ("curation_pipeline", q_curation_pipeline, SQL_CURATION),

@@ -75,6 +75,8 @@ HEADLINE = [
     "token_counts",
     "vocab_topn",
     "segment_dedup",
+    "dup_span_fraction",
+    "jsonl_source",
     "kmeans_clusters",
     "importance_weights",
     "pmi_bigrams",
