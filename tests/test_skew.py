@@ -34,3 +34,45 @@ def test_replicated_skew_join_equals_plain(spark):
     )
     expect = sorted((r.lid, r.k, r.v) for r in left.join(right, "k").collect())
     assert got == expect and len(got) == 67  # keys 0,1 match; key 2 drops
+
+
+def test_aqe_splits_skewed_join_partitions(spark):
+    """AQE's runtime skew-join handling is the third leg of the skew story
+    (after salting and replication): with a pathologically hot key, the
+    final adaptive plan must mark the sort-merge join's skewed side as
+    split (skew=true) — the runtime re-plan we rely on at 100 TB when the
+    skew isn't known ahead of time."""
+    from pyspark.sql import functions as F
+
+    confs = {
+        "spark.sql.adaptive.enabled": "true",
+        "spark.sql.adaptive.skewJoin.enabled": "true",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "1",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "64KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "64KB",
+        "spark.sql.adaptive.coalescePartitions.enabled": "false",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    old = {k: spark.conf.get(k, None) for k in confs}
+    for k, v in confs.items():
+        spark.conf.set(k, v)
+    try:
+        left = spark.range(0, 200_000).select(
+            F.when(F.col("id") % 10 < 9, 0).otherwise(F.col("id")).alias("k"),
+            F.sha2(F.col("id").cast("string"), 256).alias("pad"),
+        )
+        right = spark.range(0, 2_000).select(
+            F.col("id").alias("k"), F.lit("v").alias("v")
+        )
+        joined = left.join(right, "k")
+        # materialize THIS DataFrame's queryExecution (count() would spawn
+        # a separate execution and leave this adaptive plan non-final)
+        assert len(joined.collect()) == 180_000 + 200
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "skew=true" in plan, plan
+    finally:
+        for k, v in old.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
