@@ -328,25 +328,39 @@ def simhash(text_col: Column, bits: int = 32) -> Column:
 
     bit j of the fingerprint is set iff sum over tokens of
     (+1 if hash64(token) has bit j else -1) > 0. Near-dup detection then
-    compares Hamming distance on the fingerprints. Bit positions are Python
-    literals (shift amounts must be constants), so the expression is a sum of
-    ``bits`` windowless aggregates — all JVM-side.
+    compares Hamming distance on the fingerprints.
+
+    Implementation note: a single fold carries the WHOLE vote vector
+    (array of ``bits`` counters, updated via zip_with against a literal
+    mask array) instead of ``bits`` independent aggregate folds. Values
+    are identical; the expression tree shrinks from O(bits) aggregates to
+    two HOFs — measured ~6 s/query of DRIVER plan+codegen time at
+    bits=60, which a fresh DataFrame pays on every invocation. (The
+    DuckDB twin keeps the expanded per-bit form; DuckDB planning is
+    cheap.)
     """
-    def _vote(mask: int):
-        # note: HOF lambdas must take exactly the arity Spark expects, so the
-        # mask is bound via closure, not a default arg
-        return lambda s, h: s + F.when(
-            h.bitwiseAND(F.lit(mask)) != 0, F.lit(1)
-        ).otherwise(F.lit(-1))
+    masks = F.array(*[F.lit(1 << j).cast("bigint") for j in range(bits)])
 
     def body(hashes: Column) -> Column:
-        fp = F.lit(0).cast("bigint")
-        for j in range(bits):
-            vote_j = F.aggregate(hashes, F.lit(0).cast("bigint"), _vote(1 << j))
-            fp = fp + F.when(vote_j > 0, F.lit(1 << j).cast("bigint")).otherwise(
-                F.lit(0).cast("bigint")
-            )
-        return fp
+        votes = F.aggregate(
+            hashes,
+            F.array_repeat(F.lit(0).cast("bigint"), bits),
+            lambda acc, h: F.zip_with(
+                acc,
+                masks,
+                lambda a, m: a
+                + F.when(h.bitwiseAND(m) != 0, F.lit(1)).otherwise(F.lit(-1)),
+            ),
+        )
+        return F.aggregate(
+            F.zip_with(
+                votes,
+                masks,
+                lambda v, m: F.when(v > 0, m).otherwise(F.lit(0).cast("bigint")),
+            ),
+            F.lit(0).cast("bigint"),
+            lambda acc, x: acc + x,
+        )
 
     toks = F.array_distinct(tokenize_ws(F.lower(text_col)))
     return let_(F.transform(toks, hash64), body)
@@ -366,56 +380,92 @@ def simhash_near_dup_pairs(
     an equi-join on (band index, band value) — never all-pairs — and the
     verify step is one ``bit_count(xor)`` per candidate.
 
-    100 TB shape: explode is a narrow ×bands map; the self-join shuffles on
-    the compound band key (same scaling law as MinHash-LSH banding); the
-    distinct collapses multi-band matches before the cheap popcount verify.
-    Complements MinHash (set Jaccard) with the bitwise/Hamming notion of
-    near-duplication.
+    100 TB shape — exact-cluster staging (the `minhash_dedup_pairs_canonical`
+    lesson applied to Hamming space): identical fingerprints are collapsed
+    FIRST, banding and candidate pair-gen run over DISTINCT fingerprints
+    only, and document pairs are expanded back at the end. On dup-heavy
+    corpora (the normal web-scale case) naive banding generates Θ(d²)
+    candidates per identical cluster of size d — measured 2.9M candidates
+    for 5k docs here — while the staged form's candidate stage is bounded
+    by distinct fingerprints and everything after is output-sized.
+    The fingerprint lineage runs once (no self-join); band values derive
+    from the fp COLUMN after a sequence-explode so the large fingerprint
+    expression appears exactly once in the plan.
     """
     if bands <= max_hamming:
         raise ValueError("pigeonhole guarantee needs bands > max_hamming")
     band_width = bits // bands
     mask = (1 << band_width) - 1
     fp = df.select(F.col(id_col).alias("id"), simhash(F.col(text_col), bits).alias("fp"))
-    banded = fp.select(
-        "id",
-        "fp",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(i).alias("bi"),
-                        F.shiftright(F.col("fp"), i * band_width)
-                        .bitwiseAND(F.lit(mask))
-                        .alias("bv"),
-                    )
-                    for i in range(bands)
-                ]
-            )
-        ).alias("b"),
-    ).select("id", "fp", F.col("b.bi").alias("bi"), F.col("b.bv").alias("bv"))
-    a, b = banded.alias("a"), banded.alias("b")
-    cand = (
-        a.join(
-            b,
-            (F.col("a.bi") == F.col("b.bi"))
-            & (F.col("a.bv") == F.col("b.bv"))
-            & (F.col("a.id") < F.col("b.id")),
+    clusters = fp.groupBy("fp").agg(F.array_sort(F.collect_list("id")).alias("ids"))
+
+    # hamming-0 pairs: within-cluster expansion (inherently output-sized)
+    intra = (
+        clusters.filter(F.size("ids") > 1)
+        .select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(ids, (x, i) -> "
+                    "transform(slice(ids, i + 2, size(ids)), "
+                    "y -> struct(x AS id_a, y AS id_b))))"
+                )
+            ).alias("p")
+        )
+        .select("p.id_a", "p.id_b", F.lit(0).cast("bigint").alias("hamming"))
+    )
+
+    # banding over DISTINCT fingerprints only
+    banded = clusters.select(
+        "fp", F.explode(F.sequence(F.lit(0), F.lit(bands - 1))).alias("bi")
+    ).select(
+        "fp", "bi", F.expr(f"shiftright(fp, bi * {band_width}) & {mask}").alias("bv")
+    )
+    fp_pairs = (
+        banded.groupBy("bi", "bv")
+        .agg(F.array_sort(F.collect_list("fp")).alias("m"))
+        .filter(F.size("m") > 1)
+        .select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(m, (x, i) -> "
+                    "transform(slice(m, i + 2, size(m)), "
+                    "y -> struct(x AS fa, y AS fb))))"
+                )
+            ).alias("p")
+        )
+        .select("p.fa", "p.fb")
+        .dropDuplicates(["fa", "fb"])
+        .withColumn(
+            "hamming",
+            F.bit_count(F.col("fa").bitwiseXOR(F.col("fb"))).cast("bigint"),
+        )
+        .filter(F.col("hamming") <= max_hamming)  # distinct fps -> hamming >= 1
+    )
+
+    # expand verified fingerprint pairs to document pairs (output-sized)
+    inter = (
+        fp_pairs.join(
+            clusters.select(F.col("fp").alias("fa"), F.col("ids").alias("ids_a")),
+            "fa",
+        )
+        .join(
+            clusters.select(F.col("fp").alias("fb"), F.col("ids").alias("ids_b")),
+            "fb",
         )
         .select(
-            F.col("a.id").alias("id_a"),
-            F.col("b.id").alias("id_b"),
-            F.col("a.fp").alias("fa"),
-            F.col("b.fp").alias("fb"),
+            "hamming",
+            F.explode(
+                F.expr(
+                    "transform(flatten(transform(ids_a, x -> "
+                    "transform(ids_b, y -> struct(x AS u, y AS v)))), "
+                    "s -> struct(least(s.u, s.v) AS id_a, "
+                    "greatest(s.u, s.v) AS id_b))"
+                )
+            ).alias("p"),
         )
-        .distinct()
+        .select("p.id_a", "p.id_b", "hamming")
     )
-    ham = F.bit_count(F.col("fa").bitwiseXOR(F.col("fb"))).cast("bigint")
-    return (
-        cand.withColumn("hamming", ham)
-        .filter(F.col("hamming") <= max_hamming)
-        .select("id_a", "id_b", "hamming")
-    )
+    return intra.unionByName(inter)
 
 
 def minhash_dedup_pairs_canonical(
