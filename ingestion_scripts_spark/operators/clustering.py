@@ -33,37 +33,40 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
-def _sq_dist(vec, row: list[float]):
-    """Squared L2 between an array column and a literal centroid — a
-    zip_with/aggregate fold, JVM-side, index order (matches the oracle's
-    list_transform(range) sum order)."""
-    cen = F.array(*[F.lit(v) for v in row])
-    return F.aggregate(
-        F.zip_with(vec, cen, lambda x, c: (x - c) * (x - c)),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
-
-
 def assign_clusters(
     pts: DataFrame, centroids: list[list[float]], vec_col: str = "v"
 ) -> DataFrame:
     """Append ``cluster_id`` / ``d2`` = argmin over literal centroids.
 
-    Rounded-distance argmin with lowest-id tie-break: sort an array of
-    (d2, cid) structs (struct comparison is field-order lexicographic)
-    and take the head — one expression, no join, no shuffle.
+    Rounded-distance argmin with lowest-id tie-break: the k×dim centroid
+    matrix is ONE nested-array literal and the per-centroid distances come
+    from a single ``transform`` over it (fold in index order — matches the
+    oracle's list_transform(range) sum order), so the expression tree is
+    O(1) HOFs instead of O(k) aggregate folds (driver plan time stays flat
+    in k). Argmin = sort (d2, cid) structs (field-order lexicographic),
+    take the head — one expression, no join, no shuffle.
     """
     vec = F.col(vec_col)
-    pairs = F.array(
-        *[
-            F.struct(
-                F.round(_sq_dist(vec, row), 6).alias("d"), F.lit(i).alias("c")
-            )
-            for i, row in enumerate(centroids)
-        ]
+    matrix = F.array(
+        *[F.array(*[F.lit(v) for v in row]) for row in centroids]
     )
-    best = F.array_sort(pairs).getItem(0)
+    dists = F.transform(
+        matrix,
+        lambda cen: F.round(
+            F.aggregate(
+                F.zip_with(vec, cen, lambda x, c: (x - c) * (x - c)),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ),
+            6,
+        ),
+    )
+    best = F.array_sort(
+        F.transform(
+            dists,
+            lambda d, i: F.struct(d.alias("d"), i.alias("c")),
+        )
+    ).getItem(0)
     return pts.withColumn("cluster_id", best["c"]).withColumn("d2", best["d"])
 
 
@@ -91,15 +94,20 @@ def kmeans_fit(
 
     for _ in range(iters):
         assigned = assign_clusters(pts, centroids)
+        # re-center via posexplode + (cluster, dim) groupBy: same values as
+        # dim separate avg aggregates but an O(1)-size expression tree, and
+        # the shuffle still moves only k*dim rows per task (partial agg)
         stats = (
-            assigned.groupBy("cluster_id")
-            .agg(*[F.avg(F.col("v").getItem(i)).alias(f"m{i}") for i in range(dim)])
+            assigned.select("cluster_id", F.posexplode("v").alias("pos", "val"))
+            .groupBy("cluster_id", "pos")
+            .agg(F.avg("val").alias("m"))
             .collect()
         )
-        new = {
-            r["cluster_id"]: [round(float(r[f"m{i}"]), 6) for i in range(dim)]
-            for r in stats
-        }
+        new: dict[int, list[float]] = {}
+        for r in stats:
+            new.setdefault(r["cluster_id"], [0.0] * dim)[r["pos"]] = round(
+                float(r["m"]), 6
+            )
         centroids = [new.get(c, centroids[c]) for c in range(len(centroids))]
 
     return centroids, assign_clusters(pts, centroids)

@@ -118,8 +118,10 @@ def test_recenter_plan_has_partial_aggregation(spark):
     df = _emb_df(spark, n=40)
     pts = df.select(F.col("vec_id").alias("__id"), F.col("embedding").alias("v"))
     assigned = assign_clusters(pts, [[0.0] * 8, [1.0] * 8])
-    agg = assigned.groupBy("cluster_id").agg(
-        *[F.avg(F.col("v").getItem(i)).alias(f"m{i}") for i in range(8)]
+    agg = (
+        assigned.select("cluster_id", F.posexplode("v").alias("pos", "val"))
+        .groupBy("cluster_id", "pos")
+        .agg(F.avg("val").alias("m"))
     )
     plan = agg._jdf.queryExecution().executedPlan().toString()
     assert plan.count("HashAggregate") >= 2, plan
