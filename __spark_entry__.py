@@ -2802,6 +2802,95 @@ FROM documents GROUP BY 1, 2 ORDER BY source, lang
 """
 
 
+def q_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-window anomaly scores: each (event_type, hour) count
+    z-scored against its own trailing 24 full hours — the monitoring
+    workload over ingest streams. Two keyed shuffles (hourly agg, then a
+    per-type ordered window over the ALREADY-AGGREGATED hourly table —
+    thousands of rows per type regardless of raw volume)."""
+    ev = _t(spark, sf_dir, "events")
+    hc = ev.groupBy(
+        F.date_trunc("hour", F.col("ts")).alias("h"), "event_type"
+    ).agg(F.count(F.lit(1)).alias("n"))
+    w = Window.partitionBy("event_type").orderBy("h").rowsBetween(-24, -1)
+    scored = hc.select(
+        "h",
+        "event_type",
+        "n",
+        F.avg("n").over(w).alias("mu"),
+        F.stddev_samp("n").over(w).alias("sd"),
+        F.count("n").over(w).alias("cnt"),
+    ).filter((F.col("cnt") == 24) & (F.col("sd") > 0))
+    return scored.select(
+        _fmt_ts(F.col("h")).alias("hour"),
+        "event_type",
+        "n",
+        F.round((F.col("n") - F.col("mu")) / F.col("sd"), 4).alias("z"),
+    ).orderBy("hour", "event_type")
+
+
+SQL_ANOMALY = f"""
+WITH hc AS (
+  SELECT date_trunc('hour', ts) AS h, event_type, count(*) AS n
+  FROM events GROUP BY 1, 2),
+scored AS (
+  SELECT h, event_type, n,
+         avg(n) OVER w AS mu,
+         stddev_samp(n) OVER w AS sd,
+         count(n) OVER w AS cnt
+  FROM hc
+  WINDOW w AS (PARTITION BY event_type ORDER BY h
+               ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING))
+SELECT {SQL_TS.format('h')} AS hour, event_type, n,
+       round((n - mu) / sd, 4) AS z
+FROM scored WHERE cnt = 24 AND sd > 0
+ORDER BY hour, event_type
+"""
+
+
+def q_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly retention cohorts: users bucketed by first-seen week, counted
+    per (cohort, week offset) — the standard growth-analytics rollup.
+    first-seen is a keyed min-agg (map-side partial), activity weeks a
+    distinct projection; the join keys on user_id so cohort assignment
+    broadcasts nothing and shuffles each fact row once."""
+    ev = _t(spark, sf_dir, "events")
+    first = ev.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).alias("cohort")
+    )
+    activity = ev.select(
+        "user_id", F.date_trunc("week", F.col("ts")).alias("wk")
+    ).distinct()
+    return (
+        activity.join(first, "user_id")
+        .groupBy("cohort", "wk")
+        .agg(F.countDistinct("user_id").alias("n_users"))
+        .select(
+            _fmt_ts(F.col("cohort")).alias("cohort_week"),
+            F.expr("CAST(datediff(wk, cohort) div 7 AS BIGINT)").alias(
+                "week_offset"
+            ),
+            "n_users",
+        )
+        .orderBy("cohort_week", "week_offset")
+    )
+
+
+SQL_RETENTION = f"""
+WITH first AS (
+  SELECT user_id, date_trunc('week', min(ts)) AS cohort
+  FROM events GROUP BY user_id),
+activity AS (
+  SELECT DISTINCT user_id, date_trunc('week', ts) AS wk FROM events)
+SELECT {SQL_TS.format('cohort')} AS cohort_week,
+       date_diff('day', cohort, wk) // 7 AS week_offset,
+       count(DISTINCT user_id) AS n_users
+FROM activity JOIN first USING (user_id)
+GROUP BY cohort, wk
+ORDER BY cohort_week, week_offset
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -2886,6 +2975,8 @@ _REGISTRY: list[tuple[str, Callable[[SparkSession, str], DataFrame], str | None]
     ("scd_upsert", q_scd_upsert, SQL_SCD_UPSERT),
     ("dup_span_fraction", q_dup_span_fraction, SQL_DUP_SPAN),
     ("jsonl_source", q_jsonl_source, SQL_JSONL_SOURCE),
+    ("anomaly_zscore", q_anomaly_zscore, SQL_ANOMALY),
+    ("retention_cohorts", q_retention_cohorts, SQL_RETENTION),
     ("multimodal_meta", q_multimodal_meta, SQL_MULTIMODAL),
     ("multimodal_features", q_multimodal_features, SQL_MULTIMODAL_FEATURES),
     ("curation_pipeline", q_curation_pipeline, SQL_CURATION),

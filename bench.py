@@ -84,6 +84,8 @@ HEADLINE = [
     "scd_upsert",
     "sentiment",
     "hourly_windows",
+    "anomaly_zscore",
+    "retention_cohorts",
     "sessionize",
     "twitter_pipeline",
     "reddit_pipeline",
