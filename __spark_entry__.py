@@ -2891,6 +2891,74 @@ ORDER BY cohort_week, week_offset
 """
 
 
+_MIX_ALPHA = 0.5  #: sampling temperature (α<1 upsamples small sources —
+#: the multilingual mixing rule from mBERT/XLM-R-style training)
+_MIX_TARGET_FRAC = 0.5  #: corpus-level keep fraction
+
+
+def q_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-based source rebalancing: per-source keep rates follow
+    share^α (α={_MIX_ALPHA} flattens the source distribution), scaled to a
+    {_MIX_TARGET_FRAC} corpus-level budget, and membership is decided by a
+    deterministic per-doc hash — reproducible sampling with NO RNG, the way
+    a 100 TB mixing job must do it (any executor can recompute any doc's
+    verdict independently; resumable, shardable). Shape: one tiny
+    per-source agg joined back as a broadcast; the keep decision is a
+    narrow map."""
+    docs = _t(spark, sf_dir, "documents")
+    shares = docs.groupBy("source").agg(F.count(F.lit(1)).alias("n_s"))
+    tot = shares.agg(
+        F.sum("n_s").alias("n_tot"),
+        F.sum(F.pow(F.col("n_s"), _MIX_ALPHA)).alias("w_tot"),
+    )
+    rates = (
+        shares.crossJoin(F.broadcast(tot))
+        .select(
+            "source",
+            F.round(
+                F.least(
+                    F.lit(1.0),
+                    F.lit(_MIX_TARGET_FRAC)
+                    * F.col("n_tot")
+                    * F.pow(F.col("n_s"), _MIX_ALPHA)
+                    / (F.col("w_tot") * F.col("n_s")),
+                )
+                * 1_000_000,
+                0,
+            )
+            .cast("bigint")
+            .alias("thresh"),
+        )
+    )
+    return (
+        docs.join(F.broadcast(rates), "source")
+        .filter(
+            X.hash64(F.concat(F.lit("mix:"), F.col("doc_id").cast("string")))
+            % 1_000_000
+            < F.col("thresh")
+        )
+        .select("doc_id", "source")
+        .orderBy("doc_id")
+    )
+
+
+SQL_TEMPERATURE_MIX = f"""
+WITH shares AS (SELECT source, count(*) AS n_s FROM documents GROUP BY source),
+tot AS (SELECT sum(n_s) AS n_tot, sum(pow(n_s, {_MIX_ALPHA})) AS w_tot
+        FROM shares),
+rates AS (
+  SELECT source,
+         CAST(round(least(1.0,
+             {_MIX_TARGET_FRAC} * n_tot * pow(n_s, {_MIX_ALPHA})
+             / (w_tot * n_s)) * 1000000, 0) AS BIGINT) AS thresh
+  FROM shares, tot)
+SELECT doc_id, source
+FROM documents JOIN rates USING (source)
+WHERE {O.sql_hash64("'mix:' || doc_id::VARCHAR")} % 1000000 < thresh
+ORDER BY doc_id
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -2977,6 +3045,7 @@ _REGISTRY: list[tuple[str, Callable[[SparkSession, str], DataFrame], str | None]
     ("jsonl_source", q_jsonl_source, SQL_JSONL_SOURCE),
     ("anomaly_zscore", q_anomaly_zscore, SQL_ANOMALY),
     ("retention_cohorts", q_retention_cohorts, SQL_RETENTION),
+    ("temperature_mix", q_temperature_mix, SQL_TEMPERATURE_MIX),
     ("multimodal_meta", q_multimodal_meta, SQL_MULTIMODAL),
     ("multimodal_features", q_multimodal_features, SQL_MULTIMODAL_FEATURES),
     ("curation_pipeline", q_curation_pipeline, SQL_CURATION),

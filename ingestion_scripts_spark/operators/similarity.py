@@ -223,30 +223,32 @@ def ivf_centroids(n_cells: int, dim: int) -> list[list[float]]:
 
 def ivf_cell(vec: Column, centroids: list[list[float]]) -> Column:
     """Nearest-centroid assignment (squared L2, ties → lowest cell id) —
-    the IVF coarse quantizer as a pure expression: argmin = sort the
-    (distance, cell) struct array, take the head. Same semantics as a
-    least() + first-match chain (min distance, lowest id among exact
-    ties), but O(1) HOFs in the expression tree."""
-    return _ivf_dist_structs(vec, centroids).getItem(0)["c"]
+    the IVF coarse quantizer as a pure expression: n_cells distance folds
+    per row, argmin as a least() + first-match CASE chain."""
+    dists = _ivf_dists(vec, centroids)
+    m = F.least(*dists)
+    cell = F.lit(-1)
+    chain = None
+    for i, d2 in enumerate(dists):
+        if chain is None:
+            chain = F.when(d2 == m, F.lit(i))
+        else:
+            chain = chain.when(d2 == m, F.lit(i))
+    return chain.otherwise(cell)
 
 
-def _ivf_dist_structs(vec: Column, centroids: list[list[float]]) -> Column:
-    """Sorted (d2, cell) struct array over ONE nested-array centroid
-    literal: a single transform computes every distance fold, keeping
-    driver plan time flat in n_cells (the k-separate-folds form costs
-    O(n_cells) aggregates in the tree)."""
-    matrix = F.array(*[F.array(*[F.lit(v) for v in row]) for row in centroids])
-    dists = F.transform(
-        matrix,
-        lambda cen: F.aggregate(
-            F.zip_with(vec, cen, lambda x, c: (x - c) * (x - c)),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        ),
-    )
-    return F.array_sort(
-        F.transform(dists, lambda d, i: F.struct(d.alias("d"), i.alias("c")))
-    )
+def _ivf_dists(vec: Column, centroids: list[list[float]]) -> list[Column]:
+    dists = []
+    for row in centroids:
+        cen = F.array(*[F.lit(v) for v in row])
+        dists.append(
+            F.aggregate(
+                F.zip_with(vec, cen, lambda x, c: (x - c) * (x - c)),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+        )
+    return dists
 
 
 def ivf_probe_cells(vec: Column, centroids: list[list[float]], probes: int) -> Column:
@@ -254,9 +256,11 @@ def ivf_probe_cells(vec: Column, centroids: list[list[float]], probes: int) -> C
     id, matching ``ivf_cell``): sort (distance, cell) structs, slice, project.
     Multi-probe recovers the recall a single-probe query loses to vectors
     near cell boundaries, at probes× candidate cost."""
-    return F.transform(
-        F.slice(_ivf_dist_structs(vec, centroids), 1, probes), lambda s: s["c"]
+    dists = _ivf_dists(vec, centroids)
+    pairs = F.array(
+        *[F.struct(d2.alias("d"), F.lit(i).alias("c")) for i, d2 in enumerate(dists)]
     )
+    return F.transform(F.slice(F.array_sort(pairs), 1, probes), lambda s: s["c"])
 
 
 def ivf_ann_topk(
