@@ -82,6 +82,7 @@ HEADLINE = [
     "pmi_bigrams",
     "nation_profit",
     "scd_upsert",
+    "temperature_mix",
     "sentiment",
     "hourly_windows",
     "anomaly_zscore",
