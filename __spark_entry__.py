@@ -2959,6 +2959,134 @@ ORDER BY doc_id
 """
 
 
+def q_curation_to_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The COMPLETE training-data path in one DataFrame program: quality
+    gate → exact dedup → MinHash near-dup removal → temperature mix
+    rebalancing → packed 2048-token sequences. Every stage is an operator
+    verified in isolation; this query pins their composition — the actual
+    deliverable of a curation engine (what you feed the trainer) — against
+    one SQL program."""
+    docs = _t(spark, sf_dir, "documents")
+    q = TA.quality_score(F.col("text"))
+    gated = docs.select(
+        "doc_id", "text", "source", q["quality"].alias("quality")
+    ).filter(F.col("quality") >= 0.5)
+
+    keyed = gated.withColumn("__h", X.hash64(F.col("text")))
+    w = Window.partitionBy("__h").orderBy("doc_id")
+    uniq = (
+        keyed.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn", "__h")
+    )
+    near = D.minhash_dedup_pairs(uniq, "doc_id", "text", threshold=0.8)
+    drop_ids = near.select(F.col("id_b").alias("doc_id")).dropDuplicates(["doc_id"])
+    kept = uniq.join(drop_ids, "doc_id", "left_anti")
+
+    shares = kept.groupBy("source").agg(F.count(F.lit(1)).alias("n_s"))
+    tot = shares.agg(
+        F.sum("n_s").alias("n_tot"),
+        F.sum(F.pow(F.col("n_s"), _MIX_ALPHA)).alias("w_tot"),
+    )
+    rates = shares.crossJoin(F.broadcast(tot)).select(
+        "source",
+        F.round(
+            F.least(
+                F.lit(1.0),
+                F.lit(_MIX_TARGET_FRAC)
+                * F.col("n_tot")
+                * F.pow(F.col("n_s"), _MIX_ALPHA)
+                / (F.col("w_tot") * F.col("n_s")),
+            )
+            * 1_000_000,
+            0,
+        )
+        .cast("bigint")
+        .alias("thresh"),
+    )
+    mixed = kept.join(F.broadcast(rates), "source").filter(
+        X.hash64(F.concat(F.lit("mix:"), F.col("doc_id").cast("string")))
+        % 1_000_000
+        < F.col("thresh")
+    )
+
+    wp = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    n_tok = TA.token_count_ws(F.col("text")).cast("bigint")
+    return (
+        mixed.select("doc_id", "source", n_tok.alias("n_tok"))
+        .withColumn(
+            "cum_before", F.coalesce(F.sum("n_tok").over(wp), F.lit(0)).cast("bigint")
+        )
+        .select(
+            "doc_id",
+            "source",
+            "n_tok",
+            F.expr(f"cum_before div {_PACK_SEQ_LEN}").alias("seq_id"),
+            (F.col("cum_before") % _PACK_SEQ_LEN).alias("offset"),
+        )
+        .orderBy("source", "doc_id")
+    )
+
+
+SQL_CURATION_SEQ = f"""
+WITH gated AS (
+  SELECT doc_id, text, source, {_CUR_Q} AS quality
+  FROM documents WHERE {_CUR_Q} >= 0.5),
+uniq AS (
+  SELECT doc_id, text, source, quality FROM (
+    SELECT *, row_number() OVER (PARTITION BY {O.sql_hash64('text')}
+                                 ORDER BY doc_id) AS rn
+    FROM gated) WHERE rn = 1),
+sh AS (SELECT doc_id, {_CUR_SH} AS sh FROM uniq),
+sig AS (SELECT doc_id, sh, {_CUR_SIG} AS sig FROM sh WHERE len(sh) > 0),
+banded AS (
+  SELECT doc_id, b AS band,
+         md5(array_to_string(list_transform(sig[b*4+1:b*4+4], x -> x::VARCHAR), ',')) AS bucket
+  FROM sig, unnest([0,1,2,3]) AS u(b)),
+cand AS (
+  SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
+  FROM banded l JOIN banded r
+    ON l.band = r.band AND l.bucket = r.bucket AND l.doc_id < r.doc_id),
+near AS (
+  SELECT DISTINCT cand.id_b AS doc_id
+  FROM cand JOIN sh a ON cand.id_a = a.doc_id JOIN sh b ON cand.id_b = b.doc_id
+  WHERE round(len(list_intersect(a.sh, b.sh))::DOUBLE /
+              len(list_distinct(a.sh || b.sh)), 6) >= 0.8),
+kept AS (
+  SELECT u.doc_id, u.text, u.source
+  FROM uniq u ANTI JOIN near n ON u.doc_id = n.doc_id),
+shares AS (SELECT source, count(*) AS n_s FROM kept GROUP BY source),
+tot AS (SELECT sum(n_s) AS n_tot, sum(pow(n_s, {_MIX_ALPHA})) AS w_tot
+        FROM shares),
+rates AS (
+  SELECT source,
+         CAST(round(least(1.0,
+             {_MIX_TARGET_FRAC} * n_tot * pow(n_s, {_MIX_ALPHA})
+             / (w_tot * n_s)) * 1000000, 0) AS BIGINT) AS thresh
+  FROM shares, tot),
+mixed AS (
+  SELECT k.doc_id, k.source,
+         CAST(len({O.sql_tokenize_ws('k.text')}) AS BIGINT) AS n_tok
+  FROM kept k JOIN rates USING (source)
+  WHERE {O.sql_hash64("'mix:' || k.doc_id::VARCHAR")} % 1000000 < thresh),
+cum AS (
+  SELECT doc_id, source, n_tok,
+         CAST(coalesce(sum(n_tok) OVER (
+           PARTITION BY source ORDER BY doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+           AS cum_before
+  FROM mixed)
+SELECT doc_id, source, n_tok,
+       cum_before // {_PACK_SEQ_LEN} AS seq_id,
+       cum_before % {_PACK_SEQ_LEN} AS offset
+FROM cum ORDER BY source, doc_id
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -3046,6 +3174,7 @@ _REGISTRY: list[tuple[str, Callable[[SparkSession, str], DataFrame], str | None]
     ("anomaly_zscore", q_anomaly_zscore, SQL_ANOMALY),
     ("retention_cohorts", q_retention_cohorts, SQL_RETENTION),
     ("temperature_mix", q_temperature_mix, SQL_TEMPERATURE_MIX),
+    ("curation_to_sequences", q_curation_to_sequences, SQL_CURATION_SEQ),
     ("multimodal_meta", q_multimodal_meta, SQL_MULTIMODAL),
     ("multimodal_features", q_multimodal_features, SQL_MULTIMODAL_FEATURES),
     ("curation_pipeline", q_curation_pipeline, SQL_CURATION),

@@ -92,6 +92,7 @@ HEADLINE = [
     "reddit_pipeline",
     "rss_pipeline",
     "curation_pipeline",
+    "curation_to_sequences",
 ]
 
 #: real Structured-Streaming jobs: wall time is dominated by stream startup
