@@ -3087,6 +3087,106 @@ FROM cum ORDER BY source, doc_id
 """
 
 
+def q_csv_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S1 on a CSV source: documents round-tripped through quoted CSV
+    (free text with commas/quotes/newlines is exactly where naive CSV
+    breaks) and re-read with an explicit schema + multiLine, then
+    aggregated. The oracle reads the parquet directly — the encode/decode
+    must be lossless through quoting."""
+    import tempfile
+
+    docs = _t(spark, sf_dir, "documents")
+    tmp = tempfile.mkdtemp(prefix="csv_src_")
+    docs.select("doc_id", "text", "lang", "source", "n_chars").coalesce(
+        4
+    ).write.mode("overwrite").option("header", True).option("quoteAll", True).csv(
+        tmp
+    )
+    schema = (
+        "doc_id bigint, text string, lang string, source string, n_chars bigint"
+    )
+    back = (
+        spark.read.schema(schema)
+        .option("header", True)
+        .option("multiLine", True)
+        .csv(tmp)
+    )
+    return (
+        back.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+            F.sum(F.length("text")).alias("total_text_len"),
+        )
+        .orderBy("lang")
+    )
+
+
+SQL_CSV_SOURCE = """
+SELECT lang, count(*) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS total_chars,
+       CAST(sum(length(text)) AS BIGINT) AS total_text_len
+FROM documents GROUP BY 1 ORDER BY lang
+"""
+
+
+def q_corrupt_record_routing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K4 at the SOURCE: a JSONL feed where every doc_id % 13 == 0 line is
+    deliberately truncated mid-record; PERMISSIVE mode routes broken lines
+    to ``_corrupt_record`` instead of failing the job — the reference's
+    skip-on-error consumer loop restated as schema-level dead-lettering.
+    Output: per-source good/corrupt counts. The oracle mirrors the
+    corruption rule arithmetically (we constructed the corruption; what is
+    under test is Spark's routing of it)."""
+    import tempfile
+
+    docs = _t(spark, sf_dir, "documents")
+    tmp = tempfile.mkdtemp(prefix="corrupt_src_")
+    line = F.to_json(F.struct("doc_id", "text", "source"))
+    corrupted = docs.select(
+        F.when(
+            F.col("doc_id") % 13 == 0, F.substring(line, 1, 20)
+        )
+        .otherwise(line)
+        .alias("value")
+    )
+    corrupted.coalesce(2).write.mode("overwrite").text(tmp)
+    back = (
+        spark.read.schema(
+            "doc_id bigint, text string, source string, _corrupt_record string"
+        )
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .json(tmp)
+    )
+    return (
+        back.select(
+            F.coalesce(
+                "source",
+                F.lit("__dead_letter__"),
+            ).alias("route"),
+            F.when(F.col("_corrupt_record").isNull(), 1).otherwise(0).alias("ok"),
+        )
+        .groupBy("route")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("ok").cast("bigint").alias("n_good"),
+        )
+        .orderBy("route")
+    )
+
+
+SQL_CORRUPT_ROUTING = """
+WITH routed AS (
+  SELECT CASE WHEN doc_id % 13 = 0 THEN '__dead_letter__' ELSE source END
+           AS route,
+         CASE WHEN doc_id % 13 = 0 THEN 0 ELSE 1 END AS ok
+  FROM documents)
+SELECT route, count(*) AS n, CAST(sum(ok) AS BIGINT) AS n_good
+FROM routed GROUP BY route ORDER BY route
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -3175,6 +3275,8 @@ _REGISTRY: list[tuple[str, Callable[[SparkSession, str], DataFrame], str | None]
     ("retention_cohorts", q_retention_cohorts, SQL_RETENTION),
     ("temperature_mix", q_temperature_mix, SQL_TEMPERATURE_MIX),
     ("curation_to_sequences", q_curation_to_sequences, SQL_CURATION_SEQ),
+    ("csv_source", q_csv_source, SQL_CSV_SOURCE),
+    ("corrupt_record_routing", q_corrupt_record_routing, SQL_CORRUPT_ROUTING),
     ("multimodal_meta", q_multimodal_meta, SQL_MULTIMODAL),
     ("multimodal_features", q_multimodal_features, SQL_MULTIMODAL_FEATURES),
     ("curation_pipeline", q_curation_pipeline, SQL_CURATION),

@@ -77,6 +77,8 @@ HEADLINE = [
     "segment_dedup",
     "dup_span_fraction",
     "jsonl_source",
+    "csv_source",
+    "corrupt_record_routing",
     "kmeans_clusters",
     "importance_weights",
     "pmi_bigrams",
