@@ -3187,6 +3187,65 @@ FROM routed GROUP BY route ORDER BY route
 """
 
 
+def q_hll_merge_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch MERGEABILITY, the property that makes HLL a warehouse
+    primitive: the global distinct-user estimate comes from element-wise
+    max of the per-event-type registers — NO rescan of events — and must
+    agree with the estimate computed directly over all events (identical
+    registers by algebra). Output: per-type + '__total__' rows, each with
+    the sketch estimate and the exact count beside it."""
+    from ingestion_scripts_spark.operators.sketches import (
+        hll_estimate,
+        hll_merge,
+        hll_registers,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    regs = hll_registers(ev, ["event_type"], "user_id")
+    per = hll_estimate(regs, ["event_type"])
+    merged = hll_merge(regs, []).withColumn("event_type", F.lit("__total__"))
+    tot = hll_estimate(merged, ["event_type"])
+    exact_per = ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("n_exact")
+    )
+    exact_tot = ev.agg(F.countDistinct("user_id").alias("n_exact")).select(
+        F.lit("__total__").alias("event_type"), "n_exact"
+    )
+    return (
+        per.unionByName(tot)
+        .join(exact_per.unionByName(exact_tot), "event_type")
+        .select("event_type", "n_hll", "n_exact")
+        .orderBy("event_type")
+    )
+
+
+def _sql_hll_merge_rollup() -> str:
+    from ingestion_scripts_spark.operators.sketches import (
+        sql_hll_estimate,
+        sql_hll_registers,
+    )
+
+    regs = sql_hll_registers("events", "event_type", "user_id::VARCHAR")
+    per = sql_hll_estimate("regs", "event_type")
+    tot = sql_hll_estimate(
+        "(SELECT '__total__' AS event_type, idx, max(mr) AS mr "
+        "FROM regs GROUP BY 2)",
+        "event_type",
+    )
+    return f"""
+WITH regs AS ({regs}),
+est AS ({per} UNION ALL {tot}),
+exact AS (
+  SELECT event_type, count(DISTINCT user_id) AS n_exact
+  FROM events GROUP BY 1
+  UNION ALL
+  SELECT '__total__', count(DISTINCT user_id) FROM events)
+SELECT e.event_type, e.n_hll, x.n_exact
+FROM est e JOIN exact x USING (event_type)
+ORDER BY event_type
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -3277,6 +3336,7 @@ _REGISTRY: list[tuple[str, Callable[[SparkSession, str], DataFrame], str | None]
     ("curation_to_sequences", q_curation_to_sequences, SQL_CURATION_SEQ),
     ("csv_source", q_csv_source, SQL_CSV_SOURCE),
     ("corrupt_record_routing", q_corrupt_record_routing, SQL_CORRUPT_ROUTING),
+    ("hll_merge_rollup", q_hll_merge_rollup, _sql_hll_merge_rollup()),
     ("multimodal_meta", q_multimodal_meta, SQL_MULTIMODAL),
     ("multimodal_features", q_multimodal_features, SQL_MULTIMODAL_FEATURES),
     ("curation_pipeline", q_curation_pipeline, SQL_CURATION),

@@ -89,6 +89,7 @@ HEADLINE = [
     "hourly_windows",
     "anomaly_zscore",
     "retention_cohorts",
+    "hll_merge_rollup",
     "sessionize",
     "twitter_pipeline",
     "reddit_pipeline",

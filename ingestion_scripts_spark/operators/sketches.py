@@ -10,6 +10,12 @@ value; an HLL register set is m integers (m = 256 here) per group —
 map-side partial, mergeable (max per register), one narrow shuffle. This is
 the canonical sketch for cardinality dashboards over web-scale corpora.
 
+The registers/estimate split (``hll_registers`` / ``hll_estimate``) exposes
+the MERGE property directly: registers for any union of groups are the
+element-wise max of the groups' registers, so rollups across dimensions
+never rescan data — exactly how a sketch warehouse serves "distinct users
+overall" from per-segment sketches.
+
 Cross-engine determinism notes:
 - registers are integers (max of leading-zero ranks) — exactly equal.
 - ``sum(2^-M)`` adds dyadic rationals ≥ 2^-53 to a partial sum < m, which
@@ -37,20 +43,12 @@ def hll_alpha(m: int) -> float:
     return 0.7213 / (1.0 + 1.079 / m)
 
 
-def hll_count_distinct(
-    df: DataFrame,
-    group_cols: list[str],
-    value_col: str,
-    b: int = 8,
-    out_col: str = "n_hll",
+def hll_registers(
+    df: DataFrame, group_cols: list[str], value_col: str, b: int = 8
 ) -> DataFrame:
-    """Approximate COUNT(DISTINCT value) per group via HyperLogLog
-    (m = 2^b registers; standard error ≈ 1.04/sqrt(m) ≈ 6.5% at b=8).
-
-    Plan: narrow map (hash → register index + rank) → groupBy(group, idx)
-    max-agg (map-side partial: at most m rows per group leave each task)
-    → groupBy(group) harmonic mean. Two keyed shuffles, both tiny.
-    """
+    """Per-group HLL registers: (group..., __idx, __m). Narrow map (hash →
+    register index + rank) then a groupBy max — map-side partial means at
+    most m rows per group leave each task."""
     m = 1 << b
     rank_bits = HASH_BITS - b
     h = hash64(F.col(value_col).cast("string"))
@@ -61,11 +59,19 @@ def hll_count_distinct(
     rho = F.when(w == 0, F.lit(rank_bits + 1)).otherwise(
         F.lit(rank_bits + 1) - F.length(F.bin(w))
     )
-    regs = (
+    return (
         df.select(*group_cols, idx.alias("__idx"), rho.alias("__rho"))
         .groupBy(*group_cols, "__idx")
         .agg(F.max("__rho").alias("__m"))
     )
+
+
+def hll_estimate(
+    regs: DataFrame, group_cols: list[str], b: int = 8, out_col: str = "n_hll"
+) -> DataFrame:
+    """Registers → cardinality estimate per group (harmonic mean + linear
+    counting below 2.5m with empty registers)."""
+    m = 1 << b
     agg = regs.groupBy(*group_cols).agg(
         F.sum(F.pow(F.lit(2.0), -F.col("__m"))).alias("__s"),
         F.count(F.lit(1)).alias("__nreg"),
@@ -73,7 +79,6 @@ def hll_count_distinct(
     alpha = hll_alpha(m)
     zeros = F.lit(m) - F.col("__nreg")  # registers never touched (value 0)
     raw = F.lit(alpha * m * m) / (F.col("__s") + zeros)
-    # small-range (linear counting) correction below 2.5m with empty registers
     est = F.when(
         (raw <= 2.5 * m) & (zeros > 0), F.lit(float(m)) * F.log(F.lit(float(m)) / zeros)
     ).otherwise(raw)
@@ -82,34 +87,70 @@ def hll_count_distinct(
     )
 
 
-def sql_hll_count_distinct(
-    table_expr: str, group_col: str, value_expr: str, b: int = 8,
+def hll_merge(regs: DataFrame, to_cols: list[str]) -> DataFrame:
+    """Merge registers across dropped group dimensions: element-wise max —
+    the union-of-sets operation, NO rescan of the base data."""
+    return regs.groupBy(*to_cols, "__idx").agg(F.max("__m").alias("__m"))
+
+
+def hll_count_distinct(
+    df: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+    b: int = 8,
     out_col: str = "n_hll",
+) -> DataFrame:
+    """Approximate COUNT(DISTINCT value) per group via HyperLogLog
+    (m = 2^b registers; standard error ≈ 1.04/sqrt(m) ≈ 6.5% at b=8).
+
+    Plan: narrow map → groupBy(group, idx) max-agg → groupBy(group)
+    harmonic mean. Two keyed shuffles, both tiny.
+    """
+    return hll_estimate(
+        hll_registers(df, group_cols, value_col, b), group_cols, b, out_col
+    )
+
+
+def sql_hll_registers(
+    table_expr: str, group_col: str, value_expr: str, b: int = 8
 ) -> str:
-    """DuckDB twin of ``hll_count_distinct`` (same hash, same registers,
-    same literal alpha). ``value_expr`` must already be VARCHAR."""
+    """DuckDB twin of ``hll_registers`` (same hash, same registers)."""
     from ..oracle import sql_hash64
 
     m = 1 << b
     rank_bits = HASH_BITS - b
     h = sql_hash64(value_expr)
+    return f"""
+SELECT {group_col}, h % {m} AS idx,
+       max(CASE WHEN (h >> {b}) = 0 THEN {rank_bits + 1}
+                ELSE {rank_bits + 1} - length(bin(h >> {b})) END) AS mr
+FROM (SELECT {group_col}, {h} AS h FROM {table_expr})
+GROUP BY 1, 2"""
+
+
+def sql_hll_estimate(
+    regs_expr: str, group_col: str, b: int = 8, out_col: str = "n_hll"
+) -> str:
+    """DuckDB twin of ``hll_estimate`` over a registers relation
+    (columns: group, idx, mr)."""
+    m = 1 << b
     alpha_m2 = repr(hll_alpha(m) * m * m)
     return f"""
-WITH __hashed AS (SELECT {group_col}, {h} AS h FROM {table_expr}),
-__regs AS (
-  SELECT {group_col}, h % {m} AS idx,
-    CASE WHEN (h >> {b}) = 0 THEN {rank_bits + 1}
-         ELSE {rank_bits + 1} - length(bin(h >> {b})) END AS rho
-  FROM __hashed),
-__mx AS (SELECT {group_col}, idx, max(rho) AS mr FROM __regs GROUP BY 1, 2),
-__agg AS (
-  SELECT {group_col}, sum(pow(2.0, -mr)) AS s, count(*) AS nreg
-  FROM __mx GROUP BY 1)
 SELECT {group_col},
   CAST(floor(CASE WHEN ({alpha_m2} / (s + ({m} - nreg))) <= {2.5 * m}
                    AND ({m} - nreg) > 0
               THEN {float(m)} * ln({float(m)} / ({m} - nreg))
               ELSE {alpha_m2} / (s + ({m} - nreg)) END + 0.5) AS BIGINT)
     AS {out_col}
-FROM __agg
-"""
+FROM (SELECT {group_col}, sum(pow(2.0, -mr)) AS s, count(*) AS nreg
+      FROM {regs_expr} GROUP BY 1)"""
+
+
+def sql_hll_count_distinct(
+    table_expr: str, group_col: str, value_expr: str, b: int = 8,
+    out_col: str = "n_hll",
+) -> str:
+    """DuckDB twin of ``hll_count_distinct`` (same hash, same registers,
+    same literal alpha). ``value_expr`` must already be VARCHAR."""
+    regs = sql_hll_registers(table_expr, group_col, value_expr, b)
+    return sql_hll_estimate(f"({regs})", group_col, b, out_col)
