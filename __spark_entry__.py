@@ -3246,6 +3246,135 @@ ORDER BY event_type
 """
 
 
+def q_grouping_sets_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUPING SETS through the spark.sql() entry path (every other query
+    uses the DataFrame API; the SQL surface is equally supported) — the
+    multi-granularity aggregate with grouping_id disambiguating the
+    all-rows from the null-key rows."""
+    _t(spark, sf_dir, "lineitem").createOrReplaceTempView("li_gs")
+    return spark.sql(
+        """
+        SELECT coalesce(l_returnflag, '__all__') AS returnflag,
+               coalesce(l_linestatus, '__all__') AS linestatus,
+               CAST(grouping_id(l_returnflag, l_linestatus) AS BIGINT)
+                 AS gid,
+               round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+               count(*) AS n
+        FROM li_gs
+        GROUP BY GROUPING SETS ((l_returnflag, l_linestatus),
+                                (l_returnflag), (l_linestatus), ())
+        ORDER BY gid, returnflag, linestatus
+        """
+    )
+
+
+SQL_GROUPING_SETS = """
+SELECT coalesce(l_returnflag, '__all__') AS returnflag,
+       coalesce(l_linestatus, '__all__') AS linestatus,
+       CAST(grouping(l_returnflag) * 2 + grouping(l_linestatus) AS BIGINT)
+         AS gid,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       count(*) AS n
+FROM lineitem
+GROUP BY GROUPING SETS ((l_returnflag, l_linestatus),
+                        (l_returnflag), (l_linestatus), ())
+ORDER BY gid, returnflag, linestatus
+"""
+
+
+def q_window_dist_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution window functions (percent_rank / cume_dist) over order
+    values per priority — exact rationals k/n, so cross-engine equality is
+    bit-level; ranks ordered by (value, key) for determinism."""
+    orders = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        F.col("o_totalprice").asc(), F.col("o_orderkey").asc()
+    )
+    return (
+        orders.select(
+            "o_orderkey",
+            "o_orderpriority",
+            F.round(F.percent_rank().over(w), 6).alias("pr"),
+            F.round(F.cume_dist().over(w), 6).alias("cd"),
+        )
+        .filter(F.col("o_orderkey") % 50 == 0)
+        .orderBy("o_orderkey")
+    )
+
+
+SQL_WINDOW_DIST = """
+SELECT o_orderkey, o_orderpriority, pr, cd FROM (
+  SELECT o_orderkey, o_orderpriority,
+         round(percent_rank() OVER w, 6) AS pr,
+         round(cume_dist() OVER w, 6) AS cd
+  FROM orders
+  WINDOW w AS (PARTITION BY o_orderpriority
+               ORDER BY o_totalprice ASC, o_orderkey ASC))
+WHERE o_orderkey % 50 = 0 ORDER BY o_orderkey
+"""
+
+
+def q_lang_histograms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source language histogram serialized as a deterministic
+    'lang:count' string — the map-valued aggregate shape, flattened to a
+    scalar the way every array/map result leaves this engine (driver
+    canonicalizer contract)."""
+    docs = _t(spark, sf_dir, "documents")
+    counts = docs.groupBy("source", "lang").agg(F.count(F.lit(1)).alias("n"))
+    return (
+        counts.groupBy("source")
+        .agg(
+            F.concat_ws(
+                "|",
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("lang", "n"))),
+                    lambda s: F.concat_ws(":", s["lang"], s["n"].cast("string")),
+                ),
+            ).alias("histogram")
+        )
+        .orderBy("source")
+    )
+
+
+SQL_LANG_HIST = """
+SELECT source,
+       array_to_string(list(lang || ':' || n ORDER BY lang), '|') AS histogram
+FROM (SELECT source, lang, count(*) AS n FROM documents GROUP BY 1, 2)
+GROUP BY source ORDER BY source
+"""
+
+
+def q_stats_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical aggregates (Pearson corr, sample covariance/stddev) per
+    return flag — one pass, map-side partial moments; rounded before
+    output so the engines' summation-order drift (~1e-12) can't leak."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.round(F.corr("l_quantity", "l_extendedprice"), 6).alias(
+                "corr_qty_price"
+            ),
+            F.round(F.covar_samp("l_quantity", "l_extendedprice"), 4).alias(
+                "covar_qty_price"
+            ),
+            F.round(F.stddev_samp("l_discount"), 6).alias("sd_discount"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+SQL_STATS_CORR = """
+SELECT l_returnflag,
+       round(corr(l_quantity, l_extendedprice), 6) AS corr_qty_price,
+       round(covar_samp(l_quantity, l_extendedprice), 4) AS covar_qty_price,
+       round(stddev_samp(l_discount), 6) AS sd_discount,
+       count(*) AS n
+FROM lineitem GROUP BY 1 ORDER BY l_returnflag
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -3337,6 +3466,10 @@ _REGISTRY: list[tuple[str, Callable[[SparkSession, str], DataFrame], str | None]
     ("csv_source", q_csv_source, SQL_CSV_SOURCE),
     ("corrupt_record_routing", q_corrupt_record_routing, SQL_CORRUPT_ROUTING),
     ("hll_merge_rollup", q_hll_merge_rollup, _sql_hll_merge_rollup()),
+    ("grouping_sets_revenue", q_grouping_sets_revenue, SQL_GROUPING_SETS),
+    ("window_dist_funcs", q_window_dist_funcs, SQL_WINDOW_DIST),
+    ("lang_histograms", q_lang_histograms, SQL_LANG_HIST),
+    ("stats_corr", q_stats_corr, SQL_STATS_CORR),
     ("multimodal_meta", q_multimodal_meta, SQL_MULTIMODAL),
     ("multimodal_features", q_multimodal_features, SQL_MULTIMODAL_FEATURES),
     ("curation_pipeline", q_curation_pipeline, SQL_CURATION),

@@ -43,6 +43,10 @@ HEADLINE = [
     "semi_join_urgent",
     "cust_order_dist",
     "rollup_revenue",
+    "grouping_sets_revenue",
+    "window_dist_funcs",
+    "lang_histograms",
+    "stats_corr",
     "distinct_users",
     "asof_clicks",
     "purchase_error_funnel",
