@@ -3375,6 +3375,48 @@ FROM lineitem GROUP BY 1 ORDER BY l_returnflag
 """
 
 
+def q_session_window_native(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark's NATIVE session_window operator (dynamic-gap session merge
+    inside the engine) pinned against the classic gaps-and-islands SQL —
+    proves the built-in path and the manual construction (q_sessionize)
+    agree on semantics, including the boundary rule: a gap of exactly the
+    timeout starts a NEW session (session end is exclusive)."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            "user_id",
+            _fmt_ts(F.col("w.start"), with_micros=True).alias("session_start"),
+            _fmt_ts(F.col("w.end"), with_micros=True).alias("session_end"),
+            "n",
+        )
+        .orderBy("user_id", "session_start")
+    )
+
+
+SQL_SESSION_WINDOW = f"""
+WITH flagged AS (
+  SELECT user_id, ts,
+         CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                   >= INTERVAL 30 MINUTE
+              OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+              THEN 1 ELSE 0 END AS new_s
+  FROM events),
+sess AS (
+  SELECT user_id, ts,
+         sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                          ROWS UNBOUNDED PRECEDING) AS sid
+  FROM flagged)
+SELECT user_id,
+       {SQL_TS_US.format('min(ts)')} AS session_start,
+       {SQL_TS_US.format("max(ts) + INTERVAL 30 MINUTE")} AS session_end,
+       count(*) AS n
+FROM sess GROUP BY user_id, sid
+ORDER BY user_id, session_start
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -3470,6 +3512,7 @@ _REGISTRY: list[tuple[str, Callable[[SparkSession, str], DataFrame], str | None]
     ("window_dist_funcs", q_window_dist_funcs, SQL_WINDOW_DIST),
     ("lang_histograms", q_lang_histograms, SQL_LANG_HIST),
     ("stats_corr", q_stats_corr, SQL_STATS_CORR),
+    ("session_window_native", q_session_window_native, SQL_SESSION_WINDOW),
     ("multimodal_meta", q_multimodal_meta, SQL_MULTIMODAL),
     ("multimodal_features", q_multimodal_features, SQL_MULTIMODAL_FEATURES),
     ("curation_pipeline", q_curation_pipeline, SQL_CURATION),

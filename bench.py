@@ -95,6 +95,7 @@ HEADLINE = [
     "retention_cohorts",
     "hll_merge_rollup",
     "sessionize",
+    "session_window_native",
     "twitter_pipeline",
     "reddit_pipeline",
     "rss_pipeline",
