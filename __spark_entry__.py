@@ -1384,16 +1384,9 @@ def q_stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     import tempfile
     import uuid
 
-    from ingestion_scripts_spark.sources.readers import load_table
+    from ingestion_scripts_spark.sources.readers import read_events_stream
 
-    load_table(spark, sf_dir, "events")  # sets nanosAsLong + UTC confs
-    raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
-    stream = (
-        spark.readStream.schema(raw_schema)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(sf_dir)
-        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-    )
+    stream = read_events_stream(spark, sf_dir)
     agg = (
         stream.groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
         .agg(
@@ -1447,16 +1440,9 @@ def q_stream_hourly_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     import tempfile
     import uuid
 
-    from ingestion_scripts_spark.sources.readers import load_table
+    from ingestion_scripts_spark.sources.readers import read_events_stream
 
-    load_table(spark, sf_dir, "events")  # sets nanosAsLong + UTC session confs
-    raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
-    stream = (
-        spark.readStream.schema(raw_schema)
-        .option("pathGlobFilter", "events.parquet")  # file source needs a dir
-        .parquet(sf_dir)
-        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-    )
+    stream = read_events_stream(spark, sf_dir)
     agg = (
         stream.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
         .agg(
@@ -1500,15 +1486,9 @@ def q_stream_dedup_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     import tempfile
     import uuid
 
-    from ingestion_scripts_spark.sources.readers import load_table
+    from ingestion_scripts_spark.sources.readers import read_events_stream
 
-    load_table(spark, sf_dir, "events")  # sets nanosAsLong + UTC confs
-    raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
-    stream = (
-        spark.readStream.schema(raw_schema)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(sf_dir)
-    )
+    stream = read_events_stream(spark, sf_dir)
     doubled = stream.select(
         "event_id", "event_type",
         F.explode(F.array(F.lit(0), F.lit(1))).alias("__replay"),
@@ -2395,15 +2375,10 @@ def q_stream_enriched_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     import tempfile
     import uuid
 
-    from ingestion_scripts_spark.sources.readers import load_table
+    from ingestion_scripts_spark.sources.readers import load_table, read_events_stream
 
-    cust = load_table(spark, sf_dir, "customer")  # sets session confs too
-    raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
-    stream = (
-        spark.readStream.schema(raw_schema)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(sf_dir)
-    )
+    cust = load_table(spark, sf_dir, "customer")
+    stream = read_events_stream(spark, sf_dir)
     enriched = stream.join(
         F.broadcast(cust), stream.user_id == cust.c_custkey
     ).select("event_id", "c_mktsegment", "value")

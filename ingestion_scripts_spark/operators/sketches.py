@@ -111,6 +111,74 @@ def hll_count_distinct(
     )
 
 
+def cms_sketch(
+    df: DataFrame, value_col: str, d: int = 4, w: int = 256
+) -> DataFrame:
+    """Count-min sketch of a key column: (``__row``, ``__col``, ``__n``).
+
+    Each record increments one cell per hash row (d salted md5-derived
+    hashes → column index). Built as an explode(d) + groupBy count — the
+    sketch is d·w cells TOTAL regardless of corpus size, and map-side
+    partial aggregation means each task emits at most d·w rows. Mergeable:
+    sketches of two corpora add cell-wise (same reason HLL registers max).
+
+    At 100 TB this is the heavy-hitters primitive: exact per-key counts
+    shuffle every key; the sketch shuffles ≤ d·w rows per task and the
+    point-estimate pass only touches candidate keys.
+    """
+    rows = F.explode(F.array(*[F.lit(r) for r in range(d)])).alias("__row")
+    keyed = df.select(F.col(value_col).cast("string").alias("__k"), rows)
+    col = hash64(F.concat_ws(":", F.col("__row"), F.col("__k"))) % w
+    return (
+        keyed.select("__row", col.alias("__col"))
+        .groupBy("__row", "__col")
+        .count()
+        .withColumnRenamed("count", "__n")
+    )
+
+
+def cms_estimate(
+    sketch: DataFrame, keys: DataFrame, key_col: str, d: int = 4, w: int = 256,
+    out_col: str = "est",
+) -> DataFrame:
+    """Point-estimate counts for ``keys`` from a CMS: min over the d cells
+    each key hashes to. The join is (d rows per key) ⋈ (d·w-cell sketch) —
+    the sketch side is tiny and broadcasts, so no shuffle of the key set."""
+    probes = keys.select(
+        F.col(key_col),
+        F.explode(F.array(*[F.lit(r) for r in range(d)])).alias("__row"),
+    ).withColumn(
+        "__col", hash64(F.concat_ws(":", F.col("__row"), F.col(key_col).cast("string"))) % w
+    )
+    return (
+        probes.join(F.broadcast(sketch), ["__row", "__col"])
+        .groupBy(key_col)
+        .agg(F.min("__n").cast("bigint").alias(out_col))
+    )
+
+
+def sql_cms_estimate(
+    table_expr: str, key_expr: str, d: int = 4, w: int = 256, out_col: str = "est"
+) -> str:
+    """DuckDB twin of ``cms_sketch`` + ``cms_estimate`` over every distinct
+    key of the same relation (same salted hashes, same cells)."""
+    from ..oracle import sql_hash64
+
+    h = sql_hash64("(r.i || ':' || k.__k)")
+    return f"""
+WITH keyed AS (SELECT {key_expr} AS __k FROM {table_expr}),
+cells AS (
+  SELECT r.i AS row_i, {h} % {w} AS col_i, count(*) AS n
+  FROM keyed k, (SELECT unnest(range({d})) AS i) r
+  GROUP BY 1, 2),
+probes AS (
+  SELECT k.__k, r.i AS row_i, {h} % {w} AS col_i
+  FROM (SELECT DISTINCT __k FROM keyed) k, (SELECT unnest(range({d})) AS i) r)
+SELECT p.__k, CAST(min(c.n) AS BIGINT) AS {out_col}
+FROM probes p JOIN cells c ON p.row_i = c.row_i AND p.col_i = c.col_i
+GROUP BY 1"""
+
+
 def sql_hll_registers(
     table_expr: str, group_col: str, value_expr: str, b: int = 8
 ) -> str:

@@ -313,3 +313,112 @@ def quality_classify(text_col: Column) -> Column:
         score.alias("gate_score"),
         (z >= 0).cast("int").alias("keep"),
     )
+
+
+#: Gopher rule thresholds (Rae et al. 2021, §A1.1 heuristics restated over
+#: whitespace tokens). Frozen literals shared with the oracle SQL.
+GOPHER_MIN_TOKENS = 5
+GOPHER_MAX_TOKENS = 100_000
+GOPHER_MTL_MIN = 2.0
+GOPHER_MTL_MAX = 12.0
+GOPHER_MAX_SYMBOL_RATIO = 0.1   # '#' and '…' per token
+GOPHER_MIN_ALPHA_FRAC = 0.6     # fraction of tokens containing a letter
+GOPHER_MIN_STOP_HITS = 1        # distinct required-stopword hits
+
+
+#: the Gopher "minimum stop words" list
+GOPHER_STOPS = ["the", "be", "to", "of", "and", "that", "have", "with"]
+
+
+def gopher_rules(text_col: Column) -> Column:
+    """Gopher-style rule filter: per-document signals + one boolean verdict.
+
+    All signals are narrow regexp/HOF maps (no shuffle, whole-stage
+    codegen); at 100 TB this runs as a pure scan-side filter, exactly how
+    rule gates precede the expensive dedup stages in a curation DAG.
+    """
+    toks = tokenize_ws(text_col)
+    n_tokens = F.size(toks)
+    nt = F.greatest(n_tokens, F.lit(1))
+    mean_tok_len = r4(
+        F.aggregate(toks, F.lit(0.0), lambda a, t: a + F.length(t)) / nt
+    )
+    n_symbols = F.regexp_count(text_col, F.lit("[#…]"))
+    symbol_ratio = r4(n_symbols / nt)
+    n_alpha_toks = F.size(F.filter(toks, lambda t: t.rlike("[A-Za-z]")))
+    alpha_frac = r4(n_alpha_toks / nt)
+    low = F.array(*[F.lit(s) for s in GOPHER_STOPS])
+    stop_hits = F.size(
+        F.array_intersect(tokenize_ws(F.lower(text_col)), low)
+    )
+    keep = (
+        (n_tokens >= GOPHER_MIN_TOKENS)
+        & (n_tokens <= GOPHER_MAX_TOKENS)
+        & (mean_tok_len >= GOPHER_MTL_MIN)
+        & (mean_tok_len <= GOPHER_MTL_MAX)
+        & (symbol_ratio <= GOPHER_MAX_SYMBOL_RATIO)
+        & (alpha_frac >= GOPHER_MIN_ALPHA_FRAC)
+        & (stop_hits >= GOPHER_MIN_STOP_HITS)
+    )
+    return F.struct(
+        n_tokens.cast("bigint").alias("n_tokens"),
+        mean_tok_len.alias("mean_token_len"),
+        symbol_ratio.alias("symbol_ratio"),
+        alpha_frac.alias("alpha_frac"),
+        stop_hits.cast("bigint").alias("stop_hits"),
+        keep.cast("int").alias("keep"),
+    )
+
+
+def chunk_tokens(df, id_col: str, text_col: str, size: int = 64, stride: int = 48):
+    """Overlapping token-window chunking (RAG / long-doc training prep):
+    whitespace tokens → windows of ``size`` starting every ``stride``
+    (so ``size - stride`` tokens of overlap), last partial window kept.
+
+    posexplode over a computed start-index ``sequence`` — a narrow map
+    whose fanout is the chunk count; no shuffle. Returns one row per chunk
+    with (id, chunk_id, n_chunk_tokens, chunk_text).
+    """
+    toks = tokenize_ws(F.col(text_col))
+    n = F.size(toks)
+    # number of windows: 1 + ceil(max(n - size, 0) / stride); head window
+    # always exists (empty text → 1 empty chunk)
+    extra = F.greatest(n - F.lit(size), F.lit(0))
+    n_win = F.lit(1) + F.ceil(extra / F.lit(stride)).cast("int")
+    starts = F.sequence(F.lit(0), (n_win - 1) * stride, F.lit(stride))
+    out = (
+        df.select(F.col(id_col), toks.alias("__t"), starts.alias("__s"))
+        .select(F.col(id_col), "__t", F.posexplode("__s").alias("chunk_id", "__start"))
+        .select(
+            F.col(id_col),
+            F.col("chunk_id").cast("bigint").alias("chunk_id"),
+            F.slice(F.col("__t"), F.col("__start") + 1, F.lit(size)).alias("__c"),
+        )
+    )
+    return out.select(
+        F.col(id_col),
+        "chunk_id",
+        F.size("__c").cast("bigint").alias("n_chunk_tokens"),
+        F.concat_ws(" ", "__c").alias("chunk_text"),
+    )
+
+
+def priority_sample(df, id_col: str, weight_col: Column, k: int = 50):
+    """Deterministic weighted sampling WITHOUT replacement (Efraimidis-
+    Spirakis A-ES): key = -ln(u) / w with u ∈ (0,1] derived from the
+    60-bit md5 hash of the id — no RNG state, so the sample is identical
+    across engines, runs, and repartitionings. Global top-k smallest keys.
+
+    The k-smallest selection is a TakeOrdered (per-partition top-k then a
+    k-row merge on one reducer) — no global sort materializes at scale.
+    Keys are rounded to 9 dp before ranking with id tie-break, so the
+    cross-engine selection is exact despite libm ln() ULP differences.
+    """
+    two60 = float(1 << 60)
+    u = (hash64(F.col(id_col).cast("string")) + F.lit(1.0)) / F.lit(two60)
+    key = F.round(-F.log(u) / weight_col, 9)
+    return (
+        df.select(F.col(id_col), weight_col.alias("w"), key.alias("es_key"))
+        .orderBy(F.col("es_key").asc(), F.col(id_col).asc())
+        .limit(k)
+    )

@@ -42,6 +42,11 @@ def build_session(
         # vectorized reader rejects; read as raw nanos longs session-wide
         # (only affects NANOS columns — micros timestamps are untouched)
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # testdata may instead ship TIMESTAMP(MICROS, isAdjustedToUTC=false),
+        # which Spark 4 infers as TIMESTAMP_NTZ by default; read it as a
+        # plain UTC timestamp so numeric casts / unix_* work and the values
+        # match DuckDB's naive-timestamp reading of the same file
+        .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
     )

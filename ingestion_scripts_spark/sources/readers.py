@@ -48,14 +48,43 @@ def load_table(
     nanosAsLong the events scan fails outright (PARQUET_TYPE_ILLEGAL) or
     drifts by the session timezone."""
     spark.conf.set("spark.sql.session.timeZone", "UTC")
+    # parquet flavor varies by generator run: TIMESTAMP(NANOS) needs the
+    # raw-longs escape hatch; TIMESTAMP(MICROS, isAdjustedToUTC=false) would
+    # infer as TIMESTAMP_NTZ (no numeric casts) unless inference is off
+    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
     ts_cols = NANOS_TS_COLUMNS.get(name, [])
     if ts_cols:
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     for c in ts_cols:
-        if dict(df.dtypes).get(c) == "bigint":
+        dtype = dict(df.dtypes).get(c)
+        if dtype == "bigint":
             df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))
+        elif dtype == "timestamp_ntz":
+            # session tz is UTC, so this cast preserves the wall-clock value
+            df = df.withColumn(c, F.col(c).cast("timestamp"))
     return df.select(*columns) if columns else df
+
+
+def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``events.parquet`` as a file-source STREAM with ``ts`` normalized to
+    ``TimestampType`` whichever parquet flavor the generator used (INT64
+    nanos → exact integer ns→µs truncation; MICROS/NTZ → plain cast under
+    the UTC session). Mirrors ``load_table``'s batch normalization so the
+    streaming twins see byte-identical event times."""
+    load_table(spark, sf_dir, "events")  # asserts session confs
+    raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    stream = (
+        spark.readStream.schema(raw_schema)
+        .option("pathGlobFilter", "events.parquet")  # file source needs a dir
+        .parquet(sf_dir)
+    )
+    dtype = dict(stream.dtypes).get("ts")
+    if dtype == "bigint":
+        stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    elif dtype == "timestamp_ntz":
+        stream = stream.withColumn("ts", F.col("ts").cast("timestamp"))
+    return stream
 
 
 def read_json_records(
