@@ -3393,6 +3393,234 @@ ORDER BY user_id, session_start
 
 
 # ---------------------------------------------------------------------------
+# round-3 extensions: semantic dedup, CMS heavy hitters, chunking, rule
+# gates, weighted sampling, per-source caps, ORC source
+# ---------------------------------------------------------------------------
+
+def q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023): k-means the embedding space, then
+    exact cosine near-dup removal WITHIN each cluster — the cluster
+    assignment is the blocking key, so the quadratic pair step is bounded
+    by cluster size and global all-pairs never materializes. Survivor =
+    lowest vec_id of each dup group (dup_of = -1 for kept vectors).
+
+    Composition of two verified primitives: ``kmeans_fit`` (narrow
+    assignment + tiny keyed re-center shuffle) and ``blocked_cosine_pairs``
+    (fold-exact, oracle-identical). At 100 TB the same plan holds — the
+    cluster count scales with corpus size and each cluster fits a task."""
+    from ingestion_scripts_spark.operators.clustering import kmeans_fit
+
+    emb = _t(spark, sf_dir, "embeddings")
+    _, assigned = kmeans_fit(emb, "embedding", "vec_id", k=8, iters=3)
+    assigned = assigned.select(
+        F.col("__id").alias("vec_id"), F.col("cluster_id").cast("bigint").alias("cluster_id"), "v"
+    )
+    pairs = SIM.blocked_cosine_pairs(
+        assigned, "cluster_id", id_col="vec_id", vec_col="v", threshold=0.35
+    )
+    dup_of = pairs.groupBy("id_b").agg(F.min("id_a").alias("__dup"))
+    return (
+        assigned.join(dup_of, assigned.vec_id == dup_of.id_b, "left")
+        .select(
+            "vec_id",
+            "cluster_id",
+            F.coalesce(F.col("__dup"), F.lit(-1)).cast("bigint").alias("dup_of"),
+            F.col("__dup").isNull().cast("int").alias("kept"),
+        )
+        .orderBy("vec_id")
+    )
+
+
+def _sql_semdedup() -> str:
+    cos = f"round({O.sql_dot('av.v', 'bv.v', 'len(av.v)')}, 6)"
+    return f"""
+WITH assign AS (SELECT vec_id, cluster_id FROM ({_sql_kmeans_base()}) base),
+v0 AS (SELECT vec_id, embedding::DOUBLE[] AS r FROM embeddings),
+vv AS (SELECT vec_id, list_transform(r, x -> x / {_SQL_NORM('r')}) AS v FROM v0),
+pairs AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b
+  FROM assign a JOIN assign b
+    ON a.cluster_id = b.cluster_id AND a.vec_id < b.vec_id
+  JOIN vv av ON av.vec_id = a.vec_id
+  JOIN vv bv ON bv.vec_id = b.vec_id
+  WHERE {cos} >= 0.35),
+d AS (SELECT id_b, min(id_a) AS dup_of FROM pairs GROUP BY 1)
+SELECT a.vec_id, CAST(a.cluster_id AS BIGINT) AS cluster_id,
+       CAST(coalesce(d.dup_of, -1) AS BIGINT) AS dup_of,
+       CAST(CASE WHEN d.dup_of IS NULL THEN 1 ELSE 0 END AS INTEGER) AS kept
+FROM assign a LEFT JOIN d ON d.id_b = a.vec_id
+ORDER BY vec_id
+"""
+
+
+def q_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heavy hitters via a count-min sketch (d=4 salted hash rows × w=256
+    cells): the sketch is ≤ d·w rows per task after map-side partials —
+    the scalable substitute for exact per-key counts when the key space is
+    huge — then point-estimates for the distinct keys, top-20 by estimate.
+    Estimates over-count on collisions (never under): both engines compute
+    the identical cells, so the driver hash check is exact."""
+    from ingestion_scripts_spark.operators.sketches import cms_estimate, cms_sketch
+
+    ev = _t(spark, sf_dir, "events")
+    sk = cms_sketch(ev, "user_id")
+    keys = ev.select("user_id").distinct()
+    return (
+        cms_estimate(sk, keys, "user_id", out_col="est_count")
+        .orderBy(F.col("est_count").desc(), F.col("user_id").asc())
+        .limit(20)
+    )
+
+
+def _sql_cms_heavy_hitters() -> str:
+    from ingestion_scripts_spark.operators.sketches import sql_cms_estimate
+
+    inner = sql_cms_estimate("events", "user_id", out_col="est_count")
+    return f"""
+SELECT CAST(__k AS BIGINT) AS user_id, est_count
+FROM ({inner})
+ORDER BY est_count DESC, user_id ASC LIMIT 20
+"""
+
+
+def q_doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping token-window chunking (64-token windows every 48 —
+    RAG / long-document training prep): a narrow posexplode whose fanout
+    is the chunk count; no shuffle anywhere."""
+    docs = _t(spark, sf_dir, "documents")
+    return TA.chunk_tokens(docs, "doc_id", "text", size=64, stride=48).orderBy(
+        "doc_id", "chunk_id"
+    )
+
+
+_SQL_DOC_CHUNKS = """
+WITH t AS (SELECT doc_id, {toks} AS toks FROM documents),
+w AS (SELECT doc_id, toks,
+             CAST(1 + ceil(greatest(len(toks) - 64, 0) / 48.0) AS BIGINT) AS n_win
+      FROM t),
+c AS (SELECT doc_id, toks, unnest(range(n_win)) AS chunk_id FROM w)
+SELECT doc_id, chunk_id,
+       CAST(len(toks[chunk_id * 48 + 1 : chunk_id * 48 + 64]) AS BIGINT)
+         AS n_chunk_tokens,
+       array_to_string(toks[chunk_id * 48 + 1 : chunk_id * 48 + 64], ' ')
+         AS chunk_text
+FROM c ORDER BY doc_id, chunk_id
+"""
+
+
+def q_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style rule gate (Rae et al. 2021 heuristics): token-count
+    bounds, mean-word-length band, symbol ratio, alpha-token fraction,
+    required-stopword hits → one keep verdict per document. Pure scan-side
+    narrow map — the cheap filter that runs BEFORE dedup in a curation
+    DAG, so 100 TB never reaches the expensive stages unfiltered."""
+    docs = _t(spark, sf_dir, "documents")
+    g = TA.gopher_rules(F.col("text"))
+    return docs.select(
+        "doc_id",
+        g["n_tokens"].alias("n_tokens"),
+        g["mean_token_len"].alias("mean_token_len"),
+        g["symbol_ratio"].alias("symbol_ratio"),
+        g["alpha_frac"].alias("alpha_frac"),
+        g["stop_hits"].alias("stop_hits"),
+        g["keep"].alias("keep"),
+    ).orderBy("doc_id")
+
+
+def _sql_gopher_rules() -> str:
+    g = O.sql_gopher("text")
+    cols = ",\n  ".join(f"{expr} AS {name}" for name, expr in g.items())
+    return f"SELECT doc_id,\n  {cols}\nFROM documents ORDER BY doc_id"
+
+
+def q_priority_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic weighted sampling without replacement (Efraimidis-
+    Spirakis exponential keys, hash-derived uniforms — no RNG state):
+    50 documents weighted by length. Identical selection across engines,
+    runs, and repartitionings; the top-k is a per-partition TakeOrdered
+    merge, never a global sort."""
+    docs = _t(spark, sf_dir, "documents")
+    return TA.priority_sample(
+        docs, "doc_id", F.greatest(F.col("n_chars"), F.lit(1)).cast("double"), k=50
+    ).orderBy("es_key", "doc_id")
+
+
+def _sql_priority_sample() -> str:
+    u = f"(({O.sql_hash64('doc_id::VARCHAR')}) + 1.0) / {float(1 << 60)!r}"
+    key = f"round(-ln({u}) / greatest(n_chars, 1)::DOUBLE, 9)"
+    return f"""
+SELECT doc_id, greatest(n_chars, 1)::DOUBLE AS w, {key} AS es_key
+FROM documents
+ORDER BY es_key ASC, doc_id ASC LIMIT 50
+"""
+
+
+def q_domain_caps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source document caps (CCNet/Gopher-style dominance control):
+    keep at most 15 documents per source, best quality first (ties →
+    lowest doc_id). One window shuffle keyed by source; at skewed scale
+    the same cap runs as the salted two-phase top-k."""
+    docs = _t(spark, sf_dir, "documents")
+    q = TA.quality_score(F.col("text"))["quality"]
+    w = Window.partitionBy("source").orderBy(F.col("__q").desc(), F.col("doc_id").asc())
+    return (
+        docs.select("doc_id", "source", q.alias("__q"))
+        .withColumn("rnk", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rnk") <= 15)
+        .select("source", "rnk", "doc_id", F.col("__q").alias("quality"))
+        .orderBy("source", "rnk")
+    )
+
+
+def _sql_domain_caps() -> str:
+    qual = O.sql_quality("text")["quality"]
+    return f"""
+WITH scored AS (
+  SELECT doc_id, source, {qual} AS q FROM documents),
+ranked AS (
+  SELECT source, doc_id, q,
+         CAST(row_number() OVER (PARTITION BY source
+                                 ORDER BY q DESC, doc_id ASC) AS BIGINT) AS rnk
+  FROM scored)
+SELECT source, rnk, doc_id, q AS quality
+FROM ranked WHERE rnk <= 15 ORDER BY source, rnk
+"""
+
+
+def q_orc_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S1 on an ORC source: documents round-tripped through ORC (Spark's
+    built-in columnar alternative to parquet) with an explicit schema on
+    re-read, then aggregated per (lang, source). The oracle reads the
+    parquet directly — the round-trip must be lossless."""
+    import tempfile
+
+    docs = _t(spark, sf_dir, "documents")
+    tmp = tempfile.mkdtemp(prefix="orc_src_")
+    docs.select("doc_id", "text", "lang", "source", "n_chars").coalesce(
+        4
+    ).write.mode("overwrite").orc(tmp)
+    schema = "doc_id bigint, text string, lang string, source string, n_chars bigint"
+    back = spark.read.schema(schema).orc(tmp)
+    return (
+        back.groupBy("lang", "source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+            F.sum(F.length("text")).alias("total_text_len"),
+        )
+        .orderBy("lang", "source")
+    )
+
+
+SQL_ORC_SOURCE = """
+SELECT lang, source, count(*) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS total_chars,
+       CAST(sum(length(text)) AS BIGINT) AS total_text_len
+FROM documents GROUP BY 1, 2 ORDER BY lang, source
+"""
+
+
+# ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
 
@@ -3491,6 +3719,13 @@ _REGISTRY: list[tuple[str, Callable[[SparkSession, str], DataFrame], str | None]
     ("multimodal_meta", q_multimodal_meta, SQL_MULTIMODAL),
     ("multimodal_features", q_multimodal_features, SQL_MULTIMODAL_FEATURES),
     ("curation_pipeline", q_curation_pipeline, SQL_CURATION),
+    ("semdedup", q_semdedup, _sql_semdedup()),
+    ("cms_heavy_hitters", q_cms_heavy_hitters, _sql_cms_heavy_hitters()),
+    ("doc_chunks", q_doc_chunks, _SQL_DOC_CHUNKS.format(toks=O.sql_tokenize_ws("text"))),
+    ("gopher_rules", q_gopher_rules, _sql_gopher_rules()),
+    ("priority_sample", q_priority_sample, _sql_priority_sample()),
+    ("domain_caps", q_domain_caps, _sql_domain_caps()),
+    ("orc_source", q_orc_source, SQL_ORC_SOURCE),
 ]
 
 

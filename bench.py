@@ -90,6 +90,13 @@ HEADLINE = [
     "scd_upsert",
     "temperature_mix",
     "sentiment",
+    "semdedup",
+    "cms_heavy_hitters",
+    "doc_chunks",
+    "gopher_rules",
+    "priority_sample",
+    "domain_caps",
+    "orc_source",
     "hourly_windows",
     "anomaly_zscore",
     "retention_cohorts",

@@ -374,3 +374,50 @@ def sql_ivf_cell(v: str, centroids: list[list[float]]) -> str:
         f"WHEN {d2} = ({m}) THEN {i}" for i, d2 in enumerate(dists)
     )
     return f"(CASE {whens} ELSE -1 END)"
+
+
+def sql_gopher(x: str) -> dict[str, str]:
+    """= operators.text_analysis.gopher_rules: same frozen thresholds
+    (imported), same r4 rounding, same token/stopword semantics."""
+    from .operators.text_analysis import (
+        GOPHER_MAX_SYMBOL_RATIO,
+        GOPHER_MAX_TOKENS,
+        GOPHER_MIN_ALPHA_FRAC,
+        GOPHER_MIN_STOP_HITS,
+        GOPHER_MIN_TOKENS,
+        GOPHER_MTL_MAX,
+        GOPHER_MTL_MIN,
+        GOPHER_STOPS,
+    )
+
+    toks = sql_tokenize_ws(x)
+    low_toks = sql_tokenize_ws(f"lower({x})")
+    nt = f"greatest(len({toks}), 1)"
+    mtl = sql_r4(
+        f"coalesce(list_sum(list_transform({toks}, t -> CAST(length(t) AS DOUBLE))), 0.0)"
+        f" / {nt}"
+    )
+    sym = sql_r4(f"len(regexp_extract_all({x}, '[#…]')) / {nt}")
+    alpha = sql_r4(
+        f"len(list_filter({toks}, t -> regexp_matches(t, '[A-Za-z]'))) / {nt}"
+    )
+    stops = sql_list(GOPHER_STOPS)
+    hits = (
+        f"len(list_distinct(list_filter({low_toks}, t -> list_contains({stops}, t))))"
+    )
+    keep = (
+        f"CASE WHEN len({toks}) BETWEEN {GOPHER_MIN_TOKENS} AND {GOPHER_MAX_TOKENS}"
+        f" AND ({mtl}) BETWEEN {GOPHER_MTL_MIN!r} AND {GOPHER_MTL_MAX!r}"
+        f" AND ({sym}) <= {GOPHER_MAX_SYMBOL_RATIO!r}"
+        f" AND ({alpha}) >= {GOPHER_MIN_ALPHA_FRAC!r}"
+        f" AND ({hits}) >= {GOPHER_MIN_STOP_HITS}"
+        f" THEN 1 ELSE 0 END"
+    )
+    return {
+        "n_tokens": f"CAST(len({toks}) AS BIGINT)",
+        "mean_token_len": mtl,
+        "symbol_ratio": sym,
+        "alpha_frac": alpha,
+        "stop_hits": f"CAST({hits} AS BIGINT)",
+        "keep": f"CAST({keep} AS INTEGER)",
+    }

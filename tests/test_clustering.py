@@ -126,3 +126,22 @@ def test_recenter_plan_has_partial_aggregation(spark):
     plan = agg._jdf.queryExecution().executedPlan().toString()
     assert plan.count("HashAggregate") >= 2, plan
     assert "Exchange hashpartitioning(cluster_id" in plan, plan
+
+
+def test_semdedup_consistency(spark):
+    """Every dup points at a lower-id vector in the SAME cluster with
+    cosine >= threshold; kept vectors have no lower-id near-dup."""
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    import __spark_entry__ as E
+
+    out = E.queries()["semdedup"](spark, "/root/testdata/sf0.001").collect()
+    by_id = {r.vec_id: r for r in out}
+    dups = [r for r in out if r.kept == 0]
+    assert dups, "threshold should mark at least one near-dup on testdata"
+    for r in dups:
+        assert r.dup_of < r.vec_id
+        assert by_id[r.dup_of].cluster_id == r.cluster_id
+    for r in out:
+        assert (r.kept == 1) == (r.dup_of == -1)

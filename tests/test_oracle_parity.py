@@ -60,6 +60,14 @@ CASES = [
      lambda x: O.sql_quality_classify(x)["gate_score"]),
     ("gate_keep", lambda c: TA.quality_classify(c)["keep"],
      lambda x: O.sql_quality_classify(x)["keep"]),
+    ("gopher_mtl", lambda c: TA.gopher_rules(c)["mean_token_len"],
+     lambda x: O.sql_gopher(x)["mean_token_len"]),
+    ("gopher_alpha", lambda c: TA.gopher_rules(c)["alpha_frac"],
+     lambda x: O.sql_gopher(x)["alpha_frac"]),
+    ("gopher_stop_hits", lambda c: TA.gopher_rules(c)["stop_hits"],
+     lambda x: O.sql_gopher(x)["stop_hits"]),
+    ("gopher_keep", lambda c: TA.gopher_rules(c)["keep"],
+     lambda x: O.sql_gopher(x)["keep"]),
 ]
 
 

@@ -134,3 +134,50 @@ def test_approx_sketches_within_tolerance(spark):
     ).collect()[0]
     assert abs(row.approx - row.exact) <= max(3, 0.05 * row.exact)
     assert abs(row.p50a - row.p50) <= max(0.01, 0.05 * abs(row.p50))
+
+
+def test_chunk_tokens_windows_and_overlap(spark):
+    df = spark.createDataFrame(
+        [(1, " ".join(f"t{i}" for i in range(100))), (2, "a b c"), (3, "")],
+        "doc_id bigint, text string",
+    )
+    out = {
+        (r.doc_id, r.chunk_id): r
+        for r in TA.chunk_tokens(df, "doc_id", "text", size=64, stride=48).collect()
+    }
+    # doc 1: 100 tokens -> windows starting at 0 and 48
+    assert {k for k in out if k[0] == 1} == {(1, 0), (1, 1)}
+    assert out[(1, 0)].n_chunk_tokens == 64
+    assert out[(1, 1)].n_chunk_tokens == 52
+    assert out[(1, 0)].chunk_text.split(" ")[48:] == out[(1, 1)].chunk_text.split(" ")[:16]
+    # short doc: one partial window; empty doc: one empty chunk
+    assert out[(2, 0)].n_chunk_tokens == 3
+    assert {k for k in out if k[0] == 2} == {(2, 0)}
+    assert out[(3, 0)].n_chunk_tokens == 0 and out[(3, 0)].chunk_text == ""
+
+
+def test_priority_sample_deterministic_and_weighted(spark):
+    rows = [(i, 1.0 if i < 50 else 1000.0) for i in range(100)]
+    df = spark.createDataFrame(rows, "doc_id bigint, w double")
+    pick = lambda d: sorted(
+        r.doc_id
+        for r in TA.priority_sample(d, "doc_id", F.col("w"), k=20).collect()
+    )
+    got = pick(df)
+    # deterministic under repartitioning (no RNG state)
+    assert got == pick(df.repartition(7))
+    # heavy weights dominate the sample: ids >= 50 carry 1000x weight
+    assert sum(1 for i in got if i >= 50) >= 18
+
+
+def test_gopher_rules_verdicts(spark):
+    good = "the quick brown fox jumps over the lazy dog and runs to town"
+    g = _one(spark, TA.gopher_rules(F.lit(good)))
+    assert g.keep == 1 and g.stop_hits >= 1
+    # too short
+    assert _one(spark, TA.gopher_rules(F.lit("hi there"))).keep == 0
+    # symbol-heavy
+    spam = "the of # # # # # # # # # # and # # # # # # # # to # # #"
+    assert _one(spark, TA.gopher_rules(F.lit(spam))).keep == 0
+    # no required stopwords
+    assert _one(spark, TA.gopher_rules(F.lit("lorem ipsum dolor sit amet foo bar"))).keep == 0
