@@ -3587,6 +3587,118 @@ FROM ranked WHERE rnk <= 15 ORDER BY source, rnk
 """
 
 
+def q_stream_stateful_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.8 CUSTOM KEYED STATE (``applyInPandasWithState``), oracle-checked:
+    events replay as two deterministic micro-batches (even then odd
+    event_ids); the per-user counter state must survive the batch boundary,
+    so each user's final ``running_total`` — the max across its per-batch
+    emissions — must equal the plain batch COUNT(*). n_batches counts how
+    many triggers emitted the key (proves keys seen in both batches carried
+    state, not recomputed). State is one bigint per key, partitioned by the
+    key shuffle, checkpointed — the arbitrary-state template at scale."""
+    import glob
+    import os
+    import tempfile
+    import time
+    import uuid
+
+    from ingestion_scripts_spark.sources.readers import load_table
+    from ingestion_scripts_spark.streaming.streams import stateful_user_counts
+
+    ev = load_table(spark, sf_dir, "events").select("event_id", "user_id")
+    src = tempfile.mkdtemp(prefix="state_src_")
+    ev.filter(F.col("event_id") % 2 == 0).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(f"{src}/b0")
+    ev.filter(F.col("event_id") % 2 == 1).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(f"{src}/b1")
+    now = time.time()
+    for i, d in enumerate(("b0", "b1")):
+        for p in glob.glob(f"{src}/{d}/*.parquet"):
+            os.utime(p, (now - 200 + 50 * i, now - 200 + 50 * i))
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .option("recursiveFileLookup", "true")
+        .parquet(src)
+    )
+    counted = stateful_user_counts(stream, "user_id")
+    name = "stream_state_" + uuid.uuid4().hex[:8]
+    q = (
+        counted.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("update")
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="ckpt_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return (
+        spark.table(name)
+        .groupBy("user_id")
+        .agg(
+            F.max("running_total").alias("total_events"),
+            F.count(F.lit(1)).alias("n_batches"),
+        )
+        .orderBy("user_id")
+    )
+
+
+SQL_STREAM_STATEFUL = """
+SELECT user_id, count(*) AS total_events,
+       CAST(count(DISTINCT event_id % 2) AS BIGINT) AS n_batches
+FROM events GROUP BY user_id ORDER BY user_id
+"""
+
+
+def q_bloom_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter pre-gate for sink dedup (K3/J1 at scale): the
+    already-ingested ledger (BUILDING-segment customers) is compressed to a
+    ceil(4096/60)-row word table via bit_or partial aggregation and
+    BROADCAST; each candidate user then gets a zero-shuffle maybe_in
+    verdict. actual_in (exact semi-join) sits beside it, so the output
+    exposes the false positives — which are IDENTICAL cross-engine because
+    the oracle computes the same salted md5 bit positions. No false
+    negatives by construction (pytest-pinned)."""
+    from ingestion_scripts_spark.operators.dedup import (
+        bloom_build,
+        bloom_maybe_contains,
+    )
+
+    cust = _t(spark, sf_dir, "customer")
+    ev = _t(spark, sf_dir, "events")
+    ledger = cust.filter(F.col("c_mktsegment") == "BUILDING").select(
+        F.col("c_custkey").alias("key")
+    ).distinct()
+    bloom = bloom_build(ledger, "key")
+    users = ev.select("user_id").distinct()
+    gated = bloom_maybe_contains(users, bloom, "user_id")
+    actual = users.join(
+        ledger, users.user_id == ledger.key, "left"
+    ).select("user_id", F.col("key").isNotNull().cast("int").alias("actual_in"))
+    return gated.join(actual, "user_id").orderBy("user_id")
+
+
+def _sql_bloom_gate() -> str:
+    from ingestion_scripts_spark.operators.dedup import sql_bloom_gate
+
+    inner = sql_bloom_gate(
+        "SELECT DISTINCT c_custkey::VARCHAR AS __k FROM customer"
+        " WHERE c_mktsegment = 'BUILDING'",
+        "SELECT DISTINCT user_id::VARCHAR AS __k FROM events",
+        "user_id",
+    )
+    return f"""
+WITH g AS ({inner}),
+l AS (SELECT DISTINCT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING')
+SELECT CAST(g.user_id AS BIGINT) AS user_id, g.maybe_in,
+       CAST(CASE WHEN l.c_custkey IS NULL THEN 0 ELSE 1 END AS INTEGER) AS actual_in
+FROM g LEFT JOIN l ON l.c_custkey = CAST(g.user_id AS BIGINT)
+ORDER BY user_id
+"""
+
+
 def q_orc_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S1 on an ORC source: documents round-tripped through ORC (Spark's
     built-in columnar alternative to parquet) with an explicit schema on
@@ -3726,6 +3838,8 @@ _REGISTRY: list[tuple[str, Callable[[SparkSession, str], DataFrame], str | None]
     ("priority_sample", q_priority_sample, _sql_priority_sample()),
     ("domain_caps", q_domain_caps, _sql_domain_caps()),
     ("orc_source", q_orc_source, SQL_ORC_SOURCE),
+    ("bloom_gate", q_bloom_gate, _sql_bloom_gate()),
+    ("stream_stateful_counts", q_stream_stateful_counts, SQL_STREAM_STATEFUL),
 ]
 
 

@@ -120,6 +120,7 @@ STREAMING = [
     "stream_enriched_counts",
     "stream_late_drop",
     "stream_stream_join",
+    "stream_stateful_counts",
 ]
 
 

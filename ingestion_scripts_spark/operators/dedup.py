@@ -634,3 +634,100 @@ def segment_dedup(
         "n_seg",
         F.coalesce("n_kept", F.lit(0)).cast("bigint").alias("n_kept"),
     )
+
+
+# -- Bloom-filter membership gate ------------------------------------------
+
+#: 60-bit words (bit index 0..59) so `1 << bit` never touches the sign bit
+#: on either engine (DuckDB raises on BIGINT shift overflow).
+_BLOOM_WORD = 60
+
+
+def bloom_build(
+    keys: DataFrame, key_col: str, m_bits: int = 4096, k: int = 4
+) -> DataFrame:
+    """Bloom filter over a key set as (``__slot``, ``__bits``) words.
+
+    Each key sets k salted md5-derived bit positions; words aggregate via
+    ``bit_or`` with map-side partials, so the filter is ceil(m/60) rows
+    TOTAL no matter how many keys feed it. This is the scalable pre-gate
+    for sink dedup (K3/J1): at 100 TB the already-ingested ledger doesn't
+    fit a broadcast hash set, but its Bloom filter is a few KB — new keys
+    are pre-filtered with zero shuffle and only the "maybe" survivors pay
+    the exact shuffled anti-join. No false negatives by construction;
+    false positives only cost a second look.
+    """
+    probes = keys.select(
+        F.col(key_col).cast("string").alias("__k"),
+        F.explode(F.array(*[F.lit(i) for i in range(k)])).alias("__i"),
+    )
+    p = hash64(F.concat_ws(":", F.col("__i"), F.col("__k"))) % m_bits
+    return (
+        probes.select(p.alias("__p"))
+        .select(
+            (F.col("__p") / _BLOOM_WORD).cast("bigint").alias("__slot"),
+            # shiftleft() the SQL function takes a column bit count; the
+            # Python wrapper only accepts a literal int
+            F.expr(
+                f"shiftleft(CAST(1 AS BIGINT), CAST(__p % {_BLOOM_WORD} AS INT))"
+            ).alias("__m"),
+        )
+        .groupBy("__slot")
+        .agg(F.bit_or("__m").alias("__bits"))
+    )
+
+
+def bloom_maybe_contains(
+    df: DataFrame, bloom: DataFrame, key_col: str, m_bits: int = 4096, k: int = 4,
+    out_col: str = "maybe_in",
+) -> DataFrame:
+    """Append ``out_col`` (int 0/1): 1 iff ALL k bloom bits for the key are
+    set. The bloom side is rows=ceil(m/60) and broadcast — membership is a
+    narrow map over ``df``, never a shuffle of the probed keys."""
+    probes = df.select(
+        F.col(key_col),
+        F.explode(F.array(*[F.lit(i) for i in range(k)])).alias("__i"),
+    )
+    p = hash64(F.concat_ws(":", F.col("__i"), F.col(key_col).cast("string"))) % m_bits
+    probes = probes.select(
+        F.col(key_col),
+        (p / _BLOOM_WORD).cast("bigint").alias("__slot"),
+        (p % _BLOOM_WORD).cast("int").alias("__bit"),
+    )
+    hit = F.expr(
+        "CAST(shiftright(coalesce(__bits, CAST(0 AS BIGINT)), __bit) & 1 AS INT)"
+    )
+    return (
+        probes.join(F.broadcast(bloom), "__slot", "left")
+        .select(F.col(key_col), hit.alias("__hit"))
+        .groupBy(key_col)
+        .agg(F.min("__hit").alias(out_col))
+    )
+
+
+def sql_bloom_gate(
+    keys_expr: str, probe_expr: str, key_col: str, m_bits: int = 4096, k: int = 4
+) -> str:
+    """DuckDB twin of bloom_build + bloom_maybe_contains: same salted
+    hashes, same 60-bit words, so even the FALSE POSITIVES are identical.
+    ``keys_expr``/``probe_expr`` are relations each yielding one ``__k``
+    column; returns (key, maybe_in)."""
+    from ..oracle import sql_hash64
+
+    h = sql_hash64("(r.i || ':' || t.__k)")
+    w = _BLOOM_WORD
+    return f"""
+WITH pos AS (
+  SELECT {h} % {m_bits} AS p
+  FROM ({keys_expr}) t, (SELECT unnest(range({k})) AS i) r),
+slots AS (
+  SELECT p // {w} AS slot, bit_or(1::BIGINT << CAST(p % {w} AS INTEGER)) AS bits
+  FROM pos GROUP BY 1),
+probe AS (
+  SELECT t.__k, {h} % {m_bits} AS p
+  FROM ({probe_expr}) t, (SELECT unnest(range({k})) AS i) r)
+SELECT probe.__k AS {key_col},
+       CAST(min(CASE WHEN (coalesce(s.bits, 0) >> CAST(probe.p % {w} AS INTEGER)) & 1 = 1
+                     THEN 1 ELSE 0 END) AS INTEGER) AS maybe_in
+FROM probe LEFT JOIN slots s ON s.slot = probe.p // {w}
+GROUP BY 1"""

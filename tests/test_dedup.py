@@ -205,3 +205,24 @@ def test_simhash_near_dup_pairs(spark):
     assert (1, 4) not in got and (2, 4) not in got and (3, 4) not in got
     with _pytest.raises(ValueError):
         simhash_near_dup_pairs(df, "doc_id", "text", bands=3, max_hamming=3)
+
+
+def test_bloom_gate_no_false_negatives(spark):
+    from ingestion_scripts_spark.operators.dedup import (
+        bloom_build,
+        bloom_maybe_contains,
+    )
+
+    members = spark.createDataFrame([(i,) for i in range(0, 200, 2)], "k bigint")
+    probes = spark.createDataFrame([(i,) for i in range(200)], "k bigint")
+    bloom = bloom_build(members, "k", m_bits=1024, k=3)
+    assert bloom.count() <= 1024 // 60 + 1  # word table, not key table
+    got = {
+        r.k: r.maybe_in
+        for r in bloom_maybe_contains(probes, bloom, "k", m_bits=1024, k=3).collect()
+    }
+    # every real member must be flagged (no false negatives, ever)
+    assert all(got[i] == 1 for i in range(0, 200, 2))
+    # the filter must actually reject most non-members at this load factor
+    rejected = sum(1 for i in range(1, 200, 2) if got[i] == 0)
+    assert rejected >= 80
