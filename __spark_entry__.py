@@ -2710,15 +2710,21 @@ def q_dup_span_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.explode(X.ngrams(F.col("t"), _DUPSPAN_N)).alias("g"),
     ).select("doc_id", X.hash64(F.col("g")).alias("h"))
-    freq = spans.groupBy("h").agg(F.countDistinct("doc_id").alias("nd"))
+    # ONE pass over the expensive narrow stage (explode + md5 per span):
+    # aggregate to (h, doc_id, cnt) first — a join back to raw spans would
+    # recompute the explode on both shuffle sides (partial-agg plans defeat
+    # exchange reuse) — then cross-doc frequency is a window over the
+    # already-compact aggregate and the final ratio re-keys by doc
+    per = spans.groupBy("h", "doc_id").agg(F.count(F.lit(1)).alias("cnt"))
+    nd = F.count(F.lit(1)).over(Window.partitionBy("h"))
     return (
-        spans.join(freq, "h")
+        per.withColumn("nd", nd)
         .groupBy("doc_id")
         .agg(
-            F.count(F.lit(1)).alias("n_spans"),
+            F.sum("cnt").alias("n_spans"),
             F.round(
-                F.sum(F.when(F.col("nd") > 1, 1).otherwise(0))
-                / F.count(F.lit(1)),
+                F.sum(F.when(F.col("nd") > 1, F.col("cnt")).otherwise(0))
+                / F.sum("cnt"),
                 6,
             ).alias("dup_frac"),
         )
@@ -3415,7 +3421,11 @@ def q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     assigned = assigned.select(
         F.col("__id").alias("vec_id"), F.col("cluster_id").cast("bigint").alias("cluster_id"), "v"
     )
-    pairs = SIM.blocked_cosine_pairs(
+    # numpy gram-matrix kernel (engine default for cosine blocks — one BLAS
+    # matmul per cluster); the oracle recomputes with the exact fold, and
+    # pytest pins kernel-equality of the pair sets, so the dup verdicts are
+    # hash-identical while running ~6x faster than per-pair HOF folds
+    pairs = SIM.blocked_cosine_pairs_pandas(
         assigned, "cluster_id", id_col="vec_id", vec_col="v", threshold=0.35
     )
     dup_of = pairs.groupBy("id_b").agg(F.min("id_a").alias("__dup"))
@@ -3699,6 +3709,111 @@ ORDER BY user_id
 """
 
 
+_PPL_V = 1000  #: unigram LM vocab size (top-V by count, deterministic tiebreak)
+
+
+def q_unigram_ppl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style LM quality bucketing: train an add-one-smoothed unigram
+    LM on the corpus itself (top-{V} vocab by frequency, everything else
+    OOV), score each document by mean negative log-likelihood, then split
+    into per-language NLL terciles (head/middle/tail) — the classic
+    perplexity-bucket filter before LLM training.
+
+    Scale shape: token counts are one keyed groupBy with partials; the
+    vocab table is O(V) and broadcasts into the scoring join, so no token
+    ever shuffles for the lookup; the tercile rank is a window PARTITIONED
+    BY lang (never a single global window). Bucket = floor((rn-1)*3/cnt),
+    identical arithmetic in the oracle (ntile remainder policies differ
+    between engines, the floor form doesn't)."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", "lang", X.tokenize_ws(X.clean_text(F.col("text"))).alias("t")
+    )
+    tok = toks.select("doc_id", "lang", F.explode("t").alias("w"))
+    counts = tok.groupBy("w").agg(F.count(F.lit(1)).alias("c"))
+    wv = Window.orderBy(F.col("c").desc(), F.col("w").asc())
+    # rank window is over the VOCAB table (|distinct tokens|, not corpus) —
+    # tiny here; at scale the top-V cut runs as the two-phase TakeOrdered
+    vocab = (
+        counts.withColumn("rnk", F.row_number().over(wv))
+        .filter(F.col("rnk") <= _PPL_V)
+        .select("w", "c")
+    )
+    n_total = tok.count()
+    denom = float(n_total + _PPL_V + 1)
+    scored = (
+        tok.join(F.broadcast(vocab), "w", "left")
+        .withColumn(
+            "__lp", F.log((F.coalesce(F.col("c"), F.lit(0)) + 1.0) / F.lit(denom))
+        )
+        .groupBy("doc_id", "lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_toks"),
+            TA.r4(-F.sum("__lp") / F.count(F.lit(1))).alias("nll"),
+        )
+    )
+    wl = Window.partitionBy("lang").orderBy(F.col("nll").asc(), F.col("doc_id").asc())
+    cnt = Window.partitionBy("lang")
+    return (
+        scored.withColumn("__rn", F.row_number().over(wl))
+        .withColumn(
+            "bucket",
+            (F.floor((F.col("__rn") - 1) * 3 / F.count(F.lit(1)).over(cnt)) + 1).cast(
+                "int"
+            ),
+        )
+        .select("doc_id", "lang", "n_toks", "nll", "bucket")
+        .orderBy("doc_id")
+    )
+
+
+def _sql_unigram_ppl() -> str:
+    toks = O.sql_tokenize_ws(O.sql_clean_text("text"))
+    return f"""
+WITH tok AS (
+  SELECT doc_id, lang, unnest({toks}) AS w FROM documents),
+counts AS (SELECT w, count(*) AS c FROM tok GROUP BY 1),
+vocab AS (
+  SELECT w, c FROM (
+    SELECT w, c, row_number() OVER (ORDER BY c DESC, w ASC) AS rnk FROM counts)
+  WHERE rnk <= {_PPL_V}),
+n AS (SELECT count(*) AS n_total FROM tok),
+scored AS (
+  SELECT t.doc_id, t.lang, count(*) AS n_toks,
+         floor((-sum(ln((coalesce(v.c, 0) + 1.0) / (n.n_total + {_PPL_V} + 1)))
+                / count(*)) * 10000.0 + 0.5) / 10000.0 AS nll
+  FROM tok t LEFT JOIN vocab v USING (w), n
+  GROUP BY 1, 2),
+ranked AS (
+  SELECT doc_id, lang, n_toks, nll,
+         row_number() OVER (PARTITION BY lang ORDER BY nll ASC, doc_id ASC) AS rn,
+         count(*) OVER (PARTITION BY lang) AS cnt
+  FROM scored)
+SELECT doc_id, lang, n_toks,
+       nll, CAST(floor((rn - 1) * 3 / cnt) + 1 AS INTEGER) AS bucket
+FROM ranked ORDER BY doc_id
+"""
+
+
+def q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE tokenizer training (Sennrich et al. 2016) as a Spark driver
+    loop: 8 merge rounds over the cached word-frequency vocab (never the
+    corpus), each round = narrow pair-explode + tiny keyed count + 1-row
+    argmax collect. The DuckDB oracle re-derives every round from scratch
+    — the merge TABLE, the artifact a tokenizer ships, is what's
+    differential-tested. See operators/bpe.py for the scale argument."""
+    from ingestion_scripts_spark.operators.bpe import bpe_fit
+
+    docs = _t(spark, sf_dir, "documents")
+    return bpe_fit(spark, docs, "text", n_merges=8).orderBy("rank")
+
+
+def _sql_bpe_merges() -> str:
+    from ingestion_scripts_spark.operators.bpe import sql_bpe_merges
+
+    return sql_bpe_merges(n_merges=8)
+
+
 def q_orc_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S1 on an ORC source: documents round-tripped through ORC (Spark's
     built-in columnar alternative to parquet) with an explicit schema on
@@ -3840,6 +3955,8 @@ _REGISTRY: list[tuple[str, Callable[[SparkSession, str], DataFrame], str | None]
     ("orc_source", q_orc_source, SQL_ORC_SOURCE),
     ("bloom_gate", q_bloom_gate, _sql_bloom_gate()),
     ("stream_stateful_counts", q_stream_stateful_counts, SQL_STREAM_STATEFUL),
+    ("unigram_ppl", q_unigram_ppl, _sql_unigram_ppl()),
+    ("bpe_merges", q_bpe_merges, _sql_bpe_merges()),
 ]
 
 

@@ -97,6 +97,9 @@ HEADLINE = [
     "priority_sample",
     "domain_caps",
     "orc_source",
+    "bloom_gate",
+    "unigram_ppl",
+    "bpe_merges",
     "hourly_windows",
     "anomaly_zscore",
     "retention_cohorts",
