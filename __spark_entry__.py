@@ -1268,11 +1268,13 @@ def q_vocab_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("tf"),
         F.countDistinct("doc_id").alias("df"),
     )
+    # TakeOrdered the top-200 FIRST (distributed per-partition top-k), then
+    # rank only the bounded 200-row result — the rank window never sees the
+    # full vocab, so no single-partition pass over all distinct terms
+    top = vocab.orderBy(F.col("tf").desc(), F.col("term")).limit(200)
     w = Window.orderBy(F.col("tf").desc(), F.col("term"))
-    return (
-        vocab.withColumn("rnk", F.row_number().over(w).cast("bigint"))
-        .filter(F.col("rnk") <= 200)
-        .orderBy("rnk")
+    return top.withColumn("rnk", F.row_number().over(w).cast("bigint")).orderBy(
+        "rnk"
     )
 
 
@@ -2287,11 +2289,12 @@ def q_pmi_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("pmi"),
         )
     )
+    # same top-k-then-rank staging as vocab_topn: the global rank window
+    # only ever sees the 100 TakeOrdered survivors
+    top = scored.orderBy(F.col("pmi").desc(), F.col("bg").asc()).limit(100)
     w = Window.orderBy(F.col("pmi").desc(), F.col("bg").asc())
-    return (
-        scored.withColumn("rnk", F.row_number().over(w).cast("bigint"))
-        .filter(F.col("rnk") <= 100)
-        .orderBy("rnk")
+    return top.withColumn("rnk", F.row_number().over(w).cast("bigint")).orderBy(
+        "rnk"
     )
 
 
@@ -3731,14 +3734,10 @@ def q_unigram_ppl(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     tok = toks.select("doc_id", "lang", F.explode("t").alias("w"))
     counts = tok.groupBy("w").agg(F.count(F.lit(1)).alias("c"))
-    wv = Window.orderBy(F.col("c").desc(), F.col("w").asc())
-    # rank window is over the VOCAB table (|distinct tokens|, not corpus) —
-    # tiny here; at scale the top-V cut runs as the two-phase TakeOrdered
-    vocab = (
-        counts.withColumn("rnk", F.row_number().over(wv))
-        .filter(F.col("rnk") <= _PPL_V)
-        .select("w", "c")
-    )
+    # top-V as orderBy+limit = TakeOrdered (per-partition top-V, k-row
+    # merge) — a global row_number window would drag every distinct token
+    # through one partition
+    vocab = counts.orderBy(F.col("c").desc(), F.col("w").asc()).limit(_PPL_V)
     n_total = tok.count()
     denom = float(n_total + _PPL_V + 1)
     scored = (
@@ -3792,6 +3791,189 @@ ranked AS (
 SELECT doc_id, lang, n_toks,
        nll, CAST(floor((rn - 1) * 3 / cnt) + 1 AS INTEGER) AS bucket
 FROM ranked ORDER BY doc_id
+"""
+
+
+_HQ_BINS = 64
+_HQ_PS = (0.5, 0.9, 0.99)
+
+
+def q_hist_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate quantiles WITHOUT a global sort: fixed-width 64-bin
+    histogram per event_type (two cheap keyed aggregations — min/max/count,
+    then bin counts), cumulative over the 64-row-per-group histogram, and
+    the quantile estimate is the lower edge of the first bin whose
+    cumulative count reaches ceil(p·n). This is the sketch-shaped quantile
+    for 100 TB dashboards (exact `percentile` — see value_percentiles —
+    sorts every group); error is bounded by one bin width. All arithmetic
+    is shared-IEEE (sub/div/floor), so both engines pick identical bins."""
+    ev = _t(spark, sf_dir, "events").select("event_type", "value")
+    stats = ev.groupBy("event_type").agg(
+        F.min("value").alias("mn"),
+        F.max("value").alias("mx"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    width = (F.col("mx") - F.col("mn")) / F.lit(float(_HQ_BINS))
+    b = F.when(
+        F.col("mx") > F.col("mn"),
+        F.least(F.lit(_HQ_BINS - 1), F.floor((F.col("value") - F.col("mn")) / width)),
+    ).otherwise(F.lit(0)).cast("bigint")
+    counts = (
+        ev.join(F.broadcast(stats), "event_type")
+        .select("event_type", b.alias("b"))
+        .groupBy("event_type", "b")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    wc = (
+        Window.partitionBy("event_type")
+        .orderBy("b")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum = counts.withColumn("cum", F.sum("c").over(wc))
+    probes = cum.join(F.broadcast(stats), "event_type").select(
+        "event_type", "b", "cum", "mn", "mx", "n",
+        F.explode(F.array(*[F.lit(p) for p in _HQ_PS])).alias("p"),
+    )
+    hit = probes.filter(F.col("cum") >= F.ceil(F.col("p") * F.col("n")))
+    return (
+        hit.groupBy("event_type", "p", "mn", "mx", "n")
+        .agg(F.min("b").alias("b"))
+        .select(
+            "event_type",
+            "p",
+            TA.r4(
+                F.col("mn")
+                + F.col("b") * ((F.col("mx") - F.col("mn")) / F.lit(float(_HQ_BINS)))
+            ).alias("est"),
+            "n",
+        )
+        .orderBy("event_type", "p")
+    )
+
+
+def _sql_hist_quantiles() -> str:
+    ps = ", ".join(f"({p!r})" for p in _HQ_PS)
+    return f"""
+WITH stats AS (
+  SELECT event_type, min(value) AS mn, max(value) AS mx, count(*) AS n
+  FROM events GROUP BY 1),
+binned AS (
+  SELECT e.event_type,
+         CAST(CASE WHEN s.mx > s.mn
+              THEN least({_HQ_BINS - 1},
+                         floor((e.value - s.mn) / ((s.mx - s.mn) / {float(_HQ_BINS)!r})))
+              ELSE 0 END AS BIGINT) AS b
+  FROM events e JOIN stats s USING (event_type)),
+counts AS (SELECT event_type, b, count(*) AS c FROM binned GROUP BY 1, 2),
+cum AS (
+  SELECT event_type, b,
+         sum(c) OVER (PARTITION BY event_type ORDER BY b
+                      ROWS UNBOUNDED PRECEDING) AS cum
+  FROM counts),
+hit AS (
+  SELECT c.event_type, p.p, s.mn, s.mx, s.n, min(c.b) AS b
+  FROM cum c JOIN stats s USING (event_type),
+       (VALUES {ps}) p(p)
+  WHERE c.cum >= ceil(p.p * s.n)
+  GROUP BY 1, 2, 3, 4, 5)
+SELECT event_type, p,
+       {O.sql_r4(f"mn + b * ((mx - mn) / {float(_HQ_BINS)!r})")} AS est, n
+FROM hit ORDER BY event_type, p
+"""
+
+
+def q_dataset_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test split (80/10/10) by salted doc-id hash
+    — reproducible across runs/partitionings (df.randomSplit is neither),
+    disjoint and exhaustive by construction. Output: per (lang, split)
+    counts — the sanity table every dataset card ships."""
+    docs = _t(spark, sf_dir, "documents")
+    h = X.hash64(F.concat(F.lit("split:"), F.col("doc_id").cast("string"))) % 100
+    split = (
+        F.when(h < 80, F.lit("train")).when(h < 90, F.lit("val")).otherwise("test")
+    )
+    return (
+        docs.select("lang", split.alias("split"))
+        .groupBy("lang", "split")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .orderBy("lang", "split")
+    )
+
+
+def _sql_dataset_split() -> str:
+    h = f"{O.sql_hash64(chr(39) + 'split:' + chr(39) + ' || doc_id')} % 100"
+    return f"""
+SELECT lang,
+       CASE WHEN {h} < 80 THEN 'train' WHEN {h} < 90 THEN 'val'
+            ELSE 'test' END AS split,
+       count(*) AS n_docs
+FROM documents GROUP BY 1, 2 ORDER BY lang, split
+"""
+
+
+def q_rolling_7d_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-TIME rolling aggregate: per user, the sum/count of purchase
+    value over the trailing 7 DAYS (RANGE frame over unix seconds, not a
+    row count — irregular event spacing makes ROWS frames wrong). One
+    keyed window shuffle; the range frame is evaluated with a sliding
+    two-pointer inside each partition — linear, not quadratic, at scale."""
+    ev = _t(spark, sf_dir, "events").filter(F.col("event_type") == "purchase")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ts").cast("long"))
+        .rangeBetween(-7 * 86400, 0)
+    )
+    return (
+        ev.select(
+            "user_id",
+            _fmt_ts(F.col("ts"), with_micros=True).alias("ts"),
+            F.round(F.sum("value").over(w), 4).alias("roll_value"),
+            F.count(F.lit(1)).over(w).alias("roll_n"),
+        )
+        .orderBy("user_id", "ts")
+    )
+
+
+SQL_ROLLING_7D = f"""
+SELECT user_id, {SQL_TS_US.format('ts')} AS ts,
+       round(sum(value) OVER w, 4) AS roll_value,
+       count(*) OVER w AS roll_n
+FROM events WHERE event_type = 'purchase'
+WINDOW w AS (PARTITION BY user_id ORDER BY CAST(epoch(ts) AS BIGINT)
+             RANGE BETWEEN 604800 PRECEDING AND CURRENT ROW)
+ORDER BY user_id, ts
+"""
+
+
+def q_partitioned_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hive-style partitioned layout round-trip: documents written
+    ``partitionBy(lang)``, read back with a partition filter — the
+    directory pruning that makes per-language jobs touch 1/N of a 100 TB
+    corpus (pytest asserts the file-level pruning; here the oracle pins
+    the content equality of one pruned partition)."""
+    import tempfile
+
+    docs = _t(spark, sf_dir, "documents")
+    tmp = tempfile.mkdtemp(prefix="part_sink_")
+    docs.write.mode("overwrite").partitionBy("lang").parquet(tmp)
+    back = spark.read.parquet(tmp).filter(F.col("lang") == "en")
+    return (
+        back.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.length("text")).alias("total_len"),
+            F.min("doc_id").alias("min_id"),
+            F.max("doc_id").alias("max_id"),
+        )
+        .orderBy("source")
+    )
+
+
+SQL_PARTITIONED_SINK = """
+SELECT source, count(*) AS n_docs,
+       CAST(sum(length(text)) AS BIGINT) AS total_len,
+       min(doc_id) AS min_id, max(doc_id) AS max_id
+FROM documents WHERE lang = 'en' GROUP BY 1 ORDER BY source
 """
 
 
@@ -3957,6 +4139,10 @@ _REGISTRY: list[tuple[str, Callable[[SparkSession, str], DataFrame], str | None]
     ("stream_stateful_counts", q_stream_stateful_counts, SQL_STREAM_STATEFUL),
     ("unigram_ppl", q_unigram_ppl, _sql_unigram_ppl()),
     ("bpe_merges", q_bpe_merges, _sql_bpe_merges()),
+    ("hist_quantiles", q_hist_quantiles, _sql_hist_quantiles()),
+    ("dataset_split", q_dataset_split, _sql_dataset_split()),
+    ("rolling_7d_value", q_rolling_7d_value, SQL_ROLLING_7D),
+    ("partitioned_sink", q_partitioned_sink, SQL_PARTITIONED_SINK),
 ]
 
 

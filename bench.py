@@ -100,6 +100,10 @@ HEADLINE = [
     "bloom_gate",
     "unigram_ppl",
     "bpe_merges",
+    "hist_quantiles",
+    "dataset_split",
+    "rolling_7d_value",
+    "partitioned_sink",
     "hourly_windows",
     "anomaly_zscore",
     "retention_cohorts",

@@ -34,3 +34,28 @@ def test_cms_sketch_is_bounded_and_mergeable(spark):
     got = {(r["__row"], r["__col"]): r["__n"] for r in merged.collect()}
     want = {(r["__row"], r["__col"]): r["__n"] for r in direct.collect()}
     assert got == want  # sketches add cell-wise == sketch of the union
+
+
+def test_cms_estimate_broadcasts_sketch(spark):
+    """The d*w-cell sketch must broadcast into the probe join — shuffling
+    the probed key set against a <=1024-row sketch would be the wrong plan
+    at any scale."""
+    df = spark.createDataFrame([(i % 9,) for i in range(200)], "k bigint")
+    sk = cms_sketch(df, "k", d=4, w=64)
+    est = cms_estimate(sk, df.select("k").distinct(), "k", d=4, w=64)
+    plan = est._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan, plan
+
+
+def test_bloom_probe_broadcasts_filter(spark):
+    """The bloom word table must broadcast; the probed keys must never
+    shuffle for the membership test (only the final per-key min)."""
+    from ingestion_scripts_spark.operators.dedup import (
+        bloom_build,
+        bloom_maybe_contains,
+    )
+
+    keys = spark.createDataFrame([(i,) for i in range(50)], "k bigint")
+    out = bloom_maybe_contains(keys, bloom_build(keys, "k"), "k")
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan, plan
