@@ -3665,6 +3665,63 @@ FROM events GROUP BY user_id ORDER BY user_id
 """
 
 
+def q_stream_idempotent_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K3 (keyed idempotent sink) END-TO-END under replay, oracle-checked:
+    a two-batch stream where batch 1 = even event_ids and batch 2 = ALL
+    events (simulated at-least-once redelivery of the whole first batch);
+    the foreachBatch writer anti-joins each batch against the sink's
+    existing keys before appending, so the sink must hold every event
+    EXACTLY once — per-type counts equal the plain batch counts. This is
+    the reference's Mongo-unique-index upgrade (at-least-once →
+    effectively-once) as files + anti-join."""
+    import glob
+    import os
+    import tempfile
+    import time
+
+    from ingestion_scripts_spark.operators.sink import make_foreach_batch_writer
+    from ingestion_scripts_spark.sources.readers import load_table
+
+    ev = load_table(spark, sf_dir, "events").select("event_id", "event_type")
+    src = tempfile.mkdtemp(prefix="idem_src_")
+    ev.filter(F.col("event_id") % 2 == 0).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(f"{src}/b0")
+    ev.coalesce(1).write.mode("overwrite").parquet(f"{src}/b1")
+    now = time.time()
+    for i, d in enumerate(("b0", "b1")):
+        for p in glob.glob(f"{src}/{d}/*.parquet"):
+            os.utime(p, (now - 200 + 50 * i, now - 200 + 50 * i))
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .option("recursiveFileLookup", "true")
+        .parquet(src)
+    )
+    sink = tempfile.mkdtemp(prefix="idem_sink_") + "/out"
+    q = (
+        stream.writeStream.foreachBatch(
+            make_foreach_batch_writer(sink, ["event_id"], audit=False)
+        )
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="ckpt_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return (
+        spark.read.parquet(sink)
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("event_type")
+    )
+
+
+SQL_STREAM_IDEMPOTENT = """
+SELECT event_type, count(*) AS n FROM events
+GROUP BY 1 ORDER BY event_type
+"""
+
+
 def q_bloom_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bloom-filter pre-gate for sink dedup (K3/J1 at scale): the
     already-ingested ledger (BUILDING-segment customers) is compressed to a
@@ -4137,6 +4194,7 @@ _REGISTRY: list[tuple[str, Callable[[SparkSession, str], DataFrame], str | None]
     ("orc_source", q_orc_source, SQL_ORC_SOURCE),
     ("bloom_gate", q_bloom_gate, _sql_bloom_gate()),
     ("stream_stateful_counts", q_stream_stateful_counts, SQL_STREAM_STATEFUL),
+    ("stream_idempotent_sink", q_stream_idempotent_sink, SQL_STREAM_IDEMPOTENT),
     ("unigram_ppl", q_unigram_ppl, _sql_unigram_ppl()),
     ("bpe_merges", q_bpe_merges, _sql_bpe_merges()),
     ("hist_quantiles", q_hist_quantiles, _sql_hist_quantiles()),

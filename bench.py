@@ -128,6 +128,7 @@ STREAMING = [
     "stream_late_drop",
     "stream_stream_join",
     "stream_stateful_counts",
+    "stream_idempotent_sink",
 ]
 
 
