@@ -3769,6 +3769,58 @@ ORDER BY user_id
 """
 
 
+def q_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shannon entropy of the letter distribution per document — the
+    classic gibberish/boilerplate detector (low entropy = repeated
+    characters/template spam, high = random noise). explode → (doc, char)
+    count → per-doc -Σ p·ln p: narrow map + one keyed shuffle of (doc,
+    26)-bounded rows; flags docs outside the [2.0, 4.8] nat band."""
+    docs = _t(spark, sf_dir, "documents")
+    chars = docs.select(
+        "doc_id",
+        F.explode(F.regexp_extract_all(F.lower(F.col("text")), F.lit("([a-z])"), 1)).alias(
+            "ch"
+        ),
+    )
+    per = chars.groupBy("doc_id", "ch").agg(F.count(F.lit(1)).alias("c"))
+    tot = Window.partitionBy("doc_id")
+    p = F.col("c") / F.sum("c").over(tot)
+    return (
+        per.withColumn("__plp", -p * F.log(p))
+        .groupBy("doc_id")
+        .agg(
+            F.sum("c").alias("n_letters"),
+            TA.r4(F.sum("__plp")).alias("entropy"),
+        )
+        .withColumn(
+            "flagged",
+            ((F.col("entropy") < 2.0) | (F.col("entropy") > 4.8)).cast("int"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+SQL_CHAR_ENTROPY = """
+WITH chars AS (
+  SELECT doc_id, unnest(regexp_extract_all(lower(text), '([a-z])', 1)) AS ch
+  FROM documents),
+per AS (SELECT doc_id, ch, count(*) AS c FROM chars GROUP BY 1, 2),
+withp AS (
+  SELECT doc_id, c,
+         -(c / sum(c) OVER (PARTITION BY doc_id))
+           * ln(c / sum(c) OVER (PARTITION BY doc_id)) AS plp
+  FROM per),
+ent AS (
+  SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_letters,
+         floor(sum(plp) * 10000.0 + 0.5) / 10000.0 AS entropy
+  FROM withp GROUP BY 1)
+SELECT doc_id, n_letters, entropy,
+       CAST(CASE WHEN entropy < 2.0 OR entropy > 4.8 THEN 1 ELSE 0 END
+            AS INTEGER) AS flagged
+FROM ent ORDER BY doc_id
+"""
+
+
 _PPL_V = 1000  #: unigram LM vocab size (top-V by count, deterministic tiebreak)
 
 
@@ -4199,6 +4251,7 @@ _REGISTRY: list[tuple[str, Callable[[SparkSession, str], DataFrame], str | None]
     ("bpe_merges", q_bpe_merges, _sql_bpe_merges()),
     ("hist_quantiles", q_hist_quantiles, _sql_hist_quantiles()),
     ("dataset_split", q_dataset_split, _sql_dataset_split()),
+    ("char_entropy", q_char_entropy, SQL_CHAR_ENTROPY),
     ("rolling_7d_value", q_rolling_7d_value, SQL_ROLLING_7D),
     ("partitioned_sink", q_partitioned_sink, SQL_PARTITIONED_SINK),
 ]

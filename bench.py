@@ -102,6 +102,7 @@ HEADLINE = [
     "bpe_merges",
     "hist_quantiles",
     "dataset_split",
+    "char_entropy",
     "rolling_7d_value",
     "partitioned_sink",
     "hourly_windows",
