@@ -3769,6 +3769,44 @@ ORDER BY user_id
 """
 
 
+def q_min_price_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2-shaped CORRELATED SCALAR SUBQUERY (through spark.sql):
+    for each part in a brand, the supplier rows achieving that part's
+    minimum extended price. Catalyst decorrelates the subquery into an
+    aggregate + join — pinned here because hand-rolled decorrelation is
+    exactly what an engine must NOT require at 100 TB; the oracle runs the
+    same correlated form through DuckDB's own decorrelator."""
+    _t(spark, sf_dir, "lineitem").createOrReplaceTempView("li_q2")
+    _t(spark, sf_dir, "part").createOrReplaceTempView("part_q2")
+    _t(spark, sf_dir, "supplier").createOrReplaceTempView("supp_q2")
+    return spark.sql(
+        """
+        SELECT p.p_partkey, s.s_name, round(l.l_extendedprice, 2) AS price
+        FROM li_q2 l
+        JOIN part_q2 p ON p.p_partkey = l.l_partkey
+        JOIN supp_q2 s ON s.s_suppkey = l.l_suppkey
+        WHERE p.p_brand = 'Brand#11'
+          AND l.l_extendedprice = (
+            SELECT min(l2.l_extendedprice) FROM li_q2 l2
+            WHERE l2.l_partkey = l.l_partkey)
+        ORDER BY p.p_partkey, s.s_name
+        """
+    )
+
+
+SQL_MIN_PRICE_SUPPLIER = """
+SELECT p.p_partkey, s.s_name, round(l.l_extendedprice, 2) AS price
+FROM lineitem l
+JOIN part p ON p.p_partkey = l.l_partkey
+JOIN supplier s ON s.s_suppkey = l.l_suppkey
+WHERE p.p_brand = 'Brand#11'
+  AND l.l_extendedprice = (
+    SELECT min(l2.l_extendedprice) FROM lineitem l2
+    WHERE l2.l_partkey = l.l_partkey)
+ORDER BY p.p_partkey, s.s_name
+"""
+
+
 def q_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Shannon entropy of the letter distribution per document — the
     classic gibberish/boilerplate detector (low entropy = repeated
@@ -4252,6 +4290,7 @@ _REGISTRY: list[tuple[str, Callable[[SparkSession, str], DataFrame], str | None]
     ("hist_quantiles", q_hist_quantiles, _sql_hist_quantiles()),
     ("dataset_split", q_dataset_split, _sql_dataset_split()),
     ("char_entropy", q_char_entropy, SQL_CHAR_ENTROPY),
+    ("min_price_supplier", q_min_price_supplier, SQL_MIN_PRICE_SUPPLIER),
     ("rolling_7d_value", q_rolling_7d_value, SQL_ROLLING_7D),
     ("partitioned_sink", q_partitioned_sink, SQL_PARTITIONED_SINK),
 ]

@@ -103,6 +103,7 @@ HEADLINE = [
     "hist_quantiles",
     "dataset_split",
     "char_entropy",
+    "min_price_supplier",
     "rolling_7d_value",
     "partitioned_sink",
     "hourly_windows",
