@@ -157,3 +157,43 @@ def stateful_user_counts(
     return stream.groupBy(key).applyInPandasWithState(
         update, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
     )
+
+
+def tws_user_counts(stream: DataFrame, key: str = "user_id") -> DataFrame:
+    """The SAME per-key counter on Spark 4's arbitrary-state v2 API
+    (``transformWithStateInPandas`` + ``ValueState``) — the successor to
+    ``applyInPandasWithState`` with composite state types, timers, and
+    (on a cluster) the RocksDB state store with changelog checkpointing.
+    Both APIs are kept: v1 is what most deployed jobs run today, v2 is
+    where stateful pipelines are heading.
+
+    Requires the RocksDB state store provider (set by the caller for the
+    query's session; the HDFS-backed default does not support v2 state).
+    """
+    import pandas as pd
+    from pyspark.sql.streaming import StatefulProcessor, StatefulProcessorHandle
+
+    class CountProcessor(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._count = handle.getValueState("count", "cnt BIGINT")
+
+        def handleInputRows(self, key_tuple, rows, timerValues):
+            n = 0
+            for pdf in rows:
+                n += len(pdf)
+            prev = self._count.get()
+            total = (prev[0] if prev else 0) + n
+            self._count.update((total,))
+            yield pd.DataFrame(
+                {key: [key_tuple[0]], "n_new": [n], "running_total": [total]}
+            )
+
+        def close(self) -> None:
+            pass
+
+    return stream.groupBy(key).transformWithStateInPandas(
+        statefulProcessor=CountProcessor(),
+        outputStructType=f"{key} bigint, n_new bigint, running_total bigint",
+        outputMode="Update",
+        timeMode="None",
+    )

@@ -175,3 +175,46 @@ def test_real_lib_udf_paths_when_available(spark):
         ran += 1
     if ran == 0:
         pytest.skip("vaderSentiment/emoji/bs4 not installed in this environment")
+
+
+def test_tws_user_counts_v2_api(spark, tmp_path):
+    """State API v2 (transformWithStateInPandas + ValueState): same
+    counter semantics as applyInPandasWithState. Skip-gated: the TWS
+    Python driver worker cannot start in this container (verified with
+    the canonical upstream example, which crashes identically); on an
+    environment where it runs, this pins v1 == v2 semantics."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from ingestion_scripts_spark.streaming.streams import tws_user_counts
+
+    df = spark.createDataFrame([(i % 3, i) for i in range(20)], "user_id bigint, v bigint")
+    src = str(tmp_path / "src")
+    df.coalesce(1).write.mode("overwrite").parquet(src)
+    stream = spark.readStream.schema(df.schema).parquet(src)
+    prev = spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        q = (
+            tws_user_counts(stream, "user_id")
+            .writeStream.format("memory")
+            .queryName("tws_t")
+            .outputMode("update")
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    except Exception as e:  # noqa: BLE001 - environment gate
+        pytest.skip(f"transformWithStateInPandas unavailable here: {type(e).__name__}")
+    finally:
+        if prev:
+            spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
+        else:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    got = {r.user_id: r.running_total for r in spark.table("tws_t").collect()}
+    want = {r.user_id: r.n for r in df.groupBy("user_id").agg(F.count("*").alias("n")).collect()}
+    assert got == want
