@@ -2629,6 +2629,102 @@ ORDER BY purchase_id, click_id
 """
 
 
+def q_stream_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream LEFT OUTER join (§2.8): like stream_stream_join but
+    unmatched purchases must ALSO emit (click_id = -1) — which only
+    happens when the watermark EVICTS their buffered state, never at query
+    end. The replay therefore appends a far-future sentinel batch on each
+    side (advancing the watermark past every real row) and then an EMPTY
+    batch, because eviction runs with the PREVIOUS batch's watermark
+    (same lagged-watermark algebra stream_late_drop encodes). The oracle
+    is the plain batch LEFT JOIN — equality proves the null-side emission
+    is exactly the unmatched set, with no duplicates from replay."""
+    import glob
+    import os
+    import tempfile
+    import time
+    import uuid
+
+    from ingestion_scripts_spark.sources.readers import load_table
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "event_type"
+    )
+    max_ts = ev.agg(F.max("ts")).collect()[0][0]
+    src = tempfile.mkdtemp(prefix="soj_src_")
+    sentinel = ev.limit(1).select(
+        F.lit(-1).cast("bigint").alias("event_id"),
+        (F.lit(max_ts) + F.expr("INTERVAL 10 HOURS")).alias("ts"),
+        F.lit(-1).cast("bigint").alias("user_id"),
+        F.col("event_type"),
+    )
+    for side, flt in (("purchases", "purchase"), ("clicks", "click")):
+        base = ev.filter(F.col("event_type") == flt)
+        base.coalesce(1).write.mode("overwrite").parquet(f"{src}/{side}/b0")
+        sentinel.withColumn("event_type", F.lit(flt)).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(f"{src}/{side}/b1")
+        base.filter(F.lit(False)).coalesce(1).write.mode("overwrite").parquet(
+            f"{src}/{side}/b2"
+        )
+        now = time.time()
+        for i, d in enumerate(("b0", "b1", "b2")):
+            for p in glob.glob(f"{src}/{side}/{d}/*.parquet"):
+                os.utime(p, (now - 200 + 50 * i, now - 200 + 50 * i))
+
+    schema = ev.schema
+
+    def _stream(sub: str, prefix: str) -> DataFrame:
+        s = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .option("recursiveFileLookup", "true")
+            .parquet(f"{src}/{sub}")
+        )
+        return s.select(
+            *[F.col(c).alias(f"{prefix}_{c}") for c in s.columns]
+        ).withWatermark(f"{prefix}_ts", "2 hours")
+
+    p, c = _stream("purchases", "p"), _stream("clicks", "c")
+    joined = p.join(
+        c,
+        (F.col("p_user_id") == F.col("c_user_id"))
+        & (F.col("c_ts") >= F.col("p_ts") - F.expr("INTERVAL 1 HOUR"))
+        & (F.col("c_ts") <= F.col("p_ts")),
+        "left_outer",
+    ).select(
+        F.col("p_event_id").alias("purchase_id"),
+        F.coalesce(F.col("c_event_id"), F.lit(-1)).alias("click_id"),
+        "p_user_id",
+    )
+    name = "soj_" + uuid.uuid4().hex[:8]
+    q = (
+        joined.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="ckpt_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return (
+        spark.table(name)
+        .filter(F.col("p_user_id") >= 0)  # drop the sentinel's own row
+        .select("purchase_id", "click_id")
+        .orderBy("purchase_id", "click_id")
+    )
+
+
+SQL_STREAM_OUTER_JOIN = """
+SELECT p.event_id AS purchase_id, coalesce(c.event_id, -1) AS click_id
+FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+  ON p.user_id = c.user_id
+ AND c.ts >= p.ts - INTERVAL 1 HOUR AND c.ts <= p.ts
+ORDER BY purchase_id, click_id
+"""
+
+
 def q_scd_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Type-2 SCD merge (operators/sink.py::scd2_apply): apply an update
     batch (acctbal bumped for custkey % 7 == 0) to a versioned customer
@@ -3769,6 +3865,49 @@ ORDER BY user_id
 """
 
 
+_PROFILE_COLS = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+
+
+def q_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-pass column profiler (the data-quality monitor every ingest
+    pipeline schedules): unpivot the numeric columns via ``stack`` into
+    (column, value) rows, then a single keyed aggregate computes count /
+    nulls / exact distinct / min / max / mean per column. ONE scan + one
+    shuffle keyed by column name regardless of how many columns are
+    profiled — per-column sequential jobs would rescan the table N times."""
+    li = _t(spark, sf_dir, "lineitem").select(*_PROFILE_COLS)
+    n = len(_PROFILE_COLS)
+    pairs = ", ".join(f"'{c}', `{c}`" for c in _PROFILE_COLS)
+    long = li.select(F.expr(f"stack({n}, {pairs}) AS (col, val)"))
+    return (
+        long.groupBy("col")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(F.col("val").isNull().cast("bigint")).alias("n_null"),
+            F.countDistinct("val").alias("n_distinct"),
+            F.round(F.min("val"), 6).alias("min_val"),
+            F.round(F.max("val"), 6).alias("max_val"),
+            TA.r4(F.avg("val")).alias("mean_val"),
+        )
+        .orderBy("col")
+    )
+
+
+def _sql_column_profile() -> str:
+    arms = "\nUNION ALL\n".join(
+        f"SELECT '{c}' AS col, {c} AS val FROM lineitem" for c in _PROFILE_COLS
+    )
+    return f"""
+WITH long AS ({arms})
+SELECT col, count(*) AS n_rows,
+       CAST(sum(CASE WHEN val IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
+       CAST(count(DISTINCT val) AS BIGINT) AS n_distinct,
+       round(min(val), 6) AS min_val, round(max(val), 6) AS max_val,
+       {O.sql_r4('avg(val)')} AS mean_val
+FROM long GROUP BY col ORDER BY col
+"""
+
+
 def q_min_price_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q2-shaped CORRELATED SCALAR SUBQUERY (through spark.sql):
     for each part in a brand, the supplier rows achieving that part's
@@ -4291,6 +4430,8 @@ _REGISTRY: list[tuple[str, Callable[[SparkSession, str], DataFrame], str | None]
     ("dataset_split", q_dataset_split, _sql_dataset_split()),
     ("char_entropy", q_char_entropy, SQL_CHAR_ENTROPY),
     ("min_price_supplier", q_min_price_supplier, SQL_MIN_PRICE_SUPPLIER),
+    ("column_profile", q_column_profile, _sql_column_profile()),
+    ("stream_outer_join", q_stream_outer_join, SQL_STREAM_OUTER_JOIN),
     ("rolling_7d_value", q_rolling_7d_value, SQL_ROLLING_7D),
     ("partitioned_sink", q_partitioned_sink, SQL_PARTITIONED_SINK),
 ]

@@ -104,6 +104,7 @@ HEADLINE = [
     "dataset_split",
     "char_entropy",
     "min_price_supplier",
+    "column_profile",
     "rolling_7d_value",
     "partitioned_sink",
     "hourly_windows",
@@ -131,6 +132,7 @@ STREAMING = [
     "stream_stream_join",
     "stream_stateful_counts",
     "stream_idempotent_sink",
+    "stream_outer_join",
 ]
 
 
