@@ -3761,6 +3761,150 @@ FROM events GROUP BY user_id ORDER BY user_id
 """
 
 
+def q_stream_wm_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming dedup with BOUNDED state (``dropDuplicatesWithinWatermark``
+    — the production form of stream_dedup_counts: plain dropDuplicates
+    keeps every key forever; the watermarked variant evicts keys once the
+    watermark passes them, so state is O(delay window), the only form that
+    survives an unbounded stream). Every event replayed twice in the same
+    batch window → per-type counts must equal plain batch counts."""
+    import tempfile
+    import uuid
+
+    from ingestion_scripts_spark.sources.readers import read_events_stream
+
+    stream = read_events_stream(spark, sf_dir)
+    doubled = stream.select(
+        "event_id", "event_type", "ts",
+        F.explode(F.array(F.lit(0), F.lit(1))).alias("__replay"),
+    ).drop("__replay")
+    dedup = doubled.withWatermark("ts", "2 hours").dropDuplicatesWithinWatermark(
+        ["event_id"]
+    )
+    name = "wm_dedup_" + uuid.uuid4().hex[:8]
+    q = (
+        dedup.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="ckpt_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return (
+        spark.table(name)
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("event_type")
+    )
+
+
+def q_cumulative_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative DISTINCT (user, item) interaction pairs by day —
+    COUNT(DISTINCT) over a running window is unsupported/unscalable, so
+    the engine uses the first-seen rewrite: per-entity min(day) (one keyed
+    agg), daily new-entity counts, then a cumulative sum over the tiny
+    per-day table. The standard coverage growth curve, shuffle-bounded by
+    |entities| + |days|."""
+    ev = _t(spark, sf_dir, "events")
+    pair = ev.select(
+        F.concat_ws(
+            ":",
+            F.col("user_id"),
+            F.get_json_object("props", "$.k"),
+        ).alias("ent"),
+        F.to_date("ts").alias("day"),
+    )
+    first_seen = pair.groupBy("ent").agg(F.min("day").alias("first_day"))
+    daily = first_seen.groupBy("first_day").agg(
+        F.count(F.lit(1)).alias("new_users")
+    )
+    wc = Window.orderBy("first_day").rowsBetween(Window.unboundedPreceding, 0)
+    # cumulative window runs over the per-DAY table (bounded by calendar
+    # days, not corpus size) — single partition is fine by construction
+    return (
+        daily.withColumn("cum_users", F.sum("new_users").over(wc))
+        .select(
+            F.date_format("first_day", "yyyy-MM-dd").alias("day"),
+            "new_users",
+            "cum_users",
+        )
+        .orderBy("day")
+    )
+
+
+SQL_CUMULATIVE_USERS = """
+WITH fs AS (
+  SELECT user_id || ':' || json_extract_string(props, '$.k') AS ent,
+         min(CAST(ts AS DATE)) AS first_day
+  FROM events GROUP BY 1),
+daily AS (SELECT first_day, count(*) AS new_users FROM fs GROUP BY 1)
+SELECT strftime(first_day, '%Y-%m-%d') AS day, new_users,
+       CAST(sum(new_users) OVER (ORDER BY first_day
+                                 ROWS UNBOUNDED PRECEDING) AS BIGINT)
+         AS cum_users
+FROM daily ORDER BY day
+"""
+
+
+def q_first_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session first-touch attribution: sessionize per user (30-min gaps,
+    gaps-and-islands), then attribute every purchase to the FIRST click of
+    its session (-1 if the session has no click). One window pass for the
+    session ids + one min-over-(user, session) — the analytics twin of the
+    asof join (nearest-click) with different, session-scoped semantics."""
+    ev = _t(spark, sf_dir, "events").select("event_id", "ts", "user_id", "event_type")
+    wu = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.unix_micros(F.col("ts")) - F.unix_micros(F.lag("ts").over(wu))
+    new_s = F.when(gap > 1_800_000_000, 1).otherwise(0)
+    sess = ev.withColumn(
+        "sid",
+        F.sum(F.when(F.lag("ts").over(wu).isNull(), 0).otherwise(new_s)).over(
+            wu.rowsBetween(Window.unboundedPreceding, 0)
+        ),
+    )
+    ws = Window.partitionBy("user_id", "sid")
+    first_click = F.min(
+        F.when(
+            F.col("event_type") == "click",
+            F.struct(F.col("ts"), F.col("event_id")),
+        )
+    ).over(ws)
+    return (
+        sess.withColumn("fc", first_click)
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.coalesce(F.col("fc.event_id"), F.lit(-1)).alias("attributed_click_id"),
+        )
+        .orderBy("purchase_id")
+    )
+
+
+SQL_FIRST_TOUCH = """
+WITH flagged AS (
+  SELECT event_id, ts, user_id, event_type,
+         CASE WHEN lag(ts) OVER w IS NULL THEN 0
+              WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000 THEN 1
+              ELSE 0 END AS new_s
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+sess AS (
+  SELECT *, sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS UNBOUNDED PRECEDING) AS sid
+  FROM flagged),
+fc AS (
+  SELECT *, min(CASE WHEN event_type = 'click'
+                     THEN struct_pack(ts := ts, event_id := event_id) END)
+              OVER (PARTITION BY user_id, sid) AS first_click
+  FROM sess)
+SELECT event_id AS purchase_id,
+       CAST(coalesce(first_click.event_id, -1) AS BIGINT)
+         AS attributed_click_id
+FROM fc WHERE event_type = 'purchase' ORDER BY purchase_id
+"""
+
+
 def q_stream_idempotent_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     """K3 (keyed idempotent sink) END-TO-END under replay, oracle-checked:
     a two-batch stream where batch 1 = even event_ids and batch 2 = ALL
@@ -4432,6 +4576,9 @@ _REGISTRY: list[tuple[str, Callable[[SparkSession, str], DataFrame], str | None]
     ("min_price_supplier", q_min_price_supplier, SQL_MIN_PRICE_SUPPLIER),
     ("column_profile", q_column_profile, _sql_column_profile()),
     ("stream_outer_join", q_stream_outer_join, SQL_STREAM_OUTER_JOIN),
+    ("stream_wm_dedup", q_stream_wm_dedup, SQL_STREAM_IDEMPOTENT),
+    ("cumulative_users", q_cumulative_users, SQL_CUMULATIVE_USERS),
+    ("first_touch_attribution", q_first_touch_attribution, SQL_FIRST_TOUCH),
     ("rolling_7d_value", q_rolling_7d_value, SQL_ROLLING_7D),
     ("partitioned_sink", q_partitioned_sink, SQL_PARTITIONED_SINK),
 ]

@@ -105,6 +105,8 @@ HEADLINE = [
     "char_entropy",
     "min_price_supplier",
     "column_profile",
+    "cumulative_users",
+    "first_touch_attribution",
     "rolling_7d_value",
     "partitioned_sink",
     "hourly_windows",
@@ -133,6 +135,7 @@ STREAMING = [
     "stream_stateful_counts",
     "stream_idempotent_sink",
     "stream_outer_join",
+    "stream_wm_dedup",
 ]
 
 
