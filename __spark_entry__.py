@@ -4426,6 +4426,25 @@ def _sql_bpe_merges() -> str:
     return sql_bpe_merges(n_merges=8)
 
 
+def q_bpe_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The BPE APPLY step: tokenize the corpus with the merges learned by
+    bpe_merges — per document, word count and symbol count under the
+    trained tokenizer (the token-accounting pass that prices a corpus for
+    training). The word→symbol-count mapping is vocab-sized and joins
+    back to the exploded corpus; the oracle re-derives the merges AND the
+    mapping from scratch in SQL and must land on identical counts."""
+    from ingestion_scripts_spark.operators.bpe import bpe_apply
+
+    docs = _t(spark, sf_dir, "documents")
+    return bpe_apply(spark, docs, "text", "doc_id", n_merges=8).orderBy("doc_id")
+
+
+def _sql_bpe_tokenize() -> str:
+    from ingestion_scripts_spark.operators.bpe import sql_bpe_apply
+
+    return sql_bpe_apply(n_merges=8)
+
+
 def q_orc_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S1 on an ORC source: documents round-tripped through ORC (Spark's
     built-in columnar alternative to parquet) with an explicit schema on
@@ -4570,6 +4589,7 @@ _REGISTRY: list[tuple[str, Callable[[SparkSession, str], DataFrame], str | None]
     ("stream_idempotent_sink", q_stream_idempotent_sink, SQL_STREAM_IDEMPOTENT),
     ("unigram_ppl", q_unigram_ppl, _sql_unigram_ppl()),
     ("bpe_merges", q_bpe_merges, _sql_bpe_merges()),
+    ("bpe_tokenize", q_bpe_tokenize, _sql_bpe_tokenize()),
     ("hist_quantiles", q_hist_quantiles, _sql_hist_quantiles()),
     ("dataset_split", q_dataset_split, _sql_dataset_split()),
     ("char_entropy", q_char_entropy, SQL_CHAR_ENTROPY),

@@ -100,6 +100,7 @@ HEADLINE = [
     "bloom_gate",
     "unigram_ppl",
     "bpe_merges",
+    "bpe_tokenize",
     "hist_quantiles",
     "dataset_split",
     "char_entropy",

@@ -111,20 +111,21 @@ def bpe_fit(
     )
 
 
-def sql_bpe_merges(n_merges: int = 8, text_col: str = "text",
-                   table: str = "documents") -> str:
-    """DuckDB twin: the merge loop unrolled as CTEs, each iteration
-    re-deriving pair counts and the argmax from scratch. ``clean/tokenize``
-    SQL comes from oracle.py (same frozen constants)."""
+def _bpe_ctes(n_merges: int, text_col: str, table: str) -> list[str]:
+    """The unrolled merge-derivation CTE chain shared by the two oracle
+    builders. ``seq{i}`` carries the WORD alongside its symbol string so
+    the apply path can join the final mapping back to the corpus;
+    MATERIALIZED is load-bearing — inlined CTEs are referenced twice per
+    level and re-evaluate the whole chain exponentially."""
     from ..oracle import sql_clean_text, sql_tokenize_ws
 
     toks = sql_tokenize_ws(sql_clean_text(text_col))
     ctes = [
         (
-            "seq0 AS MATERIALIZED (SELECT array_to_string(list_transform("
+            "seq0 AS MATERIALIZED (SELECT w, array_to_string(list_transform("
             "regexp_extract_all(w, '(.)', 1), c -> '(' || c || ')'), '') AS s, "
             f"count(*) AS cnt FROM (SELECT unnest({toks}) AS w FROM {table}) "
-            "GROUP BY 1)"
+            "GROUP BY 1, 2)"
         )
     ]
     for i in range(1, n_merges + 1):
@@ -145,10 +146,18 @@ def sql_bpe_merges(n_merges: int = 8, text_col: str = "text",
                 "ORDER BY n DESC, p ASC LIMIT 1)"
             ),
             (
-                f"seq{i} AS MATERIALIZED (SELECT replace(s, (SELECT p FROM m{i}), "
+                f"seq{i} AS MATERIALIZED (SELECT w, replace(s, (SELECT p FROM m{i}), "
                 f"(SELECT merged FROM m{i})) AS s, cnt FROM {prev})"
             ),
         ]
+    return ctes
+
+
+def sql_bpe_merges(n_merges: int = 8, text_col: str = "text",
+                   table: str = "documents") -> str:
+    """DuckDB twin of ``bpe_fit``: the merge loop unrolled as CTEs, each
+    iteration re-deriving pair counts and the argmax from scratch."""
+    ctes = _bpe_ctes(n_merges, text_col, table)
     union = "\nUNION ALL\n".join(
         f"SELECT CAST({i} AS BIGINT) AS rank, p AS pair, trim(merged, '()') AS merged FROM m{i}"
         for i in range(1, n_merges + 1)
@@ -156,4 +165,75 @@ def sql_bpe_merges(n_merges: int = 8, text_col: str = "text",
     return (
         "WITH " + ",\n".join(ctes)
         + f"\nSELECT * FROM (\n{union}\n) ORDER BY rank"
+    )
+
+
+def bpe_apply(
+    spark: SparkSession,
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_merges: int = 8,
+) -> DataFrame:
+    """Tokenize the corpus with the LEARNED merges: per document, word
+    count and BPE symbol count under the trained tokenizer (the
+    pre-training token-accounting pass). The merge list collects to the
+    driver (n_merges strings); the word -> symbol-count mapping is the
+    vocab with the replace chain applied, joined back to the corpus's
+    exploded words — one narrow pass + two keyed shuffles, vocab-sized
+    state only."""
+    merge_rows = bpe_fit(spark, docs, text_col, n_merges).collect()
+    s = F.col("s")
+    for r in merge_rows:
+        s = F.replace(s, F.lit(r["pair"]), F.lit("(" + r["merged"] + ")"))
+    vocab = word_freqs(docs, text_col).select(
+        "w",
+        F.array_join(
+            F.transform(
+                F.regexp_extract_all(F.col("w"), F.lit("(.)"), 1),
+                lambda c: F.concat(F.lit("("), c, F.lit(")")),
+            ),
+            "",
+        ).alias("s"),
+    )
+    mapping = vocab.select(
+        "w", F.size(F.regexp_extract_all(s, F.lit(SYM_RE), 1)).alias("n_sym")
+    )
+    words = docs.select(
+        F.col(id_col),
+        F.explode(tokenize_ws(clean_text(F.col(text_col)))).alias("w"),
+    )
+    return (
+        words.join(mapping, "w")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_words"),
+            F.sum("n_sym").alias("n_bpe_tokens"),
+        )
+    )
+
+
+def sql_bpe_apply(n_merges: int = 8, text_col: str = "text",
+                  table: str = "documents", id_col: str = "doc_id") -> str:
+    """DuckDB twin of ``bpe_apply``: the final ``seq{n}`` CTE IS the
+    word -> merged-symbols mapping; join it to the corpus's exploded
+    words and count symbols."""
+    from ..oracle import sql_clean_text, sql_tokenize_ws
+
+    toks = sql_tokenize_ws(sql_clean_text(text_col))
+    ctes = _bpe_ctes(n_merges, text_col, table)
+    ctes.append(
+        f"mapping AS (SELECT w, len(regexp_extract_all(s, '{SYM_RE}', 1)) AS n_sym "
+        f"FROM seq{n_merges})"
+    )
+    ctes.append(
+        f"words AS (SELECT {id_col}, unnest({toks}) AS w FROM {table})"
+    )
+    return (
+        "WITH " + ",\n".join(ctes)
+        + f"""
+SELECT w2.{id_col}, count(*) AS n_words,
+       CAST(sum(m.n_sym) AS BIGINT) AS n_bpe_tokens
+FROM words w2 JOIN mapping m USING (w)
+GROUP BY 1 ORDER BY {id_col}"""
     )

@@ -27,3 +27,19 @@ def test_bpe_greedy_nonoverlapping(spark):
     got = [(r.pair, r.merged) for r in bpe_fit(spark, docs, n_merges=2).collect()]
     assert got[0] == ("(a)(a)", "aa")
     assert got[1] == ("(aa)(aa)", "aaaa")
+
+
+def test_bpe_apply_counts(spark):
+    from ingestion_scripts_spark.operators.bpe import bpe_apply
+
+    docs = spark.createDataFrame(
+        [(1, "aaab aaab abab"), (2, "xy xy")], "doc_id bigint, text string"
+    )
+    got = {r.doc_id: r for r in bpe_apply(spark, docs, n_merges=2).collect()}
+    assert got[1].n_words == 3
+    # merges learned on this corpus: (a)(b) then (a)(a) ->
+    # aaab = (a)(aa... wait, chain order: ab first: (a)(a)(ab); then aa:
+    # (aa)(ab) = 2 symbols; abab = (ab)(ab) = 2 symbols
+    assert got[1].n_bpe_tokens == 2 + 2 + 2
+    # 'xy' never merged at n_merges=2 on this corpus -> 2 chars each
+    assert got[2].n_bpe_tokens == 4
