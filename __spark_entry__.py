@@ -1138,6 +1138,87 @@ ORDER BY query_id, rank
 """
 
 
+def q_ivf_trained_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN with a TRAINED coarse quantizer: k-means (2 Lloyd rounds,
+    deterministic init) on the unit-normalized corpus replaces the fixed
+    pseudo-random centroids of ivf_ann_topk — the production IVF build
+    (train quantizer → assign cells → per-cell exact search). Same
+    rounded-distance / lowest-id assignment as clustering.py on BOTH
+    engines; the oracle re-trains the quantizer from scratch in SQL."""
+    from ingestion_scripts_spark.operators.clustering import kmeans_fit
+
+    emb = _t(spark, sf_dir, "embeddings")
+    nv = (
+        emb.select("vec_id", SIM._as_double(F.col("embedding")).alias("__v"))
+        .withColumn("__n", SIM.norm(F.col("__v")))
+        .select(
+            "vec_id",
+            F.transform(F.col("__v"), lambda x: x / F.col("__n")).alias("nv"),
+        )
+    )
+    from ingestion_scripts_spark.operators.clustering import assign_clusters
+
+    cents, _ = kmeans_fit(nv, "nv", "vec_id", k=8, iters=2)
+    # fresh assignment over the un-cached plan: self-joining the k-means
+    # working-set cache trips a columnar-cache pruning bug (AIOOBE in the
+    # InMemoryRelation reader when the two join sides prune differently)
+    assigned = assign_clusters(
+        nv.select(F.col("vec_id"), F.col("nv").alias("v")), cents
+    )
+    corpus = assigned.select(
+        F.col("vec_id").alias("match_id"), "cluster_id", F.col("v").alias("cv")
+    )
+    queries = assigned.filter(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("query_id"), "cluster_id", F.col("v").alias("qv")
+    )
+    scored = (
+        queries.join(corpus, "cluster_id")
+        .filter(F.col("query_id") != F.col("match_id"))
+        .select(
+            "query_id",
+            "match_id",
+            F.round(SIM.dot(F.col("qv"), F.col("cv")), 6).alias("sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("match_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= 5)
+        .orderBy("query_id", "rank")
+    )
+
+
+def _sql_ivf_trained() -> str:
+    from ingestion_scripts_spark.operators.clustering import sql_kmeans
+
+    nrm = (
+        "sqrt(list_sum(list_transform(range(1, len({0}) + 1), i -> {0}[i] * {0}[i])))"
+    ).format
+    normed = (
+        "(SELECT vec_id, list_transform(v, x -> x / " + nrm("v")
+        + ") AS nv FROM (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings))"
+    )
+    km = sql_kmeans(normed, "nv", "vec_id", k=8, iters=2, dim=64)
+    return f"""
+WITH assign AS (SELECT vec_id, cluster_id FROM ({km}) base),
+nv AS (SELECT vec_id, nv FROM {normed} AS n),
+j AS (SELECT a.vec_id, a.cluster_id, n.nv FROM assign a JOIN nv n USING (vec_id)),
+scored AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS match_id,
+         round({O.sql_dot('q.nv', 'c.nv', 'len(q.nv)')}, 6) AS sim
+  FROM j q JOIN j c ON q.cluster_id = c.cluster_id AND q.vec_id <> c.vec_id
+  WHERE q.vec_id % 50 = 0),
+ranked AS (
+  SELECT query_id, match_id, sim,
+         CAST(row_number() OVER (PARTITION BY query_id
+                                 ORDER BY sim DESC, match_id ASC) AS BIGINT)
+           AS rank
+  FROM scored)
+SELECT query_id, match_id, sim, rank FROM ranked WHERE rank <= 5
+ORDER BY query_id, rank
+"""
+
+
 def q_ivf_ann_topk_mp(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multi-probe IVF ANN (probes=2): the query fans out to its two
     nearest coarse cells — recovering boundary-vector recall at 2x candidate
@@ -4590,6 +4671,7 @@ _REGISTRY: list[tuple[str, Callable[[SparkSession, str], DataFrame], str | None]
     ("unigram_ppl", q_unigram_ppl, _sql_unigram_ppl()),
     ("bpe_merges", q_bpe_merges, _sql_bpe_merges()),
     ("bpe_tokenize", q_bpe_tokenize, _sql_bpe_tokenize()),
+    ("ivf_trained_topk", q_ivf_trained_topk, _sql_ivf_trained()),
     ("hist_quantiles", q_hist_quantiles, _sql_hist_quantiles()),
     ("dataset_split", q_dataset_split, _sql_dataset_split()),
     ("char_entropy", q_char_entropy, SQL_CHAR_ENTROPY),

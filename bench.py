@@ -71,6 +71,7 @@ HEADLINE = [
     "embedding_topk",
     "lsh_ann_topk",
     "ivf_ann_topk",
+    "ivf_trained_topk",
     "embedding_near_dup",
     "embedding_near_dup_fold",
     "lang_id",
