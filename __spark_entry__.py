@@ -4090,6 +4090,47 @@ ORDER BY user_id
 """
 
 
+def q_idle_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape (global-promo audit): customers in a nation set
+    whose balance beats the average positive balance of that set AND who
+    have placed no order since 2000 — a scalar-aggregate subquery + NOT EXISTS in one
+    query, both decorrelated by Catalyst (the scalar avg becomes a 1-row
+    broadcast, the NOT EXISTS a left-anti join — no per-row subplan
+    execution anywhere)."""
+    _t(spark, sf_dir, "customer").createOrReplaceTempView("cust_q22")
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("ord_q22")
+    return spark.sql(
+        """
+        SELECT c.c_nationkey AS nation, count(*) AS n_cust,
+               round(sum(c.c_acctbal), 2) AS total_bal
+        FROM cust_q22 c
+        WHERE c.c_nationkey IN (0, 3, 7, 11, 19)
+          AND c.c_acctbal > (
+            SELECT avg(c2.c_acctbal) FROM cust_q22 c2
+            WHERE c2.c_acctbal > 0.0
+              AND c2.c_nationkey IN (0, 3, 7, 11, 19))
+          AND NOT EXISTS (
+            SELECT 1 FROM ord_q22 o WHERE o.o_custkey = c.c_custkey
+              AND o.o_orderdate >= DATE '2000-01-01')
+        GROUP BY c.c_nationkey ORDER BY nation
+        """
+    )
+
+
+SQL_IDLE_RICH = """
+SELECT c.c_nationkey AS nation, count(*) AS n_cust,
+       round(sum(c.c_acctbal), 2) AS total_bal
+FROM customer c
+WHERE c.c_nationkey IN (0, 3, 7, 11, 19)
+  AND c.c_acctbal > (
+    SELECT avg(c2.c_acctbal) FROM customer c2
+    WHERE c2.c_acctbal > 0.0 AND c2.c_nationkey IN (0, 3, 7, 11, 19))
+  AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
+                  AND o.o_orderdate >= DATE '2000-01-01')
+GROUP BY c.c_nationkey ORDER BY nation
+"""
+
+
 _PROFILE_COLS = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
 
 
@@ -4677,6 +4718,7 @@ _REGISTRY: list[tuple[str, Callable[[SparkSession, str], DataFrame], str | None]
     ("char_entropy", q_char_entropy, SQL_CHAR_ENTROPY),
     ("min_price_supplier", q_min_price_supplier, SQL_MIN_PRICE_SUPPLIER),
     ("column_profile", q_column_profile, _sql_column_profile()),
+    ("idle_rich_customers", q_idle_rich_customers, SQL_IDLE_RICH),
     ("stream_outer_join", q_stream_outer_join, SQL_STREAM_OUTER_JOIN),
     ("stream_wm_dedup", q_stream_wm_dedup, SQL_STREAM_IDEMPOTENT),
     ("cumulative_users", q_cumulative_users, SQL_CUMULATIVE_USERS),

@@ -107,6 +107,7 @@ HEADLINE = [
     "char_entropy",
     "min_price_supplier",
     "column_profile",
+    "idle_rich_customers",
     "cumulative_users",
     "first_touch_attribution",
     "rolling_7d_value",
