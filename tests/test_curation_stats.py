@@ -65,3 +65,30 @@ def test_importance_weights_broadcast_plan(spark):
     df = E.queries()["importance_weights"](spark, SF)
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan, plan
+
+
+def test_hist_quantile_error_bounded_by_bin_width(spark):
+    """The histogram quantile (lower edge of the hit bin) must land within
+    one bin width of the DISCRETE quantile (the value at rank ceil(p*n)) —
+    that value lies inside the hit bin by construction. (The interpolated
+    percentile can sit arbitrarily far below across tail data gaps, so it
+    is not the right reference.)"""
+    import math
+
+    import pyspark.sql.functions as F
+
+    rows = E.queries()["hist_quantiles"](spark, SF).collect()
+    ev = E.queries.__globals__["_t"](spark, SF, "events")
+    vals = {
+        r.event_type: sorted(r.vs)
+        for r in ev.groupBy("event_type")
+        .agg(F.collect_list("value").alias("vs"))
+        .collect()
+    }
+    for r in rows:
+        vs = vals[r.event_type]
+        width = (vs[-1] - vs[0]) / 64.0
+        discrete = vs[math.ceil(r.p * len(vs)) - 1]
+        assert abs(r.est - discrete) <= width + 1e-9, (
+            r.event_type, r.p, r.est, discrete, width
+        )
