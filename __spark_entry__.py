@@ -3578,6 +3578,63 @@ ORDER BY user_id, session_start
 """
 
 
+def q_session_window_dynamic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native session_window with a DYNAMIC per-event gap (purchases hold
+    a session open 45 min, everything else 15): each event extends its
+    session to ts+gap and overlapping extents merge — checked against the
+    gaps-and-islands construction with a RUNNING-MAX horizon (an island
+    breaks only when the next event starts after max over all previous
+    (ts_i + gap_i), which a plain lag-based gap rule gets wrong when a
+    long-gap event is followed by short-gap ones)."""
+    ev = _t(spark, sf_dir, "events")
+    gap = F.when(F.col("event_type") == "purchase", "45 minutes").otherwise(
+        "15 minutes"
+    )
+    return (
+        ev.groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            "user_id",
+            _fmt_ts(F.col("w.start"), with_micros=True).alias("session_start"),
+            _fmt_ts(F.col("w.end"), with_micros=True).alias("session_end"),
+            "n",
+        )
+        .orderBy("user_id", "session_start")
+    )
+
+
+SQL_SESSION_DYNAMIC = f"""
+WITH g AS (
+  SELECT user_id, ts,
+         CASE WHEN event_type = 'purchase' THEN 2700000000 ELSE 900000000 END
+           AS gap_us
+  FROM events),
+flagged AS (
+  SELECT user_id, ts, gap_us,
+         CASE WHEN max(epoch_us(ts) + gap_us) OVER
+                   (PARTITION BY user_id ORDER BY ts
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) IS NULL
+              THEN 1
+              WHEN epoch_us(ts) >= max(epoch_us(ts) + gap_us) OVER
+                   (PARTITION BY user_id ORDER BY ts
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+              THEN 1 ELSE 0 END AS new_s
+  FROM g),
+sess AS (
+  SELECT user_id, ts, gap_us,
+         sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                          ROWS UNBOUNDED PRECEDING) AS sid
+  FROM flagged)
+SELECT user_id,
+       {SQL_TS_US.format('min(ts)')} AS session_start,
+       {SQL_TS_US.format('make_timestamp(max(epoch_us(ts) + gap_us))')}
+         AS session_end,
+       count(*) AS n
+FROM sess GROUP BY user_id, sid
+ORDER BY user_id, session_start
+"""
+
+
 # ---------------------------------------------------------------------------
 # round-3 extensions: semantic dedup, CMS heavy hitters, chunking, rule
 # gates, weighted sampling, per-source caps, ORC source
@@ -4719,6 +4776,7 @@ _REGISTRY: list[tuple[str, Callable[[SparkSession, str], DataFrame], str | None]
     ("min_price_supplier", q_min_price_supplier, SQL_MIN_PRICE_SUPPLIER),
     ("column_profile", q_column_profile, _sql_column_profile()),
     ("idle_rich_customers", q_idle_rich_customers, SQL_IDLE_RICH),
+    ("session_window_dynamic", q_session_window_dynamic, SQL_SESSION_DYNAMIC),
     ("stream_outer_join", q_stream_outer_join, SQL_STREAM_OUTER_JOIN),
     ("stream_wm_dedup", q_stream_wm_dedup, SQL_STREAM_IDEMPOTENT),
     ("cumulative_users", q_cumulative_users, SQL_CUMULATIVE_USERS),

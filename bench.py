@@ -118,6 +118,7 @@ HEADLINE = [
     "hll_merge_rollup",
     "sessionize",
     "session_window_native",
+    "session_window_dynamic",
     "twitter_pipeline",
     "reddit_pipeline",
     "rss_pipeline",
