@@ -4586,6 +4586,105 @@ FROM documents WHERE lang = 'en' GROUP BY 1 ORDER BY source
 """
 
 
+def q_bigram_backoff_ppl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram LM with STUPID BACKOFF (Brants et al. 2007) scoring, the
+    n-gram step past unigram_ppl: counts come from the TRAIN split only
+    (the dataset_split hash rule), all documents are scored — held-out
+    docs hit unseen bigrams, so the backoff path (alpha=0.4 times the
+    add-one unigram) genuinely executes. score(w_i|w_{i-1}) =
+    c(bi)/c(w_{i-1}) when the bigram was seen, else 0.4 * (c(w_i)+1) /
+    (N+V+1); first token scores as unigram. Per-doc mean NLL, r4.
+
+    Scale shape: two keyed count aggregations (partials), one shuffle
+    join of doc bigrams to the bigram table on a 64-bit key, unigram
+    table joins twice. No driver state at all."""
+    docs = _t(spark, sf_dir, "documents")
+    h = X.hash64(F.concat(F.lit("split:"), F.col("doc_id").cast("string"))) % 100
+    toks = docs.select(
+        "doc_id", (h < 80).alias("is_train"),
+        X.tokenize_ws(X.clean_text(F.col("text"))).alias("t"),
+    )
+    tok = toks.select(
+        "doc_id", "is_train", F.posexplode("t").alias("pos", "w")
+    ).withColumn("w_prev", F.lag("w").over(
+        Window.partitionBy("doc_id").orderBy("pos")
+    ))
+    train = tok.filter(F.col("is_train"))
+    uni = train.groupBy("w").agg(F.count(F.lit(1)).alias("cu"))
+    bi = (
+        train.filter(F.col("w_prev").isNotNull())
+        .groupBy("w_prev", "w")
+        .agg(F.count(F.lit(1)).alias("cb"))
+    )
+    n_total = train.count()
+    v = uni.count()
+    denom = float(n_total + v + 1)
+    scored = (
+        tok.join(uni.withColumnRenamed("cu", "cu_w"), "w", "left")
+        .join(
+            uni.select(F.col("w").alias("w_prev"), F.col("cu").alias("cu_prev")),
+            "w_prev",
+            "left",
+        )
+        .join(bi, ["w_prev", "w"], "left")
+        .withColumn(
+            "__lp",
+            F.when(
+                F.col("w_prev").isNotNull() & F.col("cb").isNotNull(),
+                F.log(F.col("cb") / F.col("cu_prev")),
+            ).otherwise(
+                F.when(F.col("w_prev").isNotNull(), F.log(F.lit(0.4))).otherwise(
+                    F.lit(0.0)
+                )
+                + F.log((F.coalesce(F.col("cu_w"), F.lit(0)) + 1.0) / F.lit(denom))
+            ),
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_toks"),
+            TA.r4(-F.sum("__lp") / F.count(F.lit(1))).alias("nll"),
+        )
+    )
+    return scored.orderBy("doc_id")
+
+
+def _sql_bigram_backoff() -> str:
+    toks = O.sql_tokenize_ws(O.sql_clean_text("text"))
+    h = f"{O.sql_hash64(chr(39) + 'split:' + chr(39) + ' || doc_id')} % 100"
+    return f"""
+WITH base AS (SELECT doc_id, {toks} AS tk FROM documents),
+ex AS (
+  SELECT doc_id,
+         unnest(list_transform(range(1, len(tk) + 1),
+                i -> struct_pack(pos := i, w := tk[i]))) AS u
+  FROM base),
+tok AS (
+  SELECT doc_id, ({h}) < 80 AS is_train, u.pos AS pos, u.w AS w,
+         lag(u.w) OVER (PARTITION BY doc_id ORDER BY u.pos) AS w_prev
+  FROM ex),
+train AS (SELECT * FROM tok WHERE is_train),
+uni AS (SELECT w, count(*) AS cu FROM train GROUP BY 1),
+bi AS (SELECT w_prev, w, count(*) AS cb FROM train
+       WHERE w_prev IS NOT NULL GROUP BY 1, 2),
+n AS (SELECT count(*) AS n_total FROM train),
+v AS (SELECT count(*) AS vv FROM uni),
+scored AS (
+  SELECT t.doc_id,
+         CASE WHEN t.w_prev IS NOT NULL AND b.cb IS NOT NULL
+              THEN ln(b.cb / up.cu)
+              ELSE (CASE WHEN t.w_prev IS NOT NULL THEN ln(0.4) ELSE 0.0 END)
+                   + ln((coalesce(uw.cu, 0) + 1.0) / (n.n_total + v.vv + 1))
+         END AS lp
+  FROM tok t
+  LEFT JOIN uni uw ON uw.w = t.w
+  LEFT JOIN uni up ON up.w = t.w_prev
+  LEFT JOIN bi b ON b.w_prev = t.w_prev AND b.w = t.w, n, v)
+SELECT doc_id, count(*) AS n_toks,
+       floor((-sum(lp) / count(*)) * 10000.0 + 0.5) / 10000.0 AS nll
+FROM scored GROUP BY 1 ORDER BY doc_id
+"""
+
+
 def q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BPE tokenizer training (Sennrich et al. 2016) as a Spark driver
     loop: 8 merge rounds over the cached word-frequency vocab (never the
@@ -4777,6 +4876,7 @@ _REGISTRY: list[tuple[str, Callable[[SparkSession, str], DataFrame], str | None]
     ("column_profile", q_column_profile, _sql_column_profile()),
     ("idle_rich_customers", q_idle_rich_customers, SQL_IDLE_RICH),
     ("session_window_dynamic", q_session_window_dynamic, SQL_SESSION_DYNAMIC),
+    ("bigram_backoff_ppl", q_bigram_backoff_ppl, _sql_bigram_backoff()),
     ("stream_outer_join", q_stream_outer_join, SQL_STREAM_OUTER_JOIN),
     ("stream_wm_dedup", q_stream_wm_dedup, SQL_STREAM_IDEMPOTENT),
     ("cumulative_users", q_cumulative_users, SQL_CUMULATIVE_USERS),

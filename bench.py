@@ -100,6 +100,7 @@ HEADLINE = [
     "orc_source",
     "bloom_gate",
     "unigram_ppl",
+    "bigram_backoff_ppl",
     "bpe_merges",
     "bpe_tokenize",
     "hist_quantiles",
