@@ -1138,6 +1138,50 @@ ORDER BY query_id, rank
 """
 
 
+def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Measure, don't guess: the ANN evaluation harness as a query. For
+    each approximate index (LSH sign-bit buckets, IVF single-probe) the
+    hit rate of its top-5 against the EXACT cosine top-10 — the
+    recall/latency tradeoff quantified, per method, in one run. At scale
+    this runs on a query sample; the joins are on (query, match) ids."""
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 50 == 0)
+    exact = SIM.cosine_topk(queries, emb, k=10).select("query_id", "match_id")
+    nq = queries.count()
+
+    def rate(approx: DataFrame, method: str) -> DataFrame:
+        hits = approx.select("query_id", "match_id").join(
+            exact, ["query_id", "match_id"]
+        )
+        return hits.agg(
+            F.lit(method).alias("method"),
+            F.lit(nq).cast("bigint").alias("n_queries"),
+            TA.r4(F.count(F.lit(1)) / F.lit(float(nq * 5))).alias("hit_rate"),
+        )
+
+    lsh = SIM.lsh_ann_topk(queries, emb, dim=64, num_planes=6, k=5)
+    ivf = SIM.ivf_ann_topk(queries, emb, dim=64, n_cells=8, k=5)
+    return rate(lsh, "lsh").unionByName(rate(ivf, "ivf")).orderBy("method")
+
+
+def _sql_ann_recall() -> str:
+    return f"""
+WITH exact AS ({SQL_EMBEDDING_TOPK}),
+lsh AS ({_sql_lsh_ann()}),
+ivf AS ({_sql_ivf_ann()}),
+nq AS (SELECT count(*) AS n FROM embeddings WHERE vec_id % 50 = 0),
+h AS (
+  SELECT 'lsh' AS method, count(*) AS hits
+  FROM lsh a JOIN exact e USING (query_id, match_id)
+  UNION ALL
+  SELECT 'ivf' AS method, count(*) AS hits
+  FROM ivf a JOIN exact e USING (query_id, match_id))
+SELECT h.method, CAST(nq.n AS BIGINT) AS n_queries,
+       {O.sql_r4('hits / (nq.n * 5.0)')} AS hit_rate
+FROM h, nq ORDER BY method
+"""
+
+
 def q_ivf_trained_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF ANN with a TRAINED coarse quantizer: k-means (2 Lloyd rounds,
     deterministic init) on the unit-normalized corpus replaces the fixed
@@ -4877,6 +4921,7 @@ _REGISTRY: list[tuple[str, Callable[[SparkSession, str], DataFrame], str | None]
     ("idle_rich_customers", q_idle_rich_customers, SQL_IDLE_RICH),
     ("session_window_dynamic", q_session_window_dynamic, SQL_SESSION_DYNAMIC),
     ("bigram_backoff_ppl", q_bigram_backoff_ppl, _sql_bigram_backoff()),
+    ("ann_recall", q_ann_recall, _sql_ann_recall()),
     ("stream_outer_join", q_stream_outer_join, SQL_STREAM_OUTER_JOIN),
     ("stream_wm_dedup", q_stream_wm_dedup, SQL_STREAM_IDEMPOTENT),
     ("cumulative_users", q_cumulative_users, SQL_CUMULATIVE_USERS),

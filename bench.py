@@ -72,6 +72,7 @@ HEADLINE = [
     "lsh_ann_topk",
     "ivf_ann_topk",
     "ivf_trained_topk",
+    "ann_recall",
     "embedding_near_dup",
     "embedding_near_dup_fold",
     "lang_id",
