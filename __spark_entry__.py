@@ -1930,6 +1930,37 @@ FROM documents ORDER BY media_id
 # end-to-end LLM training-data curation (the composed §2.9 story)
 # ---------------------------------------------------------------------------
 
+def q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The frame-sampling leg of the multimodal surface (video → sampled
+    frames): posexplode plumbing with per-frame lineage (media_id,
+    frame_no) — the extractor is the documented deterministic fake (fixed
+    strides over the base64 payload; real deployments plug a decoder) but
+    the exploded schema, ordering and lineage are the real contract, and
+    the oracle recomputes the same strides byte-for-byte."""
+    from ingestion_scripts_spark.operators.multimodal import (
+        sample_frames,
+        text_to_media,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    media = text_to_media(docs)
+    return sample_frames(media).orderBy("media_id", "frame_no")
+
+
+SQL_MULTIMODAL_FRAMES = """
+WITH f AS (
+  SELECT doc_id AS media_id,
+         unnest(list_transform(range(0, 8),
+                i -> struct_pack(fn := i,
+                                 tok := substr(to_base64(encode(text)),
+                                               CAST(i * 64 + 1 AS BIGINT), 16))))
+           AS u
+  FROM documents)
+SELECT media_id, CAST(u.fn AS INTEGER) AS frame_no, u.tok AS frame_token
+FROM f WHERE u.tok <> '' ORDER BY media_id, frame_no
+"""
+
+
 def q_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The full curation flow in ONE DataFrame program: quality gate →
     exact dedup (content hash, min-id survivor) → near-dup removal
@@ -4922,6 +4953,7 @@ _REGISTRY: list[tuple[str, Callable[[SparkSession, str], DataFrame], str | None]
     ("session_window_dynamic", q_session_window_dynamic, SQL_SESSION_DYNAMIC),
     ("bigram_backoff_ppl", q_bigram_backoff_ppl, _sql_bigram_backoff()),
     ("ann_recall", q_ann_recall, _sql_ann_recall()),
+    ("multimodal_frames", q_multimodal_frames, SQL_MULTIMODAL_FRAMES),
     ("stream_outer_join", q_stream_outer_join, SQL_STREAM_OUTER_JOIN),
     ("stream_wm_dedup", q_stream_wm_dedup, SQL_STREAM_IDEMPOTENT),
     ("cumulative_users", q_cumulative_users, SQL_CUMULATIVE_USERS),

@@ -73,6 +73,7 @@ HEADLINE = [
     "ivf_ann_topk",
     "ivf_trained_topk",
     "ann_recall",
+    "multimodal_frames",
     "embedding_near_dup",
     "embedding_near_dup_fold",
     "lang_id",

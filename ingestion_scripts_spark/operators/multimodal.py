@@ -163,12 +163,15 @@ def sample_frames(
     deterministic fake (every Nth byte slice) — real deployments plug a
     decoder; the exploded schema, ordering column and per-row lineage are
     the real contract."""
+    # Spark's base64() MIME-chunks with \r\n every 76 chars (JDK
+    # Base64.getMimeEncoder, legacy.chunkBase64String default) — strip the
+    # breaks so the stride arithmetic addresses the raw encoding on every
+    # engine/conf
+    b64 = F.regexp_replace(F.base64(F.col(payload_col)), "[\\r\\n]", "")
     frames = F.slice(
         F.transform(
             F.sequence(F.lit(0), F.lit(max_frames - 1)),
-            lambda i: F.substring(
-                F.base64(F.col(payload_col)), i * every_nth_byte + 1, 16
-            ),
+            lambda i: F.substring(b64, i * every_nth_byte + 1, 16),
         ),
         1,
         max_frames,
