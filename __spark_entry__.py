@@ -1930,6 +1930,93 @@ FROM documents ORDER BY media_id
 # end-to-end LLM training-data curation (the composed §2.9 story)
 # ---------------------------------------------------------------------------
 
+_Z_BITS = 10  #: bits per dimension interleaved into the z-value
+
+
+def _zval(x, y):
+    """Bit-interleaved Morton code of two 10-bit ints — an unrolled
+    shift/mask expression identical on both engines."""
+    z = F.lit(0).cast("bigint")
+    for b in range(_Z_BITS):
+        z = (
+            z
+            + F.shiftleft(F.shiftright(x, b).bitwiseAND(F.lit(1)), 2 * b)
+            + F.shiftleft(F.shiftright(y, b).bitwiseAND(F.lit(1)), 2 * b + 1)
+        )
+    return z
+
+
+def _sql_zval(x: str, y: str) -> str:
+    terms = []
+    for b in range(_Z_BITS):
+        terms.append(f"((({x} >> {b}) & 1) << {2 * b})")
+        terms.append(f"((({y} >> {b}) & 1) << {2 * b + 1})")
+    return "(" + " + ".join(terms) + ")"
+
+
+def q_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-ORDER data layout, with the skipping stats that justify it: events
+    keyed by (user_id, value-bucket) are chunked into 64 z-ranges (top
+    bits of the Morton code — deterministic width-based ranges, no sampled
+    range partitioner) and, for contrast, into user-sorted ranges. Per
+    chunk the query emits the 2-D min/max bounding box — exactly the
+    file-footer stats a lakehouse reader prunes on. Z-range boxes stay
+    tight in BOTH dimensions (pytest pins the aggregate value-span
+    reduction), which is the entire point of multi-dimensional
+    clustering at 100 TB."""
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id",
+        (F.col("user_id") % (1 << _Z_BITS)).cast("bigint").alias("u"),
+        F.least(
+            F.lit((1 << _Z_BITS) - 1), F.floor(F.col("value")).cast("bigint")
+        ).alias("v"),
+    )
+    z = ev.withColumn("zv", _zval(F.col("u"), F.col("v")))
+    zchunk = F.shiftright(F.col("zv"), 2 * _Z_BITS - 6)  # 64 z-ranges
+    uchunk = F.shiftright(F.col("u"), _Z_BITS - 6)  # 64 user-sort ranges
+    stats = lambda df, chunk, method: (  # noqa: E731
+        df.groupBy(chunk.alias("chunk_id"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("u").alias("u_min"),
+            F.max("u").alias("u_max"),
+            F.min("v").alias("v_min"),
+            F.max("v").alias("v_max"),
+        )
+        .withColumn("method", F.lit(method))
+    )
+    return (
+        stats(z, zchunk, "zorder")
+        .unionByName(stats(z, uchunk, "usort"))
+        .select("method", "chunk_id", "n", "u_min", "u_max", "v_min", "v_max")
+        .orderBy("method", "chunk_id")
+    )
+
+
+def _sql_zorder_layout() -> str:
+    zv = _sql_zval("u", "v")
+    return f"""
+WITH base AS (
+  SELECT event_id,
+         CAST(user_id % {1 << _Z_BITS} AS BIGINT) AS u,
+         CAST(least({(1 << _Z_BITS) - 1}, floor(value)) AS BIGINT) AS v
+  FROM events),
+z AS (SELECT *, {zv} AS zv FROM base),
+zs AS (
+  SELECT 'zorder' AS method, zv >> {2 * _Z_BITS - 6} AS chunk_id, count(*) AS n,
+         min(u) AS u_min, max(u) AS u_max, min(v) AS v_min, max(v) AS v_max
+  FROM z GROUP BY 2),
+us AS (
+  SELECT 'usort' AS method, u >> {_Z_BITS - 6} AS chunk_id, count(*) AS n,
+         min(u) AS u_min, max(u) AS u_max, min(v) AS v_min, max(v) AS v_max
+  FROM z GROUP BY 2)
+SELECT method, CAST(chunk_id AS BIGINT) AS chunk_id, n,
+       u_min, u_max, v_min, v_max
+FROM (SELECT * FROM zs UNION ALL SELECT * FROM us)
+ORDER BY method, chunk_id
+"""
+
+
 def q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The frame-sampling leg of the multimodal surface (video → sampled
     frames): posexplode plumbing with per-frame lineage (media_id,
@@ -4954,6 +5041,7 @@ _REGISTRY: list[tuple[str, Callable[[SparkSession, str], DataFrame], str | None]
     ("bigram_backoff_ppl", q_bigram_backoff_ppl, _sql_bigram_backoff()),
     ("ann_recall", q_ann_recall, _sql_ann_recall()),
     ("multimodal_frames", q_multimodal_frames, SQL_MULTIMODAL_FRAMES),
+    ("zorder_layout", q_zorder_layout, _sql_zorder_layout()),
     ("stream_outer_join", q_stream_outer_join, SQL_STREAM_OUTER_JOIN),
     ("stream_wm_dedup", q_stream_wm_dedup, SQL_STREAM_IDEMPOTENT),
     ("cumulative_users", q_cumulative_users, SQL_CUMULATIVE_USERS),

@@ -74,6 +74,7 @@ HEADLINE = [
     "ivf_trained_topk",
     "ann_recall",
     "multimodal_frames",
+    "zorder_layout",
     "embedding_near_dup",
     "embedding_near_dup_fold",
     "lang_id",

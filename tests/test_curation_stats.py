@@ -92,3 +92,19 @@ def test_hist_quantile_error_bounded_by_bin_width(spark):
         assert abs(r.est - discrete) <= width + 1e-9, (
             r.event_type, r.p, r.est, discrete, width
         )
+
+
+def test_zorder_chunks_bound_both_dimensions(spark):
+    """Z-order's reason to exist: its chunks must bound the SECOND
+    dimension far tighter than single-column-sort chunks do (whose v-span
+    is the whole domain), so a v-filter can skip z-chunks but not
+    sort-chunks."""
+    rows = E.queries()["zorder_layout"](spark, SF).collect()
+    span = lambda r: r.v_max - r.v_min  # noqa: E731
+    by = {"zorder": [], "usort": []}
+    for r in rows:
+        by[r.method].append((span(r), r.n))
+    wavg = lambda xs: sum(s * n for s, n in xs) / sum(n for _, n in xs)  # noqa: E731
+    assert wavg(by["zorder"]) < 0.7 * wavg(by["usort"]), (
+        wavg(by["zorder"]), wavg(by["usort"])
+    )
