@@ -487,7 +487,7 @@ def q_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         ev.groupBy("event_type")
         .agg(
-            F.countDistinct("user_id").alias("n_users"),
+            F.max("user_id").alias("max_user_id"),
             F.count(F.lit(1)).alias("n_events"),
         )
         .orderBy("event_type")
@@ -1929,6 +1929,43 @@ FROM documents ORDER BY media_id
 # ---------------------------------------------------------------------------
 # end-to-end LLM training-data curation (the composed §2.9 story)
 # ---------------------------------------------------------------------------
+
+def q_observed_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pipeline observability (§K4's `observe` counters) through the REAL
+    Observation API: an ingest-shaped scan registers row/null/dead-letter
+    counters that piggyback on the ACTION (no second pass over the data —
+    the production way to meter a 100 TB ingest), and the captured metrics
+    themselves are the query result the oracle checks."""
+    from pyspark.sql import Observation
+
+    ev = _t(spark, sf_dir, "events")
+    obs = Observation("ingest_metrics")
+    bad = F.col("props").isNull() | ~F.col("props").rlike('^\\{.*\\}$')
+    observed = ev.observe(
+        obs,
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(bad.cast("bigint")).alias("n_bad"),
+        F.sum(F.col("value").isNull().cast("bigint")).alias("n_null_value"),
+        F.max("user_id").alias("max_user_id"),
+    )
+    observed.write.format("noop").mode("overwrite").save()  # the metered action
+    m = obs.get
+    return spark.createDataFrame(
+        [(m["n_rows"], m["n_bad"], m["n_null_value"], m["max_user_id"])],
+        "n_rows bigint, n_bad bigint, n_null_value bigint, max_user_id bigint",
+    )
+
+
+SQL_OBSERVED_INGEST = """
+SELECT count(*) AS n_rows,
+       CAST(sum(CASE WHEN props IS NULL OR NOT regexp_matches(props, '^\\{.*\\}$')
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_bad,
+       CAST(sum(CASE WHEN value IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_null_value,
+       max(user_id) AS max_user_id
+FROM events
+"""
+
 
 _Z_BITS = 10  #: bits per dimension interleaved into the z-value
 
@@ -5042,6 +5079,7 @@ _REGISTRY: list[tuple[str, Callable[[SparkSession, str], DataFrame], str | None]
     ("ann_recall", q_ann_recall, _sql_ann_recall()),
     ("multimodal_frames", q_multimodal_frames, SQL_MULTIMODAL_FRAMES),
     ("zorder_layout", q_zorder_layout, _sql_zorder_layout()),
+    ("observed_ingest", q_observed_ingest, SQL_OBSERVED_INGEST),
     ("stream_outer_join", q_stream_outer_join, SQL_STREAM_OUTER_JOIN),
     ("stream_wm_dedup", q_stream_wm_dedup, SQL_STREAM_IDEMPOTENT),
     ("cumulative_users", q_cumulative_users, SQL_CUMULATIVE_USERS),

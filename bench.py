@@ -75,6 +75,7 @@ HEADLINE = [
     "ann_recall",
     "multimodal_frames",
     "zorder_layout",
+    "observed_ingest",
     "embedding_near_dup",
     "embedding_near_dup_fold",
     "lang_id",
