@@ -4299,6 +4299,65 @@ GROUP BY 1 ORDER BY event_type
 """
 
 
+def q_stream_fanout_sinks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-sink fanout in ONE streaming pass (the bronze + quarantine
+    split every production ingest runs): foreachBatch routes each
+    micro-batch through the K4 dead-letter split and writes BOTH sinks —
+    the batch is persisted inside the callback so the two writes share
+    one computation of the routing predicate instead of re-reading the
+    source per sink. Result = per-sink/type counts read back from the
+    parquet, checked against the equivalent conditional aggregation."""
+    import tempfile
+
+    from ingestion_scripts_spark.operators.sink import dead_letter_split
+    from ingestion_scripts_spark.sources.readers import read_events_stream
+
+    stream = read_events_stream(spark, sf_dir)
+    base = tempfile.mkdtemp(prefix="fanout_")
+    good_path, dead_path = f"{base}/bronze", f"{base}/quarantine"
+    ok = F.col("value").isNotNull() & (F.col("value") >= 1.0)
+
+    def route(batch_df, batch_id):
+        batch_df = batch_df.persist()
+        good, dead = dead_letter_split(batch_df, ok)
+        good.write.mode("append").parquet(good_path)
+        dead.select("event_id", "event_type", "value").write.mode(
+            "append"
+        ).parquet(dead_path)
+        batch_df.unpersist()
+
+    q = (
+        stream.writeStream.foreachBatch(route)
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="ckpt_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    g = (
+        spark.read.parquet(good_path)
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .withColumn("sink", F.lit("bronze"))
+    )
+    d = (
+        spark.read.parquet(dead_path)
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .withColumn("sink", F.lit("quarantine"))
+    )
+    return g.unionByName(d).select("sink", "event_type", "n").orderBy(
+        "sink", "event_type"
+    )
+
+
+SQL_STREAM_FANOUT = """
+SELECT CASE WHEN value IS NOT NULL AND value >= 1.0
+            THEN 'bronze' ELSE 'quarantine' END AS sink,
+       event_type, count(*) AS n
+FROM events GROUP BY 1, 2 ORDER BY sink, event_type
+"""
+
+
 def q_bloom_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bloom-filter pre-gate for sink dedup (K3/J1 at scale): the
     already-ingested ledger (BUILDING-segment customers) is compressed to a
@@ -5080,6 +5139,7 @@ _REGISTRY: list[tuple[str, Callable[[SparkSession, str], DataFrame], str | None]
     ("multimodal_frames", q_multimodal_frames, SQL_MULTIMODAL_FRAMES),
     ("zorder_layout", q_zorder_layout, _sql_zorder_layout()),
     ("observed_ingest", q_observed_ingest, SQL_OBSERVED_INGEST),
+    ("stream_fanout_sinks", q_stream_fanout_sinks, SQL_STREAM_FANOUT),
     ("stream_outer_join", q_stream_outer_join, SQL_STREAM_OUTER_JOIN),
     ("stream_wm_dedup", q_stream_wm_dedup, SQL_STREAM_IDEMPOTENT),
     ("cumulative_users", q_cumulative_users, SQL_CUMULATIVE_USERS),

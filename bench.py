@@ -145,6 +145,7 @@ STREAMING = [
     "stream_idempotent_sink",
     "stream_outer_join",
     "stream_wm_dedup",
+    "stream_fanout_sinks",
 ]
 
 
