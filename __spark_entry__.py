@@ -1930,6 +1930,64 @@ FROM documents ORDER BY media_id
 # end-to-end LLM training-data curation (the composed §2.9 story)
 # ---------------------------------------------------------------------------
 
+def q_incremental_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """High-water-mark incremental batch ingest (the scheduled-job cousin
+    of streaming): the 'already loaded' ledger (every 3rd event) yields a
+    cursor = max(loaded ts); only rows strictly beyond it are processed
+    this run. The cursor is a 1-row aggregate broadcast into the filter —
+    no sort, no driver round-trip in the plan — and the output reports
+    the per-type intake plus the NEW cursor that would be persisted."""
+    ev = _t(spark, sf_dir, "events")
+    loaded = ev.filter(F.col("ts") < F.lit("2024-01-25").cast("timestamp"))
+    cursor = loaded.agg(F.max("ts").alias("__cursor"))
+    fresh = ev.crossJoin(F.broadcast(cursor)).filter(F.col("ts") > F.col("__cursor"))
+    return (
+        fresh.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_new"),
+            _fmt_ts(F.max("ts"), with_micros=True).alias("new_cursor"),
+        )
+        .orderBy("event_type")
+    )
+
+
+SQL_INCREMENTAL_INGEST = f"""
+SELECT event_type, count(*) AS n_new,
+       {SQL_TS_US.format('max(ts)')} AS new_cursor
+FROM events
+WHERE ts > (SELECT max(ts) FROM events WHERE ts < TIMESTAMP '2024-01-25')
+GROUP BY 1 ORDER BY event_type
+"""
+
+
+def q_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew diagnosis BEFORE the fix (the report you run before reaching
+    for salting/AQE): the 20 hottest join/agg keys with their global row
+    share — one keyed count with partials plus a TakeOrdered top-k; the
+    share denominator is a 1-row broadcast. Pairs with salted_distinct /
+    skew_join_revenue, which are the remediations."""
+    ev = _t(spark, sf_dir, "events")
+    counts = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("n"))
+    total = counts.agg(F.sum("n").alias("__t"))
+    return (
+        counts.crossJoin(F.broadcast(total))
+        .select(
+            "user_id", "n", TA.r4(F.col("n") / F.col("__t")).alias("share")
+        )
+        .orderBy(F.col("n").desc(), F.col("user_id").asc())
+        .limit(20)
+    )
+
+
+SQL_SKEW_REPORT = """
+WITH c AS (SELECT user_id, count(*) AS n FROM events GROUP BY 1),
+t AS (SELECT sum(n) AS tt FROM c)
+SELECT user_id, CAST(n AS BIGINT) AS n,
+       floor((n / t.tt) * 10000.0 + 0.5) / 10000.0 AS share
+FROM c, t ORDER BY n DESC, user_id ASC LIMIT 20
+"""
+
+
 def q_observed_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pipeline observability (§K4's `observe` counters) through the REAL
     Observation API: an ingest-shaped scan registers row/null/dead-letter
@@ -5140,6 +5198,8 @@ _REGISTRY: list[tuple[str, Callable[[SparkSession, str], DataFrame], str | None]
     ("zorder_layout", q_zorder_layout, _sql_zorder_layout()),
     ("observed_ingest", q_observed_ingest, SQL_OBSERVED_INGEST),
     ("stream_fanout_sinks", q_stream_fanout_sinks, SQL_STREAM_FANOUT),
+    ("incremental_ingest", q_incremental_ingest, SQL_INCREMENTAL_INGEST),
+    ("skew_report", q_skew_report, SQL_SKEW_REPORT),
     ("stream_outer_join", q_stream_outer_join, SQL_STREAM_OUTER_JOIN),
     ("stream_wm_dedup", q_stream_wm_dedup, SQL_STREAM_IDEMPOTENT),
     ("cumulative_users", q_cumulative_users, SQL_CUMULATIVE_USERS),

@@ -76,6 +76,8 @@ HEADLINE = [
     "multimodal_frames",
     "zorder_layout",
     "observed_ingest",
+    "incremental_ingest",
+    "skew_report",
     "embedding_near_dup",
     "embedding_near_dup_fold",
     "lang_id",
