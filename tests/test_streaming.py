@@ -218,3 +218,37 @@ def test_tws_user_counts_v2_api(spark, tmp_path):
     got = {r.user_id: r.running_total for r in spark.table("tws_t").collect()}
     want = {r.user_id: r.n for r in df.groupBy("user_id").agg(F.count("*").alias("n")).collect()}
     assert got == want
+
+
+def test_checkpoint_restart_processes_only_new_files(spark, tmp_path):
+    """Exactly-once across RESTARTS: a second availableNow run with the
+    SAME checkpoint must pick up only files added since the first run —
+    the sink holds every record exactly once, nothing reprocessed."""
+    from pyspark.sql import functions as F
+
+    src = str(tmp_path / "src")
+    sink = str(tmp_path / "sink")
+    ckpt = str(tmp_path / "ckpt")
+    df = spark.createDataFrame([(i, i % 3) for i in range(100)], "id bigint, k bigint")
+    df.filter(F.col("id") < 60).coalesce(1).write.mode("overwrite").parquet(f"{src}/b0")
+
+    def run():
+        q = (
+            spark.readStream.schema(df.schema)
+            .option("recursiveFileLookup", "true")
+            .parquet(src)
+            .writeStream.format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    run()
+    assert spark.read.parquet(sink).count() == 60
+    df.filter(F.col("id") >= 60).coalesce(1).write.mode("overwrite").parquet(f"{src}/b1")
+    run()
+    got = spark.read.parquet(sink)
+    assert got.count() == 100  # b0 NOT reprocessed, b1 fully ingested
+    assert got.select("id").distinct().count() == 100
