@@ -37,3 +37,14 @@ def test_every_oracle_sql_plans_in_duckdb():
         except Exception as e:
             bad.append((name, str(e)[:200]))
     assert not bad, bad
+
+
+def test_catalog_register_testdata(spark):
+    from ingestion_scripts_spark.catalog import register_testdata
+
+    register_testdata(spark, "/root/testdata/sf0.001", suffix="_cat")
+    n = spark.sql(
+        "SELECT count(*) AS n FROM documents_cat d "
+        "JOIN embeddings_cat e ON d.doc_id = e.vec_id"
+    ).collect()[0].n
+    assert n > 0
