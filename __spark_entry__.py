@@ -487,7 +487,7 @@ def q_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         ev.groupBy("event_type")
         .agg(
-            F.max("user_id").alias("max_user_id"),
+            F.countDistinct("user_id").alias("n_users"),
             F.count(F.lit(1)).alias("n_events"),
         )
         .orderBy("event_type")

@@ -175,11 +175,18 @@ def main() -> None:
 
     def timed(name: str) -> float:
         samples = []
-        for _ in range(runs):
+        for i in range(runs):
             t0 = time.perf_counter()
             rows = qs[name](spark, sf_dir).collect()
             samples.append(time.perf_counter() - t0)
             del rows
+            # adaptive repeats: sub-0.7 s queries are codegen-dominated and
+            # steal-insensitive — two samples suffice; the full median-of-N
+            # is reserved for queries long enough for steal to distort.
+            # Keeps total bench wall bounded as the suite approaches 100
+            # queries (the driver runs this per round).
+            if i == 1 and max(samples) < 0.7:
+                break
         return round(statistics.median(samples), 3)
 
     per_query = {name: timed(name) for name in names}
