@@ -1930,6 +1930,83 @@ FROM documents ORDER BY media_id
 # end-to-end LLM training-data curation (the composed §2.9 story)
 # ---------------------------------------------------------------------------
 
+def q_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dataset DATASHEET in one query — corpus size, token volume,
+    language/source diversity, rule-gate and classifier keep rates, exact
+    duplicate rate, mean document length: the summary table a dataset
+    card publishes. One scan computes every metric as sibling aggregates
+    (no per-metric passes); the output is (metric, value) rows so new
+    metrics append without schema changes."""
+    docs = _t(spark, sf_dir, "documents")
+    n_tok = TA.token_count_ws(F.col("text")).cast("double")
+    agg = docs.agg(
+        F.count(F.lit(1)).cast("double").alias("n_docs"),
+        F.sum(n_tok).alias("total_ws_tokens"),
+        F.countDistinct("lang").cast("double").alias("n_langs"),
+        F.countDistinct("source").cast("double").alias("n_sources"),
+        F.avg(TA.gopher_rules(F.col("text"))["keep"].cast("double")).alias(
+            "__gopher"
+        ),
+        F.avg(TA.quality_classify(F.col("text"))["keep"].cast("double")).alias(
+            "__qgate"
+        ),
+        F.countDistinct(X.hash64(F.col("text"))).cast("double").alias("__uniq"),
+        F.avg(n_tok).alias("__mean_tok"),
+    )
+    m = agg.select(
+        F.col("n_docs"),
+        F.col("total_ws_tokens"),
+        F.col("n_langs"),
+        F.col("n_sources"),
+        TA.r4(F.col("__gopher")).alias("gopher_keep_rate"),
+        TA.r4(F.col("__qgate")).alias("qgate_keep_rate"),
+        TA.r4(F.lit(1.0) - F.col("__uniq") / F.col("n_docs")).alias(
+            "exact_dup_rate"
+        ),
+        TA.r4(F.col("__mean_tok")).alias("mean_doc_tokens"),
+    )
+    cols = m.columns
+    long = m.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(c).alias("metric"), F.col(c).alias("value"))
+                    for c in cols
+                ]
+            )
+        ).alias("kv")
+    )
+    return long.select("kv.metric", "kv.value").orderBy("metric")
+
+
+def _sql_dataset_card() -> str:
+    g = O.sql_gopher("text")["keep"]
+    q = O.sql_quality_classify("text")["keep"]
+    ntok = f"len({O.sql_tokenize_ws('text')})"
+    return f"""
+WITH a AS (
+  SELECT count(*)::DOUBLE AS n_docs,
+         sum({ntok})::DOUBLE AS total_ws_tokens,
+         count(DISTINCT lang)::DOUBLE AS n_langs,
+         count(DISTINCT source)::DOUBLE AS n_sources,
+         {O.sql_r4(f'avg(({g})::DOUBLE)')} AS gopher_keep_rate,
+         {O.sql_r4(f'avg(({q})::DOUBLE)')} AS qgate_keep_rate,
+         {O.sql_r4(f"1.0 - count(DISTINCT {O.sql_hash64('text')})::DOUBLE / count(*)")}
+           AS exact_dup_rate,
+         {O.sql_r4(f'avg(({ntok})::DOUBLE)')} AS mean_doc_tokens
+  FROM documents)
+SELECT u.metric, u.value FROM (
+  SELECT unnest(['n_docs','total_ws_tokens','n_langs','n_sources',
+                 'gopher_keep_rate','qgate_keep_rate','exact_dup_rate',
+                 'mean_doc_tokens']) AS metric,
+         unnest([n_docs, total_ws_tokens, n_langs, n_sources,
+                 gopher_keep_rate, qgate_keep_rate, exact_dup_rate,
+                 mean_doc_tokens]) AS value
+  FROM a) u
+ORDER BY metric
+"""
+
+
 def q_incremental_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """High-water-mark incremental batch ingest (the scheduled-job cousin
     of streaming): the 'already loaded' ledger (every 3rd event) yields a
@@ -5200,6 +5277,7 @@ _REGISTRY: list[tuple[str, Callable[[SparkSession, str], DataFrame], str | None]
     ("stream_fanout_sinks", q_stream_fanout_sinks, SQL_STREAM_FANOUT),
     ("incremental_ingest", q_incremental_ingest, SQL_INCREMENTAL_INGEST),
     ("skew_report", q_skew_report, SQL_SKEW_REPORT),
+    ("dataset_card", q_dataset_card, _sql_dataset_card()),
     ("stream_outer_join", q_stream_outer_join, SQL_STREAM_OUTER_JOIN),
     ("stream_wm_dedup", q_stream_wm_dedup, SQL_STREAM_IDEMPOTENT),
     ("cumulative_users", q_cumulative_users, SQL_CUMULATIVE_USERS),

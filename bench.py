@@ -78,6 +78,7 @@ HEADLINE = [
     "observed_ingest",
     "incremental_ingest",
     "skew_report",
+    "dataset_card",
     "embedding_near_dup",
     "embedding_near_dup_fold",
     "lang_id",
