@@ -95,3 +95,35 @@ def test_tokenize_no_empty_tokens(spark, rows):
     got = _run_text(spark, rows, tokenize_ws)
     for toks in got:
         assert "" not in list(toks)
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    n_tokens=st.integers(min_value=0, max_value=200),
+    size=st.integers(min_value=2, max_value=20),
+)
+def test_chunk_tokens_reconstruct(spark, n_tokens, size):
+    """Chunking invariants for any (token count, window size) with
+    stride = size * 3 // 4: (1) the first chunk plus each subsequent
+    chunk's tail past the overlap reconstructs the exact token stream;
+    (2) every chunk except the last is full-size; (3) chunk_ids are
+    dense from 0."""
+    from ingestion_scripts_spark.operators.text_analysis import chunk_tokens
+
+    stride = max(1, size * 3 // 4)
+    toks = [f"t{i}" for i in range(n_tokens)]
+    df = spark.createDataFrame([(1, " ".join(toks))], "doc_id bigint, text string")
+    rows = sorted(
+        chunk_tokens(df, "doc_id", "text", size=size, stride=stride).collect(),
+        key=lambda r: r.chunk_id,
+    )
+    assert [r.chunk_id for r in rows] == list(range(len(rows)))
+    rebuilt = []
+    for r in rows:
+        ctoks = r.chunk_text.split(" ") if r.chunk_text else []
+        assert len(ctoks) == r.n_chunk_tokens
+        start = r.chunk_id * stride
+        rebuilt = rebuilt[:start] + ctoks
+    assert rebuilt == toks
+    for r in rows[:-1]:
+        assert r.n_chunk_tokens == size
