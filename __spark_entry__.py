@@ -4377,6 +4377,99 @@ FROM fc WHERE event_type = 'purchase' ORDER BY purchase_id
 """
 
 
+def q_session_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STRICTLY-ORDERED conversion funnel (view → click → purchase inside
+    a 30-min session): each later step must occur AFTER the session's
+    first qualifying earlier step, not merely co-occur — the product
+    analytics query that naive type-count funnels get wrong. Three window
+    passes over one (user, session) partitioning (the exchange is reused;
+    stage N's conditional min references stage N-1's window result), then
+    a per-user rollup."""
+    ev = _t(spark, sf_dir, "events").select("event_id", "ts", "user_id", "event_type")
+    wu = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.unix_micros(F.col("ts")) - F.unix_micros(F.lag("ts").over(wu))
+    sess = ev.withColumn(
+        "sid",
+        F.sum(F.when(gap > 1_800_000_000, 1).otherwise(0)).over(
+            wu.rowsBetween(Window.unboundedPreceding, 0)
+        ),
+    )
+    ws = Window.partitionBy("user_id", "sid")
+    s1 = sess.withColumn(
+        "t_view", F.min(F.when(F.col("event_type") == "view", F.col("ts"))).over(ws)
+    )
+    s2 = s1.withColumn(
+        "t_click",
+        F.min(
+            F.when(
+                (F.col("event_type") == "click") & (F.col("ts") > F.col("t_view")),
+                F.col("ts"),
+            )
+        ).over(ws),
+    )
+    s3 = s2.withColumn(
+        "t_purch",
+        F.min(
+            F.when(
+                (F.col("event_type") == "purchase") & (F.col("ts") > F.col("t_click")),
+                F.col("ts"),
+            )
+        ).over(ws),
+    )
+    per_session = s3.groupBy("user_id", "sid").agg(
+        F.max(F.col("t_view").isNotNull().cast("int")).alias("r1"),
+        F.max(F.col("t_click").isNotNull().cast("int")).alias("r2"),
+        F.max(F.col("t_purch").isNotNull().cast("int")).alias("r3"),
+    )
+    return (
+        per_session.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_sessions"),
+            F.sum("r1").cast("bigint").alias("n_viewed"),
+            F.sum("r2").cast("bigint").alias("n_clicked_after_view"),
+            F.sum("r3").cast("bigint").alias("n_converted"),
+        )
+        .orderBy("user_id")
+    )
+
+
+SQL_SESSION_FUNNEL = """
+WITH flagged AS (
+  SELECT event_id, ts, user_id, event_type,
+         CASE WHEN epoch_us(ts) - lag(epoch_us(ts))
+                   OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                   > 1800000000 THEN 1 ELSE 0 END AS new_s
+  FROM events),
+sess AS (
+  SELECT *, sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS UNBOUNDED PRECEDING) AS sid
+  FROM flagged),
+s1 AS (
+  SELECT *, min(CASE WHEN event_type = 'view' THEN ts END)
+              OVER (PARTITION BY user_id, sid) AS t_view
+  FROM sess),
+s2 AS (
+  SELECT *, min(CASE WHEN event_type = 'click' AND ts > t_view THEN ts END)
+              OVER (PARTITION BY user_id, sid) AS t_click
+  FROM s1),
+s3 AS (
+  SELECT *, min(CASE WHEN event_type = 'purchase' AND ts > t_click THEN ts END)
+              OVER (PARTITION BY user_id, sid) AS t_purch
+  FROM s2),
+per_session AS (
+  SELECT user_id, sid,
+         max(CASE WHEN t_view IS NOT NULL THEN 1 ELSE 0 END) AS r1,
+         max(CASE WHEN t_click IS NOT NULL THEN 1 ELSE 0 END) AS r2,
+         max(CASE WHEN t_purch IS NOT NULL THEN 1 ELSE 0 END) AS r3
+  FROM s3 GROUP BY 1, 2)
+SELECT user_id, count(*) AS n_sessions,
+       CAST(sum(r1) AS BIGINT) AS n_viewed,
+       CAST(sum(r2) AS BIGINT) AS n_clicked_after_view,
+       CAST(sum(r3) AS BIGINT) AS n_converted
+FROM per_session GROUP BY 1 ORDER BY user_id
+"""
+
+
 def q_stream_idempotent_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     """K3 (keyed idempotent sink) END-TO-END under replay, oracle-checked:
     a two-batch stream where batch 1 = even event_ids and batch 2 = ALL
@@ -5278,6 +5371,7 @@ _REGISTRY: list[tuple[str, Callable[[SparkSession, str], DataFrame], str | None]
     ("incremental_ingest", q_incremental_ingest, SQL_INCREMENTAL_INGEST),
     ("skew_report", q_skew_report, SQL_SKEW_REPORT),
     ("dataset_card", q_dataset_card, _sql_dataset_card()),
+    ("session_funnel", q_session_funnel, SQL_SESSION_FUNNEL),
     ("stream_outer_join", q_stream_outer_join, SQL_STREAM_OUTER_JOIN),
     ("stream_wm_dedup", q_stream_wm_dedup, SQL_STREAM_IDEMPOTENT),
     ("cumulative_users", q_cumulative_users, SQL_CUMULATIVE_USERS),

@@ -79,6 +79,7 @@ HEADLINE = [
     "incremental_ingest",
     "skew_report",
     "dataset_card",
+    "session_funnel",
     "embedding_near_dup",
     "embedding_near_dup_fold",
     "lang_id",
