@@ -1930,6 +1930,31 @@ FROM documents ORDER BY media_id
 # end-to-end LLM training-data curation (the composed §2.9 story)
 # ---------------------------------------------------------------------------
 
+def q_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classifier evaluation as a query (the lang-ID counterpart of
+    ann_recall): confusion matrix of the heuristic language identifier
+    against the labeled ``lang`` column — one narrow map + one keyed
+    count. The harness matters more than this corpus's score: labeled
+    eval tables are how production gates classifier upgrades."""
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        docs.select(
+            F.col("lang").alias("true_lang"),
+            TA.lang_id(F.col("text")).alias("pred_lang"),
+        )
+        .groupBy("true_lang", "pred_lang")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("true_lang", "pred_lang")
+    )
+
+
+def _sql_langid_confusion() -> str:
+    return f"""
+SELECT lang AS true_lang, {O.sql_lang_id('text')} AS pred_lang, count(*) AS n
+FROM documents GROUP BY 1, 2 ORDER BY true_lang, pred_lang
+"""
+
+
 def q_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The dataset DATASHEET in one query — corpus size, token volume,
     language/source diversity, rule-gate and classifier keep rates, exact
@@ -5372,6 +5397,7 @@ _REGISTRY: list[tuple[str, Callable[[SparkSession, str], DataFrame], str | None]
     ("skew_report", q_skew_report, SQL_SKEW_REPORT),
     ("dataset_card", q_dataset_card, _sql_dataset_card()),
     ("session_funnel", q_session_funnel, SQL_SESSION_FUNNEL),
+    ("langid_confusion", q_langid_confusion, _sql_langid_confusion()),
     ("stream_outer_join", q_stream_outer_join, SQL_STREAM_OUTER_JOIN),
     ("stream_wm_dedup", q_stream_wm_dedup, SQL_STREAM_IDEMPOTENT),
     ("cumulative_users", q_cumulative_users, SQL_CUMULATIVE_USERS),

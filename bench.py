@@ -80,6 +80,7 @@ HEADLINE = [
     "skew_report",
     "dataset_card",
     "session_funnel",
+    "langid_confusion",
     "embedding_near_dup",
     "embedding_near_dup_fold",
     "lang_id",
