@@ -2786,9 +2786,21 @@ def q_nation_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.year("o_orderdate").cast("bigint").alias("o_year"),
         )
         .agg(
+            # exact decimal accumulation: the per-row product is a <=4-dp
+            # decimal value, so summing DECIMAL(18,4) is order-independent
+            # and engine-identical — a double sum differs in the last ulp
+            # between partial-agg orders and can cross the 2-dp rounding
+            # boundary once there are enough addends (seen at sf0.1)
             F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
-            ).alias("profit"),
+                F.sum(
+                    (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+                        "decimal(18,4)"
+                    )
+                ),
+                2,
+            )
+            .cast("double")
+            .alias("profit"),
             F.count(F.lit(1)).alias("n_items"),
         )
         .orderBy("nation", "o_year")
@@ -2798,7 +2810,7 @@ def q_nation_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
 SQL_NATION_PROFIT = """
 SELECT n_name AS nation,
        CAST(year(o_orderdate) AS BIGINT) AS o_year,
-       round(sum(l_extendedprice * (1 - l_discount)), 2) AS profit,
+       round(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))), 2)::DOUBLE AS profit,
        CAST(count(*) AS BIGINT) AS n_items
 FROM lineitem
 JOIN part ON l_partkey = p_partkey AND p_type = 'PROMO'
