@@ -117,11 +117,22 @@ def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.filter(F.col("l_shipdate") <= F.lit("2000-01-01"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
-            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(F.col("l_quantity").cast("decimal(18,4)")), 2)
+            .cast("double")
+            .alias("sum_qty"),
+            F.round(F.sum(F.col("l_extendedprice").cast("decimal(18,4)")), 2)
+            .cast("double")
+            .alias("sum_base_price"),
             F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
-            ).alias("sum_disc_price"),
+                F.sum(
+                    (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+                        "decimal(18,4)"
+                    )
+                ),
+                2,
+            )
+            .cast("double")
+            .alias("sum_disc_price"),
             F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
             F.round(F.avg("l_discount"), 4).alias("avg_disc"),
             F.count(F.lit(1)).alias("count_order"),
@@ -132,9 +143,9 @@ def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SQL_PRICING = """
 SELECT l_returnflag, l_linestatus,
-  round(sum(l_quantity), 2) AS sum_qty,
-  round(sum(l_extendedprice), 2) AS sum_base_price,
-  round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+  round(sum(CAST(l_quantity AS DECIMAL(18,4))), 2)::DOUBLE AS sum_qty,
+  round(sum(CAST(l_extendedprice AS DECIMAL(18,4))), 2)::DOUBLE AS sum_base_price,
+  round(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))), 2)::DOUBLE AS sum_disc_price,
   round(avg(l_quantity), 4) AS avg_qty,
   round(avg(l_discount), 4) AS avg_disc,
   count(*) AS count_order
@@ -158,9 +169,16 @@ def q_top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
         .groupBy("o_orderkey")
         .agg(
-            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
-                "revenue"
+            F.round(
+                F.sum(
+                    (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+                        "decimal(18,4)"
+                    )
+                ),
+                2,
             )
+            .cast("double")
+            .alias("revenue")
         )
         .orderBy(F.desc("revenue"), F.asc("o_orderkey"))
         .limit(10)
@@ -169,7 +187,7 @@ def q_top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 SQL_TOP_ORDERS = """
-SELECT o_orderkey, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+SELECT o_orderkey, round(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))), 2)::DOUBLE AS revenue
 FROM lineitem
 JOIN orders ON l_orderkey = o_orderkey
 JOIN customer ON o_custkey = c_custkey
@@ -194,9 +212,16 @@ def q_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
         .groupBy("r_name", "n_name")
         .agg(
-            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
-                "revenue"
-            ),
+            F.round(
+                F.sum(
+                    (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+                        "decimal(18,4)"
+                    )
+                ),
+                2,
+            )
+            .cast("double")
+            .alias("revenue"),
             F.count(F.lit(1)).alias("n_items"),
         )
         .orderBy("r_name", "n_name")
@@ -205,7 +230,7 @@ def q_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SQL_REGION_REVENUE = """
 SELECT r_name, n_name,
-  round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+  round(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))), 2)::DOUBLE AS revenue,
   count(*) AS n_items
 FROM lineitem
 JOIN orders ON l_orderkey = o_orderkey
@@ -461,7 +486,9 @@ def q_rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
         .rollup("r_name", "n_name")
         .agg(
-            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+            F.round(F.sum(F.col("o_totalprice").cast("decimal(18,4)")), 2)
+            .cast("double")
+            .alias("revenue"),
             F.grouping_id().alias("lvl"),
         )
         .orderBy(F.asc_nulls_first("r_name"), F.asc_nulls_first("n_name"))
@@ -469,7 +496,7 @@ def q_rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 SQL_ROLLUP = """
-SELECT r_name, n_name, round(sum(o_totalprice), 2) AS revenue,
+SELECT r_name, n_name, round(sum(CAST(o_totalprice AS DECIMAL(18,4))), 2)::DOUBLE AS revenue,
        grouping(r_name) * 2 + grouping(n_name) AS lvl
 FROM orders
 JOIN customer ON o_custkey = c_custkey
@@ -578,14 +605,18 @@ def q_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.join(F.broadcast(part_avg), "l_partkey")
         .filter(F.col("l_quantity") < F.col("half_avg_qty"))
         .agg(
-            F.round(F.sum("l_extendedprice") / 7.0, 2).alias("avg_yearly"),
+            F.round(
+                F.sum(F.col("l_extendedprice").cast("decimal(18,4)")).cast("double")
+                / 7.0,
+                2,
+            ).alias("avg_yearly"),
             F.count(F.lit(1)).alias("n_items"),
         )
     )
 
 
 SQL_SMALL_QTY = """
-SELECT round(sum(l_extendedprice) / 7.0, 2) AS avg_yearly, count(*) AS n_items
+SELECT round(sum(CAST(l_extendedprice AS DECIMAL(18,4)))::DOUBLE / 7.0, 2) AS avg_yearly, count(*) AS n_items
 FROM lineitem l
 WHERE l_quantity < (SELECT 0.5 * avg(l_quantity) FROM lineitem x
                     WHERE x.l_partkey = l.l_partkey)
@@ -768,14 +799,16 @@ def q_parts_never_discounted(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("l_partkey")
         .agg(
             F.count("*").alias("n_items"),
-            F.round(F.sum("l_extendedprice"), 2).alias("revenue"),
+            F.round(F.sum(F.col("l_extendedprice").cast("decimal(18,4)")), 2)
+            .cast("double")
+            .alias("revenue"),
         )
         .orderBy("l_partkey")
     )
 
 
 SQL_PARTS_NEVER_DISC = """
-SELECT l_partkey, count(*) AS n_items, round(sum(l_extendedprice), 2) AS revenue
+SELECT l_partkey, count(*) AS n_items, round(sum(CAST(l_extendedprice AS DECIMAL(18,4))), 2)::DOUBLE AS revenue
 FROM lineitem l
 WHERE NOT EXISTS (SELECT 1 FROM lineitem d
                   WHERE d.l_partkey = l.l_partkey AND d.l_discount > 0.09)
@@ -3790,7 +3823,8 @@ def q_grouping_sets_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
                coalesce(l_linestatus, '__all__') AS linestatus,
                CAST(grouping_id(l_returnflag, l_linestatus) AS BIGINT)
                  AS gid,
-               round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+               CAST(round(sum(CAST(l_extendedprice * (1 - l_discount)
+                                   AS DECIMAL(18,4))), 2) AS DOUBLE) AS revenue,
                count(*) AS n
         FROM li_gs
         GROUP BY GROUPING SETS ((l_returnflag, l_linestatus),
@@ -3805,7 +3839,7 @@ SELECT coalesce(l_returnflag, '__all__') AS returnflag,
        coalesce(l_linestatus, '__all__') AS linestatus,
        CAST(grouping(l_returnflag) * 2 + grouping(l_linestatus) AS BIGINT)
          AS gid,
-       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       round(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))), 2)::DOUBLE AS revenue,
        count(*) AS n
 FROM lineitem
 GROUP BY GROUPING SETS ((l_returnflag, l_linestatus),
