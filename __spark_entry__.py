@@ -963,6 +963,55 @@ ORDER BY id_a, id_b
 """
 
 
+def q_cross_split_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NEAR-duplicate contamination ACROSS the train/eval boundary: the
+    MinHash near-dup pipeline over the whole corpus, keeping only pairs
+    whose members fall on OPPOSITE sides of the dataset_split hash rule —
+    eval documents with a fuzzy twin in train leak benchmark signal that
+    exact n-gram contamination checks miss. Same banded-LSH scaling law
+    as minhash_near_dups; the split classification is a narrow map on the
+    pair ids."""
+    docs = _t(spark, sf_dir, "documents")
+    near = D.minhash_dedup_pairs(docs, "doc_id", "text", threshold=0.8)
+
+    def in_train(c):
+        return (
+            X.hash64(F.concat(F.lit("split:"), c.cast("string"))) % 100 < 80
+        ).cast("int")
+
+    out = (
+        near.withColumn("a_train", in_train(F.col("id_a")))
+        .withColumn("b_train", in_train(F.col("id_b")))
+        .filter(F.col("a_train") != F.col("b_train"))
+    )
+    return out.select(
+        F.when(F.col("a_train") == 0, F.col("id_a"))
+        .otherwise(F.col("id_b"))
+        .alias("eval_doc"),
+        F.when(F.col("a_train") == 1, F.col("id_a"))
+        .otherwise(F.col("id_b"))
+        .alias("train_doc"),
+        "jaccard",
+    ).orderBy("eval_doc", "train_doc")
+
+
+def _sql_cross_split_contamination() -> str:
+    h = f"{O.sql_hash64(chr(39) + 'split:' + chr(39) + ' || {0}')} % 100 < 80".format
+    return f"""
+WITH near AS ({SQL_MINHASH}),
+flagged AS (
+  SELECT id_a, id_b, jaccard,
+         CASE WHEN {h('id_a')} THEN 1 ELSE 0 END AS a_train,
+         CASE WHEN {h('id_b')} THEN 1 ELSE 0 END AS b_train
+  FROM near)
+SELECT CASE WHEN a_train = 0 THEN id_a ELSE id_b END AS eval_doc,
+       CASE WHEN a_train = 1 THEN id_a ELSE id_b END AS train_doc,
+       jaccard
+FROM flagged WHERE a_train <> b_train
+ORDER BY eval_doc, train_doc
+"""
+
+
 def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
     return D.ngram_jaccard_pairs(docs, "doc_id", "text", "lang", threshold=0.5).orderBy(
@@ -5444,6 +5493,8 @@ _REGISTRY: list[tuple[str, Callable[[SparkSession, str], DataFrame], str | None]
     ("dataset_card", q_dataset_card, _sql_dataset_card()),
     ("session_funnel", q_session_funnel, SQL_SESSION_FUNNEL),
     ("langid_confusion", q_langid_confusion, _sql_langid_confusion()),
+    ("cross_split_contamination", q_cross_split_contamination,
+     _sql_cross_split_contamination()),
     ("stream_outer_join", q_stream_outer_join, SQL_STREAM_OUTER_JOIN),
     ("stream_wm_dedup", q_stream_wm_dedup, SQL_STREAM_IDEMPOTENT),
     ("cumulative_users", q_cumulative_users, SQL_CUMULATIVE_USERS),

@@ -81,6 +81,7 @@ HEADLINE = [
     "dataset_card",
     "session_funnel",
     "langid_confusion",
+    "cross_split_contamination",
     "embedding_near_dup",
     "embedding_near_dup_fold",
     "lang_id",
