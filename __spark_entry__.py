@@ -874,7 +874,7 @@ def q_props_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SQL_PROPS_EXTRACT = f"""
 SELECT event_type, count(*) AS n,
-       sum(json_extract(props, '$.k')::BIGINT) AS sum_k,
+       CAST(sum(json_extract(props, '$.k')::BIGINT) AS BIGINT) AS sum_k,
        {O.sql_r4("avg(json_extract(props, '$.k')::BIGINT)")} AS avg_k
 FROM events
 GROUP BY event_type
@@ -2116,7 +2116,8 @@ ORDER BY metric
 
 def q_incremental_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """High-water-mark incremental batch ingest (the scheduled-job cousin
-    of streaming): the 'already loaded' ledger (every 3rd event) yields a
+    of streaming): the 'already loaded' ledger (all events with
+    ts < 2024-01-25, a timestamp-cutoff snapshot of a prior run) yields a
     cursor = max(loaded ts); only rows strictly beyond it are processed
     this run. The cursor is a 1-row aggregate broadcast into the filter —
     no sort, no driver round-trip in the plan — and the output reports
@@ -3588,14 +3589,20 @@ def q_curation_to_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     keyed = gated.withColumn("__h", X.hash64(F.col("text")))
     w = Window.partitionBy("__h").orderBy("doc_id")
+    # cache policy: `uniq` is consumed twice (MinHash candidate generation
+    # AND the survivor anti-join) and `kept` twice (mix-share agg AND the
+    # final join) — persist both so the gate/dedup stages run once instead
+    # of once per downstream consumer. MEMORY_AND_DISK: the post-gate
+    # corpus is a projection (id, text, source, quality), far smaller than
+    # the input; spills degrade gracefully at 100 TB instead of OOMing.
     uniq = (
         keyed.withColumn("__rn", F.row_number().over(w))
         .filter(F.col("__rn") == 1)
         .drop("__rn", "__h")
-    )
+    ).persist()
     near = D.minhash_dedup_pairs(uniq, "doc_id", "text", threshold=0.8)
     drop_ids = near.select(F.col("id_b").alias("doc_id")).dropDuplicates(["doc_id"])
-    kept = uniq.join(drop_ids, "doc_id", "left_anti")
+    kept = uniq.join(drop_ids, "doc_id", "left_anti").persist()
 
     shares = kept.groupBy("source").agg(F.count(F.lit(1)).alias("n_s"))
     tot = shares.agg(
@@ -4403,7 +4410,10 @@ def q_cumulative_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.concat_ws(
             ":",
             F.col("user_id"),
-            F.get_json_object("props", "$.k"),
+            # explicit NULL→'' so the key law matches the oracle even for
+            # malformed props (concat_ws would silently SKIP a null segment;
+            # the oracle's || would NULL the whole key — neither is wanted)
+            F.coalesce(F.get_json_object("props", "$.k"), F.lit("")),
         ).alias("ent"),
         F.to_date("ts").alias("day"),
     )
@@ -4427,7 +4437,7 @@ def q_cumulative_users(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SQL_CUMULATIVE_USERS = """
 WITH fs AS (
-  SELECT user_id || ':' || json_extract_string(props, '$.k') AS ent,
+  SELECT user_id || ':' || coalesce(json_extract_string(props, '$.k'), '') AS ent,
          min(CAST(ts AS DATE)) AS first_day
   FROM events GROUP BY 1),
 daily AS (SELECT first_day, count(*) AS new_users FROM fs GROUP BY 1)
@@ -4765,7 +4775,8 @@ def q_idle_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(
         """
         SELECT c.c_nationkey AS nation, count(*) AS n_cust,
-               round(sum(c.c_acctbal), 2) AS total_bal
+               CAST(round(sum(CAST(c.c_acctbal AS DECIMAL(18,4))), 2) AS DOUBLE)
+                 AS total_bal
         FROM cust_q22 c
         WHERE c.c_nationkey IN (0, 3, 7, 11, 19)
           AND c.c_acctbal > (
@@ -4782,7 +4793,8 @@ def q_idle_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SQL_IDLE_RICH = """
 SELECT c.c_nationkey AS nation, count(*) AS n_cust,
-       round(sum(c.c_acctbal), 2) AS total_bal
+       CAST(round(sum(CAST(c.c_acctbal AS DECIMAL(18,4))), 2) AS DOUBLE)
+         AS total_bal
 FROM customer c
 WHERE c.c_nationkey IN (0, 3, 7, 11, 19)
   AND c.c_acctbal > (
@@ -5154,7 +5166,7 @@ SELECT user_id, {SQL_TS_US.format('ts')} AS ts,
        round(sum(value) OVER w, 4) AS roll_value,
        count(*) OVER w AS roll_n
 FROM events WHERE event_type = 'purchase'
-WINDOW w AS (PARTITION BY user_id ORDER BY CAST(epoch(ts) AS BIGINT)
+WINDOW w AS (PARTITION BY user_id ORDER BY CAST(floor(epoch(ts)) AS BIGINT)
              RANGE BETWEEN 604800 PRECEDING AND CURRENT ROW)
 ORDER BY user_id, ts
 """
@@ -5367,8 +5379,60 @@ FROM documents GROUP BY 1, 2 ORDER BY lang, source
 # ---------------------------------------------------------------------------
 
 _REGISTRY: list[tuple[str, Callable[[SparkSession, str], DataFrame], str | None]] = [
+    # --- r3 driver window (first 50): the never-driver-green set (incl. the three
+    # reference topologies, sessionize, streaming, multimodal) + 4 r2-green anchors.
+    # Driver checks registry positions 1-50; rotation schedule in ROADMAP.md.
+    ("rss_pipeline", q_rss_pipeline, SQL_RSS_PIPELINE),
+    ("reddit_pipeline", q_reddit_pipeline, SQL_REDDIT_PIPELINE),
+    ("twitter_pipeline", q_twitter_pipeline, SQL_TWITTER_PIPELINE),
+    ("sentiment", q_sentiment, SQL_SENTIMENT),
+    ("sessionize", q_sessionize, SQL_SESSIONIZE),
+    ("session_window_native", q_session_window_native, SQL_SESSION_WINDOW),
+    ("session_window_dynamic", q_session_window_dynamic, SQL_SESSION_DYNAMIC),
+    ("multimodal_meta", q_multimodal_meta, SQL_MULTIMODAL),
+    ("multimodal_features", q_multimodal_features, SQL_MULTIMODAL_FEATURES),
+    ("multimodal_frames", q_multimodal_frames, SQL_MULTIMODAL_FRAMES),
+    ("stream_idempotent_sink", q_stream_idempotent_sink, SQL_STREAM_IDEMPOTENT),
+    ("stream_stateful_counts", q_stream_stateful_counts, SQL_STREAM_STATEFUL),
+    ("stream_dedup_counts", q_stream_dedup_counts, SQL_STREAM_DEDUP),
+    ("stream_enriched_counts", q_stream_enriched_counts, SQL_STREAM_ENRICHED),
+    ("stream_late_drop", q_stream_late_drop, SQL_STREAM_LATE_DROP),
+    ("stream_stream_join", q_stream_stream_join, SQL_STREAM_STREAM_JOIN),
+    ("stream_outer_join", q_stream_outer_join, SQL_STREAM_OUTER_JOIN),
+    ("stream_wm_dedup", q_stream_wm_dedup, SQL_STREAM_IDEMPOTENT),
+    ("stream_fanout_sinks", q_stream_fanout_sinks, SQL_STREAM_FANOUT),
+    ("bloom_gate", q_bloom_gate, _sql_bloom_gate()),
+    ("curation_pipeline", q_curation_pipeline, SQL_CURATION),
+    ("curation_to_sequences", q_curation_to_sequences, SQL_CURATION_SEQ),
+    ("props_extract", q_props_extract, SQL_PROPS_EXTRACT),
+    ("idle_rich_customers", q_idle_rich_customers, SQL_IDLE_RICH),
+    ("cumulative_users", q_cumulative_users, SQL_CUMULATIVE_USERS),
+    ("rolling_7d_value", q_rolling_7d_value, SQL_ROLLING_7D),
+    ("incremental_ingest", q_incremental_ingest, SQL_INCREMENTAL_INGEST),
+    ("tfidf_top_terms", q_tfidf_top_terms, SQL_TFIDF),
+    ("dup_clusters", q_dup_clusters, SQL_DUP_CLUSTERS),
+    ("hll_distinct_users", q_hll_distinct_users, _sql_hll()),
+    ("repetition_signals", q_repetition_signals, SQL_REPETITION),
+    ("pii_scrub", q_pii_scrub, SQL_PII_SCRUB),
+    ("contamination", q_contamination, SQL_CONTAMINATION),
+    ("stratified_sample", q_stratified_sample, SQL_STRATIFIED_SAMPLE),
+    ("simhash_near_dups", q_simhash_near_dups, _sql_simhash_pairs()),
+    ("sequence_packing", q_sequence_packing, SQL_SEQUENCE_PACKING),
+    ("kmeans_clusters", q_kmeans_clusters, _sql_kmeans_clusters()),
+    ("kmeans_sample", q_kmeans_sample, _sql_kmeans_sample()),
+    ("importance_weights", q_importance_weights, SQL_IMPORTANCE),
+    ("pmi_bigrams", q_pmi_bigrams, SQL_PMI),
+    ("nation_profit", q_nation_profit, SQL_NATION_PROFIT),
+    ("scd_upsert", q_scd_upsert, SQL_SCD_UPSERT),
+    ("dup_span_fraction", q_dup_span_fraction, SQL_DUP_SPAN),
+    ("jsonl_source", q_jsonl_source, SQL_JSONL_SOURCE),
+    ("anomaly_zscore", q_anomaly_zscore, SQL_ANOMALY),
+    ("retention_cohorts", q_retention_cohorts, SQL_RETENTION),
     ("flagship_doc_keywords", q_flagship_doc_keywords, SQL_FLAGSHIP),
     ("pricing_summary", q_pricing_summary, SQL_PRICING),
+    ("minhash_near_dups", q_minhash_near_dups, SQL_MINHASH),
+    ("embedding_near_dup", q_embedding_near_dup, SQL_EMBEDDING_NEAR_DUP),
+    # --- below: driver-green in r1/r2, or scheduled for the r4 rotation ---
     ("top_orders", q_top_orders, SQL_TOP_ORDERS),
     ("region_revenue", q_region_revenue, SQL_REGION_REVENUE),
     ("antijoin_new_users", q_antijoin_new_users, SQL_ANTIJOIN),
@@ -5388,7 +5452,6 @@ _REGISTRY: list[tuple[str, Callable[[SparkSession, str], DataFrame], str | None]
     ("late_ship_priority", q_late_ship_priority, SQL_LATE_SHIP),
     ("parts_never_discounted", q_parts_never_discounted, SQL_PARTS_NEVER_DISC),
     ("user_value_quartiles", q_user_value_quartiles, SQL_USER_QUARTILES),
-    ("props_extract", q_props_extract, SQL_PROPS_EXTRACT),
     ("clean_text", q_clean_text, SQL_CLEAN),
     ("hashtags", q_hashtags, SQL_HASHTAGS),
     ("stopword_filter", q_stopword_filter, SQL_STOPWORD),
@@ -5399,7 +5462,6 @@ _REGISTRY: list[tuple[str, Callable[[SparkSession, str], DataFrame], str | None]
     ("parse_zoned", q_parse_zoned, SQL_PARSE_ZONED),
     ("exact_dedup", q_exact_dedup, SQL_EXACT_DEDUP),
     ("segment_dedup", q_segment_dedup, SQL_SEGMENT_DEDUP),
-    ("minhash_near_dups", q_minhash_near_dups, SQL_MINHASH),
     ("ngram_jaccard", q_ngram_jaccard, SQL_NGRAM_JACCARD),
     ("simhash", q_simhash, SQL_SIMHASH),
     ("fingerprint", q_fingerprint, SQL_FINGERPRINT),
@@ -5410,46 +5472,16 @@ _REGISTRY: list[tuple[str, Callable[[SparkSession, str], DataFrame], str | None]
     ("lsh_ann_topk", q_lsh_ann_topk, _sql_lsh_ann()),
     ("ivf_ann_topk", q_ivf_ann_topk, _sql_ivf_ann()),
     ("ivf_ann_topk_mp", q_ivf_ann_topk_mp, _sql_ivf_ann_mp()),
-    ("embedding_near_dup", q_embedding_near_dup, SQL_EMBEDDING_NEAR_DUP),
     ("embedding_near_dup_fold", q_embedding_near_dup_fold, SQL_EMBEDDING_NEAR_DUP),
     ("lang_id", q_lang_id, SQL_LANG_ID),
     ("quality_score", q_quality, SQL_QUALITY),
     ("quality_gate", q_quality_gate, SQL_QUALITY_GATE),
     ("vocab_topn", q_vocab_topn, SQL_VOCAB),
     ("token_counts", q_token_counts, SQL_TOKEN_COUNTS),
-    ("sentiment", q_sentiment, SQL_SENTIMENT),
     ("hourly_windows", q_hourly_windows, SQL_HOURLY),
-    ("sessionize", q_sessionize, SQL_SESSIONIZE),
     ("stream_hourly_windows", q_stream_hourly_windows, SQL_STREAM_HOURLY),
     ("stream_sessionize", q_stream_sessionize, SQL_STREAM_SESSIONIZE),
-    ("stream_dedup_counts", q_stream_dedup_counts, SQL_STREAM_DEDUP),
-    ("twitter_pipeline", q_twitter_pipeline, SQL_TWITTER_PIPELINE),
-    ("reddit_pipeline", q_reddit_pipeline, SQL_REDDIT_PIPELINE),
-    ("rss_pipeline", q_rss_pipeline, SQL_RSS_PIPELINE),
-    ("tfidf_top_terms", q_tfidf_top_terms, SQL_TFIDF),
-    ("dup_clusters", q_dup_clusters, SQL_DUP_CLUSTERS),
-    ("hll_distinct_users", q_hll_distinct_users, _sql_hll()),
-    ("repetition_signals", q_repetition_signals, SQL_REPETITION),
-    ("pii_scrub", q_pii_scrub, SQL_PII_SCRUB),
-    ("contamination", q_contamination, SQL_CONTAMINATION),
-    ("stratified_sample", q_stratified_sample, SQL_STRATIFIED_SAMPLE),
-    ("simhash_near_dups", q_simhash_near_dups, _sql_simhash_pairs()),
-    ("sequence_packing", q_sequence_packing, SQL_SEQUENCE_PACKING),
-    ("kmeans_clusters", q_kmeans_clusters, _sql_kmeans_clusters()),
-    ("kmeans_sample", q_kmeans_sample, _sql_kmeans_sample()),
-    ("importance_weights", q_importance_weights, SQL_IMPORTANCE),
-    ("pmi_bigrams", q_pmi_bigrams, SQL_PMI),
-    ("nation_profit", q_nation_profit, SQL_NATION_PROFIT),
-    ("stream_enriched_counts", q_stream_enriched_counts, SQL_STREAM_ENRICHED),
-    ("stream_late_drop", q_stream_late_drop, SQL_STREAM_LATE_DROP),
-    ("stream_stream_join", q_stream_stream_join, SQL_STREAM_STREAM_JOIN),
-    ("scd_upsert", q_scd_upsert, SQL_SCD_UPSERT),
-    ("dup_span_fraction", q_dup_span_fraction, SQL_DUP_SPAN),
-    ("jsonl_source", q_jsonl_source, SQL_JSONL_SOURCE),
-    ("anomaly_zscore", q_anomaly_zscore, SQL_ANOMALY),
-    ("retention_cohorts", q_retention_cohorts, SQL_RETENTION),
     ("temperature_mix", q_temperature_mix, SQL_TEMPERATURE_MIX),
-    ("curation_to_sequences", q_curation_to_sequences, SQL_CURATION_SEQ),
     ("csv_source", q_csv_source, SQL_CSV_SOURCE),
     ("corrupt_record_routing", q_corrupt_record_routing, SQL_CORRUPT_ROUTING),
     ("hll_merge_rollup", q_hll_merge_rollup, _sql_hll_merge_rollup()),
@@ -5457,10 +5489,6 @@ _REGISTRY: list[tuple[str, Callable[[SparkSession, str], DataFrame], str | None]
     ("window_dist_funcs", q_window_dist_funcs, SQL_WINDOW_DIST),
     ("lang_histograms", q_lang_histograms, SQL_LANG_HIST),
     ("stats_corr", q_stats_corr, SQL_STATS_CORR),
-    ("session_window_native", q_session_window_native, SQL_SESSION_WINDOW),
-    ("multimodal_meta", q_multimodal_meta, SQL_MULTIMODAL),
-    ("multimodal_features", q_multimodal_features, SQL_MULTIMODAL_FEATURES),
-    ("curation_pipeline", q_curation_pipeline, SQL_CURATION),
     ("semdedup", q_semdedup, _sql_semdedup()),
     ("cms_heavy_hitters", q_cms_heavy_hitters, _sql_cms_heavy_hitters()),
     ("doc_chunks", q_doc_chunks, _SQL_DOC_CHUNKS.format(toks=O.sql_tokenize_ws("text"))),
@@ -5468,9 +5496,6 @@ _REGISTRY: list[tuple[str, Callable[[SparkSession, str], DataFrame], str | None]
     ("priority_sample", q_priority_sample, _sql_priority_sample()),
     ("domain_caps", q_domain_caps, _sql_domain_caps()),
     ("orc_source", q_orc_source, SQL_ORC_SOURCE),
-    ("bloom_gate", q_bloom_gate, _sql_bloom_gate()),
-    ("stream_stateful_counts", q_stream_stateful_counts, SQL_STREAM_STATEFUL),
-    ("stream_idempotent_sink", q_stream_idempotent_sink, SQL_STREAM_IDEMPOTENT),
     ("unigram_ppl", q_unigram_ppl, _sql_unigram_ppl()),
     ("bpe_merges", q_bpe_merges, _sql_bpe_merges()),
     ("bpe_tokenize", q_bpe_tokenize, _sql_bpe_tokenize()),
@@ -5480,26 +5505,16 @@ _REGISTRY: list[tuple[str, Callable[[SparkSession, str], DataFrame], str | None]
     ("char_entropy", q_char_entropy, SQL_CHAR_ENTROPY),
     ("min_price_supplier", q_min_price_supplier, SQL_MIN_PRICE_SUPPLIER),
     ("column_profile", q_column_profile, _sql_column_profile()),
-    ("idle_rich_customers", q_idle_rich_customers, SQL_IDLE_RICH),
-    ("session_window_dynamic", q_session_window_dynamic, SQL_SESSION_DYNAMIC),
     ("bigram_backoff_ppl", q_bigram_backoff_ppl, _sql_bigram_backoff()),
     ("ann_recall", q_ann_recall, _sql_ann_recall()),
-    ("multimodal_frames", q_multimodal_frames, SQL_MULTIMODAL_FRAMES),
     ("zorder_layout", q_zorder_layout, _sql_zorder_layout()),
     ("observed_ingest", q_observed_ingest, SQL_OBSERVED_INGEST),
-    ("stream_fanout_sinks", q_stream_fanout_sinks, SQL_STREAM_FANOUT),
-    ("incremental_ingest", q_incremental_ingest, SQL_INCREMENTAL_INGEST),
     ("skew_report", q_skew_report, SQL_SKEW_REPORT),
     ("dataset_card", q_dataset_card, _sql_dataset_card()),
     ("session_funnel", q_session_funnel, SQL_SESSION_FUNNEL),
     ("langid_confusion", q_langid_confusion, _sql_langid_confusion()),
-    ("cross_split_contamination", q_cross_split_contamination,
-     _sql_cross_split_contamination()),
-    ("stream_outer_join", q_stream_outer_join, SQL_STREAM_OUTER_JOIN),
-    ("stream_wm_dedup", q_stream_wm_dedup, SQL_STREAM_IDEMPOTENT),
-    ("cumulative_users", q_cumulative_users, SQL_CUMULATIVE_USERS),
+    ("cross_split_contamination", q_cross_split_contamination, _sql_cross_split_contamination()),
     ("first_touch_attribution", q_first_touch_attribution, SQL_FIRST_TOUCH),
-    ("rolling_7d_value", q_rolling_7d_value, SQL_ROLLING_7D),
     ("partitioned_sink", q_partitioned_sink, SQL_PARTITIONED_SINK),
 ]
 

@@ -39,6 +39,21 @@ def canon_df(df: pd.DataFrame):
     return cols, sorted(rows, key=repr)
 
 
+def dtype_kind_mismatches(sdf: pd.DataFrame, odf: pd.DataFrame) -> list[str]:
+    """int-vs-float dtype drift per column (the DuckDB HUGEINT→float64
+    class that canon_cell's numeric normalization would otherwise hide —
+    the driver hashes raw values, so int64 vs float64 fails THERE even
+    when values are numerically equal; fail locally instead)."""
+    bad = []
+    for c in set(sdf.columns) & set(odf.columns):
+        sk, ok = sdf[c].dtype.kind, odf[c].dtype.kind
+        sk = "i" if sk in "iu" else sk
+        ok = "i" if ok in "iu" else ok
+        if {sk, ok} == {"i", "f"}:
+            bad.append(f"{c}: spark={sdf[c].dtype} oracle={odf[c].dtype}")
+    return bad
+
+
 def main():
     args = [a for a in sys.argv[1:]]
     sf_dir = args.pop(0) if args and args[0].startswith("/") else "/root/testdata/sf0.01"
@@ -75,6 +90,11 @@ def main():
         except Exception as e:
             failures.append(name)
             print(f"[FAIL] {name}: ORACLE ERROR {type(e).__name__}: {str(e)[:500]}")
+            continue
+        kind_bad = dtype_kind_mismatches(sdf, odf)
+        if kind_bad:
+            failures.append(name)
+            print(f"[FAIL] {name}: dtype-kind drift {kind_bad}")
             continue
         scols, srows = canon_df(sdf)
         ocols, orows = canon_df(odf)
