@@ -5375,6 +5375,261 @@ FROM documents GROUP BY 1, 2 ORDER BY lang, source
 
 
 # ---------------------------------------------------------------------------
+# r3 additions (registry position 51+ this round; enter the driver window in
+# r4 per the ROADMAP bookkeeping rule)
+# ---------------------------------------------------------------------------
+
+def q_dedup_best_survivor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Policy-ranked exact dedup: among byte-identical documents keep the
+    HIGHEST-quality copy (then lowest doc_id), not an arbitrary one — the
+    survivor policy a web-curation pipeline actually wants when the same
+    page was captured several times with different boilerplate. One keyed
+    window over the text hash; no join, no all-pairs."""
+    docs = _t(spark, sf_dir, "documents")
+    q = TA.quality_score(F.col("text"))
+    scored = docs.select(
+        "doc_id",
+        "lang",
+        "source",
+        X.hash64(F.col("text")).alias("__h"),
+        q["quality"].alias("quality"),
+    )
+    return (
+        D.survivor_dedup(scored, ["__h"], ["quality"], ["doc_id"])
+        .select("doc_id", "lang", "source", "quality")
+        .orderBy("doc_id")
+    )
+
+
+SQL_BEST_SURVIVOR = f"""
+WITH scored AS (
+  SELECT doc_id, lang, source, {{h}} AS __h, {{q}} AS quality FROM documents),
+r AS (SELECT *, row_number() OVER (PARTITION BY __h
+        ORDER BY quality DESC, doc_id) AS rn FROM scored)
+SELECT doc_id, lang, source, quality FROM r WHERE rn = 1 ORDER BY doc_id
+""".format(h=O.sql_hash64("text"), q=O.sql_quality("text")["quality"])
+
+
+def q_boilerplate_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boilerplate profiling (diagnostic twin of segment_dedup): per
+    document, the fraction of its fixed 8-word segments that occur in >= 2
+    distinct documents — the report a curation run consults to choose the
+    line-dedup threshold BEFORE destructively rewriting a 100 TB corpus."""
+    docs = _t(spark, sf_dir, "documents")
+    return D.segment_df_stats(docs, seg_words=8, boiler_df=2).orderBy("doc_id")
+
+
+SQL_BOILERPLATE = f"""
+WITH toks AS (SELECT doc_id, {O.sql_tokenize_ws('text')} AS t FROM documents),
+idx AS (SELECT doc_id, t,
+               unnest(generate_series(0, (ceil(len(t)/8.0))::INT - 1)) AS i
+        FROM toks),
+seg AS (SELECT doc_id,
+               array_to_string(list_slice(t, i*8+1, i*8+8), ' ') AS seg
+        FROM idx),
+cnt AS (SELECT seg, count(DISTINCT doc_id) AS seg_df FROM seg GROUP BY seg),
+per AS (SELECT s.doc_id, count(*) AS n_seg,
+               sum(CASE WHEN c.seg_df >= 2 THEN 1 ELSE 0 END) AS n_boiler
+        FROM seg s JOIN cnt c USING (seg) GROUP BY s.doc_id)
+SELECT d.doc_id, coalesce(p.n_seg, 0)::BIGINT AS n_seg,
+       coalesce(p.n_boiler, 0)::BIGINT AS n_boiler,
+       {O.sql_r4("CASE WHEN coalesce(p.n_seg, 0) > 0"
+                 " THEN p.n_boiler::DOUBLE / p.n_seg ELSE 0.0 END")}
+         AS boiler_frac
+FROM documents d LEFT JOIN per p USING (doc_id)
+ORDER BY d.doc_id
+"""
+
+
+def q_daily_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar densification (gap fill): per-user daily event counts with
+    explicit zero rows for silent days inside each user's activity span —
+    ``sequence(min_day, max_day)`` + explode generates the calendar
+    engine-side (narrow, one row per user-day), then a co-partitioned left
+    join attaches observed counts. The time-series shape every retention /
+    anomaly job needs; no driver-side calendar, no cross join against a
+    global date dimension."""
+    ev = _t(spark, sf_dir, "events")
+    daily = ev.groupBy("user_id", F.to_date("ts").alias("day")).agg(
+        F.count(F.lit(1)).alias("n_events")
+    )
+    spans = ev.groupBy("user_id").agg(
+        F.min(F.to_date("ts")).alias("d0"), F.max(F.to_date("ts")).alias("d1")
+    )
+    cal = spans.select(
+        "user_id", F.explode(F.sequence("d0", "d1")).alias("day")
+    )
+    return (
+        cal.join(daily, ["user_id", "day"], "left")
+        .select(
+            "user_id",
+            F.date_format("day", "yyyy-MM-dd").alias("day"),
+            F.coalesce("n_events", F.lit(0)).cast("bigint").alias("n_events"),
+        )
+        .orderBy("user_id", "day")
+    )
+
+
+SQL_DAILY_GAPFILL = """
+WITH daily AS (SELECT user_id, CAST(ts AS DATE) AS day, count(*) AS n_events
+               FROM events GROUP BY 1, 2),
+spans AS (SELECT user_id, min(CAST(ts AS DATE)) AS d0,
+                 max(CAST(ts AS DATE)) AS d1
+          FROM events GROUP BY 1),
+cal AS (SELECT user_id,
+               unnest(generate_series(d0::TIMESTAMP, d1::TIMESTAMP,
+                                      INTERVAL 1 DAY))::DATE AS day
+        FROM spans)
+SELECT c.user_id, strftime(c.day, '%Y-%m-%d') AS day,
+       coalesce(d.n_events, 0)::BIGINT AS n_events
+FROM cal c LEFT JOIN daily d ON d.user_id = c.user_id AND d.day = c.day
+ORDER BY c.user_id, day
+"""
+
+
+def q_interval_join_hot_hours(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Genuine interval (range-only) join: derive the 5 busiest purchase
+    hours, widen each to a [-30 min, +90 min) window, then join ALL events
+    falling inside any window — overlapping intervals mean an event can
+    match several, which no equi-key rewrite expresses. The interval side
+    is aggregated and tiny, so the engine broadcasts it (BroadcastNestedLoop
+    — the right physical strategy for small-interval × big-fact at 100 TB;
+    the top-5 window runs over the per-hour aggregate, bounded by calendar
+    hours, not event count)."""
+    ev = _t(spark, sf_dir, "events").select("ts", "event_type")
+    hot = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy(F.date_trunc("hour", "ts").alias("h0"))
+        .agg(F.count(F.lit(1)).alias("n_purch"))
+    )
+    w = Window.orderBy(F.desc("n_purch"), F.asc("h0"))
+    top = hot.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= 5)
+    ivals = top.select(
+        "h0",
+        (F.col("h0") - F.expr("INTERVAL 30 MINUTES")).alias("lo"),
+        (F.col("h0") + F.expr("INTERVAL 90 MINUTES")).alias("hi"),
+    )
+    joined = ev.join(
+        F.broadcast(ivals),
+        (F.col("ts") >= F.col("lo")) & (F.col("ts") < F.col("hi")),
+    )
+    return (
+        joined.groupBy(_fmt_ts(F.col("h0")).alias("win_start"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("win_start", "event_type")
+    )
+
+
+SQL_INTERVAL_JOIN = """
+WITH hot AS (SELECT date_trunc('hour', ts) AS h0, count(*) AS n_purch
+             FROM events WHERE event_type = 'purchase' GROUP BY 1),
+top AS (SELECT h0 FROM (SELECT h0, row_number() OVER
+          (ORDER BY n_purch DESC, h0) AS rn FROM hot) WHERE rn <= 5),
+iv AS (SELECT h0, h0 - INTERVAL 30 MINUTE AS lo,
+              h0 + INTERVAL 90 MINUTE AS hi FROM top)
+SELECT strftime(iv.h0, '%Y-%m-%d %H:%M:%S') AS win_start, e.event_type,
+       count(*) AS n
+FROM events e JOIN iv ON e.ts >= iv.lo AND e.ts < iv.hi
+GROUP BY 1, 2 ORDER BY win_start, event_type
+"""
+
+
+def q_bucketed_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucketed co-located join — THE shuffle-elimination story for a
+    repeatedly-joined 100 TB fact pair: both sides written bucketed+sorted
+    by the join key, so the join is a pure streaming merge of pre-sorted
+    bucket files with NO Exchange (pinned by tests/test_bucketing.py).
+    Here the write happens inline to keep the query self-contained; in
+    production the bucketed layout is written once and amortized over
+    every subsequent join."""
+    import tempfile
+
+    from ingestion_scripts_spark.operators.bucketing import write_bucketed
+
+    orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
+    li = _t(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("o_orderkey"), "l_extendedprice", "l_discount"
+    )
+    loc = tempfile.mkdtemp(prefix="bktq_")
+    spark.sql(f"CREATE DATABASE IF NOT EXISTS bktq LOCATION '{loc}'")
+    write_bucketed(orders, "bktq.bkt_orders", "o_orderkey", 8)
+    write_bucketed(li, "bktq.bkt_lineitem", "o_orderkey", 8)
+    j = spark.table("bktq.bkt_lineitem").join(
+        spark.table("bktq.bkt_orders"), "o_orderkey"
+    )
+    return (
+        j.groupBy("o_orderpriority")
+        .agg(
+            F.round(
+                F.sum(
+                    (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+                        "decimal(18,4)"
+                    )
+                ),
+                2,
+            )
+            .cast("double")
+            .alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+SQL_BUCKETED_JOIN = """
+SELECT o_orderpriority,
+  round(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))), 2)::DOUBLE
+    AS revenue,
+  count(*) AS n_items
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+GROUP BY o_orderpriority ORDER BY o_orderpriority
+"""
+
+
+def q_winsorized_lengths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust per-group statistics: winsorized mean of document length per
+    language (clip at that language's p05/p95 before averaging) — the
+    outlier-insensitive size profile used when a handful of giant docs
+    would otherwise dominate corpus budgeting. Two passes over a narrow
+    projection: exact per-group quantiles (tiny result, broadcast back),
+    then one clipped aggregate."""
+    docs = _t(spark, sf_dir, "documents").select("lang", "n_chars")
+    qs = docs.groupBy("lang").agg(
+        F.expr("percentile(n_chars, 0.05)").alias("p05"),
+        F.expr("percentile(n_chars, 0.95)").alias("p95"),
+    )
+    clipped = docs.join(F.broadcast(qs), "lang").select(
+        "lang",
+        F.col("n_chars").cast("double").alias("raw"),
+        F.least(
+            F.greatest(F.col("n_chars").cast("double"), F.col("p05")), F.col("p95")
+        ).alias("clip"),
+    )
+    return (
+        clipped.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            TA.r4(F.avg("raw")).alias("mean_chars"),
+            TA.r4(F.avg("clip")).alias("wins_mean_chars"),
+        )
+        .orderBy("lang")
+    )
+
+
+SQL_WINSORIZED = f"""
+WITH q AS (SELECT lang, quantile_cont(n_chars, 0.05) AS p05,
+                  quantile_cont(n_chars, 0.95) AS p95
+           FROM documents GROUP BY lang)
+SELECT d.lang, count(*) AS n_docs,
+       {O.sql_r4('avg(n_chars::DOUBLE)')} AS mean_chars,
+       {O.sql_r4('avg(least(greatest(n_chars::DOUBLE, p05), p95))')}
+         AS wins_mean_chars
+FROM documents d JOIN q ON d.lang = q.lang
+GROUP BY d.lang ORDER BY d.lang
+"""
+
+
+# ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
 
@@ -5516,6 +5771,13 @@ _REGISTRY: list[tuple[str, Callable[[SparkSession, str], DataFrame], str | None]
     ("cross_split_contamination", q_cross_split_contamination, _sql_cross_split_contamination()),
     ("first_touch_attribution", q_first_touch_attribution, SQL_FIRST_TOUCH),
     ("partitioned_sink", q_partitioned_sink, SQL_PARTITIONED_SINK),
+    # --- added in r3 (mimic-green this round; driver window in r4) ---
+    ("dedup_best_survivor", q_dedup_best_survivor, SQL_BEST_SURVIVOR),
+    ("boilerplate_segments", q_boilerplate_segments, SQL_BOILERPLATE),
+    ("daily_gapfill", q_daily_gapfill, SQL_DAILY_GAPFILL),
+    ("interval_join_hot_hours", q_interval_join_hot_hours, SQL_INTERVAL_JOIN),
+    ("bucketed_join_revenue", q_bucketed_join_revenue, SQL_BUCKETED_JOIN),
+    ("winsorized_lengths", q_winsorized_lengths, SQL_WINSORIZED),
 ]
 
 

@@ -134,6 +134,12 @@ HEADLINE = [
     "rss_pipeline",
     "curation_pipeline",
     "curation_to_sequences",
+    "dedup_best_survivor",
+    "boilerplate_segments",
+    "daily_gapfill",
+    "interval_join_hot_hours",
+    "bucketed_join_revenue",
+    "winsorized_lengths",
 ]
 
 #: deliberate shadows: oracle-exact twins of faster default kernels, kept

@@ -31,6 +31,7 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions.text import hash64, let_, ngrams, tokenize_ws
+from .text_analysis import r4
 
 
 def anti_join_dedup(
@@ -77,6 +78,81 @@ def exact_dedup(df: DataFrame, keys: list[str], order_by: list[str]) -> DataFram
         df.withColumn("__rn", F.row_number().over(w))
         .filter(F.col("__rn") == 1)
         .drop("__rn")
+    )
+
+
+def survivor_dedup(
+    df: DataFrame,
+    keys: list[str],
+    prefer_desc: list[str],
+    tiebreak_asc: list[str],
+) -> DataFrame:
+    """Policy-ranked exact dedup: keep the BEST copy per duplicate group,
+    not an arbitrary one — e.g. rank duplicate web documents by quality
+    score so the curated corpus retains the highest-quality capture of
+    each page (``exact_dedup`` keeps the first by ascending order only).
+
+    ``prefer_desc`` columns rank descending (higher is better); the
+    ``tiebreak_asc`` columns make the winner deterministic when scores
+    tie. Same scale shape as ``exact_dedup``: one keyed window, no join.
+    """
+    w = Window.partitionBy(*keys).orderBy(
+        *[F.desc(c) for c in prefer_desc], *[F.asc(c) for c in tiebreak_asc]
+    )
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
+def segment_df_stats(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    seg_words: int = 8,
+    boiler_df: int = 2,
+) -> DataFrame:
+    """Boilerplate profiling — the diagnostic twin of ``segment_dedup``:
+    instead of rewriting documents, REPORT per document how much of it is
+    boilerplate (fixed ``seg_words``-word segments occurring in >=
+    ``boiler_df`` distinct documents — nav bars, license headers, template
+    chrome). Curation pipelines run this to pick the dedup threshold
+    before committing to a destructive rewrite.
+
+    Output: (id, n_seg, n_boiler, boiler_frac) — one row per document.
+
+    Scale shape: identical to ``segment_dedup`` (segment-keyed DF count +
+    join back), minus the reassembly shuffle — the final agg is keyed on
+    the document id.
+    """
+    toks = docs.select(id_col, tokenize_ws(F.col(text_col)).alias("t"))
+    nseg = F.ceil(F.size("t") / F.lit(float(seg_words))).cast("int")
+    seg_of = lambda i: F.array_join(  # noqa: E731
+        F.slice(F.col("t"), i * seg_words + F.lit(1), seg_words), " "
+    )
+    segs = toks.select(
+        id_col,
+        F.explode(
+            F.when(nseg > 0, F.transform(F.sequence(F.lit(0), nseg - 1), seg_of))
+            .otherwise(F.array().cast("array<string>"))
+        ).alias("seg"),
+    )
+    seg_df = segs.groupBy("seg").agg(F.countDistinct(id_col).alias("seg_df"))
+    flagged = segs.join(seg_df, "seg").groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_seg"),
+        F.sum((F.col("seg_df") >= boiler_df).cast("bigint")).alias("n_boiler"),
+    )
+    return docs.select(id_col).join(flagged, id_col, "left").select(
+        id_col,
+        F.coalesce("n_seg", F.lit(0)).cast("bigint").alias("n_seg"),
+        F.coalesce("n_boiler", F.lit(0)).cast("bigint").alias("n_boiler"),
+        r4(
+            F.when(
+                F.coalesce(F.col("n_seg"), F.lit(0)) > 0,
+                F.col("n_boiler") / F.col("n_seg"),
+            ).otherwise(F.lit(0.0))
+        ).alias("boiler_frac"),
     )
 
 

@@ -226,3 +226,42 @@ def test_bloom_gate_no_false_negatives(spark):
     # the filter must actually reject most non-members at this load factor
     rejected = sum(1 for i in range(1, 200, 2) if got[i] == 0)
     assert rejected >= 80
+
+
+def test_survivor_dedup_keeps_best_copy(spark):
+    """Highest prefer_desc wins; ties break on tiebreak_asc — and the
+    non-winning copies are gone."""
+    df = spark.createDataFrame(
+        [
+            ("h1", 1, 0.2),
+            ("h1", 2, 0.9),   # winner: best quality
+            ("h1", 3, 0.9),   # same quality, larger id → loses tiebreak
+            ("h2", 4, 0.1),   # singleton group survives untouched
+        ],
+        "h string, id int, q double",
+    )
+    out = D.survivor_dedup(df, ["h"], ["q"], ["id"]).collect()
+    assert sorted((r.h, r.id) for r in out) == [("h1", 2), ("h2", 4)]
+
+
+def test_segment_df_stats_flags_shared_segments(spark):
+    """A 4-word segment shared by two docs is boilerplate at boiler_df=2;
+    unique segments are not; empty docs report zeros."""
+    shared = "alpha beta gamma delta"
+    df = spark.createDataFrame(
+        [
+            (1, shared + " uniq1 uniq2 uniq3 uniq4"),
+            (2, shared + " only2 only2b only2c only2d"),
+            (3, "totally different words here now"),
+            (4, ""),
+        ],
+        "doc_id int, text string",
+    )
+    out = {
+        r.doc_id: (r.n_seg, r.n_boiler, r.boiler_frac)
+        for r in D.segment_df_stats(df, seg_words=4, boiler_df=2).collect()
+    }
+    assert out[1] == (2, 1, 0.5)
+    assert out[2] == (2, 1, 0.5)
+    assert out[3] == (2, 0, 0.0)
+    assert out[4] == (0, 0, 0.0)
