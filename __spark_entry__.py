@@ -5629,6 +5629,144 @@ GROUP BY d.lang ORDER BY d.lang
 """
 
 
+def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC snapshot reconciliation: FULL OUTER join of two table snapshots
+    (orders before/after a cutoff date here) classifying every key as
+    added / removed / changed / unchanged — the diff report every
+    incremental-ingest pipeline runs to validate a load. One co-partitioned
+    full-outer join on the key; the classification is a narrow CASE."""
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_orderdate"
+    )
+    # two deterministic synthetic snapshots: the "new" load adds 1997
+    # orders, drops every 13th key (upstream deletions) and corrects the
+    # status of every 97th (upstream updates) — exercising all 4 classes
+    old = orders.filter(F.col("o_orderdate") < F.lit("1997-01-01")).select(
+        F.col("o_orderkey").alias("k"),
+        F.col("o_orderstatus").alias("old_status"),
+    )
+    new = (
+        orders.filter(F.col("o_orderdate") < F.lit("1998-01-01"))
+        .filter(F.col("o_orderkey") % 13 != 0)
+        .select(
+            F.col("o_orderkey").alias("k"),
+            F.when(F.col("o_orderkey") % 97 == 0, F.lit("X"))
+            .otherwise(F.col("o_orderstatus"))
+            .alias("new_status"),
+        )
+    )
+    diff = old.join(new, "k", "full_outer").select(
+        "k",
+        F.when(F.col("old_status").isNull(), F.lit("added"))
+        .when(F.col("new_status").isNull(), F.lit("removed"))
+        .when(F.col("old_status") != F.col("new_status"), F.lit("changed"))
+        .otherwise(F.lit("unchanged"))
+        .alias("change"),
+    )
+    return (
+        diff.groupBy("change")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("change")
+    )
+
+
+SQL_SNAPSHOT_DIFF = """
+WITH old AS (SELECT o_orderkey AS k, o_orderstatus AS old_status
+             FROM orders WHERE o_orderdate < DATE '1997-01-01'),
+new AS (SELECT o_orderkey AS k,
+               CASE WHEN o_orderkey % 97 = 0 THEN 'X'
+                    ELSE o_orderstatus END AS new_status
+        FROM orders
+        WHERE o_orderdate < DATE '1998-01-01' AND o_orderkey % 13 <> 0)
+SELECT CASE WHEN old_status IS NULL THEN 'added'
+            WHEN new_status IS NULL THEN 'removed'
+            WHEN old_status <> new_status THEN 'changed'
+            ELSE 'unchanged' END AS change,
+       count(*) AS n
+FROM old FULL OUTER JOIN new USING (k)
+GROUP BY 1 ORDER BY change
+"""
+
+
+def q_weekly_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Week-over-week growth: weekly purchase value with lag() and percent
+    change — the lag runs over the tiny per-week aggregate (bounded by
+    calendar weeks, not event count), so the single-partition window is
+    safe by construction at any corpus size."""
+    ev = _t(spark, sf_dir, "events").filter(F.col("event_type") == "purchase")
+    weekly = ev.groupBy(
+        F.date_trunc("week", "ts").alias("wk")
+    ).agg(TA.r4(F.sum("value")).alias("wk_value"))
+    w = Window.orderBy("wk")
+    prev = F.lag("wk_value").over(w)
+    return (
+        weekly.select(
+            F.date_format("wk", "yyyy-MM-dd").alias("week"),
+            "wk_value",
+            TA.r4(
+                F.when(prev > 0, (F.col("wk_value") - prev) / prev)
+            ).alias("wow_change"),
+        )
+        .orderBy("week")
+    )
+
+
+SQL_WEEKLY_GROWTH = f"""
+WITH weekly AS (
+  SELECT date_trunc('week', ts) AS wk,
+         {O.sql_r4('sum(value)')} AS wk_value
+  FROM events WHERE event_type = 'purchase' GROUP BY 1)
+SELECT strftime(wk, '%Y-%m-%d') AS week, wk_value,
+       {O.sql_r4('CASE WHEN lag(wk_value) OVER (ORDER BY wk) > 0 THEN '
+                 '(wk_value - lag(wk_value) OVER (ORDER BY wk)) / '
+                 'lag(wk_value) OVER (ORDER BY wk) END')} AS wow_change
+FROM weekly ORDER BY week
+"""
+
+
+def q_top_customer_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """arg-max aggregation: per nation, the customer holding the maximum
+    balance via ``max_by`` (DuckDB ``arg_max``) — the single-pass agg form
+    of 'top-1 per group' that needs NO window and NO self-join; ties are
+    broken deterministically by keying the comparison on (balance, -key)."""
+    cust = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    # scalar ranking key: balance in exact cents scaled past the key range,
+    # minus the key — equal balances deterministically pick the LOWEST
+    # custkey on both engines (round() not cast(): Spark truncates
+    # double→bigint where DuckDB rounds — the ADVICE r2 bug class)
+    best = cust.groupBy("c_nationkey").agg(
+        F.expr(
+            "max_by(c_custkey,"
+            " CAST(round(c_acctbal * 100) AS BIGINT) * 10000000 - c_custkey)"
+        ).alias("top_custkey"),
+        F.max("c_acctbal").alias("top_acctbal"),
+        F.count(F.lit(1)).alias("n_cust"),
+    )
+    return (
+        best.join(F.broadcast(nation), best.c_nationkey == nation.n_nationkey)
+        .select(
+            "n_name",
+            "top_custkey",
+            F.col("top_acctbal").cast("double").alias("top_acctbal"),
+            "n_cust",
+        )
+        .orderBy("n_name")
+    )
+
+
+SQL_TOP_CUSTOMER = """
+SELECT n_name,
+       arg_max(c_custkey,
+               CAST(round(c_acctbal * 100) AS BIGINT) * 10000000 - c_custkey)
+         AS top_custkey,
+       max(c_acctbal)::DOUBLE AS top_acctbal,
+       count(*) AS n_cust
+FROM customer JOIN nation ON c_nationkey = n_nationkey
+GROUP BY n_name ORDER BY n_name
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -5778,6 +5916,9 @@ _REGISTRY: list[tuple[str, Callable[[SparkSession, str], DataFrame], str | None]
     ("interval_join_hot_hours", q_interval_join_hot_hours, SQL_INTERVAL_JOIN),
     ("bucketed_join_revenue", q_bucketed_join_revenue, SQL_BUCKETED_JOIN),
     ("winsorized_lengths", q_winsorized_lengths, SQL_WINSORIZED),
+    ("snapshot_diff", q_snapshot_diff, SQL_SNAPSHOT_DIFF),
+    ("weekly_growth", q_weekly_growth, SQL_WEEKLY_GROWTH),
+    ("top_customer_by_nation", q_top_customer_by_nation, SQL_TOP_CUSTOMER),
 ]
 
 

@@ -140,6 +140,9 @@ HEADLINE = [
     "interval_join_hot_hours",
     "bucketed_join_revenue",
     "winsorized_lengths",
+    "snapshot_diff",
+    "weekly_growth",
+    "top_customer_by_nation",
 ]
 
 #: deliberate shadows: oracle-exact twins of faster default kernels, kept
