@@ -5767,6 +5767,47 @@ GROUP BY n_name ORDER BY n_name
 """
 
 
+def q_custom_feed_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom Python DataSource (Spark 4 ``pyspark.sql.datasource``): the
+    engine's model for plugging a brand-new external feed system in as a
+    first-class ``spark.read.format(...)`` source — declared schema,
+    options, and RANGE-SHARDED partition planning (each executor
+    materializes only its slice, the way a real connector shards a feed
+    list). Rows are a pure function of the row index, so the DuckDB twin
+    reproduces the dataset exactly — the source itself is
+    differential-tested, not just the transforms over it."""
+    from ingestion_scripts_spark.sources.feed_datasource import register
+
+    register(spark)
+    feeds = (
+        spark.read.format("feed_fixture")
+        .option("rows", "5000")
+        .option("numPartitions", "8")
+        .load()
+    )
+    return (
+        feeds.groupBy("feed_source")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.sum("score").alias("total_score"),
+            F.max("item_id").alias("max_item"),
+        )
+        .orderBy("feed_source")
+    )
+
+
+def _sql_custom_feed() -> str:
+    from ingestion_scripts_spark.sources.feed_datasource import sql_feed_rows
+
+    return f"""
+SELECT feed_source, count(*) AS n_items,
+       CAST(sum(score) AS BIGINT) AS total_score,
+       max(item_id) AS max_item
+FROM ({sql_feed_rows(5000)})
+GROUP BY feed_source ORDER BY feed_source
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -5919,6 +5960,7 @@ _REGISTRY: list[tuple[str, Callable[[SparkSession, str], DataFrame], str | None]
     ("snapshot_diff", q_snapshot_diff, SQL_SNAPSHOT_DIFF),
     ("weekly_growth", q_weekly_growth, SQL_WEEKLY_GROWTH),
     ("top_customer_by_nation", q_top_customer_by_nation, SQL_TOP_CUSTOMER),
+    ("custom_feed_source", q_custom_feed_source, _sql_custom_feed()),
 ]
 
 

@@ -143,6 +143,7 @@ HEADLINE = [
     "snapshot_diff",
     "weekly_growth",
     "top_customer_by_nation",
+    "custom_feed_source",
 ]
 
 #: deliberate shadows: oracle-exact twins of faster default kernels, kept

@@ -1,0 +1,42 @@
+"""Custom Python DataSource: partition planning + row-law determinism."""
+
+from pyspark.sql import functions as F
+
+from ingestion_scripts_spark.sources.feed_datasource import (
+    FeedFixtureReader,
+    register,
+)
+
+
+def test_partition_planning_covers_range_disjointly():
+    r = FeedFixtureReader({"rows": "103", "numPartitions": "4"})
+    parts = r.partitions()
+    assert len(parts) == 4
+    spans = sorted((p.start, p.end) for p in parts)
+    assert spans[0][0] == 0 and spans[-1][1] == 103
+    for (s0, e0), (s1, e1) in zip(spans, spans[1:]):
+        assert e0 == s1  # contiguous, disjoint
+    # rows=0 still plans one (empty) partition
+    assert len(FeedFixtureReader({"rows": "0"}).partitions()) == 1
+
+
+def test_source_reads_parallel_and_deterministic(spark):
+    register(spark)
+    df = (
+        spark.read.format("feed_fixture")
+        .option("rows", "1000")
+        .option("numPartitions", "8")
+        .load()
+    )
+    assert df.rdd.getNumPartitions() == 8
+    assert df.count() == 1000
+    # row law: item 0 belongs to feed_0, score = (i*37) % 101
+    first = df.filter(F.col("item_id") == 0).collect()[0]
+    assert first.feed_source == "feed_0" and first.score == 0
+    probe = df.filter(F.col("item_id") == 42).collect()[0]
+    assert probe.feed_source == "feed_2" and probe.score == (42 * 37) % 101
+    # ids are exactly 0..999, no dup / no gap across partitions
+    agg = df.agg(
+        F.countDistinct("item_id").alias("d"), F.max("item_id").alias("m")
+    ).collect()[0]
+    assert (agg.d, agg.m) == (1000, 999)
