@@ -5808,6 +5808,64 @@ GROUP BY feed_source ORDER BY feed_source
 """
 
 
+def q_stream_custom_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The custom Python DataSource as a STREAM: offset-tracked micro-batch
+    reads (Kafka-ish contract — monotone offsets, replayable ranges,
+    commit) through ``simpleStreamReader``, drained to exhaustion into a
+    memory sink. 2000 rows at 250 rows/poll = 8 real micro-batches; the
+    aggregate over the drained table must equal the batch row law — the
+    oracle can't see offsets, so equality proves the offset ranges tiled
+    the stream exactly once (no drop, no double-serve at batch seams)."""
+    import tempfile
+    import uuid
+
+    from ingestion_scripts_spark.sources.feed_datasource import register
+
+    register(spark)
+    stream = (
+        spark.readStream.format("feed_fixture")
+        .option("rows", "2000")
+        .option("batchRows", "250")
+        .load()
+    )
+    name = "stream_feed_" + uuid.uuid4().hex[:8]
+    q = (
+        stream.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="ckpt_feed_"))
+        .start()
+    )
+    # availableNow would stop at the offset prefetched at query start (one
+    # poll); processAllAvailable drains until the source is exhausted —
+    # well-defined here because the feed caps itself at `rows`
+    q.processAllAvailable()
+    q.stop()
+    q.awaitTermination()
+    return (
+        spark.table(name)
+        .groupBy("feed_source")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.sum("score").alias("total_score"),
+            F.max("item_id").alias("max_item"),
+        )
+        .orderBy("feed_source")
+    )
+
+
+def _sql_stream_custom_feed() -> str:
+    from ingestion_scripts_spark.sources.feed_datasource import sql_feed_rows
+
+    return f"""
+SELECT feed_source, count(*) AS n_items,
+       CAST(sum(score) AS BIGINT) AS total_score,
+       max(item_id) AS max_item
+FROM ({sql_feed_rows(2000)})
+GROUP BY feed_source ORDER BY feed_source
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -5961,6 +6019,7 @@ _REGISTRY: list[tuple[str, Callable[[SparkSession, str], DataFrame], str | None]
     ("weekly_growth", q_weekly_growth, SQL_WEEKLY_GROWTH),
     ("top_customer_by_nation", q_top_customer_by_nation, SQL_TOP_CUSTOMER),
     ("custom_feed_source", q_custom_feed_source, _sql_custom_feed()),
+    ("stream_custom_source", q_stream_custom_source, _sql_stream_custom_feed()),
 ]
 
 

@@ -168,6 +168,7 @@ STREAMING = [
     "stream_outer_join",
     "stream_wm_dedup",
     "stream_fanout_sinks",
+    "stream_custom_source",
 ]
 
 

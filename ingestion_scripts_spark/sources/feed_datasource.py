@@ -25,7 +25,12 @@ from __future__ import annotations
 
 from collections.abc import Iterator
 
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    InputPartition,
+    SimpleDataSourceStreamReader,
+)
 
 #: fixed row law (index → row) — mirrored EXACTLY by sql_feed_rows()
 N_FEEDS = 5
@@ -68,8 +73,35 @@ class FeedFixtureReader(DataSourceReader):
             yield _row(i)
 
 
+class FeedFixtureStreamReader(SimpleDataSourceStreamReader):
+    """Offset-tracked streaming read of the same row law — the Kafka-ish
+    contract (monotone offsets, replayable ranges, commit) for a custom
+    feed: each poll serves at most ``batchRows`` new items until ``rows``
+    are exhausted. ``readBetweenOffsets`` replays any committed range
+    bit-identically (rows are index-derived), which is exactly the
+    at-least-once recovery contract checkpoint recovery needs."""
+
+    def __init__(self, options: dict):
+        self.rows = int(options.get("rows", "1000"))
+        self.batch_rows = int(options.get("batchRows", "250"))
+
+    def initialOffset(self) -> dict:
+        return {"i": 0}
+
+    def read(self, start: dict) -> tuple[Iterator[tuple], dict]:
+        lo = start["i"]
+        hi = min(lo + self.batch_rows, self.rows)
+        return iter([_row(i) for i in range(lo, hi)]), {"i": hi}
+
+    def readBetweenOffsets(self, start: dict, end: dict) -> Iterator[tuple]:
+        return iter([_row(i) for i in range(start["i"], end["i"])])
+
+    def commit(self, end: dict) -> None:
+        pass  # nothing to release: the row law is stateless
+
+
 class FeedFixtureDataSource(DataSource):
-    """``spark.read.format("feed_fixture").option("rows", N).load()``."""
+    """``spark.read[Stream].format("feed_fixture").option("rows", N)``."""
 
     @classmethod
     def name(cls) -> str:
@@ -80,6 +112,9 @@ class FeedFixtureDataSource(DataSource):
 
     def reader(self, schema) -> FeedFixtureReader:
         return FeedFixtureReader(self.options)
+
+    def simpleStreamReader(self, schema) -> FeedFixtureStreamReader:
+        return FeedFixtureStreamReader(self.options)
 
 
 def register(spark) -> None:

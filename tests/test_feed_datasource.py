@@ -40,3 +40,21 @@ def test_source_reads_parallel_and_deterministic(spark):
         F.countDistinct("item_id").alias("d"), F.max("item_id").alias("m")
     ).collect()[0]
     assert (agg.d, agg.m) == (1000, 999)
+
+
+def test_stream_reader_offsets_tile_exactly():
+    from ingestion_scripts_spark.sources.feed_datasource import (
+        FeedFixtureStreamReader,
+    )
+
+    r = FeedFixtureStreamReader({"rows": "600", "batchRows": "250"})
+    off = r.initialOffset()
+    seen = []
+    for _ in range(5):  # 3 real polls then empty batches
+        batch, off = r.read(off)
+        seen.extend(batch)
+    assert len(seen) == 600
+    assert [t[3] for t in seen] == list(range(600))  # item_id tiles 0..599
+    # replay of a committed middle range is bit-identical
+    replay = list(r.readBetweenOffsets({"i": 250}, {"i": 500}))
+    assert replay == seen[250:500]
