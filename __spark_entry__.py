@@ -5867,6 +5867,423 @@ GROUP BY feed_source ORDER BY feed_source
 
 
 # ---------------------------------------------------------------------------
+# r3 batch 2: Spark-4 native surfaces (VARIANT, UDTF-with-TABLE, unpivot,
+# try_cast) + the ingestion ops around them (DQ expectations, URL
+# canonicalization, accent normalization, EWMA, Markov transitions)
+# ---------------------------------------------------------------------------
+
+
+def q_dq_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-quality expectation gate: null / unique / range / FK checks,
+    one aggregate pass per table, unioned into a small report (the
+    declarative restatement of the reference's per-record faust.Record
+    validation, ``src/records.py``). Each check is a map-side-combined
+    aggregate; the FK check is one join against distinct parent keys."""
+    from ingestion_scripts_spark.operators import dq
+
+    orders = _t(spark, sf_dir, "orders")
+    customer = _t(spark, sf_dir, "customer")
+    lineitem = _t(spark, sf_dir, "lineitem")
+    events = _t(spark, sf_dir, "events")
+    report = dq.dq_report(
+        [
+            dq.expect_not_null(orders, "o_orderdate"),
+            dq.expect_unique(customer, "c_custkey"),
+            dq.expect_range(lineitem, "l_quantity", 1, 50),
+            dq.expect_fk(orders, "o_custkey", customer, "c_custkey"),
+            dq.expect_range(events, "value", 0, 1e9),
+        ]
+    )
+    return report.select(
+        F.col("check").alias("check_name"), "n_bad", "n_total", "passed"
+    ).orderBy("check_name")
+
+
+SQL_DQ_CHECKS = """
+SELECT * FROM (
+  SELECT 'not_null:o_orderdate' AS check_name,
+         CAST(count(*) FILTER (WHERE o_orderdate IS NULL) AS BIGINT) AS n_bad,
+         CAST(count(*) AS BIGINT) AS n_total,
+         count(*) FILTER (WHERE o_orderdate IS NULL) = 0 AS passed
+  FROM orders
+  UNION ALL
+  SELECT 'unique:c_custkey',
+         CAST(count(c_custkey) - count(DISTINCT c_custkey) AS BIGINT),
+         CAST(count(*) AS BIGINT),
+         count(c_custkey) - count(DISTINCT c_custkey) = 0
+  FROM customer
+  UNION ALL
+  SELECT 'range:l_quantity',
+         CAST(count(*) FILTER (WHERE l_quantity IS NOT NULL
+                                 AND (l_quantity < 1 OR l_quantity > 50)) AS BIGINT),
+         CAST(count(*) AS BIGINT),
+         count(*) FILTER (WHERE l_quantity IS NOT NULL
+                            AND (l_quantity < 1 OR l_quantity > 50)) = 0
+  FROM lineitem
+  UNION ALL
+  SELECT 'fk:o_custkey',
+         CAST(count(*) FILTER (WHERE o_custkey NOT IN
+               (SELECT c_custkey FROM customer)) AS BIGINT),
+         CAST(count(*) AS BIGINT),
+         count(*) FILTER (WHERE o_custkey NOT IN
+               (SELECT c_custkey FROM customer)) = 0
+  FROM orders
+  UNION ALL
+  SELECT 'range:value',
+         CAST(count(*) FILTER (WHERE value IS NOT NULL
+                                 AND (value < 0 OR value > 1e9)) AS BIGINT),
+         CAST(count(*) AS BIGINT),
+         count(*) FILTER (WHERE value IS NOT NULL
+                            AND (value < 0 OR value > 1e9)) = 0
+  FROM events
+) ORDER BY check_name
+"""
+
+
+def q_sessionize_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionize via a Spark-4 Python UDTF with a TABLE argument
+    (``PARTITION BY user_id ORDER BY ts``): the declarative twin of the
+    reference's per-key agent loop (``src/*_consumer.py`` coroutines hold
+    per-key running state). Same 30-min-gap law and output shape as
+    ``q_sessionize`` — the two share one oracle. The window-cascade form
+    stays the default at scale; this pins the imperative-state surface."""
+    from ingestion_scripts_spark.functions.udtfs import SessionizeUDTF
+
+    spark.udtf.register("sessionize_udtf", SessionizeUDTF)
+    _t(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id"
+    ).createOrReplaceTempView("events_udtf_in")
+    return spark.sql(
+        """
+        SELECT user_id, session_id, session_start, session_end, n_events
+        FROM sessionize_udtf(
+          TABLE(SELECT user_id, ts, event_id FROM events_udtf_in)
+          PARTITION BY user_id ORDER BY (ts, event_id))
+        """
+    )
+
+
+def q_variant_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured props through Spark 4's VARIANT type
+    (``parse_json`` → ``variant_get``) instead of per-access JSON
+    re-parsing: at 100 TB the props column is parsed ONCE into a binary
+    variant and every field access is a cheap typed extraction. Oracle is
+    plain ``json_extract`` — the values must agree exactly."""
+    ev = _t(spark, sf_dir, "events")
+    v = ev.select("event_type", F.parse_json("props").alias("v"))
+    k = F.variant_get("v", "$.k", "bigint")
+    return (
+        v.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(k).alias("sum_k"),
+            F.min(k).alias("min_k"),
+            F.max(k).alias("max_k"),
+        )
+        .orderBy("event_type")
+    )
+
+
+SQL_VARIANT_PROPS = """
+SELECT event_type, count(*) AS n,
+       CAST(sum(json_extract(props, '$.k')::BIGINT) AS BIGINT) AS sum_k,
+       min(json_extract(props, '$.k')::BIGINT) AS min_k,
+       max(json_extract(props, '$.k')::BIGINT) AS max_k
+FROM events GROUP BY event_type ORDER BY event_type
+"""
+
+
+def q_unpivot_part_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide→long reshape with the native ``unpivot`` (melt) operator, then
+    a per-(brand, metric) aggregate — the profiling shape that feeds any
+    column-level stats dashboard. Narrow transform + one shuffled agg."""
+    part = _t(spark, sf_dir, "part").withColumn(
+        "p_size_d", F.col("p_size").cast("double")
+    )
+    long = part.unpivot(
+        ids=["p_brand"],
+        values=["p_retailprice", "p_size_d"],
+        variableColumnName="metric",
+        valueColumnName="val",
+    )
+    return (
+        long.groupBy("p_brand", "metric")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            TA.r4(
+                F.sum(F.col("val").cast("decimal(18,4)")).cast("double")
+                / F.count(F.lit(1))
+            ).alias("avg_val"),
+        )
+        .orderBy("p_brand", "metric")
+    )
+
+
+SQL_UNPIVOT_PART = f"""
+WITH long AS (
+  SELECT p_brand, 'p_retailprice' AS metric, p_retailprice AS val FROM part
+  UNION ALL
+  SELECT p_brand, 'p_size_d', p_size::DOUBLE FROM part
+)
+SELECT p_brand, metric, count(*) AS n,
+       {O.sql_r4("sum(CAST(val AS DECIMAL(18,4)))::DOUBLE / count(*)")} AS avg_val
+FROM long GROUP BY p_brand, metric ORDER BY p_brand, metric
+"""
+
+
+def q_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition counts over each user's event stream
+    (``lead`` within the per-user ordering) — the path-mining primitive
+    behind funnel discovery. One shuffle on user_id for the window, one
+    keyed agg on the (from, to) pair; both partition cleanly at scale."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = ev.select(
+        F.col("event_type").alias("from_type"),
+        F.lead("event_type").over(w).alias("to_type"),
+    ).where(F.col("to_type").isNotNull())
+    return (
+        pairs.groupBy("from_type", "to_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("from_type", "to_type")
+    )
+
+
+SQL_EVENT_TRANSITIONS = """
+WITH pairs AS (
+  SELECT event_type AS from_type,
+         lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           AS to_type
+  FROM events)
+SELECT from_type, to_type, count(*) AS n
+FROM pairs WHERE to_type IS NOT NULL
+GROUP BY from_type, to_type ORDER BY from_type, to_type
+"""
+
+
+def q_safe_cast_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Error-tolerant numeric ingestion with ``try_cast``: a deterministic
+    dirty-string column (padded / suffixed / sentinel / empty variants of
+    the props int) parsed with NULL-on-failure semantics instead of a job
+    abort — the ANSI-mode-safe path a 100 TB load needs (one malformed row
+    must not kill the job; it lands in the n_bad count)."""
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id",
+        "event_type",
+        F.get_json_object("props", "$.k").cast("bigint").alias("k"),
+    )
+    raw = (
+        F.when(F.col("event_id") % 5 == 0, F.lit("N/A"))
+        .when(F.col("event_id") % 5 == 1, F.lit(""))
+        .when(
+            F.col("event_id") % 5 == 2,
+            F.concat(F.lit(" "), F.col("k").cast("string"), F.lit(" ")),
+        )
+        .when(F.col("event_id") % 5 == 3, F.concat(F.col("k").cast("string"), F.lit("x")))
+        .otherwise(F.col("k").cast("string"))
+    )
+    parsed = ev.withColumn("parsed", raw.try_cast("bigint"))
+    return (
+        parsed.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_total"),
+            F.count("parsed").alias("n_parsed"),
+            F.count_if(F.col("parsed").isNull()).cast("bigint").alias("n_bad"),
+            F.sum("parsed").alias("sum_parsed"),
+        )
+        .orderBy("event_type")
+    )
+
+
+SQL_SAFE_CAST = """
+WITH raw AS (
+  SELECT event_type,
+         CASE WHEN event_id % 5 = 0 THEN 'N/A'
+              WHEN event_id % 5 = 1 THEN ''
+              WHEN event_id % 5 = 2
+                THEN ' ' || (json_extract(props,'$.k')::BIGINT)::VARCHAR || ' '
+              WHEN event_id % 5 = 3
+                THEN (json_extract(props,'$.k')::BIGINT)::VARCHAR || 'x'
+              ELSE (json_extract(props,'$.k')::BIGINT)::VARCHAR END AS s
+  FROM events)
+SELECT event_type, count(*) AS n_total,
+       count(try_cast(s AS BIGINT)) AS n_parsed,
+       CAST(count(*) FILTER (WHERE try_cast(s AS BIGINT) IS NULL) AS BIGINT)
+         AS n_bad,
+       CAST(sum(try_cast(s AS BIGINT)) AS BIGINT) AS sum_parsed
+FROM raw GROUP BY event_type ORDER BY event_type
+"""
+
+
+def q_url_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL canonicalization for web-corpus dedup: lowercase the host, strip
+    the fragment, drop ``utm_*`` tracking params, trim the trailing slash —
+    then count distinct canonical URLs per host. Built on the JVM-side
+    ``parse_url`` (no Python in the hot path); the URL column is
+    synthesized deterministically (messy case / params / fragments) so the
+    DuckDB regexp oracle sees the same inputs."""
+    doc = _t(spark, sf_dir, "documents").select("doc_id", "source")
+    url = F.concat(
+        F.lit("HTTPS://WWW.Example"),
+        (F.col("doc_id") % 7).cast("string"),
+        F.lit(".COM/Path/"),
+        F.col("source"),
+        F.lit("/"),
+        F.col("doc_id").cast("string"),
+        F.when(F.col("doc_id") % 4 == 0, F.lit("/")).otherwise(F.lit("")),
+        F.lit("?id="),
+        (F.col("doc_id") % 5).cast("string"),
+        F.when(F.col("doc_id") % 3 == 0, F.lit("&utm_source=feed")).otherwise(
+            F.lit("")
+        ),
+        F.when(F.col("doc_id") % 3 == 1, F.lit("&utm_campaign=x&ref=r")).otherwise(
+            F.lit("")
+        ),
+        F.when(F.col("doc_id") % 2 == 0, F.lit("#frag")).otherwise(F.lit("")),
+    )
+    u = doc.withColumn("url", url)
+    host = F.lower(F.parse_url("url", F.lit("HOST")))
+    path = F.regexp_replace(F.parse_url("url", F.lit("PATH")), "/$", "")
+    q = F.coalesce(F.parse_url("url", F.lit("QUERY")), F.lit(""))
+    keep = F.array_join(
+        F.filter(F.split(q, "&"), lambda x: ~x.startswith("utm_")), "&"
+    )
+    canon = F.concat(
+        F.lit("https://"),
+        host,
+        path,
+        F.when(keep != "", F.concat(F.lit("?"), keep)).otherwise(F.lit("")),
+    )
+    return (
+        u.select(host.alias("host"), canon.alias("canon"))
+        .groupBy("host")
+        .agg(
+            F.count(F.lit(1)).alias("n_urls"),
+            F.count_distinct(F.col("canon")).alias("n_canonical"),
+            F.min("canon").alias("sample_canon"),
+        )
+        .orderBy("host")
+    )
+
+
+SQL_URL_CANON = """
+WITH u AS (
+  SELECT 'HTTPS://WWW.Example' || (doc_id % 7)::VARCHAR || '.COM/Path/'
+         || source || '/' || doc_id::VARCHAR
+         || CASE WHEN doc_id % 4 = 0 THEN '/' ELSE '' END
+         || '?id=' || (doc_id % 5)::VARCHAR
+         || CASE WHEN doc_id % 3 = 0 THEN '&utm_source=feed' ELSE '' END
+         || CASE WHEN doc_id % 3 = 1 THEN '&utm_campaign=x&ref=r' ELSE '' END
+         || CASE WHEN doc_id % 2 = 0 THEN '#frag' ELSE '' END AS url
+  FROM documents),
+parts AS (
+  SELECT lower(regexp_extract(url, '^[A-Za-z]+://([^/?#]+)', 1)) AS host,
+         regexp_replace(
+           regexp_extract(url, '^[A-Za-z]+://[^/?#]+([^?#]*)', 1), '/$', '')
+           AS path,
+         regexp_extract(url, '\\?([^#]*)', 1) AS q
+  FROM u),
+canon AS (
+  SELECT host,
+         'https://' || host || path ||
+         CASE WHEN array_to_string(
+                list_filter(string_split(q, '&'),
+                            x -> NOT starts_with(x, 'utm_')), '&') <> ''
+              THEN '?' || array_to_string(
+                list_filter(string_split(q, '&'),
+                            x -> NOT starts_with(x, 'utm_')), '&')
+              ELSE '' END AS c
+  FROM parts)
+SELECT host, count(*) AS n_urls, count(DISTINCT c) AS n_canonical,
+       min(c) AS sample_canon
+FROM canon GROUP BY host ORDER BY host
+"""
+
+
+def q_ewma_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user EWMA (α=0.3) over the daily value series — the smoothed
+    engagement signal behind churn scoring. Daily sums accumulate as
+    DECIMAL(18,4) (order-independent across engines); the EWMA itself is a
+    LEFT-TO-RIGHT fold over the day-sorted array (``F.aggregate`` here,
+    ``list_reduce`` with a prepended init in the oracle) so both engines
+    execute the identical IEEE op sequence. Per-user arrays are bounded by
+    calendar days, not event count — safe at any corpus size."""
+    ev = _t(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "user_id", F.date_trunc("day", "ts").alias("day")
+    ).agg(F.sum(F.col("value").cast("decimal(18,4)")).cast("double").alias("v"))
+    per_user = daily.groupBy("user_id").agg(
+        F.sort_array(F.collect_list(F.struct("day", "v"))).alias("series")
+    )
+    ewma = F.aggregate(
+        F.transform(F.col("series"), lambda s: s["v"]),
+        F.lit(0.0),
+        lambda acc, x: F.lit(0.3) * x + F.lit(0.7) * acc,
+    )
+    return per_user.select(
+        "user_id",
+        F.size("series").cast("bigint").alias("n_days"),
+        TA.r4(ewma).alias("ewma"),
+    ).orderBy("user_id")
+
+
+SQL_EWMA = f"""
+WITH daily AS (
+  SELECT user_id, date_trunc('day', ts) AS day,
+         sum(CAST(value AS DECIMAL(18,4)))::DOUBLE AS v
+  FROM events GROUP BY user_id, date_trunc('day', ts)),
+series AS (
+  SELECT user_id, list(v ORDER BY day) AS vs
+  FROM daily GROUP BY user_id)
+SELECT user_id, CAST(len(vs) AS BIGINT) AS n_days,
+       {O.sql_r4("list_reduce(list_prepend(0.0, vs)::DOUBLE[], (acc, x) -> 0.3*x + 0.7*acc)")} AS ewma
+FROM series ORDER BY user_id
+"""
+
+
+def q_strip_accents_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unicode accent normalization (NFD → drop combining marks) via an
+    Arrow-batched pandas UDF — the pre-tokenization cleanup every
+    multilingual corpus runs. Accents are synthesized deterministically
+    (``translate`` a→á …) so the round trip is checkable: stripping must
+    restore the original text exactly. Oracle uses DuckDB's native
+    ``strip_accents``; agreement pins the UDF's law."""
+    from ingestion_scripts_spark.functions.text import strip_accents_udf
+
+    strip = strip_accents_udf()
+    doc = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    accented = F.translate(F.col("text"), "aeiou", "áéíöü")
+    d = doc.select(
+        "doc_id",
+        "text",
+        accented.alias("accented"),
+        strip(accented).alias("stripped"),
+    )
+    return d.select(
+        "doc_id",
+        (F.col("stripped") == F.col("text")).alias("restored"),
+        (
+            F.length("accented")
+            - F.length(F.regexp_replace("accented", "[áéíöü]", ""))
+        ).cast("bigint").alias("n_accents"),
+    ).orderBy("doc_id")
+
+
+SQL_STRIP_ACCENTS = """
+WITH d AS (
+  SELECT doc_id, text,
+         translate(text, 'aeiou', 'áéíöü') AS accented
+  FROM documents)
+SELECT doc_id,
+       strip_accents(accented) = text AS restored,
+       CAST(length(accented)
+            - length(regexp_replace(accented, '[áéíöü]', '', 'g')) AS BIGINT)
+         AS n_accents
+FROM d ORDER BY doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
 
@@ -6020,6 +6437,15 @@ _REGISTRY: list[tuple[str, Callable[[SparkSession, str], DataFrame], str | None]
     ("top_customer_by_nation", q_top_customer_by_nation, SQL_TOP_CUSTOMER),
     ("custom_feed_source", q_custom_feed_source, _sql_custom_feed()),
     ("stream_custom_source", q_stream_custom_source, _sql_stream_custom_feed()),
+    ("dq_checks", q_dq_checks, SQL_DQ_CHECKS),
+    ("sessionize_udtf", q_sessionize_udtf, SQL_SESSIONIZE),
+    ("variant_props", q_variant_props, SQL_VARIANT_PROPS),
+    ("unpivot_part_metrics", q_unpivot_part_metrics, SQL_UNPIVOT_PART),
+    ("event_transitions", q_event_transitions, SQL_EVENT_TRANSITIONS),
+    ("safe_cast_ingest", q_safe_cast_ingest, SQL_SAFE_CAST),
+    ("url_canonicalize", q_url_canonicalize, SQL_URL_CANON),
+    ("ewma_user_value", q_ewma_user_value, SQL_EWMA),
+    ("strip_accents_norm", q_strip_accents_norm, SQL_STRIP_ACCENTS),
 ]
 
 

@@ -144,6 +144,15 @@ HEADLINE = [
     "weekly_growth",
     "top_customer_by_nation",
     "custom_feed_source",
+    "dq_checks",
+    "sessionize_udtf",
+    "variant_props",
+    "unpivot_part_metrics",
+    "event_transitions",
+    "safe_cast_ingest",
+    "url_canonicalize",
+    "ewma_user_value",
+    "strip_accents_norm",
 ]
 
 #: deliberate shadows: oracle-exact twins of faster default kernels, kept

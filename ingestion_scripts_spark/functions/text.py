@@ -12,6 +12,7 @@ DuckDB correctness oracle.
 
 from __future__ import annotations
 
+import pandas as pd  # noqa: F401 — resolves pandas_udf deferred annotations
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
@@ -177,3 +178,33 @@ def hash64(col: Column) -> Column:
     murmur ``hash()`` has no DuckDB equivalent. md5 is JVM-side here.
     """
     return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("bigint")
+
+
+def strip_accents_udf():
+    """Unicode accent stripping (NFD → drop combining marks), the text
+    normalization every multilingual training corpus runs before
+    tokenization. Arrow-batched pandas_udf — no JVM builtin covers
+    unicode normalization, and per-row Python would be 10-100× slower.
+
+    Law matches DuckDB ``strip_accents`` on Latin input (pinned by the
+    ``strip_accents_norm`` oracle): NFD decomposition, drop Mn marks.
+    Defined as a factory so importing this module never builds a UDF.
+    """
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("string")
+    def _strip(s: pd.Series) -> pd.Series:
+        import unicodedata
+
+        def strip_one(t):
+            if t is None:
+                return None
+            return "".join(
+                c
+                for c in unicodedata.normalize("NFD", t)
+                if not unicodedata.combining(c)
+            )
+
+        return s.map(strip_one)
+
+    return _strip
