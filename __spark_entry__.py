@@ -6283,6 +6283,320 @@ FROM d ORDER BY doc_id
 """
 
 
+def q_spearman_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spearman rank correlation between event value and the props int,
+    per event type — the robust (monotonic, outlier-insensitive) companion
+    to ``stats_corr``'s Pearson. Ranks come from ``rank()`` (min-rank ties,
+    identical in both engines); the correlation is assembled from EXACT
+    bigint rank sums, so the only float ops are the final division and
+    sqrt — bit-identical across engines."""
+    ev = _t(spark, sf_dir, "events").select(
+        "event_type",
+        "event_id",
+        "value",
+        F.get_json_object("props", "$.k").cast("bigint").alias("k"),
+    )
+    rv = F.rank().over(Window.partitionBy("event_type").orderBy("value"))
+    rk = F.rank().over(Window.partitionBy("event_type").orderBy("k"))
+    ranked = ev.select("event_type", rv.alias("rx"), rk.alias("ry"))
+    agg = ranked.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("rx").alias("sx"),
+        F.sum("ry").alias("sy"),
+        F.sum(F.col("rx") * F.col("ry")).alias("sxy"),
+        F.sum(F.col("rx") * F.col("rx")).alias("sxx"),
+        F.sum(F.col("ry") * F.col("ry")).alias("syy"),
+    )
+    num = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+    den = F.sqrt(
+        (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+        * (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")).cast("double")
+    )
+    return agg.select(
+        "event_type", "n", TA.r4(num / den).alias("spearman")
+    ).orderBy("event_type")
+
+
+SQL_SPEARMAN = f"""
+WITH ranked AS (
+  SELECT event_type,
+         rank() OVER (PARTITION BY event_type ORDER BY value) AS rx,
+         rank() OVER (PARTITION BY event_type
+                      ORDER BY json_extract(props,'$.k')::BIGINT) AS ry
+  FROM events),
+agg AS (
+  SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(rx) AS BIGINT) AS sx, CAST(sum(ry) AS BIGINT) AS sy,
+         CAST(sum(rx*ry) AS BIGINT) AS sxy,
+         CAST(sum(rx*rx) AS BIGINT) AS sxx,
+         CAST(sum(ry*ry) AS BIGINT) AS syy
+  FROM ranked GROUP BY event_type)
+SELECT event_type, n,
+       {O.sql_r4("((n*sxy - sx*sy)::DOUBLE) / sqrt((n*sxx - sx*sx)::DOUBLE * (n*syy - sy*sy)::DOUBLE)")}
+         AS spearman
+FROM agg ORDER BY event_type
+"""
+
+
+def q_robust_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust outlier detection with median/MAD instead of mean/stddev
+    (``anomaly_zscore``'s non-robust twin): a single extreme value cannot
+    drag the threshold. Medians are EXACT lower-median order statistics
+    (row_number, no interpolation — interpolation formulas differ across
+    engines by ULPs); the outlier gate |x−med| > 4.4478·mad uses one
+    multiply, bit-identical in both engines."""
+    ev = _t(spark, sf_dir, "events").select("event_type", "event_id", "value")
+    n_w = Window.partitionBy("event_type")
+    rn_v = Window.partitionBy("event_type").orderBy("value", "event_id")
+    with_med = (
+        ev.withColumn("rn", F.row_number().over(rn_v))
+        .withColumn("n", F.count(F.lit(1)).over(n_w))
+        .withColumn(
+            "med",
+            F.max(F.when(F.col("rn") == F.floor((F.col("n") + 1) / 2), F.col("value"))).over(
+                n_w
+            ),
+        )
+    )
+    dev = with_med.select(
+        "event_type",
+        "event_id",
+        "value",
+        "med",
+        F.abs(F.col("value") - F.col("med")).alias("dev"),
+    )
+    rn_d = Window.partitionBy("event_type").orderBy("dev", "event_id")
+    with_mad = (
+        dev.withColumn("rn", F.row_number().over(rn_d))
+        .withColumn("n", F.count(F.lit(1)).over(n_w))
+        .withColumn(
+            "mad",
+            F.max(F.when(F.col("rn") == F.floor((F.col("n") + 1) / 2), F.col("dev"))).over(
+                n_w
+            ),
+        )
+    )
+    return (
+        with_mad.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            TA.r4(F.max("med")).alias("med"),
+            TA.r4(F.max("mad")).alias("mad"),
+            F.count_if(F.col("dev") > F.col("mad") * 4.4478)
+            .cast("bigint")
+            .alias("n_outliers"),
+        )
+        .orderBy("event_type")
+    )
+
+
+SQL_ROBUST_ZSCORE = f"""
+WITH v AS (
+  SELECT event_type, event_id, value,
+         row_number() OVER (PARTITION BY event_type ORDER BY value, event_id)
+           AS rn,
+         count(*) OVER (PARTITION BY event_type) AS n
+  FROM events),
+med AS (
+  SELECT event_type, max(CASE WHEN rn = (n + 1) // 2 THEN value END) AS med
+  FROM v GROUP BY event_type),
+dev AS (
+  SELECT v.event_type, v.event_id, abs(v.value - med.med) AS dev, med.med,
+         row_number() OVER (PARTITION BY v.event_type
+                            ORDER BY abs(v.value - med.med), v.event_id) AS rn,
+         count(*) OVER (PARTITION BY v.event_type) AS n
+  FROM v JOIN med ON v.event_type = med.event_type),
+mad AS (
+  SELECT event_type, max(med) AS med,
+         max(CASE WHEN rn = (n + 1) // 2 THEN dev END) AS mad
+  FROM dev GROUP BY event_type)
+SELECT dev.event_type, CAST(count(*) AS BIGINT) AS n,
+       {O.sql_r4("max(mad.med)")} AS med,
+       {O.sql_r4("max(mad.mad)")} AS mad,
+       CAST(count(*) FILTER (WHERE dev.dev > mad.mad * 4.4478) AS BIGINT)
+         AS n_outliers
+FROM dev JOIN mad ON dev.event_type = mad.event_type
+GROUP BY dev.event_type ORDER BY dev.event_type
+"""
+
+
+def q_hash_sample_per_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic k-per-key sampling: rank each group by md5(id) and
+    keep the first 20 — the reproducible per-domain eval-subset draw (same
+    rows on every run and every engine, unlike rand()-based sampling).
+    One shuffle on the key; the md5 order is uniform pseudo-random."""
+    doc = _t(spark, sf_dir, "documents").select("doc_id", "source")
+    w = Window.partitionBy("source").orderBy(
+        F.md5(F.col("doc_id").cast("string")), "doc_id"
+    )
+    return (
+        doc.withColumn("sample_rank", F.row_number().over(w).cast("bigint"))
+        .where(F.col("sample_rank") <= 20)
+        .orderBy("source", "sample_rank")
+    )
+
+
+SQL_HASH_SAMPLE = """
+SELECT doc_id, source, sample_rank FROM (
+  SELECT doc_id, source,
+         CAST(row_number() OVER (PARTITION BY source
+                                 ORDER BY md5(doc_id::VARCHAR), doc_id)
+              AS BIGINT) AS sample_rank
+  FROM documents)
+WHERE sample_rank <= 20 ORDER BY source, sample_rank
+"""
+
+
+def q_cube_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over (nation, order-year): all four grouping combinations in
+    one pass (completes the grouping family next to ``rollup_revenue`` /
+    ``grouping_sets_revenue``). Revenue accumulates as DECIMAL(18,4) —
+    order-independent across engines; NULL grouping slots are labeled
+    explicitly so the driver's hash can't confuse them with real NULLs."""
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", F.year("o_orderdate").alias("yr")
+    )
+    customer = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    nation = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        (
+            F.col("l_extendedprice").cast("decimal(18,4)")
+            * (F.lit(1).cast("decimal(18,4)") - F.col("l_discount").cast("decimal(18,4)"))
+        ).alias("rev"),
+    )
+    joined = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+        .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
+    )
+    return (
+        joined.cube("n_name", "yr")
+        .agg(
+            TA.r4(F.sum("rev").cast("double")).alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+        .select(
+            F.coalesce(F.col("n_name"), F.lit("ALL")).alias("nation"),
+            F.coalesce(F.col("yr"), F.lit(-1)).cast("bigint").alias("yr"),
+            "revenue",
+            "n_items",
+        )
+        .orderBy("nation", "yr")
+    )
+
+
+SQL_CUBE_REVENUE = f"""
+SELECT coalesce(n_name, 'ALL') AS nation,
+       CAST(coalesce(year(o_orderdate), -1) AS BIGINT) AS yr,
+       {O.sql_r4("sum(CAST(l_extendedprice AS DECIMAL(18,4)) * (1::DECIMAL(18,4) - CAST(l_discount AS DECIMAL(18,4))))::DOUBLE")}
+         AS revenue,
+       count(*) AS n_items
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+GROUP BY CUBE (n_name, year(o_orderdate))
+ORDER BY nation, yr
+"""
+
+
+def q_setsim_join_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT-Jaccard near-dup pairs (threshold 0.7) via prefix filtering
+    (PPJoin law, ``operators/setjoin.py``): candidates come from an
+    equi-join on each doc's RAREST shingles only — the exact complement to
+    the approximate MinHash-LSH path, over the SAME 3-gram shingle sets
+    (unigram tokens are non-discriminative on a small shared vocabulary).
+    Every threshold decision is integer arithmetic
+    (``10·|a∩b| >= 7·|a∪b|``), so no float boundary can split the
+    engines."""
+    from ingestion_scripts_spark.operators.setjoin import jaccard_col, setsim_join
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", D.shingles(F.col("text"), 3).alias("tk")
+    )
+    pairs = setsim_join(docs, "doc_id", "tk", t_num=7, t_den=10)
+    return pairs.select(
+        "id_a",
+        "id_b",
+        F.col("n_inter").cast("bigint").alias("n_inter"),
+        F.col("n_union").cast("bigint").alias("n_union"),
+        TA.r4(jaccard_col(F.col("n_inter"), F.col("n_union"))).alias("jaccard"),
+    ).orderBy("id_a", "id_b")
+
+
+SQL_SETSIM_JOIN = f"""
+WITH toks AS (
+  SELECT doc_id, {O.sql_shingles("text", 3)} AS tk
+  FROM documents),
+ex AS (SELECT doc_id, len(tk) AS sz, unnest(tk) AS tok FROM toks),
+dfq AS (SELECT tok, count(*) AS df FROM ex GROUP BY tok),
+rnk AS (
+  SELECT doc_id, sz, ex.tok,
+         row_number() OVER (PARTITION BY doc_id ORDER BY df, ex.tok) AS rn
+  FROM ex JOIN dfq USING (tok)),
+pre AS (SELECT * FROM rnk WHERE rn <= sz - (7*sz + 9) // 10 + 1),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM pre a JOIN pre b
+    ON a.tok = b.tok AND a.doc_id < b.doc_id
+   AND 7 * greatest(a.sz, b.sz) <= 10 * least(a.sz, b.sz)),
+ver AS (
+  SELECT id_a, id_b,
+         len(list_intersect(x.tk, y.tk)) AS n_inter,
+         len(list_distinct(x.tk || y.tk)) AS n_union
+  FROM cand JOIN toks x ON id_a = x.doc_id JOIN toks y ON id_b = y.doc_id)
+SELECT id_a, id_b, CAST(n_inter AS BIGINT) AS n_inter,
+       CAST(n_union AS BIGINT) AS n_union,
+       {O.sql_r4("n_inter::DOUBLE / n_union::DOUBLE")} AS jaccard
+FROM ver WHERE 10 * n_inter >= 7 * n_union
+ORDER BY id_a, id_b
+"""
+
+
+def q_interval_join_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SCALE path for ``q_interval_join_hot_hours`` (same result, same
+    oracle): instead of a broadcast nested-loop range join, each interval
+    is exploded into the hour buckets it covers and events equi-join on
+    their own hour bucket with an exact residual range filter. The BNLJ
+    form is right when the interval side is tiny; this form survives an
+    interval side too large to broadcast — the join becomes a plain
+    hash/sort-merge equi-join on a uniform (hour) key, each interval
+    duplicated only into the ≤3 buckets it touches."""
+    ev = _t(spark, sf_dir, "events").select(
+        "ts", "event_type", F.date_trunc("hour", "ts").alias("bkt")
+    )
+    hot = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy(F.date_trunc("hour", "ts").alias("h0"))
+        .agg(F.count(F.lit(1)).alias("n_purch"))
+    )
+    w = Window.orderBy(F.desc("n_purch"), F.asc("h0"))
+    top = hot.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= 5)
+    ivals = top.select(
+        "h0",
+        (F.col("h0") - F.expr("INTERVAL 30 MINUTES")).alias("lo"),
+        (F.col("h0") + F.expr("INTERVAL 90 MINUTES")).alias("hi"),
+    ).withColumn(
+        "bkt",
+        F.explode(
+            F.sequence(
+                F.date_trunc("hour", "lo"),
+                F.date_trunc("hour", F.col("hi") - F.expr("INTERVAL 1 MICROSECOND")),
+                F.expr("INTERVAL 1 HOUR"),
+            )
+        ),
+    )
+    joined = ev.join(ivals, "bkt").where(
+        (F.col("ts") >= F.col("lo")) & (F.col("ts") < F.col("hi"))
+    )
+    return (
+        joined.groupBy(_fmt_ts(F.col("h0")).alias("win_start"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("win_start", "event_type")
+    )
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -6446,6 +6760,12 @@ _REGISTRY: list[tuple[str, Callable[[SparkSession, str], DataFrame], str | None]
     ("url_canonicalize", q_url_canonicalize, SQL_URL_CANON),
     ("ewma_user_value", q_ewma_user_value, SQL_EWMA),
     ("strip_accents_norm", q_strip_accents_norm, SQL_STRIP_ACCENTS),
+    ("spearman_corr", q_spearman_corr, SQL_SPEARMAN),
+    ("robust_zscore", q_robust_zscore, SQL_ROBUST_ZSCORE),
+    ("hash_sample_per_key", q_hash_sample_per_key, SQL_HASH_SAMPLE),
+    ("cube_revenue", q_cube_revenue, SQL_CUBE_REVENUE),
+    ("setsim_join_pairs", q_setsim_join_pairs, SQL_SETSIM_JOIN),
+    ("interval_join_bucketed", q_interval_join_bucketed, SQL_INTERVAL_JOIN),
 ]
 
 

@@ -153,6 +153,12 @@ HEADLINE = [
     "url_canonicalize",
     "ewma_user_value",
     "strip_accents_norm",
+    "spearman_corr",
+    "robust_zscore",
+    "hash_sample_per_key",
+    "cube_revenue",
+    "setsim_join_pairs",
+    "interval_join_bucketed",
 ]
 
 #: deliberate shadows: oracle-exact twins of faster default kernels, kept

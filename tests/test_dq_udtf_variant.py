@@ -148,3 +148,40 @@ def test_parse_url_vs_oracle_regexp(spark, url):
         params=[url, url, url],
     ).fetchone()
     assert (got["h"], got["p"], got["q"]) == want
+
+
+# ------------------------------------------- setsim join & interval join
+
+def test_setsim_prefix_filter_is_lossless(spark):
+    """Prefix filtering must find EXACTLY the brute-force pairs."""
+    from ingestion_scripts_spark.operators.setjoin import setsim_join
+
+    rows = [
+        (1, ["a", "b", "c", "d"]),
+        (2, ["a", "b", "c", "e"]),   # J(1,2)=3/5=0.6
+        (3, ["a", "b", "c", "d"]),   # J(1,3)=1.0
+        (4, ["x", "y"]),
+        (5, ["x", "y", "z"]),        # J(4,5)=2/3≈0.67
+        (6, ["q"]),
+    ]
+    df = spark.createDataFrame(rows, "id int, tk array<string>")
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in setsim_join(df, "id", "tk", t_num=6, t_den=10).collect()
+    }
+    # brute force at t=0.6
+    import itertools
+
+    want = set()
+    for (i, a), (j, b) in itertools.combinations(rows, 2):
+        if 10 * len(set(a) & set(b)) >= 6 * len(set(a) | set(b)):
+            want.add((min(i, j), max(i, j)))
+    assert got == want
+
+
+def test_bucketed_interval_join_matches_bnl_form(spark):
+    import __spark_entry__ as E
+
+    bnl = {tuple(r) for r in E.q_interval_join_hot_hours(spark, SF_DIR).collect()}
+    bkt = {tuple(r) for r in E.q_interval_join_bucketed(spark, SF_DIR).collect()}
+    assert bnl == bkt
