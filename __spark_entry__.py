@@ -1273,7 +1273,10 @@ def q_ivf_trained_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     engines; the oracle re-trains the quantizer from scratch in SQL."""
     from ingestion_scripts_spark.operators.clustering import kmeans_fit
 
-    emb = _t(spark, sf_dir, "embeddings")
+    # spread the scan FIRST: normalization, assignment and scoring are all
+    # compute-bound, and a small parquet corpus arrives as one split — every
+    # downstream pass inherits this layout (no-op at real corpus sizes)
+    emb = SIM.spread(_t(spark, sf_dir, "embeddings"))
     nv = (
         emb.select("vec_id", SIM._as_double(F.col("embedding")).alias("__v"))
         .withColumn("__n", SIM.norm(F.col("__v")))
@@ -1282,15 +1285,14 @@ def q_ivf_trained_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.transform(F.col("__v"), lambda x: x / F.col("__n")).alias("nv"),
         )
     )
-    from ingestion_scripts_spark.operators.clustering import assign_clusters
-
-    cents, _ = kmeans_fit(nv, "nv", "vec_id", k=8, iters=2)
-    # fresh assignment over the un-cached plan: self-joining the k-means
-    # working-set cache trips a columnar-cache pruning bug (AIOOBE in the
-    # InMemoryRelation reader when the two join sides prune differently)
-    assigned = assign_clusters(
-        nv.select(F.col("vec_id"), F.col("nv").alias("v")), cents
-    )
+    # the returned assignment runs over kmeans_fit's local-checkpointed
+    # working set (a LogicalRDD — no InMemoryRelation, so the historical
+    # columnar-cache pruning bug (AIOOBE on differently-pruned self-join
+    # sides) that once forced a fresh un-cached assignment cannot trigger)
+    cents, assigned = kmeans_fit(nv, "nv", "vec_id", k=8, iters=2)
+    assigned = assigned.select(F.col("__id").alias("vec_id"), "v", "cluster_id")
+    # tiny query side broadcast — join parallelism tracks the corpus
+    # partitioning (spread above), not the 8 cell keys
     corpus = assigned.select(
         F.col("vec_id").alias("match_id"), "cluster_id", F.col("v").alias("cv")
     )
@@ -1298,7 +1300,7 @@ def q_ivf_trained_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("query_id"), "cluster_id", F.col("v").alias("qv")
     )
     scored = (
-        queries.join(corpus, "cluster_id")
+        F.broadcast(queries).join(corpus, "cluster_id")
         .filter(F.col("query_id") != F.col("match_id"))
         .select(
             "query_id",

@@ -18,9 +18,11 @@ Cross-engine determinism (the DuckDB oracle re-runs the SAME algorithm from
 scratch — a genuinely independent differential test, no shared state):
 
 - init: centroids = the k embeddings with the smallest ids (no RNG).
-- every centroid coordinate is rounded to 6 decimals each iteration; the
-  two engines' ``avg`` over the same multiset differs by ~1e-13 (summation
-  order), which the 1e-6 quantum absorbs.
+- re-centering is EXACT integer arithmetic (components snapped to int64
+  micro-units, summed exactly, mean re-rounded with the floor idiom) —
+  partition-order-independent, so the working set can be repartitioned
+  freely and both engines compute identical centroids by construction
+  (a float ``avg`` would tie the result to the aggregation tree shape).
 - squared-L2 distances are rounded to 6 decimals BEFORE the argmin and
   ties break to the lowest cluster id, so assignment is identical even
   when two centroids are equidistant at the 1e-6 grid.
@@ -42,13 +44,27 @@ def assign_clusters(
     matrix is ONE nested-array literal and the per-centroid distances come
     from a single ``transform`` over it (fold in index order — matches the
     oracle's list_transform(range) sum order), so the expression tree is
-    O(1) HOFs instead of O(k) aggregate folds (driver plan time stays flat
-    in k). Argmin = sort (d2, cid) structs (field-order lexicographic),
-    take the head — one expression, no join, no shuffle.
+    O(1) HOFs instead of O(k) aggregate folds. Argmin = sort (d2, cid)
+    structs (field-order lexicographic), take the head — one expression,
+    no join, no shuffle.
+
+    The matrix literal is built as a single ``F.expr`` SQL string, not
+    nested ``F.array(F.lit(...))`` columns: k·dim literal Columns cost
+    k·dim py4j round-trips PER assignment build (k-means builds this 3+
+    times per fit — measured as seconds of pure driver time), while one
+    SQL string is one round-trip and a fast JVM parse. Elements render as
+    ``CAST('<repr>' AS DOUBLE)`` so the value round-trips bit-exactly.
     """
     vec = F.col(vec_col)
-    matrix = F.array(
-        *[F.array(*[F.lit(v) for v in row]) for row in centroids]
+    matrix = F.expr(
+        "array("
+        + ",".join(
+            "array("
+            + ",".join(f"CAST('{v!r}' AS DOUBLE)" for v in row)
+            + ")"
+            for row in centroids
+        )
+        + ")"
     )
     dists = F.transform(
         matrix,
@@ -80,33 +96,60 @@ def kmeans_fit(
     """Lloyd's k-means, ``iters`` rounds, deterministic init (k smallest
     ids). Returns (final centroids, assignment DataFrame with
     ``cluster_id``/``d2``). The only driver-side data is k×dim floats per
-    iteration — the distributed passes never materialize on the driver."""
+    iteration — the distributed passes never materialize on the driver.
+
+    Re-centering law (PARTITION-ORDER-INDEPENDENT): each component is
+    first snapped to exact integer micro-units (floor(x·1e6 + 0.5), the
+    house cross-engine rounding idiom), summed as int64 (exact, any
+    partitioning / any merge order), and the mean re-rounded to 6 dp with
+    the same idiom. A float ``avg`` here would tie the result to the
+    partial-aggregation tree shape — the layout could never be
+    repartitioned without risking a last-ULP flip under the 6 dp rounding
+    (the nation_profit bug class), which is exactly what pinned the whole
+    training loop to one task when the corpus arrives as a single split.
+    """
+    import math
+
+    r6 = lambda x: math.floor(x * 1000000.0 + 0.5) / 1000000.0  # noqa: E731
     pts = df.select(
         F.col(id_col).alias("__id"), F.col(vec_col).cast("array<double>").alias("v")
     )
-    # iterative access pattern: every iteration re-scans the working set, so
-    # cache it once (exactly what MLlib's KMeans does with its norm-augmented
-    # input) — at cluster scale this turns `iters` parquet scans into one
-    pts = pts.persist()
+    # iterative passes: spread to cores when the scan under-splits (no-op
+    # at real corpus sizes), then LOCAL-CHECKPOINT the working set: unlike
+    # persist(), this truncates the logical lineage, so the 3+ actions of
+    # the training loop re-optimize a one-node LogicalRDD instead of the
+    # full upstream plan each time (upstream normalization HOF trees made
+    # Catalyst re-analysis the dominant cost of a fit on a small corpus —
+    # and at any scale it is pure waste). Executor-local storage is the
+    # right durability trade for a re-runnable training loop; a multi-hour
+    # 100 TB job that must survive executor loss uses checkpoint() instead.
+    from .similarity import spread
+
+    pts = spread(pts).localCheckpoint()
     seed_rows = pts.orderBy("__id").limit(k).collect()
-    centroids = [[round(float(x), 6) for x in r["v"]] for r in seed_rows]
+    centroids = [[r6(float(x)) for x in r["v"]] for r in seed_rows]
     dim = len(centroids[0])
 
     for _ in range(iters):
         assigned = assign_clusters(pts, centroids)
-        # re-center via posexplode + (cluster, dim) groupBy: same values as
-        # dim separate avg aggregates but an O(1)-size expression tree, and
-        # the shuffle still moves only k*dim rows per task (partial agg)
+        # re-center via posexplode + (cluster, dim) groupBy: an O(1)-size
+        # expression tree, and the shuffle still moves only k*dim rows per
+        # task (partial agg); sums are exact int64 micro-units (see law)
         stats = (
             assigned.select("cluster_id", F.posexplode("v").alias("pos", "val"))
             .groupBy("cluster_id", "pos")
-            .agg(F.avg("val").alias("m"))
+            .agg(
+                F.sum(
+                    F.floor(F.col("val") * 1000000.0 + 0.5).cast("bigint")
+                ).alias("s"),
+                F.count(F.lit(1)).alias("n"),
+            )
             .collect()
         )
         new: dict[int, list[float]] = {}
         for r in stats:
-            new.setdefault(r["cluster_id"], [0.0] * dim)[r["pos"]] = round(
-                float(r["m"]), 6
+            new.setdefault(r["cluster_id"], [0.0] * dim)[r["pos"]] = (
+                math.floor(r["s"] / r["n"] + 0.5) / 1000000.0
             )
         centroids = [new.get(c, centroids[c]) for c in range(len(centroids))]
 
@@ -133,7 +176,7 @@ def sql_kmeans(
         f"pts AS (SELECT {id_col} AS vec_id, {vec_col}::DOUBLE[] AS v FROM {table})",
         (
             "cent0 AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, "
-            "list_transform(v, x -> round(x, 6)) AS c "
+            "list_transform(v, x -> floor(x * 1000000.0 + 0.5) / 1000000.0) AS c "
             f"FROM (SELECT vec_id, v FROM pts ORDER BY vec_id LIMIT {k}))"
         ),
     ]
@@ -146,7 +189,11 @@ def sql_kmeans(
                 f"{d2} ASC, cid ASC) AS rn FROM pts, cent{t})"
             ),
             (
-                f"pc{t} AS (SELECT cid, ii.i AS i, round(avg(v[ii.i]), 6) AS m "
+                # partition-order-independent re-centering law (= kmeans_fit):
+                # exact int64 micro-unit sums, floor(x+0.5) mean re-rounding
+                f"pc{t} AS (SELECT cid, ii.i AS i, "
+                "floor(sum(CAST(floor(v[ii.i] * 1000000.0 + 0.5) AS BIGINT)) "
+                "/ count(*) + 0.5) / 1000000.0 AS m "
                 f"FROM a{t}, (SELECT unnest(range(1, {dim} + 1)) AS i) ii "
                 "WHERE rn = 1 GROUP BY 1, 2)"
             ),

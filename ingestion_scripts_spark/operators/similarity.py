@@ -22,6 +22,28 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
+def spread(df: DataFrame) -> DataFrame:
+    """CPU-parallelism guard for the corpus side of vector kernels.
+
+    Similarity joins are COMPUTE-bound (per-pair HOF dot products), so the
+    corpus task count must track cores, not input bytes: a small parquet
+    corpus arrives as ONE split and would serialize the whole kernel behind
+    a single task (observed: 10 s+ single-task stages at sf0.1). Repartition
+    round-robin only when the scan yields fewer splits than cores — at real
+    corpus sizes the scan already exceeds core count and this is a no-op,
+    so no extra shuffle appears at 100 TB.
+
+    Apply to the RAW scan (before the normalize/assign projections) so
+    the heavy per-row math lands after the exchange. Per-row math is
+    unaffected (the fold law stays bit-identical); only task placement
+    changes, so oracle parity is untouched.
+    """
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 def dot(a: Column, b: Column) -> Column:
     return F.aggregate(
         F.zip_with(a, b, lambda x, y: x * y),
@@ -75,7 +97,7 @@ def cosine_topk(
     on match_id asc.
     """
     q = _normed(queries, "query_id", id_col, vec_col, "qv")
-    c = _normed(corpus, "match_id", id_col, vec_col, "cv")
+    c = _normed(spread(corpus), "match_id", id_col, vec_col, "cv")
     scored = (
         F.broadcast(q)
         .crossJoin(c)
@@ -286,7 +308,7 @@ def ivf_ann_topk(
         q = q.withColumn(
             "cell", F.explode(ivf_probe_cells(F.col("qv"), cents, probes))
         )
-    c = _normed(corpus, "match_id", id_col, vec_col, "cv").withColumn(
+    c = _normed(spread(corpus), "match_id", id_col, vec_col, "cv").withColumn(
         "cell", ivf_cell(F.col("cv"), cents)
     )
     scored = (
@@ -322,7 +344,7 @@ def lsh_ann_topk(
     q = _normed(queries, "query_id", id_col, vec_col, "qv").withColumn(
         "bucket", lsh_bucket(F.col("qv"), planes)
     )
-    c = _normed(corpus, "match_id", id_col, vec_col, "cv").withColumn(
+    c = _normed(spread(corpus), "match_id", id_col, vec_col, "cv").withColumn(
         "bucket", lsh_bucket(F.col("cv"), planes)
     )
     scored = (
