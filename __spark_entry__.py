@@ -6599,6 +6599,127 @@ def q_interval_join_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_sparse_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sparse TF-IDF cosine near-dup pairs over 3-gram shingles
+    (``similarity.sparse_cosine_pairs``): the model-free sparse complement
+    to the dense-embedding kernels — weights come from the corpus itself,
+    candidates from an inverted index on discriminative shingles, and
+    every sum (dot, norms) is exact int64 micro-unit arithmetic, so no
+    float boundary can split the engines."""
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", D.shingles(F.col("text"), 3).alias("sh")
+    )
+    pairs = SIM.sparse_cosine_pairs(docs, "doc_id", "sh", min_cos_micro=500000)
+    return pairs.orderBy("id_a", "id_b")
+
+
+SQL_SPARSE_COSINE = f"""
+WITH toks AS (SELECT doc_id, {O.sql_shingles("text", 3)} AS sh FROM documents),
+tf AS (SELECT doc_id, unnest(sh) AS t FROM toks),
+tfc AS (SELECT doc_id, t, count(*) AS cnt FROM tf GROUP BY doc_id, t),
+dl AS (SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS dl FROM tfc GROUP BY doc_id),
+dfq AS (SELECT t, count(*) AS dfc FROM tfc GROUP BY t),
+nd AS (SELECT count(DISTINCT doc_id) AS nd FROM toks),
+w AS (
+  SELECT doc_id, t,
+         CAST(floor((cnt::DOUBLE / dl) * (ln((nd + 1.0) / (dfc + 1.0)) + 1.0)
+                    * 1000000.0 + 0.5) AS BIGINT) AS wi
+  FROM tfc JOIN dl USING (doc_id) JOIN dfq USING (t), nd),
+norms AS (SELECT doc_id, CAST(sum(wi * wi) AS BIGINT) AS n2
+          FROM w GROUP BY doc_id),
+dots AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         CAST(sum(a.wi * b.wi) AS BIGINT) AS dot
+  FROM w a JOIN w b ON a.t = b.t AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id)
+SELECT id_a, id_b,
+       {O.sql_r4("dot::DOUBLE / (sqrt(na.n2::DOUBLE) * sqrt(nb.n2::DOUBLE))")}
+         AS cos
+FROM dots JOIN norms na ON id_a = na.doc_id JOIN norms nb ON id_b = nb.doc_id
+WHERE {O.sql_r4("dot::DOUBLE / (sqrt(na.n2::DOUBLE) * sqrt(nb.n2::DOUBLE))")}
+      >= 0.5
+ORDER BY id_a, id_b
+"""
+
+
+def q_sliding_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding event-time windows (2 h length, 1 h slide) with the native
+    ``window()`` — each event lands in exactly 2 overlapping windows
+    (completes the window family next to tumbling ``hourly_windows`` and
+    the session windows). The oracle unions the two shifted hour-truncs
+    every slide position implies."""
+    ev = _t(spark, sf_dir, "events")
+    win = ev.groupBy(
+        F.window("ts", "2 hours", "1 hour").alias("w"), "event_type"
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        TA.r4(F.sum(F.col("value").cast("decimal(18,4)")).cast("double")).alias(
+            "total"
+        ),
+    )
+    return win.select(
+        _fmt_ts(F.col("w.start")).alias("win_start"),
+        "event_type",
+        "n",
+        "total",
+    ).orderBy("win_start", "event_type")
+
+
+SQL_SLIDING_WINDOWS = f"""
+WITH placed AS (
+  SELECT date_trunc('hour', ts) AS w0, event_type, value FROM events
+  UNION ALL
+  SELECT date_trunc('hour', ts - INTERVAL 1 HOUR) AS w0, event_type, value
+  FROM events)
+SELECT {SQL_TS.format("w0")} AS win_start, event_type,
+       count(*) AS n,
+       {O.sql_r4("sum(CAST(value AS DECIMAL(18,4)))::DOUBLE")} AS total
+FROM placed GROUP BY w0, event_type ORDER BY win_start, event_type
+"""
+
+
+def q_xml_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S1 on an XML source (Spark 4 ships the XML reader built in):
+    documents round-tripped through XML — free text with angle brackets /
+    quotes is exactly where naive XML breaks — re-read with an explicit
+    schema and aggregated. The oracle reads the parquet directly: the
+    encode/decode must be lossless through entity escaping."""
+    import tempfile
+
+    docs = _t(spark, sf_dir, "documents")
+    tmp = tempfile.mkdtemp(prefix="xml_src_")
+    docs.select("doc_id", "text", "lang", "source", "n_chars").coalesce(
+        4
+    ).write.mode("overwrite").format("xml").option("rootTag", "docs").option(
+        "rowTag", "doc"
+    ).save(tmp)
+    back = (
+        spark.read.format("xml")
+        .schema(
+            "doc_id bigint, text string, lang string, source string, n_chars bigint"
+        )
+        .option("rowTag", "doc")
+        .load(tmp)
+    )
+    return (
+        back.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+            F.sum(F.length("text")).alias("total_text_len"),
+        )
+        .orderBy("source")
+    )
+
+
+SQL_XML_SOURCE = """
+SELECT source, count(*) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS total_chars,
+       CAST(sum(length(text)) AS BIGINT) AS total_text_len
+FROM documents GROUP BY source ORDER BY source
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -6768,6 +6889,9 @@ _REGISTRY: list[tuple[str, Callable[[SparkSession, str], DataFrame], str | None]
     ("cube_revenue", q_cube_revenue, SQL_CUBE_REVENUE),
     ("setsim_join_pairs", q_setsim_join_pairs, SQL_SETSIM_JOIN),
     ("interval_join_bucketed", q_interval_join_bucketed, SQL_INTERVAL_JOIN),
+    ("sparse_cosine_pairs", q_sparse_cosine_pairs, SQL_SPARSE_COSINE),
+    ("sliding_windows", q_sliding_windows, SQL_SLIDING_WINDOWS),
+    ("xml_source", q_xml_source, SQL_XML_SOURCE),
 ]
 
 

@@ -159,6 +159,9 @@ HEADLINE = [
     "cube_revenue",
     "setsim_join_pairs",
     "interval_join_bucketed",
+    "sparse_cosine_pairs",
+    "sliding_windows",
+    "xml_source",
 ]
 
 #: deliberate shadows: oracle-exact twins of faster default kernels, kept

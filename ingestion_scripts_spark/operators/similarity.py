@@ -359,3 +359,84 @@ def lsh_ann_topk(
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("match_id"))
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
+def sparse_cosine_pairs(
+    docs: DataFrame,
+    id_col: str,
+    terms_col: str,
+    min_cos_micro: int = 500000,
+) -> DataFrame:
+    """TF-IDF-weighted SPARSE cosine near-dup pairs via an inverted index —
+    the sparse complement to the dense-embedding kernels: no embedding
+    model needed, weights come from the corpus itself.
+
+    Shape (all keyed shuffles, no all-pairs): per-doc term counts → global
+    document frequencies → r6-rounded tf-idf weights snapped to EXACT
+    int64 micro-units → postings join on term (id_a < id_b) → per-pair
+    dot = SUM of int products (exact, any partitioning) → cosine from
+    exact integer dot and norms, one float divide + sqrt at the end.
+
+    Works on any term column; callers pass discriminative terms (shingles)
+    so posting lists stay short — the same argument as prefix filtering:
+    candidate volume is bounded by posting-list sizes, not n².
+
+    ``min_cos_micro`` gates on cos·1e6 >= threshold with the comparison
+    done on the float cosine AFTER r4 rounding (identical in both engines
+    since all inputs are exact integers).
+
+    Returns (id_a, id_b, cos) with cos rounded to 4 dp.
+    """
+    tf = (
+        docs.select(F.col(id_col).alias("__id"), F.explode(terms_col).alias("t"))
+        .groupBy("__id", "t")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    dl = tf.groupBy("__id").agg(F.sum("cnt").alias("dl"))
+    dfreq = tf.groupBy("t").agg(F.count(F.lit(1)).alias("dfc"))
+    n_docs = docs.select(F.count_distinct(F.col(id_col)).alias("nd"))
+    r6 = lambda c: F.floor(c * 1000000.0 + 0.5) / 1000000.0  # noqa: E731
+    w = (
+        tf.join(dl, "__id")
+        .join(dfreq, "t")
+        .join(F.broadcast(n_docs))
+        .select(
+            "__id",
+            "t",
+            # weight snapped to exact integer micro-units: every downstream
+            # sum (dot products, norms) is exact int64 arithmetic, immune
+            # to partitioning / merge order on both engines
+            (
+                r6(
+                    (F.col("cnt") / F.col("dl"))
+                    * (F.log((F.col("nd") + 1.0) / (F.col("dfc") + 1.0)) + 1.0)
+                )
+                * 1000000.0
+            )
+            .cast("bigint")
+            .alias("wi"),
+        )
+    )
+    norms = w.groupBy("__id").agg(F.sum(F.col("wi") * F.col("wi")).alias("n2"))
+    a = w.select(F.col("__id").alias("id_a"), "t", F.col("wi").alias("wa"))
+    b = w.select(F.col("__id").alias("id_b"), "t", F.col("wi").alias("wb"))
+    dots = (
+        a.join(b, "t")
+        .where(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.sum(F.col("wa") * F.col("wb")).alias("dot"))
+    )
+    na = norms.select(F.col("__id").alias("id_a"), F.col("n2").alias("na2"))
+    nb = norms.select(F.col("__id").alias("id_b"), F.col("n2").alias("nb2"))
+    from ingestion_scripts_spark.operators.text_analysis import r4
+
+    cos = r4(
+        F.col("dot").cast("double")
+        / (F.sqrt(F.col("na2").cast("double")) * F.sqrt(F.col("nb2").cast("double")))
+    )
+    return (
+        dots.join(na, "id_a")
+        .join(nb, "id_b")
+        .select("id_a", "id_b", cos.alias("cos"))
+        .where(F.col("cos") >= F.lit(min_cos_micro) / 1000000.0)
+    )

@@ -185,3 +185,33 @@ def test_bucketed_interval_join_matches_bnl_form(spark):
     bnl = {tuple(r) for r in E.q_interval_join_hot_hours(spark, SF_DIR).collect()}
     bkt = {tuple(r) for r in E.q_interval_join_bucketed(spark, SF_DIR).collect()}
     assert bnl == bkt
+
+
+# ------------------------------------------------ sparse cosine pairs
+
+def test_sparse_cosine_identical_docs_score_one(spark):
+    from ingestion_scripts_spark.operators.similarity import sparse_cosine_pairs
+
+    rows = [
+        (1, ["a b c", "b c d", "c d e"]),
+        (2, ["a b c", "b c d", "c d e"]),  # identical to 1
+        (3, ["x y z"]),                    # disjoint
+    ]
+    df = spark.createDataFrame(rows, "id int, sh array<string>")
+    got = {
+        (r["id_a"], r["id_b"]): r["cos"]
+        for r in sparse_cosine_pairs(df, "id", "sh", min_cos_micro=100000).collect()
+    }
+    assert got[(1, 2)] == 1.0
+    assert not any(3 in k for k in got)
+
+
+def test_sliding_window_each_event_in_two_windows(spark):
+    import __spark_entry__ as E
+    from ingestion_scripts_spark.sources.readers import load_table
+
+    windowed = sum(
+        r["n"] for r in E.q_sliding_windows(spark, SF_DIR).collect()
+    )
+    base = load_table(spark, SF_DIR, "events").count()
+    assert windowed == 2 * base
