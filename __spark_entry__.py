@@ -6720,6 +6720,192 @@ FROM documents GROUP BY source ORDER BY source
 """
 
 
+def q_supplier_wait_fault(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape (suppliers who kept waiting orders): for finished
+    orders served by >=2 suppliers, find the ones where EXACTLY ONE
+    supplier shipped late (> order date + 90 days) — that supplier is the
+    sole fault. Spark exercises the semi-join decorrelation path (two
+    LEFT SEMI joins against keyed aggregates); the oracle states the same
+    law as plain aggregates — equal results through different plans is
+    exactly what the differential is for. All joins key on orderkey
+    (uniform); the supplier dim is broadcast."""
+    orders_f = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderstatus") == "F")
+        .select("o_orderkey", "o_orderdate")
+    )
+    li = (
+        _t(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_suppkey", "l_shipdate")
+        .join(orders_f, F.col("l_orderkey") == F.col("o_orderkey"))
+        .select(
+            "l_orderkey",
+            "l_suppkey",
+            (
+                F.col("l_shipdate").cast("date") > F.date_add("o_orderdate", 90)
+            ).alias("late"),
+        )
+    )
+    multi = (
+        li.groupBy("l_orderkey")
+        .agg(F.count_distinct("l_suppkey").alias("ns"))
+        .filter(F.col("ns") >= 2)
+        .select("l_orderkey")
+    )
+    one_late = (
+        li.filter("late")
+        .groupBy("l_orderkey")
+        .agg(F.count_distinct("l_suppkey").alias("nl"))
+        .filter(F.col("nl") == 1)
+        .select("l_orderkey")
+    )
+    fault = (
+        li.filter("late")
+        .join(multi, "l_orderkey", "left_semi")
+        .join(one_late, "l_orderkey", "left_semi")
+        .select("l_orderkey", "l_suppkey")
+        .distinct()
+    )
+    supplier = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        fault.groupBy("l_suppkey")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .join(F.broadcast(supplier), F.col("l_suppkey") == F.col("s_suppkey"))
+        .select("s_name", "numwait")
+        .orderBy(F.desc("numwait"), F.asc("s_name"))
+        .limit(10)
+    )
+
+
+SQL_SUPPLIER_WAIT = """
+WITH li AS (
+  SELECT l_orderkey, l_suppkey,
+         CAST(l_shipdate AS DATE) > CAST(o_orderdate AS DATE) + 90 AS late
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  WHERE o_orderstatus = 'F'),
+per_order AS (
+  SELECT l_orderkey,
+         count(DISTINCT l_suppkey) AS ns,
+         count(DISTINCT l_suppkey) FILTER (WHERE late) AS nl
+  FROM li GROUP BY l_orderkey),
+fault AS (
+  SELECT DISTINCT li.l_orderkey, li.l_suppkey
+  FROM li JOIN per_order USING (l_orderkey)
+  WHERE li.late AND per_order.ns >= 2 AND per_order.nl = 1)
+SELECT s_name, count(*) AS numwait
+FROM fault JOIN supplier ON l_suppkey = s_suppkey
+GROUP BY s_name ORDER BY numwait DESC, s_name LIMIT 10
+"""
+
+
+def q_user_trend_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user engagement trend: ordinary-least-squares slope of daily
+    value over day index — the churn-signal regression every growth
+    dashboard computes. Same exact-arithmetic pattern as spearman_corr:
+    x = day ordinal (int), y = daily value in int64 micro-units, all five
+    OLS sums exact bigints; the single float division happens once at the
+    end. Users with one active day are excluded (slope undefined)."""
+    ev = _t(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "user_id", F.date_trunc("day", "ts").alias("day")
+    ).agg(
+        F.sum(F.floor(F.col("value") * 1000000.0 + 0.5).cast("bigint")).alias(
+            "y"
+        )
+    )
+    d = daily.select(
+        "user_id",
+        F.datediff(F.col("day").cast("date"), F.lit("2024-01-01").cast("date"))
+        .cast("bigint")
+        .alias("x"),
+        "y",
+    )
+    agg = d.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+    )
+    num = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+    den = (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+    return (
+        agg.filter(F.col("n") >= 2)
+        .select(
+            "user_id",
+            F.col("n").alias("n_days"),
+            TA.r4(num / den / 1000000.0).alias("slope_per_day"),
+        )
+        .orderBy("user_id")
+    )
+
+
+SQL_TREND_SLOPE = f"""
+WITH daily AS (
+  SELECT user_id, date_trunc('day', ts) AS day,
+         CAST(sum(CAST(floor(value * 1000000.0 + 0.5) AS BIGINT)) AS BIGINT)
+           AS y
+  FROM events GROUP BY user_id, date_trunc('day', ts)),
+d AS (
+  SELECT user_id,
+         CAST(datediff('day', DATE '2024-01-01', CAST(day AS DATE)) AS BIGINT)
+           AS x, y
+  FROM daily),
+agg AS (
+  SELECT user_id, CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+         CAST(sum(x*y) AS BIGINT) AS sxy, CAST(sum(x*x) AS BIGINT) AS sxx
+  FROM d GROUP BY user_id)
+SELECT user_id, n AS n_days,
+       {O.sql_r4("((n*sxy - sx*sy)::DOUBLE) / ((n*sxx - sx*sx)::DOUBLE) / 1000000.0")}
+         AS slope_per_day
+FROM agg WHERE n >= 2 ORDER BY user_id
+"""
+
+
+def q_custom_feed_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The WRITER half of the custom Python DataSource story
+    (``sources/feed_datasource.py::JsonlSinkDataSource``): events flow
+    through the partition-parallel JSONL sink with its two-phase task
+    commit (temp file + driver rename — no half-visible files), then are
+    re-read with an explicit schema and aggregated. The oracle reads the
+    parquet directly: the custom sink must be a lossless pass-through."""
+    import tempfile
+
+    from ingestion_scripts_spark.sources.feed_datasource import register_sink
+
+    register_sink(spark)
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id", "event_type", F.get_json_object("props", "$.k")
+        .cast("bigint")
+        .alias("k")
+    )
+    tmp = tempfile.mkdtemp(prefix="jsonl_sink_") + "/out"
+    ev.repartition(4).write.format("jsonl_sink").mode("append").option(
+        "path", tmp
+    ).save()
+    back = spark.read.schema("event_id bigint, event_type string, k bigint").json(
+        tmp + "/*.jsonl"
+    )
+    return (
+        back.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("k").alias("sum_k"),
+            F.max("event_id").alias("max_id"),
+        )
+        .orderBy("event_type")
+    )
+
+
+SQL_CUSTOM_FEED_SINK = """
+SELECT event_type, count(*) AS n,
+       CAST(sum(json_extract(props, '$.k')::BIGINT) AS BIGINT) AS sum_k,
+       max(event_id) AS max_id
+FROM events GROUP BY event_type ORDER BY event_type
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -6892,6 +7078,9 @@ _REGISTRY: list[tuple[str, Callable[[SparkSession, str], DataFrame], str | None]
     ("sparse_cosine_pairs", q_sparse_cosine_pairs, SQL_SPARSE_COSINE),
     ("sliding_windows", q_sliding_windows, SQL_SLIDING_WINDOWS),
     ("xml_source", q_xml_source, SQL_XML_SOURCE),
+    ("supplier_wait_fault", q_supplier_wait_fault, SQL_SUPPLIER_WAIT),
+    ("user_trend_slope", q_user_trend_slope, SQL_TREND_SLOPE),
+    ("custom_feed_sink", q_custom_feed_sink, SQL_CUSTOM_FEED_SINK),
 ]
 
 

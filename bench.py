@@ -162,6 +162,9 @@ HEADLINE = [
     "sparse_cosine_pairs",
     "sliding_windows",
     "xml_source",
+    "supplier_wait_fault",
+    "user_trend_slope",
+    "custom_feed_sink",
 ]
 
 #: deliberate shadows: oracle-exact twins of faster default kernels, kept

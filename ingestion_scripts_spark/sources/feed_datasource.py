@@ -28,8 +28,10 @@ from collections.abc import Iterator
 from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
+    DataSourceWriter,
     InputPartition,
     SimpleDataSourceStreamReader,
+    WriterCommitMessage,
 )
 
 #: fixed row law (index → row) — mirrored EXACTLY by sql_feed_rows()
@@ -134,3 +136,77 @@ SELECT 'feed_' || (i % {N_FEEDS}) AS feed_source,
        (i * 37) % 101 AS score
 FROM (SELECT unnest(generate_series(0, {rows} - 1)) AS i)
 """
+
+
+# ---------------------------------------------------------------------------
+# writer half: the same custom-connector story for the SINK side
+# ---------------------------------------------------------------------------
+
+
+class _FileCommit(WriterCommitMessage):
+    def __init__(self, tmp_path: str, rows: int):
+        self.tmp_path = tmp_path
+        self.rows = rows
+
+
+class JsonlSinkWriter(DataSourceWriter):
+    """Partition-parallel JSONL writer with a two-phase commit protocol:
+    each task writes its partition to a ``.inprogress`` temp file and
+    reports it in a commit message; only the DRIVER's ``commit`` renames
+    the temp files into place (and ``abort`` deletes them) — so a failed
+    or speculatively re-run task can never leave a half-visible file.
+    This is the task-commit contract every real connector sink (Kafka
+    transactional producer, object-store multipart upload) implements.
+    """
+
+    def __init__(self, options: dict):
+        self.path = options["path"]
+
+    def write(self, iterator) -> _FileCommit:
+        import json
+        import os
+        import uuid
+
+        from pyspark import TaskContext
+
+        ctx = TaskContext.get()
+        pid = ctx.partitionId() if ctx else 0
+        os.makedirs(self.path, exist_ok=True)
+        tmp = os.path.join(
+            self.path, f"part-{pid:05d}-{uuid.uuid4().hex}.jsonl.inprogress"
+        )
+        n = 0
+        with open(tmp, "w") as f:
+            for row in iterator:
+                f.write(json.dumps(row.asDict()) + "\n")
+                n += 1
+        return _FileCommit(tmp, n)
+
+    def commit(self, messages) -> None:
+        import os
+
+        for m in messages:
+            os.rename(m.tmp_path, m.tmp_path[: -len(".inprogress")])
+
+    def abort(self, messages) -> None:
+        import os
+
+        for m in messages:
+            if m is not None and os.path.exists(m.tmp_path):
+                os.remove(m.tmp_path)
+
+
+class JsonlSinkDataSource(DataSource):
+    """``df.write.format("jsonl_sink").option("path", dir).save()``."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "jsonl_sink"
+
+    def writer(self, schema, overwrite: bool) -> JsonlSinkWriter:
+        return JsonlSinkWriter(self.options)
+
+
+def register_sink(spark) -> None:
+    """Idempotent registration of the custom sink with a session."""
+    spark.dataSource.register(JsonlSinkDataSource)

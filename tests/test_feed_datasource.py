@@ -58,3 +58,46 @@ def test_stream_reader_offsets_tile_exactly():
     # replay of a committed middle range is bit-identical
     replay = list(r.readBetweenOffsets({"i": 250}, {"i": 500}))
     assert replay == seen[250:500]
+
+
+def test_jsonl_sink_two_phase_commit(spark, tmp_path):
+    """All task files are renamed at driver commit: no .inprogress files
+    survive a successful save, and the rows round-trip exactly."""
+    import os
+
+    from ingestion_scripts_spark.sources.feed_datasource import register_sink
+
+    register_sink(spark)
+    out = str(tmp_path / "out")
+    df = spark.range(100).selectExpr("id", "id % 3 AS grp")
+    df.repartition(4).write.format("jsonl_sink").mode("append").option(
+        "path", out
+    ).save()
+    files = os.listdir(out)
+    assert files and not any(f.endswith(".inprogress") for f in files)
+    assert all(f.endswith(".jsonl") for f in files)
+    back = spark.read.schema("id bigint, grp bigint").json(out + "/*.jsonl")
+    assert back.count() == 100
+    assert {r.id for r in back.collect()} == set(range(100))
+
+
+def test_jsonl_sink_abort_removes_temp_files(spark, tmp_path):
+    """A failing task must leave no visible output: the driver abort hook
+    deletes every reported temp file."""
+    import os
+
+    from ingestion_scripts_spark.sources.feed_datasource import register_sink
+
+    register_sink(spark)
+    out = str(tmp_path / "out_fail")
+    df = spark.range(100).selectExpr(
+        "id", "CASE WHEN id = 99 THEN raise_error('boom') ELSE 'ok' END AS s"
+    )
+    import pytest as _pytest
+
+    with _pytest.raises(Exception):
+        df.repartition(2).write.format("jsonl_sink").mode("append").option(
+            "path", out
+        ).save()
+    leftover = os.listdir(out) if os.path.isdir(out) else []
+    assert not [f for f in leftover if f.endswith(".jsonl")]
