@@ -6906,6 +6906,160 @@ FROM events GROUP BY event_type ORDER BY event_type
 """
 
 
+def q_set_ops_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Relational set operations as audience algebra: clickers INTERSECT
+    purchasers (converted), clickers EXCEPT purchasers (browsed only),
+    purchasers EXCEPT clickers (direct buyers) — the native set operators
+    (hash-dedup + co-partitioned set join under the hood), not a hand-rolled
+    anti-join. One small report row per operation."""
+    ev = _t(spark, sf_dir, "events")
+    clickers = ev.filter(F.col("event_type") == "click").select("user_id").distinct()
+    purch = ev.filter(F.col("event_type") == "purchase").select("user_id").distinct()
+
+    def _row(tag: str, df: DataFrame) -> DataFrame:
+        return df.agg(
+            F.lit(tag).alias("op"), F.count(F.lit(1)).alias("n_users")
+        )
+
+    report = (
+        _row("clickers", clickers)
+        .unionByName(_row("purchasers", purch))
+        .unionByName(_row("converted", clickers.intersect(purch)))
+        .unionByName(_row("browsed_only", clickers.subtract(purch)))
+        .unionByName(_row("direct_buyers", purch.subtract(clickers)))
+    )
+    return report.orderBy("op")
+
+
+SQL_SET_OPS = """
+WITH clickers AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'click'),
+purch AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase')
+SELECT * FROM (
+  SELECT 'clickers' AS op, CAST(count(*) AS BIGINT) AS n_users FROM clickers
+  UNION ALL
+  SELECT 'purchasers', count(*) FROM purch
+  UNION ALL
+  SELECT 'converted', count(*) FROM (SELECT * FROM clickers INTERSECT SELECT * FROM purch)
+  UNION ALL
+  SELECT 'browsed_only', count(*) FROM (SELECT * FROM clickers EXCEPT SELECT * FROM purch)
+  UNION ALL
+  SELECT 'direct_buyers', count(*) FROM (SELECT * FROM purch EXCEPT SELECT * FROM clickers)
+) ORDER BY op
+"""
+
+
+def q_lateral_top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated LATERAL join: each high-balance customer paired with
+    their 3 most expensive orders — the top-N-per-key shape written the
+    way an analyst writes it (LATERAL subquery with ORDER BY/LIMIT), with
+    Catalyst decorrelating it into a ranked window under the hood. The
+    oracle runs DuckDB's own LATERAL."""
+    _t(spark, sf_dir, "customer").createOrReplaceTempView("customer_l")
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("orders_l")
+    return spark.sql(
+        """
+        SELECT c.c_custkey, t.o_orderkey, t.o_totalprice
+        FROM (SELECT c_custkey FROM customer_l WHERE c_acctbal > 9000) c,
+        LATERAL (
+          SELECT o_orderkey, o_totalprice
+          FROM orders_l o
+          WHERE o.o_custkey = c.c_custkey
+          ORDER BY o_totalprice DESC, o_orderkey
+          LIMIT 3
+        ) t
+        ORDER BY c.c_custkey, t.o_totalprice DESC, t.o_orderkey
+        """
+    )
+
+
+SQL_LATERAL_TOP = """
+SELECT c.c_custkey, t.o_orderkey, t.o_totalprice
+FROM (SELECT c_custkey FROM customer WHERE c_acctbal > 9000) c,
+LATERAL (
+  SELECT o_orderkey, o_totalprice
+  FROM orders o
+  WHERE o.o_custkey = c.c_custkey
+  ORDER BY o_totalprice DESC, o_orderkey
+  LIMIT 3
+) t
+ORDER BY c.c_custkey, t.o_totalprice DESC, t.o_orderkey
+"""
+
+
+def q_scd_point_in_time(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time (SCD2 validity-range) join — the third member of the
+    temporal-join family next to as-of (`asof_clicks`) and interval
+    (`interval_join_hot_hours`): each customer's order history defines
+    priority regimes valid [order date, next order date); every lineitem
+    is attributed to the regime active at its ship date. The join is
+    key-equi on custkey with a range residual, then revenue per regime
+    label. Per-key regime counts are bounded by order history, so the
+    equi side stays uniform at scale."""
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority"
+    )
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    scd = orders.select(
+        "o_custkey",
+        F.col("o_orderpriority").alias("prio"),
+        F.col("o_orderdate").alias("valid_from"),
+        F.lead("o_orderdate").over(w).alias("valid_to"),
+    )
+    li = (
+        _t(spark, sf_dir, "lineitem")
+        .join(orders.select("o_orderkey", "o_custkey"), F.col("l_orderkey") == F.col("o_orderkey"))
+        .select(
+            "o_custkey",
+            "l_shipdate",
+            (
+                F.col("l_extendedprice").cast("decimal(18,4)")
+                * (
+                    F.lit(1).cast("decimal(18,4)")
+                    - F.col("l_discount").cast("decimal(18,4)")
+                )
+            ).alias("rev"),
+        )
+    )
+    pit = li.join(
+        scd,
+        (li.o_custkey == scd.o_custkey)
+        & (F.col("l_shipdate") >= F.col("valid_from"))
+        & (
+            F.col("valid_to").isNull()
+            | (F.col("l_shipdate") < F.col("valid_to"))
+        ),
+    )
+    return (
+        pit.groupBy("prio")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            TA.r4(F.sum("rev").cast("double")).alias("revenue"),
+        )
+        .orderBy("prio")
+    )
+
+
+SQL_SCD_PIT = f"""
+WITH scd AS (
+  SELECT o_custkey, o_orderpriority AS prio, o_orderdate AS valid_from,
+         lead(o_orderdate) OVER (PARTITION BY o_custkey
+                                 ORDER BY o_orderdate, o_orderkey) AS valid_to
+  FROM orders),
+li AS (
+  SELECT o.o_custkey, l.l_shipdate,
+         CAST(l.l_extendedprice AS DECIMAL(18,4))
+           * (1::DECIMAL(18,4) - CAST(l.l_discount AS DECIMAL(18,4))) AS rev
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey)
+SELECT prio, count(*) AS n_items,
+       {O.sql_r4("sum(rev)::DOUBLE")} AS revenue
+FROM li JOIN scd
+  ON li.o_custkey = scd.o_custkey
+ AND li.l_shipdate >= scd.valid_from
+ AND (scd.valid_to IS NULL OR li.l_shipdate < scd.valid_to)
+GROUP BY prio ORDER BY prio
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -7081,6 +7235,9 @@ _REGISTRY: list[tuple[str, Callable[[SparkSession, str], DataFrame], str | None]
     ("supplier_wait_fault", q_supplier_wait_fault, SQL_SUPPLIER_WAIT),
     ("user_trend_slope", q_user_trend_slope, SQL_TREND_SLOPE),
     ("custom_feed_sink", q_custom_feed_sink, SQL_CUSTOM_FEED_SINK),
+    ("set_ops_users", q_set_ops_users, SQL_SET_OPS),
+    ("lateral_top_orders", q_lateral_top_orders, SQL_LATERAL_TOP),
+    ("scd_point_in_time", q_scd_point_in_time, SQL_SCD_PIT),
 ]
 
 

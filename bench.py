@@ -165,6 +165,9 @@ HEADLINE = [
     "supplier_wait_fault",
     "user_trend_slope",
     "custom_feed_sink",
+    "set_ops_users",
+    "lateral_top_orders",
+    "scd_point_in_time",
 ]
 
 #: deliberate shadows: oracle-exact twins of faster default kernels, kept
