@@ -7060,6 +7060,115 @@ GROUP BY prio ORDER BY prio
 """
 
 
+def q_wap_publish(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Write-Audit-Publish: the staging pattern every production load
+    runs — write the batch to a STAGED location, run the DQ expectation
+    gate (``operators/dq.py``) against the staged files, and only a fully
+    green report publishes (atomic rename) the staged data. The returned
+    report carries the audit rows plus a ``published`` verdict row; the
+    oracle recomputes the same checks straight from the source table —
+    staging must be a lossless pass-through."""
+    import os
+    import tempfile
+
+    from ingestion_scripts_spark.operators import dq
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", "value"
+    )
+    root = tempfile.mkdtemp(prefix="wap_")
+    staged, published = os.path.join(root, "staged"), os.path.join(root, "pub")
+    ev.write.mode("overwrite").parquet(staged)
+    back = spark.read.parquet(staged)
+    report = dq.dq_report(
+        [
+            dq.expect_unique(back, "event_id"),
+            dq.expect_not_null(back, "user_id"),
+            dq.expect_range(back, "value", 0, 1e9),
+        ]
+    )
+    # materialize the audit BEFORE publishing: the report plan reads the
+    # staged files, which the publish rename moves out from under any
+    # later re-execution (and a real WAP gate must decide on a frozen
+    # audit anyway, not re-audit after publish)
+    rows = [tuple(r) for r in report.collect()]
+    ok = all(r[3] for r in rows)
+    if ok:
+        os.rename(staged, published)  # atomic publish of the audited batch
+    n_pub = spark.read.parquet(published).count() if ok else 0
+    rows.append(("published", 0, n_pub, ok))
+    return (
+        spark.createDataFrame(
+            rows, "check string, n_bad bigint, n_total bigint, passed boolean"
+        )
+        .select(F.col("check").alias("check_name"), "n_bad", "n_total", "passed")
+        .orderBy("check_name")
+    )
+
+
+SQL_WAP_PUBLISH = """
+SELECT * FROM (
+  SELECT 'unique:event_id' AS check_name,
+         CAST(count(event_id) - count(DISTINCT event_id) AS BIGINT) AS n_bad,
+         CAST(count(*) AS BIGINT) AS n_total,
+         count(event_id) - count(DISTINCT event_id) = 0 AS passed
+  FROM events
+  UNION ALL
+  SELECT 'not_null:user_id',
+         CAST(count(*) FILTER (WHERE user_id IS NULL) AS BIGINT),
+         CAST(count(*) AS BIGINT),
+         count(*) FILTER (WHERE user_id IS NULL) = 0
+  FROM events
+  UNION ALL
+  SELECT 'range:value',
+         CAST(count(*) FILTER (WHERE value IS NOT NULL
+                                 AND (value < 0 OR value > 1e9)) AS BIGINT),
+         CAST(count(*) AS BIGINT),
+         count(*) FILTER (WHERE value IS NOT NULL
+                            AND (value < 0 OR value > 1e9)) = 0
+  FROM events
+  UNION ALL
+  SELECT 'published', 0, CAST(count(*) AS BIGINT), true FROM events
+) ORDER BY check_name
+"""
+
+
+def q_score_quantile_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source score calibration: each document's quality proxy
+    (n_chars) mapped to its WITHIN-SOURCE percentile rank — the
+    quantile-normalization step that makes scores comparable across
+    heterogeneous sources before a global keep-threshold. Percentile =
+    (rank-1)/(n-1) from exact integer window ranks; only the final
+    division is float. Sources are independent window partitions —
+    uniform parallelism at any corpus size."""
+    doc = _t(spark, sf_dir, "documents").select("doc_id", "source", "n_chars")
+    w = Window.partitionBy("source").orderBy("n_chars", "doc_id")
+    n_w = Window.partitionBy("source")
+    ranked = doc.withColumn("rk", F.row_number().over(w)).withColumn(
+        "n", F.count(F.lit(1)).over(n_w)
+    )
+    return ranked.select(
+        "doc_id",
+        "source",
+        TA.r4(
+            (F.col("rk") - 1).cast("double") / (F.col("n") - 1).cast("double")
+        ).alias("pct"),
+    ).orderBy("doc_id")
+
+
+SQL_QUANTILE_NORM = f"""
+WITH ranked AS (
+  SELECT doc_id, source,
+         row_number() OVER (PARTITION BY source ORDER BY n_chars, doc_id)
+           AS rk,
+         count(*) OVER (PARTITION BY source) AS n
+  FROM documents)
+SELECT doc_id, source,
+       {O.sql_r4("(rk - 1)::DOUBLE / (n - 1)::DOUBLE")} AS pct
+FROM ranked ORDER BY doc_id
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -7238,6 +7347,8 @@ _REGISTRY: list[tuple[str, Callable[[SparkSession, str], DataFrame], str | None]
     ("set_ops_users", q_set_ops_users, SQL_SET_OPS),
     ("lateral_top_orders", q_lateral_top_orders, SQL_LATERAL_TOP),
     ("scd_point_in_time", q_scd_point_in_time, SQL_SCD_PIT),
+    ("wap_publish", q_wap_publish, SQL_WAP_PUBLISH),
+    ("score_quantile_norm", q_score_quantile_norm, SQL_QUANTILE_NORM),
 ]
 
 

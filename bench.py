@@ -168,6 +168,8 @@ HEADLINE = [
     "set_ops_users",
     "lateral_top_orders",
     "scd_point_in_time",
+    "wap_publish",
+    "score_quantile_norm",
 ]
 
 #: deliberate shadows: oracle-exact twins of faster default kernels, kept
