@@ -7169,6 +7169,130 @@ FROM ranked ORDER BY doc_id
 """
 
 
+def q_trigram_udtf_top(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 trigrams via the POLYMORPHIC n-gram UDTF
+    (``functions/udtfs.py::make_ngrams_udtf`` — output schema derives from
+    the ``n`` argument through ``analyze()``, the Spark-4 dynamic-schema
+    table-function contract), laterally joined against the documents
+    table. Oracle: the same trigram law as plain SQL list ops."""
+    from ingestion_scripts_spark.functions.udtfs import make_ngrams_udtf
+
+    spark.udtf.register("ngrams_udtf", make_ngrams_udtf())
+    _t(spark, sf_dir, "documents").select(
+        "doc_id", F.lower("text").alias("lt")
+    ).createOrReplaceTempView("docs_ng_in")
+    return spark.sql(
+        """
+        SELECT concat_ws(' ', g.w0, g.w1, g.w2) AS trigram,
+               count(*) AS n
+        FROM docs_ng_in d, LATERAL ngrams_udtf(d.lt, 3) g
+        GROUP BY 1 ORDER BY n DESC, trigram LIMIT 20
+        """
+    )
+
+
+SQL_TRIGRAM_UDTF = f"""
+WITH toks AS (SELECT doc_id, {O.sql_tokenize_ws("lower(text)")} AS t
+              FROM documents),
+tri AS (
+  SELECT unnest(list_transform(
+           range(1, greatest(len(t) - 2, 0) + 1),
+           i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS trigram
+  FROM toks)
+SELECT trigram, count(*) AS n
+FROM tri GROUP BY trigram ORDER BY n DESC, trigram LIMIT 20
+"""
+
+
+def q_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema evolution under ``mergeSchema``: an early batch written
+    WITHOUT a column, a later batch WITH it, read back as one table — the
+    additive-column reality of every long-lived ingestion dataset. The
+    missing column must surface as NULLs for old rows and exact values
+    for new ones; the oracle reconstructs the same union from the source
+    table directly."""
+    import tempfile
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id", "event_type", F.get_json_object("props", "$.k")
+        .cast("bigint")
+        .alias("k")
+    )
+    tmp = tempfile.mkdtemp(prefix="schevo_")
+    old = ev.filter(F.col("event_id") % 2 == 0).select("event_id", "event_type")
+    new = ev.filter(F.col("event_id") % 2 == 1)
+    old.write.mode("overwrite").parquet(tmp + "/b=0")
+    new.write.mode("overwrite").parquet(tmp + "/b=1")
+    back = spark.read.option("mergeSchema", True).parquet(tmp + "/b=0", tmp + "/b=1")
+    return (
+        back.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.count("k").alias("n_with_k"),
+            F.sum("k").alias("sum_k"),
+        )
+        .orderBy("event_type")
+    )
+
+
+SQL_SCHEMA_EVOLUTION = """
+WITH back AS (
+  SELECT event_type, NULL::BIGINT AS k FROM events WHERE event_id % 2 = 0
+  UNION ALL
+  SELECT event_type, json_extract(props, '$.k')::BIGINT FROM events
+  WHERE event_id % 2 = 1)
+SELECT event_type, count(*) AS n, count(k) AS n_with_k,
+       CAST(sum(k) AS BIGINT) AS sum_k
+FROM back GROUP BY event_type ORDER BY event_type
+"""
+
+
+def q_benford_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford first-digit profiling — the numeric-forensics DQ check
+    (synthetic or fabricated value columns drift from Benford's law).
+    First significant digit comes from EXACT integer cents
+    (floor(value·100 + 0.5) → string head), never from float log10, so
+    the digit histogram is engine-exact; the expected share and chi²
+    contribution are one float expression over exact counts."""
+    ev = _t(spark, sf_dir, "events").filter(F.col("value") > 0)
+    cents = F.floor(F.col("value") * 100.0 + 0.5).cast("bigint")
+    d = ev.select(F.substring(cents.cast("string"), 1, 1).alias("digit"))
+    tot = d.groupBy().agg(F.count(F.lit(1)).alias("n_total"))
+    by_digit = d.groupBy("digit").agg(F.count(F.lit(1)).alias("n"))
+    expected = F.log10(1.0 + 1.0 / F.col("digit").cast("double"))
+    return (
+        by_digit.join(F.broadcast(tot))
+        .select(
+            "digit",
+            "n",
+            TA.r4(F.col("n") / F.col("n_total")).alias("observed_share"),
+            TA.r4(expected).alias("benford_share"),
+            TA.r4(
+                (F.col("n") / F.col("n_total") - expected)
+                * (F.col("n") / F.col("n_total") - expected)
+                / expected
+            ).alias("chi2_part"),
+        )
+        .orderBy("digit")
+    )
+
+
+SQL_BENFORD = f"""
+WITH d AS (
+  SELECT substr(CAST(CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS VARCHAR),
+                1, 1) AS digit
+  FROM events WHERE value > 0),
+tot AS (SELECT count(*) AS n_total FROM d),
+by_digit AS (SELECT digit, count(*) AS n FROM d GROUP BY digit)
+SELECT digit, n,
+       {O.sql_r4("n::DOUBLE / n_total")} AS observed_share,
+       {O.sql_r4("log10(1.0 + 1.0 / digit::DOUBLE)")} AS benford_share,
+       {O.sql_r4("(n::DOUBLE / n_total - log10(1.0 + 1.0 / digit::DOUBLE)) * (n::DOUBLE / n_total - log10(1.0 + 1.0 / digit::DOUBLE)) / log10(1.0 + 1.0 / digit::DOUBLE)")}
+         AS chi2_part
+FROM by_digit, tot ORDER BY digit
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -7349,6 +7473,9 @@ _REGISTRY: list[tuple[str, Callable[[SparkSession, str], DataFrame], str | None]
     ("scd_point_in_time", q_scd_point_in_time, SQL_SCD_PIT),
     ("wap_publish", q_wap_publish, SQL_WAP_PUBLISH),
     ("score_quantile_norm", q_score_quantile_norm, SQL_QUANTILE_NORM),
+    ("trigram_udtf_top", q_trigram_udtf_top, SQL_TRIGRAM_UDTF),
+    ("schema_evolution", q_schema_evolution, SQL_SCHEMA_EVOLUTION),
+    ("benford_profile", q_benford_profile, SQL_BENFORD),
 ]
 
 

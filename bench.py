@@ -170,6 +170,9 @@ HEADLINE = [
     "scd_point_in_time",
     "wap_publish",
     "score_quantile_norm",
+    "trigram_udtf_top",
+    "schema_evolution",
+    "benford_profile",
 ]
 
 #: deliberate shadows: oracle-exact twins of faster default kernels, kept

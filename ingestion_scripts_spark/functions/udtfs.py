@@ -84,3 +84,33 @@ class SessionizeUDTF:
     def terminate(self):
         if self._start is not None:
             yield self._flush()
+
+
+def make_ngrams_udtf():
+    """Polymorphic n-gram UDTF: output SCHEMA depends on the `n` argument
+    (``analyze()`` — the Spark 4 dynamic-schema table function contract).
+    ``ngrams_udtf(text, 3)`` yields rows (w0, w1, w2); the token law is the
+    house whitespace law (split on single space, drop empties) so the
+    DuckDB oracle reproduces rows exactly. Built lazily so importing this
+    module doesn't require an active session."""
+    from pyspark.sql.functions import udtf
+    from pyspark.sql.types import StructType
+    from pyspark.sql.udtf import AnalyzeArgument, AnalyzeResult
+
+    @udtf
+    class NGramsUDTF:
+        @staticmethod
+        def analyze(text: AnalyzeArgument, n: AnalyzeArgument) -> AnalyzeResult:
+            st = StructType()
+            for i in range(int(n.value)):
+                st = st.add(f"w{i}", "string")
+            return AnalyzeResult(schema=st)
+
+        def eval(self, text, n):
+            if text is None:
+                return
+            toks = [t for t in text.split(" ") if t != ""]
+            for i in range(len(toks) - int(n) + 1):
+                yield tuple(toks[i : i + int(n)])
+
+    return NGramsUDTF
