@@ -7293,6 +7293,216 @@ FROM by_digit, tot ORDER BY digit
 """
 
 
+def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 ranked retrieval (operators/retrieval.py): docs with
+    doc_id % 101 == 0 act as queries (their first-8 distinct tokens are
+    the query terms); top-5 documents per query by BM25 over the
+    whitespace-token inverted index. The per-term contribution snaps to
+    integer micro-units before the per-doc sum, so scores and ranks are
+    engine-exact; the query-doc itself ranks (positive control)."""
+    import ingestion_scripts_spark.operators.retrieval as R
+
+    docs = _t(spark, sf_dir, "documents")
+    qterms = (
+        docs.filter(F.col("doc_id") % 101 == 0)
+        .select(
+            F.col("doc_id").alias("query_id"),
+            F.explode(
+                F.array_distinct(
+                    F.slice(X.tokenize_ws(F.lower(F.col("text"))), 1, 8)
+                )
+            ).alias("term"),
+        )
+    )
+    return R.bm25_topk(docs, qterms, "doc_id", "text", topk=5).orderBy(
+        "query_id", "rnk"
+    )
+
+
+SQL_BM25_TOPK = f"""
+WITH toks AS (
+  SELECT doc_id, {O.sql_tokenize_ws('lower(text)')} AS toks FROM documents),
+stats AS (
+  SELECT count(*)::BIGINT AS n_docs, sum(len(toks))::BIGINT AS sum_dl FROM toks),
+tf AS (
+  SELECT doc_id, dl, term, count(*)::BIGINT AS tf
+  FROM (SELECT doc_id, len(toks)::BIGINT AS dl, unnest(toks) AS term FROM toks)
+  GROUP BY doc_id, dl, term),
+dft AS (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY term),
+q AS (
+  SELECT doc_id AS query_id, unnest(list_distinct(toks[1:8])) AS term
+  FROM toks WHERE doc_id % 101 = 0),
+scored AS (
+  SELECT q.query_id, tf.doc_id,
+         CAST(floor(
+           ln(1.0 + (s.n_docs - dft.df + 0.5) / (dft.df + 0.5))
+           * (tf.tf * (1.2 + 1.0))
+             / (tf.tf + 1.2 * ((1.0 - 0.75) + 0.75 * tf.dl
+                               / (s.sum_dl::DOUBLE / s.n_docs::DOUBLE)))
+           * 1000000.0 + 0.5) AS BIGINT) AS s_u
+  FROM q JOIN tf USING (term) JOIN dft USING (term), stats s),
+agg AS (
+  SELECT query_id, doc_id, sum(s_u)::BIGINT AS score_u
+  FROM scored GROUP BY query_id, doc_id),
+rnk AS (
+  SELECT query_id, doc_id, score_u,
+         CAST(row_number() OVER (
+           PARTITION BY query_id ORDER BY score_u DESC, doc_id) AS INT) AS rnk
+  FROM agg)
+SELECT query_id, rnk, doc_id, score_u, score_u / 1000000.0 AS score
+FROM rnk WHERE rnk <= 5 ORDER BY query_id, rnk
+"""
+
+
+def q_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Positional-inverted-index phrase search (operators/retrieval.py):
+    the 2 most frequent corpus trigrams (count desc, trigram asc — the
+    vocab_topn tiebreak) are the phrase set; every (phrase, doc)
+    occurrence count comes from aligned-postings intersection
+    (pos - offset grouping), never a per-phrase text rescan. The oracle
+    enumerates token trigrams per doc — overlapping starts count in both
+    formulations, so the laws agree exactly."""
+    import ingestion_scripts_spark.operators.retrieval as R
+
+    docs = _t(spark, sf_dir, "documents")
+    tri = docs.select(
+        F.explode(X.ngrams(X.tokenize_ws(F.lower(F.col("text"))), 3)).alias("g")
+    )
+    top = (
+        tri.groupBy("g")
+        .agg(F.count("*").alias("c"))
+        .orderBy(F.col("c").desc(), F.col("g").asc())
+        .limit(2)
+    )
+    phrases = top.select(
+        F.col("g").alias("phrase"), F.split(F.col("g"), " ").alias("terms")
+    )
+    return R.phrase_hits(docs, phrases, "doc_id", "text").orderBy(
+        "phrase", "doc_id"
+    )
+
+
+SQL_PHRASE_SEARCH = f"""
+WITH toks AS (
+  SELECT doc_id, {O.sql_tokenize_ws('lower(text)')} AS toks FROM documents),
+grams AS (
+  SELECT doc_id, unnest({O.sql_ngrams('toks', 3)}) AS g FROM toks),
+top2 AS (
+  SELECT g FROM grams GROUP BY g ORDER BY count(*) DESC, g LIMIT 2)
+SELECT top2.g AS phrase, grams.doc_id, count(*)::BIGINT AS n_hits
+FROM grams JOIN top2 USING (g)
+GROUP BY phrase, grams.doc_id
+ORDER BY phrase, grams.doc_id
+"""
+
+
+#: token-budget recipe (whitespace tokens per source; ~1/5 of each
+#: source's sf0.01 token mass so the take is partial at every SF)
+_TOKEN_BUDGETS = {"src0": 700, "src3": 150}
+_TOKEN_BUDGET_DEFAULT = 300
+
+
+def q_token_budget_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget corpus mixing (operators/retrieval.py): walk each
+    source's documents in deterministic hash64 order and take documents
+    while the running token count before the doc is under the source's
+    budget — the "N tokens of source X" recipe step, laid out as a
+    per-shard prefix sum (no global order; packs independently at
+    scale)."""
+    import ingestion_scripts_spark.operators.retrieval as R
+
+    docs = _t(spark, sf_dir, "documents")
+    ntok = F.size(X.tokenize_ws(F.lower(F.col("text"))))
+    return R.token_budget_take(
+        docs, "source", "doc_id", ntok, _TOKEN_BUDGETS, _TOKEN_BUDGET_DEFAULT
+    ).orderBy("source", "cum_before", "doc_id")
+
+
+_TOKEN_BUDGET_CASE = (
+    "CASE source "
+    + " ".join(f"WHEN '{s}' THEN {b}" for s, b in sorted(_TOKEN_BUDGETS.items()))
+    + f" ELSE {_TOKEN_BUDGET_DEFAULT} END"
+)
+SQL_TOKEN_BUDGET_MIX = f"""
+WITH d AS (
+  SELECT doc_id, source,
+         len({O.sql_tokenize_ws('lower(text)')})::BIGINT AS ntok,
+         {O.sql_hash64("(source || '|' || doc_id)")} AS h
+  FROM documents),
+c AS (
+  SELECT doc_id, source, ntok,
+         coalesce(sum(ntok) OVER (
+           PARTITION BY source ORDER BY h, doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT
+           AS cum_before
+  FROM d)
+SELECT doc_id, source, ntok, cum_before
+FROM c WHERE cum_before < {_TOKEN_BUDGET_CASE}
+ORDER BY source, cum_before, doc_id
+"""
+
+
+def q_pagerank_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted PageRank (operators/graph.py) over the event-type Markov
+    transition graph (same edge law as ``event_transitions``): 3 exact
+    integer-unit rounds — each round is one keyed join + one keyed agg,
+    the shape that runs a billion-node graph as 3 ordinary shuffles. The
+    ranks are bit-identical across engines (pure BIGINT arithmetic), so
+    the oracle unrolls the same 3 rounds as CTEs."""
+    import ingestion_scripts_spark.operators.graph as G
+
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    edges = (
+        ev.select(
+            F.col("event_type").alias("src"),
+            F.lead("event_type").over(w).alias("dst"),
+        )
+        .where(F.col("dst").isNotNull())
+        .groupBy("src", "dst")
+        .agg(F.count(F.lit(1)).alias("w"))
+    )
+    return G.pagerank_int(edges, "src", "dst", "w", iters=3).orderBy(
+        F.col("pr_u").desc(), "node"
+    )
+
+
+def _pagerank_sql(iters: int = 3) -> str:
+    its, prev = [], "r0"
+    for i in range(1, iters + 1):
+        its.append(
+            f"""it{i} AS (
+  SELECT n.node, CAST(150000 + (85 * coalesce(s.c, 0)) // 100 AS BIGINT) AS r
+  FROM nodes n LEFT JOIN (
+    SELECT e.dst AS node, CAST(sum((p.r * e.w) // e.wt) AS BIGINT) AS c
+    FROM e JOIN {prev} p ON e.src = p.node
+    GROUP BY e.dst) s ON n.node = s.node)"""
+        )
+        prev = f"it{i}"
+    return f"""
+WITH pairs AS (
+  SELECT event_type AS src,
+         lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           AS dst
+  FROM events),
+e0 AS (
+  SELECT src, dst, count(*)::BIGINT AS w
+  FROM pairs WHERE dst IS NOT NULL GROUP BY src, dst),
+e AS (
+  SELECT e0.src, e0.dst, e0.w, o.wt
+  FROM e0 JOIN (SELECT src, sum(w)::BIGINT AS wt FROM e0 GROUP BY src) o
+    ON e0.src = o.src),
+nodes AS (SELECT DISTINCT src AS node FROM e UNION SELECT DISTINCT dst FROM e),
+r0 AS (SELECT node, CAST(1000000 AS BIGINT) AS r FROM nodes),
+{",".join(its)}
+SELECT node, r AS pr_u, r / 1000000.0 AS pr
+FROM {prev} ORDER BY pr_u DESC, node
+"""
+
+
+SQL_PAGERANK = _pagerank_sql(3)
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -7476,6 +7686,10 @@ _REGISTRY: list[tuple[str, Callable[[SparkSession, str], DataFrame], str | None]
     ("trigram_udtf_top", q_trigram_udtf_top, SQL_TRIGRAM_UDTF),
     ("schema_evolution", q_schema_evolution, SQL_SCHEMA_EVOLUTION),
     ("benford_profile", q_benford_profile, SQL_BENFORD),
+    ("bm25_topk", q_bm25_topk, SQL_BM25_TOPK),
+    ("phrase_search", q_phrase_search, SQL_PHRASE_SEARCH),
+    ("token_budget_mix", q_token_budget_mix, SQL_TOKEN_BUDGET_MIX),
+    ("pagerank_transitions", q_pagerank_transitions, SQL_PAGERANK),
 ]
 
 

@@ -173,6 +173,10 @@ HEADLINE = [
     "trigram_udtf_top",
     "schema_evolution",
     "benford_profile",
+    "bm25_topk",
+    "phrase_search",
+    "token_budget_mix",
+    "pagerank_transitions",
 ]
 
 #: deliberate shadows: oracle-exact twins of faster default kernels, kept
