@@ -1,0 +1,82 @@
+"""Plan-hygiene gates: the scale claims in SCALING.md, machine-checked.
+
+Each test renders the formatted physical plan of a real registry query at
+sf0.001 and asserts the property that makes it survive 100 TB: filters
+reach the parquet scan, unused columns are pruned out of ReadSchema, dim
+joins broadcast, hot paths stay inside WholeStageCodegen, and nothing
+plans a CartesianProduct."""
+
+import io
+from contextlib import redirect_stdout
+
+import __spark_entry__ as E
+
+SF = "/root/testdata/sf0.001"
+
+
+def plan(df, mode="formatted") -> str:
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        df.explain(mode)
+    return buf.getvalue()
+
+
+def test_filter_pushdown_reaches_parquet_scan(spark):
+    # late_ship_priority filters orders/lineitem; the predicates must land
+    # in the scan node, not in a post-scan Filter only
+    p = plan(E.queries()["late_ship_priority"](spark, SF))
+    assert "PushedFilters: [" in p
+    assert "PushedFilters: []" not in p.split("PushedFilters")[1][:40]
+
+
+def test_column_pruning_event_transitions(spark):
+    # event_transitions touches ts/user_id/event_type/event_id only —
+    # props (the widest column) must not appear in any ReadSchema
+    p = plan(E.queries()["event_transitions"](spark, SF))
+    schemas = [ln for ln in p.splitlines() if "ReadSchema" in ln]
+    assert schemas, p
+    assert all("props" not in ln and "value" not in ln for ln in schemas), schemas
+
+
+def test_dim_joins_broadcast_in_star_query(spark):
+    # region/nation are dims: the star join must be broadcast, not SMJ
+    p = plan(E.queries()["region_revenue"](spark, SF))
+    assert "BroadcastHashJoin" in p
+
+
+def test_aggregation_stays_in_codegen(spark):
+    # AQE finalizes the plan only at execution — run the query, then read
+    # the executed plan; the scan→project→partial-agg pipeline must have
+    # compiled into WholeStageCodegen stages
+    df = E.queries()["pricing_summary"](spark, SF)
+    df.collect()
+    p = df._jdf.queryExecution().executedPlan().toString()
+    # `*(n)` prefixes are WholeStageCodegen stage markers in the compact
+    # plan rendering; the agg pipeline must show at least two stages
+    # (scan+partial-agg, final-agg)
+    assert p.count("*(") >= 2, p
+
+
+def test_no_cartesian_product_in_window_queries(spark):
+    # 1-row-broadcast scalar crossJoins plan as BroadcastNestedLoop (fine);
+    # an unbroadcast CartesianProduct is never acceptable
+    qs = E.queries()
+    for name in [
+        "flagship_doc_keywords",
+        "minhash_near_dups",
+        "bm25_topk",
+        "token_budget_mix",
+        "pagerank_transitions",
+        "curation_pipeline",
+        "semi_join_urgent",
+        "tfidf_top_terms",
+    ]:
+        p = plan(qs[name](spark, SF))
+        assert "CartesianProduct" not in p, name
+
+
+def test_partial_aggregation_before_shuffle(spark):
+    # vocab_topn's groupBy must do map-side partial aggregation: two
+    # HashAggregate nodes (partial + final) around the exchange
+    p = plan(E.queries()["vocab_topn"](spark, SF))
+    assert p.count("HashAggregate") >= 2
