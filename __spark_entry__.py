@@ -7503,6 +7503,90 @@ FROM {prev} ORDER BY pr_u DESC, node
 SQL_PAGERANK = _pagerank_sql(3)
 
 
+def q_dedup_threshold_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup threshold-sensitivity report: every LSH candidate pair's
+    exact Jaccard, bucketed into tenths with the INTEGER law
+    ``bucket = min((10·|∩|) div |∪|, 9)`` (no float rounding anywhere),
+    plus the cumulative pairs-at-or-above curve — the artifact that
+    answers "how many pairs does threshold t delete?" before committing
+    a 100 TB dedup run. One banded-LSH candidate pass feeds all
+    thresholds; the report itself is a 10-row aggregate."""
+    docs = _t(spark, sf_dir, "documents")
+    sh = docs.select("doc_id", D.shingles(F.col("text"), 3).alias("sh"))
+    cand = D.minhash_lsh_candidates(docs, "doc_id", "text", 3, 16, 4)
+    pairs = (
+        cand.join(
+            sh.select(F.col("doc_id").alias("id_a"), F.col("sh").alias("sh_a")),
+            "id_a",
+        )
+        .join(
+            sh.select(F.col("doc_id").alias("id_b"), F.col("sh").alias("sh_b")),
+            "id_b",
+        )
+        .select(
+            "id_a",
+            "id_b",
+            F.size(F.array_intersect("sh_a", "sh_b")).cast("bigint").alias("inter"),
+            F.size(F.array_distinct(F.concat("sh_a", "sh_b")))
+            .cast("bigint")
+            .alias("uni"),
+        )
+    )
+    bk = pairs.select(
+        "id_a",
+        "id_b",
+        F.least(F.expr("(10 * inter) div uni"), F.lit(9)).cast("int").alias("bucket"),
+    )
+    per = bk.groupBy("bucket").agg(F.count(F.lit(1)).cast("bigint").alias("n_pairs"))
+    ndocs = (
+        bk.select("bucket", F.explode(F.array("id_a", "id_b")).alias("d"))
+        .groupBy("bucket")
+        .agg(F.countDistinct("d").cast("bigint").alias("n_docs"))
+    )
+    w = Window.orderBy(F.col("bucket").desc()).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    return (
+        per.join(ndocs, "bucket")
+        .withColumn("threshold_lo", F.col("bucket") / F.lit(10.0))
+        .withColumn("cum_pairs", F.sum("n_pairs").over(w).cast("bigint"))
+        .select("bucket", "threshold_lo", "n_pairs", "n_docs", "cum_pairs")
+        .orderBy("bucket")
+    )
+
+
+SQL_DEDUP_THRESHOLD_CURVE = f"""
+WITH sh AS (SELECT doc_id, {_SH} AS sh FROM documents),
+sig AS (SELECT doc_id, sh, {_SIG} AS sig FROM sh WHERE len(sh) > 0),
+banded AS (
+  SELECT doc_id, b AS band,
+         md5(array_to_string(list_transform(sig[b*4+1:b*4+4], x -> x::VARCHAR), ',')) AS bucket
+  FROM sig, unnest([0,1,2,3]) AS u(b)),
+cand AS (
+  SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
+  FROM banded l JOIN banded r
+    ON l.band = r.band AND l.bucket = r.bucket AND l.doc_id < r.doc_id),
+pairs AS (
+  SELECT cand.id_a, cand.id_b,
+         len(list_intersect(a.sh, b.sh))::BIGINT AS inter,
+         len(list_distinct(a.sh || b.sh))::BIGINT AS uni
+  FROM cand JOIN sh a ON cand.id_a = a.doc_id JOIN sh b ON cand.id_b = b.doc_id),
+bk AS (
+  SELECT id_a, id_b, CAST(least((10 * inter) // uni, 9) AS INT) AS bucket
+  FROM pairs),
+per AS (SELECT bucket, count(*)::BIGINT AS n_pairs FROM bk GROUP BY bucket),
+nd AS (
+  SELECT bucket, count(DISTINCT d)::BIGINT AS n_docs
+  FROM (SELECT bucket, unnest([id_a, id_b]) AS d FROM bk) GROUP BY bucket)
+SELECT per.bucket, per.bucket / 10.0 AS threshold_lo, per.n_pairs, nd.n_docs,
+       CAST(sum(per.n_pairs) OVER (ORDER BY per.bucket DESC
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+         AS cum_pairs
+FROM per JOIN nd ON per.bucket = nd.bucket
+ORDER BY per.bucket
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -7690,6 +7774,7 @@ _REGISTRY: list[tuple[str, Callable[[SparkSession, str], DataFrame], str | None]
     ("phrase_search", q_phrase_search, SQL_PHRASE_SEARCH),
     ("token_budget_mix", q_token_budget_mix, SQL_TOKEN_BUDGET_MIX),
     ("pagerank_transitions", q_pagerank_transitions, SQL_PAGERANK),
+    ("dedup_threshold_curve", q_dedup_threshold_curve, SQL_DEDUP_THRESHOLD_CURVE),
 ]
 
 

@@ -177,6 +177,7 @@ HEADLINE = [
     "phrase_search",
     "token_budget_mix",
     "pagerank_transitions",
+    "dedup_threshold_curve",
 ]
 
 #: deliberate shadows: oracle-exact twins of faster default kernels, kept
