@@ -7587,6 +7587,42 @@ ORDER BY per.bucket
 """
 
 
+def q_incremental_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental near-dup (operators/dedup.py): today's batch
+    (doc_id % 10 == 0) against the existing corpus index (the rest) —
+    band buckets of the two sides EQUI-join (new-side signatures only are
+    computed per run; the index's (id, band, bucket) table persists), so
+    daily ingest never re-pays the full-corpus self-join. Exact-Jaccard
+    verification on candidates, threshold 0.8."""
+    docs = _t(spark, sf_dir, "documents")
+    new = docs.filter(F.col("doc_id") % 10 == 0)
+    index = docs.filter(F.col("doc_id") % 10 != 0)
+    return D.minhash_incremental_pairs(
+        index, new, "doc_id", "text", threshold=0.8
+    ).orderBy("new_id", "index_id")
+
+
+SQL_INCREMENTAL_NEAR_DUP = f"""
+WITH sh AS (SELECT doc_id, {_SH} AS sh FROM documents),
+sig AS (SELECT doc_id, sh, {_SIG} AS sig FROM sh WHERE len(sh) > 0),
+banded AS (
+  SELECT doc_id, b AS band,
+         md5(array_to_string(list_transform(sig[b*4+1:b*4+4], x -> x::VARCHAR), ',')) AS bucket
+  FROM sig, unnest([0,1,2,3]) AS u(b)),
+cand AS (
+  SELECT DISTINCT n.doc_id AS new_id, i.doc_id AS index_id
+  FROM banded n JOIN banded i ON n.band = i.band AND n.bucket = i.bucket
+  WHERE n.doc_id % 10 = 0 AND i.doc_id % 10 <> 0)
+SELECT new_id, index_id,
+  round(len(list_intersect(a.sh, b.sh))::DOUBLE /
+        len(list_distinct(a.sh || b.sh)), 6) AS jaccard
+FROM cand JOIN sh a ON cand.new_id = a.doc_id JOIN sh b ON cand.index_id = b.doc_id
+WHERE round(len(list_intersect(a.sh, b.sh))::DOUBLE /
+            len(list_distinct(a.sh || b.sh)), 6) >= 0.8
+ORDER BY new_id, index_id
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -7775,6 +7811,7 @@ _REGISTRY: list[tuple[str, Callable[[SparkSession, str], DataFrame], str | None]
     ("token_budget_mix", q_token_budget_mix, SQL_TOKEN_BUDGET_MIX),
     ("pagerank_transitions", q_pagerank_transitions, SQL_PAGERANK),
     ("dedup_threshold_curve", q_dedup_threshold_curve, SQL_DEDUP_THRESHOLD_CURVE),
+    ("incremental_near_dup", q_incremental_near_dup, SQL_INCREMENTAL_NEAR_DUP),
 ]
 
 

@@ -178,6 +178,7 @@ HEADLINE = [
     "token_budget_mix",
     "pagerank_transitions",
     "dedup_threshold_curve",
+    "incremental_near_dup",
 ]
 
 #: deliberate shadows: oracle-exact twins of faster default kernels, kept

@@ -247,7 +247,7 @@ def minhash_signatures(
     )
 
 
-def minhash_lsh_candidates(
+def banded_buckets(
     df: DataFrame,
     id_col: str,
     text_col: str,
@@ -255,16 +255,12 @@ def minhash_lsh_candidates(
     num_hashes: int = 16,
     bands: int = 4,
 ) -> DataFrame:
-    """LSH banding: docs sharing any band bucket become candidate pairs.
-
-    Returns distinct (id_a, id_b) with id_a < id_b. The self-join is per
-    (band, bucket) group — the LSH pruning that makes near-dup feasible at
-    scale; bucket keys are md5 over the band's signature slice.
-    """
+    """(id, band, bucket): LSH band buckets — md5 over each band's
+    signature slice. The shared front half of self-join (batch) and
+    two-sided (incremental-vs-index) candidate generation."""
     rows_per_band = num_hashes // bands
     sig = minhash_signatures(df, id_col, text_col, n_shingle, num_hashes)
-
-    banded = sig.select(
+    return sig.select(
         id_col,
         F.explode(
             F.transform(
@@ -284,6 +280,23 @@ def minhash_lsh_candidates(
             )
         ).alias("bb"),
     ).select(id_col, "bb.band", "bb.bucket")
+
+
+def minhash_lsh_candidates(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n_shingle: int = 3,
+    num_hashes: int = 16,
+    bands: int = 4,
+) -> DataFrame:
+    """LSH banding: docs sharing any band bucket become candidate pairs.
+
+    Returns distinct (id_a, id_b) with id_a < id_b. The self-join is per
+    (band, bucket) group — the LSH pruning that makes near-dup feasible at
+    scale; bucket keys are md5 over the band's signature slice.
+    """
+    banded = banded_buckets(df, id_col, text_col, n_shingle, num_hashes, bands)
 
     # pair generation WITHOUT a self-join: one shuffle groups ids per
     # (band, bucket); in-bucket combinations come from array HOFs. A
@@ -306,6 +319,53 @@ def minhash_lsh_candidates(
         .select("p.id_a", "p.id_b")
     )
     return pairs.dropDuplicates(["id_a", "id_b"])
+
+
+def minhash_incremental_pairs(
+    index: DataFrame,
+    new: DataFrame,
+    id_col: str,
+    text_col: str,
+    threshold: float = 0.8,
+    n_shingle: int = 3,
+    num_hashes: int = 16,
+    bands: int = 4,
+) -> DataFrame:
+    """Incremental near-dup: NEW batch vs the EXISTING corpus index —
+    the daily-ingest shape. Candidates come from an equi-join of the two
+    sides' band buckets (never a self-join over index ∪ new, which would
+    re-pay the full corpus at every batch); verification re-joins the
+    shingle sets for exact Jaccard. In production the index side's
+    (id, band, bucket) table is persisted once and appended per batch —
+    only the new side's signatures are computed per run.
+
+    Returns (new_id, index_id, jaccard ≥ threshold). In-batch (new×new)
+    dups are ``minhash_dedup_pairs`` on the batch alone — compose both
+    for a full incremental dedup."""
+    bi = banded_buckets(index, id_col, text_col, n_shingle, num_hashes, bands)
+    bn = banded_buckets(new, id_col, text_col, n_shingle, num_hashes, bands)
+    cand = (
+        bn.select(F.col(id_col).alias("new_id"), "band", "bucket")
+        .join(bi.select(F.col(id_col).alias("index_id"), "band", "bucket"), ["band", "bucket"])
+        .select("new_id", "index_id")
+        .dropDuplicates(["new_id", "index_id"])
+    )
+    sh_n = new.select(
+        F.col(id_col).alias("new_id"), shingles(F.col(text_col), n_shingle).alias("sh_n")
+    )
+    sh_i = index.select(
+        F.col(id_col).alias("index_id"), shingles(F.col(text_col), n_shingle).alias("sh_i")
+    )
+    return (
+        cand.join(sh_n, "new_id")
+        .join(sh_i, "index_id")
+        .select(
+            "new_id",
+            "index_id",
+            F.round(jaccard(F.col("sh_n"), F.col("sh_i")), 6).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
 
 
 def jaccard(a: Column, b: Column) -> Column:

@@ -265,3 +265,38 @@ def test_segment_df_stats_flags_shared_segments(spark):
     assert out[2] == (2, 1, 0.5)
     assert out[3] == (2, 0, 0.0)
     assert out[4] == (0, 0, 0.0)
+
+
+def test_incremental_pairs_partition_the_full_self_join(spark):
+    """Splitting the corpus into (index, new) must lose no cross-side
+    pair: incremental(new × index) ∪ in-batch(new) ∪ in-index(index)
+    == full-corpus pairs, at the same threshold."""
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    rows = [(i, base + (" extra" if i % 3 == 0 else "")) for i in range(12)]
+    docs = spark.createDataFrame(rows, "doc_id bigint, text string")
+    new = docs.filter("doc_id % 4 = 0")
+    index = docs.filter("doc_id % 4 != 0")
+
+    def pairset(df_pairs, a, b):
+        return {
+            tuple(sorted((r[a], r[b]))) for r in df_pairs.collect()
+        }
+
+    full = pairset(
+        D.minhash_dedup_pairs(docs, "doc_id", "text", threshold=0.8),
+        "id_a", "id_b",
+    )
+    cross = pairset(
+        D.minhash_incremental_pairs(index, new, "doc_id", "text", threshold=0.8),
+        "new_id", "index_id",
+    )
+    in_new = pairset(
+        D.minhash_dedup_pairs(new, "doc_id", "text", threshold=0.8),
+        "id_a", "id_b",
+    )
+    in_idx = pairset(
+        D.minhash_dedup_pairs(index, "doc_id", "text", threshold=0.8),
+        "id_a", "id_b",
+    )
+    assert cross | in_new | in_idx == full
+    assert cross  # the split actually produced cross-side pairs
