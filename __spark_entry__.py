@@ -710,19 +710,32 @@ def q_running_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ev.select(
         "user_id",
         "event_id",
-        F.round(F.sum("value").over(w.rowsBetween(Window.unboundedPreceding, 0)), 4).alias(
-            "running_total"
-        ),
-        F.round(F.avg("value").over(w.rowsBetween(-2, 0)), 4).alias("mavg3"),
+        F.round(
+            F.sum(F.col("value").cast("decimal(18,4)")).over(
+                w.rowsBetween(Window.unboundedPreceding, 0)
+            ),
+            4,
+        )
+        .cast("double")
+        .alias("running_total"),
+        F.round(
+            F.sum(F.col("value").cast("decimal(18,4)"))
+            .over(w.rowsBetween(-2, 0))
+            .cast("double")
+            / F.count(F.lit(1)).over(w.rowsBetween(-2, 0)),
+            4,
+        ).alias("mavg3"),
         F.rank().over(w).alias("rk"),
     ).orderBy("user_id", "event_id")
 
 
 SQL_RUNNING = """
 SELECT user_id, event_id,
-  round(sum(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                         ROWS UNBOUNDED PRECEDING), 4) AS running_total,
-  round(avg(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+  round(sum(CAST(value AS DECIMAL(18,4))) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                         ROWS UNBOUNDED PRECEDING), 4)::DOUBLE AS running_total,
+  round(CAST(sum(CAST(value AS DECIMAL(18,4))) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                         ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS DOUBLE)
+        / count(*) OVER (PARTITION BY user_id ORDER BY ts, event_id
                          ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 4) AS mavg3,
   rank() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rk
 FROM events WHERE user_id < 10
@@ -1101,7 +1114,9 @@ def q_skew_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         joined.groupBy("c_mktsegment")
         .agg(
-            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+            F.round(F.sum(F.col("o_totalprice").cast("decimal(18,4)")), 2)
+            .cast("double")
+            .alias("revenue"),
             F.count(F.lit(1)).alias("n_orders"),
         )
         .orderBy("c_mktsegment")
@@ -1109,7 +1124,7 @@ def q_skew_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 SQL_SKEW_JOIN = """
-SELECT c_mktsegment, round(sum(o_totalprice), 2) AS revenue, count(*) AS n_orders
+SELECT c_mktsegment, round(sum(CAST(o_totalprice AS DECIMAL(18,4))), 2)::DOUBLE AS revenue, count(*) AS n_orders
 FROM orders JOIN customer ON o_custkey = c_custkey
 GROUP BY c_mktsegment ORDER BY c_mktsegment
 """
@@ -1568,7 +1583,9 @@ def q_hourly_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
         .agg(
             F.count(F.lit(1)).alias("n"),
-            F.round(F.sum("value"), 2).alias("total_value"),
+            F.round(F.sum(F.col("value").cast("decimal(18,4)")), 2)
+            .cast("double")
+            .alias("total_value"),
         )
         .select(
             _fmt_ts(F.col("w.start")).alias("window_start"),
@@ -1582,7 +1599,7 @@ def q_hourly_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SQL_HOURLY = (
     "SELECT " + SQL_TS.format("date_trunc('hour', ts)") + " AS window_start, "
-    "event_type, count(*) AS n, round(sum(value), 2) AS total_value "
+    "event_type, count(*) AS n, round(sum(CAST(value AS DECIMAL(18,4))), 2)::DOUBLE AS total_value "
     "FROM events GROUP BY 1, 2 ORDER BY window_start, event_type"
 )
 
@@ -2737,17 +2754,27 @@ def q_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(F.broadcast(totals))
         .select(
             "b",
-            (
-                F.log((F.col("ct") + 1) / (F.col("nt") + _DSIR_B))
-                - F.log((F.col("cr") + 1) / (F.col("nr") + _DSIR_B))
-            ).alias("lw"),
+            # per-bucket log weight snapped to exact int micro-units so the
+            # per-doc SUM is order-independent (the nation_profit float-sum
+            # class — a token count large enough would eventually straddle
+            # a 6-dp rounding boundary between the engines' sum orders)
+            F.floor(
+                (
+                    F.log((F.col("ct") + 1) / (F.col("nt") + _DSIR_B))
+                    - F.log((F.col("cr") + 1) / (F.col("nr") + _DSIR_B))
+                )
+                * F.lit(1_000_000.0)
+                + F.lit(0.5)
+            )
+            .cast("bigint")
+            .alias("lw_u"),
         )
     )
     return (
         toks.join(F.broadcast(w), "b")
         .groupBy("doc_id")
         .agg(
-            F.round(F.sum("lw"), 6).alias("weight"),
+            (F.sum("lw_u").cast("double") / F.lit(1_000_000.0)).alias("weight"),
             F.count(F.lit(1)).alias("n_tokens"),
         )
         .orderBy("doc_id")
@@ -2764,10 +2791,12 @@ tgt AS (SELECT b, count(*) AS ct FROM tb WHERE lang = 'en' GROUP BY b),
 tot AS (SELECT count(*) AS nr,
                sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS nt FROM tb),
 w AS (
-  SELECT b, ln((coalesce(ct, 0) + 1) / (nt + {_DSIR_B}))
-            - ln((cr + 1) / (nr + {_DSIR_B})) AS lw
+  SELECT b, CAST(floor((ln((coalesce(ct, 0) + 1) / (nt + {_DSIR_B}))
+            - ln((cr + 1) / (nr + {_DSIR_B}))) * 1000000.0 + 0.5) AS BIGINT)
+            AS lw_u
   FROM raw LEFT JOIN tgt USING (b), tot)
-SELECT doc_id, round(sum(lw), 6) AS weight, CAST(count(*) AS BIGINT) AS n_tokens
+SELECT doc_id, CAST(sum(lw_u) AS DOUBLE) / 1000000.0 AS weight,
+       CAST(count(*) AS BIGINT) AS n_tokens
 FROM tb JOIN w USING (b) GROUP BY doc_id ORDER BY doc_id
 """
 
@@ -2937,7 +2966,9 @@ def q_stream_enriched_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("c_mktsegment")
         .agg(
             F.count(F.lit(1)).alias("n"),
-            F.round(F.sum("value"), 2).alias("total_value"),
+            F.round(F.sum(F.col("value").cast("decimal(18,4)")), 2)
+            .cast("double")
+            .alias("total_value"),
         )
         .orderBy("c_mktsegment")
     )
@@ -2945,7 +2976,7 @@ def q_stream_enriched_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SQL_STREAM_ENRICHED = """
 SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n,
-       round(sum(value), 2) AS total_value
+       round(sum(CAST(value AS DECIMAL(18,4))), 2)::DOUBLE AS total_value
 FROM events JOIN customer ON user_id = c_custkey
 GROUP BY 1 ORDER BY 1
 """
@@ -5156,7 +5187,9 @@ def q_rolling_7d_value(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev.select(
             "user_id",
             _fmt_ts(F.col("ts"), with_micros=True).alias("ts"),
-            F.round(F.sum("value").over(w), 4).alias("roll_value"),
+            F.round(F.sum(F.col("value").cast("decimal(18,4)")).over(w), 4)
+            .cast("double")
+            .alias("roll_value"),
             F.count(F.lit(1)).over(w).alias("roll_n"),
         )
         .orderBy("user_id", "ts")
@@ -5165,7 +5198,7 @@ def q_rolling_7d_value(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SQL_ROLLING_7D = f"""
 SELECT user_id, {SQL_TS_US.format('ts')} AS ts,
-       round(sum(value) OVER w, 4) AS roll_value,
+       round(sum(CAST(value AS DECIMAL(18,4))) OVER w, 4)::DOUBLE AS roll_value,
        count(*) OVER w AS roll_n
 FROM events WHERE event_type = 'purchase'
 WINDOW w AS (PARTITION BY user_id ORDER BY CAST(floor(epoch(ts)) AS BIGINT)
