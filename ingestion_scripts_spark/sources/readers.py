@@ -63,6 +63,18 @@ def load_table(
         elif dtype == "timestamp_ntz":
             # session tz is UTC, so this cast preserves the wall-clock value
             df = df.withColumn(c, F.col(c).cast("timestamp"))
+    # CPU-parallelism guard: single-row-group testdata parquet arrives as
+    # ONE split (byte-range splits can't cut inside a row group), so every
+    # narrow stage — regex/tokenize/explode/minhash chains — would
+    # serialize behind one task (observed: whole text pipelines running
+    # (0+1)/1 stages at sf0.1 on local[32]). Round-robin to core count
+    # only when the scan under-splits; production-size tables exceed core
+    # count in splits, making this a no-op — no exchange appears at
+    # 100 TB. Row order is never load-bearing (every law is keyed or
+    # hash-ordered), so this is placement-only.
+    target = spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        df = df.repartition(target)
     return df.select(*columns) if columns else df
 
 
