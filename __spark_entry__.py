@@ -7656,6 +7656,109 @@ ORDER BY new_id, index_id
 """
 
 
+def q_embedding_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vector-data QA profile per label: count, distinct dims (a ragged
+    embedding column is corrupt), zero-norm count, min/max/avg L2 norm.
+    Norms use the same per-row fold law as the similarity family; row-level
+    norms snap to 1e-4 units so the cross-row aggregate is an exact integer
+    sum (avg independent of aggregation order). One keyed agg — profiles
+    a 100 TB vector table in a single pass."""
+    emb = _t(spark, sf_dir, "embeddings")
+    norm = F.sqrt(
+        F.aggregate(
+            F.col("embedding"), F.lit(0.0), lambda acc, x: acc + x * x
+        )
+    )
+    rows = emb.select(
+        "label",
+        F.size("embedding").alias("dim"),
+        F.floor(norm * F.lit(10_000.0) + F.lit(0.5)).cast("bigint").alias("norm_u"),
+    )
+    return (
+        rows.groupBy("label")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_vecs"),
+            F.countDistinct("dim").cast("bigint").alias("n_dims"),
+            F.sum(F.when(F.col("norm_u") == 0, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_zero"),
+            (F.min("norm_u") / F.lit(10_000.0)).alias("min_norm"),
+            (F.max("norm_u") / F.lit(10_000.0)).alias("max_norm"),
+            TA.r4(F.sum("norm_u").cast("double") / F.count(F.lit(1)) / F.lit(10_000.0)).alias(
+                "avg_norm"
+            ),
+        )
+        .orderBy("label")
+    )
+
+
+SQL_EMBEDDING_PROFILE = f"""
+WITH rows_ AS (
+  SELECT label, len(embedding)::BIGINT AS dim,
+         CAST(floor(sqrt(list_aggregate(list_transform(embedding,
+              x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum'))
+              * 10000.0 + 0.5) AS BIGINT) AS norm_u
+  FROM embeddings)
+SELECT label,
+       count(*)::BIGINT AS n_vecs,
+       count(DISTINCT dim)::BIGINT AS n_dims,
+       sum(CASE WHEN norm_u = 0 THEN 1 ELSE 0 END)::BIGINT AS n_zero,
+       min(norm_u) / 10000.0 AS min_norm,
+       max(norm_u) / 10000.0 AS max_norm,
+       {O.sql_r4('sum(norm_u)::DOUBLE / count(*) / 10000.0')} AS avg_norm
+FROM rows_ GROUP BY label ORDER BY label
+"""
+
+
+def q_dup_cluster_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-cluster size histogram (how much of the corpus sits in
+    2-doc twins vs large boilerplate families): connected components over
+    the MinHash near-dup graph → size per cluster → clusters per size.
+    Singletons are their own cluster, so the histogram partitions the
+    whole corpus; Σ size·n_clusters == corpus size."""
+    assigned = q_dup_clusters(spark, sf_dir)
+    sizes = assigned.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cluster_size")
+    )
+    return (
+        sizes.groupBy("cluster_size")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_clusters"))
+        .orderBy("cluster_size")
+    )
+
+
+SQL_DUP_CLUSTER_STATS = f"""
+WITH RECURSIVE sh AS (SELECT doc_id, {_SH} AS sh FROM documents),
+sig AS (SELECT doc_id, sh, {_SIG} AS sig FROM sh WHERE len(sh) > 0),
+banded AS (
+  SELECT doc_id, b AS band,
+         md5(array_to_string(list_transform(sig[b*4+1:b*4+4], x -> x::VARCHAR), ',')) AS bucket
+  FROM sig, unnest([0,1,2,3]) AS u(b)),
+cand AS (
+  SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
+  FROM banded l JOIN banded r
+    ON l.band = r.band AND l.bucket = r.bucket AND l.doc_id < r.doc_id),
+pairs AS (
+  SELECT id_a, id_b
+  FROM cand JOIN sh a ON cand.id_a = a.doc_id JOIN sh b ON cand.id_b = b.doc_id
+  WHERE round(len(list_intersect(a.sh, b.sh))::DOUBLE /
+              len(list_distinct(a.sh || b.sh)), 6) >= 0.8),
+edges AS (SELECT id_a AS a, id_b AS b FROM pairs
+          UNION SELECT id_b, id_a FROM pairs),
+reach AS (SELECT a, b FROM edges
+          UNION SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+comp AS (SELECT a AS node, least(a, min(b)) AS comp FROM reach GROUP BY a),
+assigned AS (
+  SELECT d.doc_id, CAST(coalesce(c.comp, d.doc_id) AS BIGINT) AS cluster_id
+  FROM documents d LEFT JOIN comp c ON d.doc_id = c.node),
+sizes AS (
+  SELECT cluster_id, count(*)::BIGINT AS cluster_size
+  FROM assigned GROUP BY cluster_id)
+SELECT cluster_size, count(*)::BIGINT AS n_clusters
+FROM sizes GROUP BY cluster_size ORDER BY cluster_size
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -7845,6 +7948,8 @@ _REGISTRY: list[tuple[str, Callable[[SparkSession, str], DataFrame], str | None]
     ("pagerank_transitions", q_pagerank_transitions, SQL_PAGERANK),
     ("dedup_threshold_curve", q_dedup_threshold_curve, SQL_DEDUP_THRESHOLD_CURVE),
     ("incremental_near_dup", q_incremental_near_dup, SQL_INCREMENTAL_NEAR_DUP),
+    ("embedding_profile", q_embedding_profile, SQL_EMBEDDING_PROFILE),
+    ("dup_cluster_stats", q_dup_cluster_stats, SQL_DUP_CLUSTER_STATS),
 ]
 
 

@@ -179,6 +179,8 @@ HEADLINE = [
     "pagerank_transitions",
     "dedup_threshold_curve",
     "incremental_near_dup",
+    "embedding_profile",
+    "dup_cluster_stats",
 ]
 
 #: deliberate shadows: oracle-exact twins of faster default kernels, kept
