@@ -7759,6 +7759,37 @@ FROM sizes GROUP BY cluster_size ORDER BY cluster_size
 """
 
 
+def q_source_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Container-level MinHash similarity (operators/dedup.py): one
+    signature per SOURCE over the union of its docs' shingles, pairwise
+    agreement → near-mirror source detection without any doc-level
+    comparison. The per-(source, seed) min aggregates with map-side
+    partials; the pairwise stage sees only |sources|·num_hashes rows."""
+    docs = _t(spark, sf_dir, "documents")
+    return D.container_minhash_pairs(docs, "source", "text").orderBy(
+        "src_a", "src_b"
+    )
+
+
+_CW_H1 = O.sql_hash64("s")
+_CW_H2 = f"({O.sql_hash64(chr(40) + 's || ' + chr(39) + '#' + chr(39) + chr(41))} % {1 << 40})"
+SQL_SOURCE_SIMILARITY = f"""
+WITH sh AS (
+  SELECT source AS c, unnest({O.sql_shingles('text', 3)}) AS s FROM documents),
+hs AS (
+  SELECT c, i AS seed, ({_CW_H1}) + i * {_CW_H2} AS h
+  FROM sh, unnest(range(0, 16)) AS u(i)),
+sig AS (SELECT c, seed, min(h) AS mh FROM hs GROUP BY c, seed),
+pairs AS (
+  SELECT a.c AS src_a, b.c AS src_b,
+         sum(CASE WHEN a.mh = b.mh THEN 1 ELSE 0 END)::BIGINT AS n_agree
+  FROM sig a JOIN sig b ON a.seed = b.seed AND a.c < b.c
+  GROUP BY 1, 2)
+SELECT src_a, src_b, n_agree, n_agree / 16.0 AS est_jaccard
+FROM pairs ORDER BY src_a, src_b
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -7950,6 +7981,7 @@ _REGISTRY: list[tuple[str, Callable[[SparkSession, str], DataFrame], str | None]
     ("incremental_near_dup", q_incremental_near_dup, SQL_INCREMENTAL_NEAR_DUP),
     ("embedding_profile", q_embedding_profile, SQL_EMBEDDING_PROFILE),
     ("dup_cluster_stats", q_dup_cluster_stats, SQL_DUP_CLUSTER_STATS),
+    ("source_similarity", q_source_similarity, SQL_SOURCE_SIMILARITY),
 ]
 
 

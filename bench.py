@@ -181,6 +181,7 @@ HEADLINE = [
     "incremental_near_dup",
     "embedding_profile",
     "dup_cluster_stats",
+    "source_similarity",
 ]
 
 #: deliberate shadows: oracle-exact twins of faster default kernels, kept

@@ -368,6 +368,48 @@ def minhash_incremental_pairs(
     )
 
 
+def container_minhash_pairs(
+    df: DataFrame,
+    container_col: str,
+    text_col: str,
+    n_shingle: int = 3,
+    num_hashes: int = 16,
+) -> DataFrame:
+    """Container-level MinHash similarity: one signature per CONTAINER
+    (source/domain/shard) over the union of its documents' shingles, then
+    pairwise signature agreement — how crawl curation finds near-mirror
+    sources without ever comparing documents.
+
+    min() is idempotent under duplicate shingles, so no per-container
+    distinct is needed; the per-(container, seed) min aggregates with
+    map-side partials (the shuffle carries num_hashes rows per container
+    per input partition). Containers are human-scale, so the pairwise
+    join on seed is tiny. Returns (src_a, src_b, n_agree, est_jaccard)
+    with est_jaccard = n_agree / num_hashes — E[est] = true Jaccard of
+    the shingle sets."""
+    sh = df.select(
+        F.col(container_col).alias("c"),
+        F.explode(shingles(F.col(text_col), n_shingle)).alias("s"),
+    )
+    hs = sh.select(
+        "c", F.posexplode(seeded_hashes(F.col("s"), num_hashes)).alias("seed", "h")
+    )
+    sig = hs.groupBy("c", "seed").agg(F.min("h").alias("mh"))
+    a = sig.select(F.col("c").alias("src_a"), "seed", F.col("mh").alias("mh_a"))
+    b = sig.select(F.col("c").alias("src_b"), "seed", F.col("mh").alias("mh_b"))
+    return (
+        a.join(b, "seed")
+        .filter(F.col("src_a") < F.col("src_b"))
+        .groupBy("src_a", "src_b")
+        .agg(
+            F.sum(F.when(F.col("mh_a") == F.col("mh_b"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_agree")
+        )
+        .withColumn("est_jaccard", F.col("n_agree") / F.lit(float(num_hashes)))
+    )
+
+
 def jaccard(a: Column, b: Column) -> Column:
     """Exact Jaccard similarity of two array columns (as sets)."""
     inter = F.size(F.array_intersect(a, b))
