@@ -7790,6 +7790,97 @@ FROM pairs ORDER BY src_a, src_b
 """
 
 
+def q_dedup_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH quality harness (the dedup analog of ``ann_recall``): exact
+    PPJoin pairs at Jaccard ≥ 0.7 are ground truth; the MinHash-LSH path
+    at the same threshold is the candidate under test. Because LSH
+    candidates are exact-verified, false positives are impossible —
+    ``n_extra`` must be 0 — and the single number that matters is recall
+    (pairs the banding missed). One-row report."""
+    from ingestion_scripts_spark.operators.setjoin import setsim_join
+
+    docs = _t(spark, sf_dir, "documents")
+    exact = setsim_join(
+        docs.select("doc_id", D.shingles(F.col("text"), 3).alias("tk")),
+        "doc_id", "tk", 7, 10,
+    ).select("id_a", "id_b")
+    approx = D.minhash_dedup_pairs(docs, "doc_id", "text", threshold=0.7).select(
+        "id_a", "id_b", F.lit(1).alias("__f")
+    )
+    j = exact.withColumn("__e", F.lit(1)).join(approx, ["id_a", "id_b"], "full")
+    return j.agg(
+        F.sum(F.coalesce(F.col("__e"), F.lit(0))).cast("bigint").alias("n_exact"),
+        F.sum(
+            F.when(F.col("__e").isNotNull() & F.col("__f").isNotNull(), 1).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("n_found"),
+        F.sum(
+            F.when(F.col("__e").isNotNull() & F.col("__f").isNull(), 1).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("n_missed"),
+        F.sum(
+            F.when(F.col("__e").isNull() & F.col("__f").isNotNull(), 1).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("n_extra"),
+        TA.r4(
+            F.sum(
+                F.when(F.col("__e").isNotNull() & F.col("__f").isNotNull(), 1).otherwise(0)
+            )
+            / F.greatest(F.sum(F.coalesce(F.col("__e"), F.lit(0))), F.lit(1))
+        ).alias("recall"),
+    )
+
+
+SQL_DEDUP_RECALL = f"""
+WITH toks AS (
+  SELECT doc_id, {O.sql_shingles("text", 3)} AS tk FROM documents),
+ex0 AS (SELECT doc_id, len(tk) AS sz, unnest(tk) AS tok FROM toks),
+dfq AS (SELECT tok, count(*) AS df FROM ex0 GROUP BY tok),
+rnk AS (
+  SELECT doc_id, sz, ex0.tok,
+         row_number() OVER (PARTITION BY doc_id ORDER BY df, ex0.tok) AS rn
+  FROM ex0 JOIN dfq USING (tok)),
+pre AS (SELECT * FROM rnk WHERE rn <= sz - (7*sz + 9) // 10 + 1),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM pre a JOIN pre b
+    ON a.tok = b.tok AND a.doc_id < b.doc_id
+   AND 7 * greatest(a.sz, b.sz) <= 10 * least(a.sz, b.sz)),
+exact AS (
+  SELECT id_a, id_b
+  FROM cand JOIN toks x ON id_a = x.doc_id JOIN toks y ON id_b = y.doc_id
+  WHERE 10 * len(list_intersect(x.tk, y.tk)) >= 7 * len(list_distinct(x.tk || y.tk))),
+sig AS (SELECT doc_id, tk AS sh, {O.sql_minhash_signature('tk', 16)} AS sig
+        FROM toks WHERE len(tk) > 0),
+banded AS (
+  SELECT doc_id, b AS band,
+         md5(array_to_string(list_transform(sig[b*4+1:b*4+4], x -> x::VARCHAR), ',')) AS bucket
+  FROM sig, unnest([0,1,2,3]) AS u(b)),
+lcand AS (
+  SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
+  FROM banded l JOIN banded r
+    ON l.band = r.band AND l.bucket = r.bucket AND l.doc_id < r.doc_id),
+approx AS (
+  SELECT id_a, id_b
+  FROM lcand JOIN toks x ON id_a = x.doc_id JOIN toks y ON id_b = y.doc_id
+  WHERE round(len(list_intersect(x.tk, y.tk))::DOUBLE /
+              len(list_distinct(x.tk || y.tk)), 6) >= 0.7),
+j AS (
+  SELECT coalesce(e.id_a, a.id_a) AS id_a, coalesce(e.id_b, a.id_b) AS id_b,
+         (e.id_a IS NOT NULL) AS in_e, (a.id_a IS NOT NULL) AS in_a
+  FROM exact e FULL JOIN approx a ON e.id_a = a.id_a AND e.id_b = a.id_b)
+SELECT sum(CASE WHEN in_e THEN 1 ELSE 0 END)::BIGINT AS n_exact,
+       sum(CASE WHEN in_e AND in_a THEN 1 ELSE 0 END)::BIGINT AS n_found,
+       sum(CASE WHEN in_e AND NOT in_a THEN 1 ELSE 0 END)::BIGINT AS n_missed,
+       sum(CASE WHEN NOT in_e AND in_a THEN 1 ELSE 0 END)::BIGINT AS n_extra,
+       {O.sql_r4('sum(CASE WHEN in_e AND in_a THEN 1 ELSE 0 END) / greatest(sum(CASE WHEN in_e THEN 1 ELSE 0 END), 1)')} AS recall
+FROM j
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -7982,6 +8073,7 @@ _REGISTRY: list[tuple[str, Callable[[SparkSession, str], DataFrame], str | None]
     ("embedding_profile", q_embedding_profile, SQL_EMBEDDING_PROFILE),
     ("dup_cluster_stats", q_dup_cluster_stats, SQL_DUP_CLUSTER_STATS),
     ("source_similarity", q_source_similarity, SQL_SOURCE_SIMILARITY),
+    ("dedup_recall", q_dedup_recall, SQL_DEDUP_RECALL),
 ]
 
 

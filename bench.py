@@ -182,6 +182,7 @@ HEADLINE = [
     "embedding_profile",
     "dup_cluster_stats",
     "source_similarity",
+    "dedup_recall",
 ]
 
 #: deliberate shadows: oracle-exact twins of faster default kernels, kept
