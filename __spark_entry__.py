@@ -7881,6 +7881,108 @@ FROM j
 """
 
 
+def q_stream_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental near-dup as a REAL streaming job: three deterministic
+    micro-batches (doc_id % 3); each ``foreachBatch`` first drops in-batch
+    near-dups (id_b of any pair, the curation rule), then drops docs with
+    a near-twin in the ACCUMULATED KEPT INDEX (the parquet sink itself —
+    the reference's S3 periodic-state-refresh shape), and appends the
+    survivors. LSH candidates are per-pair (signatures don't depend on
+    the candidate set), so the final kept set equals the unrolled batch
+    law the oracle computes from ONE full-corpus pair table."""
+    import glob
+    import os
+    import tempfile
+    import time
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    src = tempfile.mkdtemp(prefix="incdd_src_")
+    for i in range(3):
+        docs.filter(F.col("doc_id") % 3 == i).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(f"{src}/b{i}")
+    now = time.time()
+    for i in range(3):
+        for p in glob.glob(f"{src}/b{i}/*.parquet"):
+            os.utime(p, (now - 300 + 50 * i, now - 300 + 50 * i))
+    sink = tempfile.mkdtemp(prefix="incdd_sink_") + "/out"
+
+    def handle(batch_df: DataFrame, _bid: int) -> None:
+        if batch_df.isEmpty():
+            return
+        in_pairs = D.minhash_dedup_pairs(batch_df, "doc_id", "text", threshold=0.8)
+        drops = in_pairs.select(F.col("id_b").alias("doc_id")).dropDuplicates()
+        kept = batch_df.join(drops, "doc_id", "left_anti")
+        if os.path.isdir(sink) and glob.glob(f"{sink}/*.parquet"):
+            index = spark.read.parquet(sink)
+            cross = D.minhash_incremental_pairs(
+                index, kept, "doc_id", "text", threshold=0.8
+            )
+            kept = kept.join(
+                cross.select(F.col("new_id").alias("doc_id")).dropDuplicates(),
+                "doc_id",
+                "left_anti",
+            )
+        kept.write.mode("append").parquet(sink)
+
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .option("recursiveFileLookup", "true")
+        .parquet(src)
+    )
+    q = (
+        stream.writeStream.foreachBatch(handle)
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="ckpt_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.read.parquet(sink).select("doc_id").orderBy("doc_id")
+
+
+SQL_STREAM_INCREMENTAL_DEDUP = f"""
+WITH sh AS (SELECT doc_id, {_SH} AS sh FROM documents),
+sig AS (SELECT doc_id, sh, {_SIG} AS sig FROM sh WHERE len(sh) > 0),
+banded AS (
+  SELECT doc_id, b AS band,
+         md5(array_to_string(list_transform(sig[b*4+1:b*4+4], x -> x::VARCHAR), ',')) AS bucket
+  FROM sig, unnest([0,1,2,3]) AS u(b)),
+cand AS (
+  SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
+  FROM banded l JOIN banded r
+    ON l.band = r.band AND l.bucket = r.bucket AND l.doc_id < r.doc_id),
+pairs AS (
+  SELECT id_a, id_b
+  FROM cand JOIN sh a ON cand.id_a = a.doc_id JOIN sh b ON cand.id_b = b.doc_id
+  WHERE round(len(list_intersect(a.sh, b.sh))::DOUBLE /
+              len(list_distinct(a.sh || b.sh)), 6) >= 0.8),
+e AS (SELECT id_a AS x, id_b AS y FROM pairs
+      UNION ALL SELECT id_b, id_a FROM pairs),
+kept0 AS (
+  SELECT doc_id FROM documents WHERE doc_id % 3 = 0
+    AND doc_id NOT IN (SELECT id_b FROM pairs
+                       WHERE id_a % 3 = 0 AND id_b % 3 = 0)),
+kept1 AS (
+  SELECT doc_id FROM documents WHERE doc_id % 3 = 1
+    AND doc_id NOT IN (SELECT id_b FROM pairs
+                       WHERE id_a % 3 = 1 AND id_b % 3 = 1)
+    AND doc_id NOT IN (SELECT e.x FROM e JOIN kept0 k ON e.y = k.doc_id)),
+kept2 AS (
+  SELECT doc_id FROM documents WHERE doc_id % 3 = 2
+    AND doc_id NOT IN (SELECT id_b FROM pairs
+                       WHERE id_a % 3 = 2 AND id_b % 3 = 2)
+    AND doc_id NOT IN (
+      SELECT e.x FROM e JOIN (SELECT doc_id FROM kept0
+                              UNION ALL SELECT doc_id FROM kept1) k
+        ON e.y = k.doc_id))
+SELECT doc_id FROM kept0
+UNION ALL SELECT doc_id FROM kept1
+UNION ALL SELECT doc_id FROM kept2
+ORDER BY doc_id
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -8074,6 +8176,7 @@ _REGISTRY: list[tuple[str, Callable[[SparkSession, str], DataFrame], str | None]
     ("dup_cluster_stats", q_dup_cluster_stats, SQL_DUP_CLUSTER_STATS),
     ("source_similarity", q_source_similarity, SQL_SOURCE_SIMILARITY),
     ("dedup_recall", q_dedup_recall, SQL_DEDUP_RECALL),
+    ("stream_incremental_dedup", q_stream_incremental_dedup, SQL_STREAM_INCREMENTAL_DEDUP),
 ]
 
 

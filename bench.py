@@ -208,6 +208,7 @@ STREAMING = [
     "stream_wm_dedup",
     "stream_fanout_sinks",
     "stream_custom_source",
+    "stream_incremental_dedup",
 ]
 
 
