@@ -26,6 +26,11 @@ from pyspark.sql import types as T
 #: precision on 19-digit epoch-nanos.
 NANOS_TS_COLUMNS: dict[str, list[str]] = {"events": ["ts"]}
 
+#: tables whose queries run per-row compute kernels (regex / minhash /
+#: vector folds) heavy enough to be worth parallelizing at load — see the
+#: spread note in load_table
+_SPREAD_TABLES = frozenset({"documents", "embeddings"})
+
 
 def read_parquet(
     spark: SparkSession, path: str, columns: list[str] | None = None
@@ -72,9 +77,17 @@ def load_table(
     # count in splits, making this a no-op — no exchange appears at
     # 100 TB. Row order is never load-bearing (every law is keyed or
     # hash-ordered), so this is placement-only.
-    target = spark.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < target:
-        df = df.repartition(target)
+    #
+    # Only the compute-bound tables qualify: documents/embeddings feed
+    # per-row regex/minhash/vector kernels that dominate their queries.
+    # Relational tables (lineitem/orders/events) go straight into keyed
+    # joins/aggregations that shuffle on their OWN keys — a round-robin
+    # exchange before them is pure overhead (measured: +0.6-1.5 s per
+    # TPC-H-shape query at sf0.1 with no compute to parallelize).
+    if name in _SPREAD_TABLES:
+        target = spark.sparkContext.defaultParallelism
+        if df.rdd.getNumPartitions() < target:
+            df = df.repartition(target)
     return df.select(*columns) if columns else df
 
 
