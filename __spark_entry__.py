@@ -7983,6 +7983,90 @@ ORDER BY doc_id
 """
 
 
+def q_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer fertility per language: chars-per-token and tokens-per-
+    word under the BPE-ish tokenizer — THE metric for how well a
+    tokenizer serves each language (high fertility = wasted context
+    budget). All sums are exact BIGINTs; only the final ratios are
+    float, computed from identical integers on both engines."""
+    docs = _t(spark, sf_dir, "documents")
+    rows = docs.select(
+        "lang",
+        F.length("text").cast("bigint").alias("n_chars"),
+        TA.token_count_bpe(F.col("text")).cast("bigint").alias("n_bpe"),
+        F.size(X.tokenize_ws(F.col("text"))).cast("bigint").alias("n_words"),
+    )
+    return (
+        rows.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("n_chars").cast("bigint").alias("chars"),
+            F.sum("n_bpe").cast("bigint").alias("bpe_tokens"),
+            F.sum("n_words").cast("bigint").alias("words"),
+            TA.r4(F.sum("n_chars") / F.greatest(F.sum("n_bpe"), F.lit(1))).alias(
+                "chars_per_token"
+            ),
+            TA.r4(F.sum("n_bpe") / F.greatest(F.sum("n_words"), F.lit(1))).alias(
+                "fertility"
+            ),
+        )
+        .orderBy("lang")
+    )
+
+
+SQL_TOKENIZER_FERTILITY = f"""
+WITH rows_ AS (
+  SELECT lang, length(text)::BIGINT AS n_chars,
+         {O.sql_token_count_bpe('text')} AS n_bpe,
+         len({O.sql_tokenize_ws('text')})::BIGINT AS n_words
+  FROM documents)
+SELECT lang, count(*)::BIGINT AS n_docs,
+       sum(n_chars)::BIGINT AS chars,
+       sum(n_bpe)::BIGINT AS bpe_tokens,
+       sum(n_words)::BIGINT AS words,
+       {O.sql_r4('sum(n_chars)::DOUBLE / greatest(sum(n_bpe), 1)')} AS chars_per_token,
+       {O.sql_r4('sum(n_bpe)::DOUBLE / greatest(sum(n_words), 1)')} AS fertility
+FROM rows_ GROUP BY lang ORDER BY lang
+"""
+
+
+def q_stratified_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact stratified holdout: within each lang, docs rank by hash64
+    (deterministic shuffle) and every 5th ranked doc is eval — EXACTLY
+    20% per stratum (hash-threshold splits like ``dataset_split`` only
+    hit the rate in expectation, which matters when a stratum is small).
+    One window shuffle keyed by lang."""
+    docs = _t(spark, sf_dir, "documents")
+    w = Window.partitionBy("lang").orderBy(
+        X.hash64(F.concat(F.lit("strat:"), F.col("doc_id").cast("string"))),
+        "doc_id",
+    )
+    return (
+        docs.select("doc_id", "lang")
+        .withColumn("rnk", F.row_number().over(w))
+        .select(
+            "doc_id",
+            "lang",
+            F.when(F.col("rnk") % 5 == 0, F.lit("eval"))
+            .otherwise(F.lit("train"))
+            .alias("split"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+SQL_STRATIFIED_SPLIT = f"""
+WITH r AS (
+  SELECT doc_id, lang,
+         row_number() OVER (PARTITION BY lang ORDER BY
+           {O.sql_hash64("('strat:' || doc_id)")}, doc_id) AS rnk
+  FROM documents)
+SELECT doc_id, lang,
+       CASE WHEN rnk % 5 = 0 THEN 'eval' ELSE 'train' END AS split
+FROM r ORDER BY doc_id
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -8177,6 +8261,8 @@ _REGISTRY: list[tuple[str, Callable[[SparkSession, str], DataFrame], str | None]
     ("source_similarity", q_source_similarity, SQL_SOURCE_SIMILARITY),
     ("dedup_recall", q_dedup_recall, SQL_DEDUP_RECALL),
     ("stream_incremental_dedup", q_stream_incremental_dedup, SQL_STREAM_INCREMENTAL_DEDUP),
+    ("tokenizer_fertility", q_tokenizer_fertility, SQL_TOKENIZER_FERTILITY),
+    ("stratified_split", q_stratified_split, SQL_STRATIFIED_SPLIT),
 ]
 
 

@@ -183,6 +183,8 @@ HEADLINE = [
     "dup_cluster_stats",
     "source_similarity",
     "dedup_recall",
+    "tokenizer_fertility",
+    "stratified_split",
 ]
 
 #: deliberate shadows: oracle-exact twins of faster default kernels, kept
