@@ -7885,9 +7885,13 @@ def q_stream_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental near-dup as a REAL streaming job: three deterministic
     micro-batches (doc_id % 3); each ``foreachBatch`` first drops in-batch
     near-dups (id_b of any pair, the curation rule), then drops docs with
-    a near-twin in the ACCUMULATED KEPT INDEX (the parquet sink itself —
-    the reference's S3 periodic-state-refresh shape), and appends the
-    survivors. LSH candidates are per-pair (signatures don't depend on
+    a near-twin in the ACCUMULATED KEPT INDEX (the reference's S3
+    periodic-state-refresh shape), and appends the survivors. The index
+    persists its (id, band, bucket) LSH table alongside the docs, so an
+    arriving batch hashes only ITSELF — candidate generation is a plain
+    equi-join against the stored bands and verification reads shingles
+    for candidate index docs only: per-batch cost is O(batch), never
+    O(index). LSH candidates are per-pair (signatures don't depend on
     the candidate set), so the final kept set equals the unrolled batch
     law the oracle computes from ONE full-corpus pair table."""
     import glob
@@ -7907,23 +7911,73 @@ def q_stream_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             os.utime(p, (now - 300 + 50 * i, now - 300 + 50 * i))
     sink = tempfile.mkdtemp(prefix="incdd_sink_") + "/out"
 
+    bands_store = sink + "_bands"
+
     def handle(batch_df: DataFrame, _bid: int) -> None:
+        # Production shape: the batch's shingles and LSH band buckets are
+        # computed ONCE and reused for both the in-batch pair pass and
+        # the cross-vs-index pass; the index side persists its (id, band,
+        # bucket) table, so an arriving batch never re-hashes the
+        # accumulated corpus — per-batch cost is O(batch), not O(index).
         if batch_df.isEmpty():
             return
-        in_pairs = D.minhash_dedup_pairs(batch_df, "doc_id", "text", threshold=0.8)
-        drops = in_pairs.select(F.col("id_b").alias("doc_id")).dropDuplicates()
-        kept = batch_df.join(drops, "doc_id", "left_anti")
-        if os.path.isdir(sink) and glob.glob(f"{sink}/*.parquet"):
-            index = spark.read.parquet(sink)
-            cross = D.minhash_incremental_pairs(
-                index, kept, "doc_id", "text", threshold=0.8
+        batch_df = batch_df.persist()
+        sh_b = batch_df.select(
+            "doc_id", D.shingles(F.col("text"), 3).alias("sh")
+        ).persist()
+        bn = D.banded_buckets(batch_df, "doc_id", "text").persist()
+        jacc = F.round(D.jaccard(F.col("sh_a"), F.col("sh_b")), 6)
+        in_drops = (
+            D.pairs_from_banded(bn, "doc_id")
+            .join(sh_b.select(F.col("doc_id").alias("id_a"), F.col("sh").alias("sh_a")), "id_a")
+            .join(sh_b.select(F.col("doc_id").alias("id_b"), F.col("sh").alias("sh_b")), "id_b")
+            .filter(jacc >= 0.8)
+            .select(F.col("id_b").alias("doc_id"))
+            .dropDuplicates()
+        )
+        kept = batch_df.join(in_drops, "doc_id", "left_anti")
+        if glob.glob(f"{bands_store}/*.parquet"):
+            idx_bands = spark.read.parquet(bands_store)
+            cand = (
+                bn.select(F.col("doc_id").alias("new_id"), "band", "bucket")
+                .join(kept.select(F.col("doc_id").alias("new_id")), "new_id")
+                .join(
+                    idx_bands.select(
+                        F.col("doc_id").alias("index_id"), "band", "bucket"
+                    ),
+                    ["band", "bucket"],
+                )
+                .select("new_id", "index_id")
+                .dropDuplicates()
             )
-            kept = kept.join(
-                cross.select(F.col("new_id").alias("doc_id")).dropDuplicates(),
-                "doc_id",
-                "left_anti",
+            # shingles for CANDIDATE index docs only — never the full index
+            idx_sh = (
+                cand.select(F.col("index_id").alias("doc_id"))
+                .dropDuplicates()
+                .join(spark.read.parquet(sink), "doc_id")
+                .select(
+                    F.col("doc_id").alias("index_id"),
+                    D.shingles(F.col("text"), 3).alias("sh_b"),
+                )
             )
+            cross_drops = (
+                cand.join(
+                    sh_b.select(F.col("doc_id").alias("new_id"), F.col("sh").alias("sh_a")),
+                    "new_id",
+                )
+                .join(idx_sh, "index_id")
+                .filter(jacc >= 0.8)
+                .select(F.col("new_id").alias("doc_id"))
+                .dropDuplicates()
+            )
+            kept = kept.join(cross_drops, "doc_id", "left_anti")
+        kept = kept.persist()
         kept.write.mode("append").parquet(sink)
+        bn.join(kept.select("doc_id"), "doc_id").write.mode("append").parquet(
+            bands_store
+        )
+        for c in (batch_df, sh_b, bn, kept):
+            c.unpersist()
 
     stream = (
         spark.readStream.schema(docs.schema)

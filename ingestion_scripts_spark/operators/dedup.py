@@ -297,12 +297,16 @@ def minhash_lsh_candidates(
     scale; bucket keys are md5 over the band's signature slice.
     """
     banded = banded_buckets(df, id_col, text_col, n_shingle, num_hashes, bands)
+    return pairs_from_banded(banded, id_col)
 
-    # pair generation WITHOUT a self-join: one shuffle groups ids per
-    # (band, bucket); in-bucket combinations come from array HOFs. A
-    # self-join would rescan and recompute the signature pipeline for both
-    # sides; this way the expensive lineage runs once. Bucket skew (a huge
-    # bucket → |ids|^2 pairs) is inherent to LSH banding either way.
+
+def pairs_from_banded(banded: DataFrame, id_col: str) -> DataFrame:
+    """Distinct candidate pairs (id_a < id_b) from a (id, band, bucket)
+    table — pair generation WITHOUT a self-join: one shuffle groups ids
+    per (band, bucket); in-bucket combinations come from array HOFs. A
+    self-join would rescan and recompute the signature pipeline for both
+    sides; this way the expensive lineage runs once. Bucket skew (a huge
+    bucket → |ids|^2 pairs) is inherent to LSH banding either way."""
     pairs = (
         banded.groupBy("band", "bucket")
         .agg(F.array_sort(F.collect_list(F.col(id_col))).alias("ids"))
