@@ -8121,6 +8121,55 @@ FROM r ORDER BY doc_id
 """
 
 
+def q_heavy_hitter_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-quality harness (completes the family with ``ann_recall``
+    and ``dedup_recall``): exact top-20 users by event count vs the CMS
+    top-20 — overlap, recall, and the worst overestimate among the CMS
+    picks (CMS never undercounts, so overestimate ≥ 0 is an invariant).
+    One-row report; the exact side is itself a keyed agg + bounded
+    top-k."""
+    from ingestion_scripts_spark.operators.sketches import cms_estimate, cms_sketch
+
+    ev = _t(spark, sf_dir, "events")
+    exact = ev.groupBy("user_id").agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    ex20 = exact.orderBy(F.col("n").desc(), F.col("user_id").asc()).limit(20)
+    cms20 = (
+        cms_estimate(cms_sketch(ev, "user_id"), ev.select("user_id").distinct(),
+                     "user_id", out_col="est_count")
+        .orderBy(F.col("est_count").desc(), F.col("user_id").asc())
+        .limit(20)
+    )
+    ov = ex20.join(cms20, "user_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_overlap")
+    )
+    mo = cms20.join(exact, "user_id").agg(
+        F.max(F.col("est_count") - F.col("n")).cast("bigint").alias("max_overestimate")
+    )
+    return ov.crossJoin(mo).select(
+        "n_overlap",
+        TA.r4(F.col("n_overlap") / F.lit(20.0)).alias("recall"),
+        "max_overestimate",
+    )
+
+
+def _sql_heavy_hitter_recall() -> str:
+    from ingestion_scripts_spark.operators.sketches import sql_cms_estimate
+
+    inner = sql_cms_estimate("events", "user_id", out_col="est_count")
+    return f"""
+WITH exact AS (SELECT user_id, count(*)::BIGINT AS n FROM events GROUP BY user_id),
+ex20 AS (SELECT user_id FROM exact ORDER BY n DESC, user_id LIMIT 20),
+cms AS (SELECT CAST(__k AS BIGINT) AS user_id, est_count FROM ({inner})),
+cms20 AS (SELECT user_id, est_count FROM cms
+          ORDER BY est_count DESC, user_id LIMIT 20)
+SELECT
+  (SELECT count(*) FROM ex20 JOIN cms20 USING (user_id))::BIGINT AS n_overlap,
+  {O.sql_r4('(SELECT count(*) FROM ex20 JOIN cms20 USING (user_id)) / 20.0')} AS recall,
+  (SELECT max(est_count - n) FROM cms20 JOIN exact USING (user_id))::BIGINT
+    AS max_overestimate
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -8317,6 +8366,7 @@ _REGISTRY: list[tuple[str, Callable[[SparkSession, str], DataFrame], str | None]
     ("stream_incremental_dedup", q_stream_incremental_dedup, SQL_STREAM_INCREMENTAL_DEDUP),
     ("tokenizer_fertility", q_tokenizer_fertility, SQL_TOKENIZER_FERTILITY),
     ("stratified_split", q_stratified_split, SQL_STRATIFIED_SPLIT),
+    ("heavy_hitter_recall", q_heavy_hitter_recall, _sql_heavy_hitter_recall()),
 ]
 
 

@@ -185,6 +185,7 @@ HEADLINE = [
     "dedup_recall",
     "tokenizer_fertility",
     "stratified_split",
+    "heavy_hitter_recall",
 ]
 
 #: deliberate shadows: oracle-exact twins of faster default kernels, kept
