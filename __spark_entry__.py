@@ -7886,12 +7886,12 @@ def q_stream_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     micro-batches (doc_id % 3); each ``foreachBatch`` first drops in-batch
     near-dups (id_b of any pair, the curation rule), then drops docs with
     a near-twin in the ACCUMULATED KEPT INDEX (the reference's S3
-    periodic-state-refresh shape), and appends the survivors. The index
-    persists its (id, band, bucket) LSH table alongside the docs, so an
-    arriving batch hashes only ITSELF — candidate generation is a plain
-    equi-join against the stored bands and verification reads shingles
-    for candidate index docs only: per-batch cost is O(batch), never
-    O(index). LSH candidates are per-pair (signatures don't depend on
+    periodic-state-refresh shape), and appends the survivors. Each index
+    row carries its precomputed LSH band buckets, so an arriving batch
+    MinHashes only ITSELF — candidate generation equi-joins the stored
+    buckets (an O(index) narrow explode, ~free next to the md5/minhash
+    chain it replaces) and verification recomputes shingles for candidate
+    index docs only. LSH candidates are per-pair (signatures don't depend on
     the candidate set), so the final kept set equals the unrolled batch
     law the oracle computes from ONE full-corpus pair table."""
     import glob
@@ -7911,42 +7911,43 @@ def q_stream_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             os.utime(p, (now - 300 + 50 * i, now - 300 + 50 * i))
     sink = tempfile.mkdtemp(prefix="incdd_sink_") + "/out"
 
-    bands_store = sink + "_bands"
-
     def handle(batch_df: DataFrame, _bid: int) -> None:
         # Production shape: the batch's shingles and LSH band buckets are
         # computed ONCE and reused for both the in-batch pair pass and
-        # the cross-vs-index pass; the index side persists its (id, band,
-        # bucket) table, so an arriving batch never re-hashes the
-        # accumulated corpus — per-batch cost is O(batch), not O(index).
+        # the cross-vs-index pass; the index row carries its OWN (band,
+        # bucket) list, so an arriving batch never re-hashes the
+        # accumulated corpus — per-batch cost is O(batch) hashing plus an
+        # O(index) explode of precomputed buckets (a narrow map, ~free
+        # next to the md5/minhash chain it replaces). One write and one
+        # read per batch.
         if batch_df.isEmpty():
             return
-        batch_df = batch_df.persist()
-        sh_b = batch_df.select(
-            "doc_id", D.shingles(F.col("text"), 3).alias("sh")
+        enriched = batch_df.select(
+            "doc_id",
+            "text",
+            D.shingles(F.col("text"), 3).alias("sh"),
         ).persist()
         bn = D.banded_buckets(batch_df, "doc_id", "text").persist()
         jacc = F.round(D.jaccard(F.col("sh_a"), F.col("sh_b")), 6)
+        sh_only = enriched.select("doc_id", "sh")
         in_drops = (
             D.pairs_from_banded(bn, "doc_id")
-            .join(sh_b.select(F.col("doc_id").alias("id_a"), F.col("sh").alias("sh_a")), "id_a")
-            .join(sh_b.select(F.col("doc_id").alias("id_b"), F.col("sh").alias("sh_b")), "id_b")
+            .join(sh_only.select(F.col("doc_id").alias("id_a"), F.col("sh").alias("sh_a")), "id_a")
+            .join(sh_only.select(F.col("doc_id").alias("id_b"), F.col("sh").alias("sh_b")), "id_b")
             .filter(jacc >= 0.8)
             .select(F.col("id_b").alias("doc_id"))
             .dropDuplicates()
         )
-        kept = batch_df.join(in_drops, "doc_id", "left_anti")
-        if glob.glob(f"{bands_store}/*.parquet"):
-            idx_bands = spark.read.parquet(bands_store)
+        kept = enriched.join(in_drops, "doc_id", "left_anti")
+        if glob.glob(f"{sink}/*.parquet"):
+            index = spark.read.parquet(sink)
+            idx_bands = index.select(
+                F.col("doc_id").alias("index_id"), F.explode("bands").alias("bb")
+            ).select("index_id", "bb.band", "bb.bucket")
             cand = (
                 bn.select(F.col("doc_id").alias("new_id"), "band", "bucket")
                 .join(kept.select(F.col("doc_id").alias("new_id")), "new_id")
-                .join(
-                    idx_bands.select(
-                        F.col("doc_id").alias("index_id"), "band", "bucket"
-                    ),
-                    ["band", "bucket"],
-                )
+                .join(idx_bands, ["band", "bucket"])
                 .select("new_id", "index_id")
                 .dropDuplicates()
             )
@@ -7954,7 +7955,7 @@ def q_stream_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             idx_sh = (
                 cand.select(F.col("index_id").alias("doc_id"))
                 .dropDuplicates()
-                .join(spark.read.parquet(sink), "doc_id")
+                .join(index, "doc_id")
                 .select(
                     F.col("doc_id").alias("index_id"),
                     D.shingles(F.col("text"), 3).alias("sh_b"),
@@ -7962,7 +7963,7 @@ def q_stream_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             cross_drops = (
                 cand.join(
-                    sh_b.select(F.col("doc_id").alias("new_id"), F.col("sh").alias("sh_a")),
+                    sh_only.select(F.col("doc_id").alias("new_id"), F.col("sh").alias("sh_a")),
                     "new_id",
                 )
                 .join(idx_sh, "index_id")
@@ -7971,13 +7972,29 @@ def q_stream_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .dropDuplicates()
             )
             kept = kept.join(cross_drops, "doc_id", "left_anti")
-        kept = kept.persist()
-        kept.write.mode("append").parquet(sink)
-        bn.join(kept.select("doc_id"), "doc_id").write.mode("append").parquet(
-            bands_store
+        # the index row carries its bucket list; shingles are NOT stored
+        # (they're corpus-sized — recomputed per candidate instead)
+        (
+            kept.drop("sh")
+            .join(
+                bn.groupBy("doc_id").agg(
+                    F.collect_list(F.struct("band", "bucket")).alias("bands")
+                ),
+                "doc_id",
+                "left",
+            )
+            .withColumn(
+                "bands",
+                F.coalesce(
+                    F.col("bands"),
+                    F.array().cast("array<struct<band:int,bucket:string>>"),
+                ),
+            )
+            .write.mode("append")
+            .parquet(sink)
         )
-        for c in (batch_df, sh_b, bn, kept):
-            c.unpersist()
+        enriched.unpersist()
+        bn.unpersist()
 
     stream = (
         spark.readStream.schema(docs.schema)
