@@ -8187,6 +8187,44 @@ SELECT
 """
 
 
+def q_path_motifs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-step path-motif mining over each user's event stream (funnel
+    discovery beyond the first-order ``event_transitions``): two leads in
+    one per-user window pass, then a keyed count and a bounded top-10.
+    Spark ``F.concat`` NULL-propagates exactly like the oracle's ``||``,
+    so stream-tail windows (missing leads) drop identically on both
+    engines."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    path = F.concat(
+        F.col("event_type"),
+        F.lit(">"),
+        F.lead("event_type", 1).over(w),
+        F.lit(">"),
+        F.lead("event_type", 2).over(w),
+    )
+    return (
+        ev.select(path.alias("path"))
+        .where(F.col("path").isNotNull())
+        .groupBy("path")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+        .orderBy(F.col("n").desc(), F.col("path").asc())
+        .limit(10)
+    )
+
+
+SQL_PATH_MOTIFS = """
+WITH p AS (
+  SELECT event_type || '>' || lead(event_type, 1) OVER w
+         || '>' || lead(event_type, 2) OVER w AS path
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+SELECT path, count(*)::BIGINT AS n
+FROM p WHERE path IS NOT NULL
+GROUP BY path ORDER BY n DESC, path LIMIT 10
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -8384,6 +8422,7 @@ _REGISTRY: list[tuple[str, Callable[[SparkSession, str], DataFrame], str | None]
     ("tokenizer_fertility", q_tokenizer_fertility, SQL_TOKENIZER_FERTILITY),
     ("stratified_split", q_stratified_split, SQL_STRATIFIED_SPLIT),
     ("heavy_hitter_recall", q_heavy_hitter_recall, _sql_heavy_hitter_recall()),
+    ("path_motifs", q_path_motifs, SQL_PATH_MOTIFS),
 ]
 
 

@@ -186,6 +186,7 @@ HEADLINE = [
     "tokenizer_fertility",
     "stratified_split",
     "heavy_hitter_recall",
+    "path_motifs",
 ]
 
 #: deliberate shadows: oracle-exact twins of faster default kernels, kept
