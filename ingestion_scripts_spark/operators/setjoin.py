@@ -43,7 +43,13 @@ def setsim_join(
     ``df`` must carry distinct token arrays in ``tokens_col``. Returns
     ``(id_a, id_b, n_inter, n_union)`` with ``id_a < id_b``.
     """
-    toks = df.select(F.col(id_col).alias("__id"), F.col(tokens_col).alias("__tk"))
+    # the token arrays are typically an expensive upstream chain
+    # (tokenize → ngram → distinct); this plan consumes them THREE times
+    # (prefix explode, verify-a, verify-b), so persist the materialized
+    # arrays once (MEMORY_AND_DISK — spills, never OOMs, at corpus scale)
+    toks = df.select(
+        F.col(id_col).alias("__id"), F.col(tokens_col).alias("__tk")
+    ).persist()
     ex = toks.select(
         "__id", F.size("__tk").alias("__sz"), F.explode("__tk").alias("__tok")
     )
