@@ -8225,6 +8225,37 @@ GROUP BY path ORDER BY n DESC, path LIMIT 10
 """
 
 
+#: ONE literal ANSI string executed VERBATIM by both engines — the
+#: spark.sql front door (catalog.register_testdata) and the DuckDB oracle
+#: run the identical text, so this query certifies dialect-portability of
+#: the whole path: catalog → parser → optimizer → execution.
+SQL_PORTABLE = """
+SELECT n.n_name AS nation,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       CAST(round(sum(CAST(o.o_totalprice AS DECIMAL(18,4))), 2) AS DOUBLE)
+         AS revenue
+FROM orders o
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+WHERE o.o_orderdate >= DATE '1995-01-01'
+  AND o.o_orderdate < DATE '1996-01-01'
+GROUP BY n.n_name
+ORDER BY revenue DESC, nation
+"""
+
+
+def q_sql_front_door(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SQL front door end-to-end: testdata registered as temp views
+    (``catalog.register_testdata``), then ``spark.sql`` runs the SAME
+    literal string the DuckDB oracle runs — zero dialect translation.
+    Catalyst plans it identically to the DataFrame form (broadcast dims,
+    partial aggs), which PLANS.md documents for the star-join family."""
+    from ingestion_scripts_spark.catalog import register_testdata
+
+    register_testdata(spark, sf_dir)
+    return spark.sql(SQL_PORTABLE)
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -8423,6 +8454,7 @@ _REGISTRY: list[tuple[str, Callable[[SparkSession, str], DataFrame], str | None]
     ("stratified_split", q_stratified_split, SQL_STRATIFIED_SPLIT),
     ("heavy_hitter_recall", q_heavy_hitter_recall, _sql_heavy_hitter_recall()),
     ("path_motifs", q_path_motifs, SQL_PATH_MOTIFS),
+    ("sql_front_door", q_sql_front_door, SQL_PORTABLE),
 ]
 
 

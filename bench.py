@@ -187,6 +187,7 @@ HEADLINE = [
     "stratified_split",
     "heavy_hitter_recall",
     "path_motifs",
+    "sql_front_door",
 ]
 
 #: deliberate shadows: oracle-exact twins of faster default kernels, kept
