@@ -8256,6 +8256,89 @@ def q_sql_front_door(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(SQL_PORTABLE)
 
 
+def q_linear_interpolation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series linear interpolation: per-user daily purchase value on
+    the dense calendar grid, silent days interpolated between the
+    surrounding observed days — the imputation step between gap-fill
+    (zeros) and modeling. The carried values come from `ignorenulls`
+    running windows (last-before / first-after), so one keyed window
+    shuffle serves both directions; observed day sums accumulate as
+    DECIMAL, and the interpolation weight is a ratio of exact day
+    counts."""
+    ev = _t(spark, sf_dir, "events").filter(F.col("event_type") == "purchase")
+    daily = ev.groupBy("user_id", F.to_date("ts").alias("day")).agg(
+        F.round(F.sum(F.col("value").cast("decimal(18,4)")), 2)
+        .cast("double")
+        .alias("v")
+    )
+    spans = ev.groupBy("user_id").agg(
+        F.min(F.to_date("ts")).alias("d0"), F.max(F.to_date("ts")).alias("d1")
+    )
+    cal = spans.select("user_id", F.explode(F.sequence("d0", "d1")).alias("day"))
+    g = cal.join(daily, ["user_id", "day"], "left")
+    wp = Window.partitionBy("user_id").orderBy("day").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    wn = Window.partitionBy("user_id").orderBy("day").rowsBetween(
+        0, Window.unboundedFollowing
+    )
+    obs_day = F.when(F.col("v").isNotNull(), F.col("day"))
+    pv = F.last("v", ignorenulls=True).over(wp)
+    pd_ = F.last(obs_day, ignorenulls=True).over(wp)
+    nv = F.first("v", ignorenulls=True).over(wn)
+    nd = F.first(obs_day, ignorenulls=True).over(wn)
+    interp = F.when(F.col("v").isNotNull(), F.col("v")).otherwise(
+        pv + (nv - pv) * F.datediff(F.col("day"), pd_) / F.datediff(nd, pd_)
+    )
+    return (
+        g.select(
+            "user_id",
+            F.date_format("day", "yyyy-MM-dd").alias("day"),
+            TA.r4(interp).alias("value"),
+            F.when(F.col("v").isNotNull(), 1).otherwise(0).cast("int").alias(
+                "is_observed"
+            ),
+        )
+        .orderBy("user_id", "day")
+    )
+
+
+SQL_LINEAR_INTERPOLATION = f"""
+WITH daily AS (
+  SELECT user_id, CAST(ts AS DATE) AS day,
+         CAST(round(sum(CAST(value AS DECIMAL(18,4))), 2) AS DOUBLE) AS v
+  FROM events WHERE event_type = 'purchase' GROUP BY 1, 2),
+spans AS (
+  SELECT user_id, min(CAST(ts AS DATE)) AS d0, max(CAST(ts AS DATE)) AS d1
+  FROM events WHERE event_type = 'purchase' GROUP BY 1),
+cal AS (
+  SELECT user_id,
+         unnest(generate_series(d0::TIMESTAMP, d1::TIMESTAMP,
+                                INTERVAL 1 DAY))::DATE AS day
+  FROM spans),
+g AS (
+  SELECT c.user_id, c.day, d.v
+  FROM cal c LEFT JOIN daily d ON c.user_id = d.user_id AND c.day = d.day),
+filled AS (
+  SELECT user_id, day, v,
+         last_value(v IGNORE NULLS) OVER wp AS pv,
+         last_value(CASE WHEN v IS NOT NULL THEN day END IGNORE NULLS)
+           OVER wp AS pd,
+         first_value(v IGNORE NULLS) OVER wn AS nv,
+         first_value(CASE WHEN v IS NOT NULL THEN day END IGNORE NULLS)
+           OVER wn AS nd
+  FROM g
+  WINDOW wp AS (PARTITION BY user_id ORDER BY day
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+         wn AS (PARTITION BY user_id ORDER BY day
+                ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
+SELECT user_id, strftime(day, '%Y-%m-%d') AS day,
+       {O.sql_r4("CASE WHEN v IS NOT NULL THEN v ELSE pv + (nv - pv) * date_diff('day', pd, day) / date_diff('day', pd, nd) END")} AS value,
+       CAST(CASE WHEN v IS NOT NULL THEN 1 ELSE 0 END AS INT) AS is_observed
+FROM filled ORDER BY user_id, day
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -8455,6 +8538,7 @@ _REGISTRY: list[tuple[str, Callable[[SparkSession, str], DataFrame], str | None]
     ("heavy_hitter_recall", q_heavy_hitter_recall, _sql_heavy_hitter_recall()),
     ("path_motifs", q_path_motifs, SQL_PATH_MOTIFS),
     ("sql_front_door", q_sql_front_door, SQL_PORTABLE),
+    ("linear_interpolation", q_linear_interpolation, SQL_LINEAR_INTERPOLATION),
 ]
 
 

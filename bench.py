@@ -188,6 +188,7 @@ HEADLINE = [
     "heavy_hitter_recall",
     "path_motifs",
     "sql_front_door",
+    "linear_interpolation",
 ]
 
 #: deliberate shadows: oracle-exact twins of faster default kernels, kept
