@@ -2367,6 +2367,10 @@ def q_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         .drop("__rn", "__h")
     )
 
+    # uniq is consumed TWICE (minhash pair generation + the anti-join
+    # below) and carries the quality+window-dedup lineage — persist the
+    # materialized survivors once (MEMORY_AND_DISK)
+    uniq = uniq.persist()
     near = D.minhash_dedup_pairs(uniq, "doc_id", "text", threshold=0.8)
     drop_ids = near.select(F.col("id_b").alias("doc_id")).dropDuplicates(["doc_id"])
     # no broadcast hint: the near-dup id set grows with the corpus — AQE
