@@ -129,6 +129,10 @@ def reddit_pipeline(posts: DataFrame) -> DataFrame:
             F.flatten(F.transform(F.col("comments"), lambda c: tokenize_ws(c["text"])))
         ),
     )
+    # toks is consumed twice (keyword extraction AND the final join) and
+    # carries the whole sentiment-enrich + clean chain — persist the
+    # enriched rows once so the nested posexplode/re-nest runs one time
+    toks = toks.persist()
     kw = extract_keywords(toks.select("id", "__toks"), "id", "__toks", k=5)
     out = (
         toks.drop("__toks", "keywords")
