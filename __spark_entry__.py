@@ -8343,6 +8343,46 @@ FROM filled ORDER BY user_id, day
 """
 
 
+def q_bloom_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-pruned big-big join (operators/bloom.py): orders join a
+    filtered customer segment, but the probe side is Bloom-filtered
+    BEFORE its shuffle — the bitmap (≤ m/64 longs, 1-row broadcast)
+    removes ~4/5 of the order rows pre-exchange; the exact join scrubs
+    the bitmap's false positives, so the result is bit-identical to the
+    plain join (which IS the oracle). The explicit form of Spark's
+    runtime bloom-filter injection, as a composable operator."""
+    from ingestion_scripts_spark.operators.bloom import bloom_pruned_join
+
+    orders = _t(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("c_custkey"), "o_orderpriority", "o_totalprice"
+    )
+    seg = (
+        _t(spark, sf_dir, "customer")
+        .filter(F.col("c_mktsegment") == "AUTOMOBILE")
+        .select("c_custkey")
+    )
+    return (
+        bloom_pruned_join(orders, seg, "c_custkey")
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+            F.round(F.sum(F.col("o_totalprice").cast("decimal(18,4)")), 2)
+            .cast("double")
+            .alias("revenue"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+SQL_BLOOM_JOIN = """
+SELECT o_orderpriority, count(*)::BIGINT AS n_orders,
+       round(sum(CAST(o_totalprice AS DECIMAL(18,4))), 2)::DOUBLE AS revenue
+FROM orders JOIN customer ON o_custkey = c_custkey
+WHERE c_mktsegment = 'AUTOMOBILE'
+GROUP BY o_orderpriority ORDER BY o_orderpriority
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -8543,6 +8583,7 @@ _REGISTRY: list[tuple[str, Callable[[SparkSession, str], DataFrame], str | None]
     ("path_motifs", q_path_motifs, SQL_PATH_MOTIFS),
     ("sql_front_door", q_sql_front_door, SQL_PORTABLE),
     ("linear_interpolation", q_linear_interpolation, SQL_LINEAR_INTERPOLATION),
+    ("bloom_join_revenue", q_bloom_join_revenue, SQL_BLOOM_JOIN),
 ]
 
 

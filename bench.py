@@ -189,6 +189,7 @@ HEADLINE = [
     "path_motifs",
     "sql_front_door",
     "linear_interpolation",
+    "bloom_join_revenue",
 ]
 
 #: deliberate shadows: oracle-exact twins of faster default kernels, kept
