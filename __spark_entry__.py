@@ -8383,6 +8383,41 @@ GROUP BY o_orderpriority ORDER BY o_orderpriority
 """
 
 
+def q_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The multimodal RESIZE path (operators/multimodal.py::resize_images):
+    binary payloads through Arrow-batched mapInPandas with the pluggable
+    (here deterministic-fake, honestly labeled) resize kernel — 8×8
+    output. The oracle recomputes the fake kernel's exact bytes
+    (md5-digest cycle truncated to w·h) and compares the full hex, so the
+    whole Arrow binary round-trip is value-checked, not just row counts."""
+    from ingestion_scripts_spark.operators.multimodal import (
+        resize_images,
+        text_to_media,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    media = text_to_media(docs)
+    resized = resize_images(media, width=8, height=8)
+    return resized.select(
+        "media_id",
+        F.octet_length("payload").cast("bigint").alias("n_bytes"),
+        F.lower(F.hex("payload")).alias("payload_hex"),
+        F.col("meta.width").cast("int").alias("width"),
+        F.col("meta.height").cast("int").alias("height"),
+    ).orderBy("media_id")
+
+
+#: fake_resize emits (md5_digest_bytes cycled)[:w*h]; 8*8 = 64 = 4 whole
+#: 16-byte digests, so the hex is exactly repeat(md5_hex, 4)
+SQL_MULTIMODAL_RESIZE = """
+SELECT doc_id AS media_id,
+       CAST(64 AS BIGINT) AS n_bytes,
+       repeat(md5(text), 4) AS payload_hex,
+       CAST(8 AS INT) AS width, CAST(8 AS INT) AS height
+FROM documents ORDER BY media_id
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -8584,6 +8619,7 @@ _REGISTRY: list[tuple[str, Callable[[SparkSession, str], DataFrame], str | None]
     ("sql_front_door", q_sql_front_door, SQL_PORTABLE),
     ("linear_interpolation", q_linear_interpolation, SQL_LINEAR_INTERPOLATION),
     ("bloom_join_revenue", q_bloom_join_revenue, SQL_BLOOM_JOIN),
+    ("multimodal_resize", q_multimodal_resize, SQL_MULTIMODAL_RESIZE),
 ]
 
 

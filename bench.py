@@ -190,6 +190,7 @@ HEADLINE = [
     "sql_front_door",
     "linear_interpolation",
     "bloom_join_revenue",
+    "multimodal_resize",
 ]
 
 #: deliberate shadows: oracle-exact twins of faster default kernels, kept
