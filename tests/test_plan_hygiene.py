@@ -80,3 +80,20 @@ def test_partial_aggregation_before_shuffle(spark):
     # HashAggregate nodes (partial + final) around the exchange
     p = plan(E.queries()["vocab_topn"](spark, SF))
     assert p.count("HashAggregate") >= 2
+
+
+def test_bloom_probe_filters_before_the_exchange(spark):
+    # the bitmap bit-tests (getbit over xxhash64 positions) must sit on
+    # the probe side BELOW its shuffle — that pre-exchange filter is the
+    # operator's entire reason to exist
+    p = plan(E.queries()["bloom_join_revenue"](spark, SF))
+    assert "getbit" in p and "xxhash64" in p
+    # the first getbit occurrence is in a Filter node, not after a sort
+    # for the merge join (probe-side pruning happens pre-shuffle)
+    first_bit = p.index("getbit")
+    assert "Filter" in p[:first_bit] or "(4) Filter" in p
+
+
+def test_bm25_query_terms_broadcast(spark):
+    p = plan(E.queries()["bm25_topk"](spark, SF))
+    assert "BroadcastHashJoin" in p  # query terms into the postings
