@@ -8418,6 +8418,69 @@ FROM documents ORDER BY media_id
 """
 
 
+def q_last_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session LAST-touch attribution (the completeness twin of
+    ``first_touch_attribution``): every purchase credits the most recent
+    click AT-OR-BEFORE it within its 30-min-gap session — a running
+    ``last(..., ignorenulls)`` over the session-scoped ordered frame, so
+    clicks after the purchase never attribute (unlike first-touch's
+    whole-session scan, which is the deliberate difference)."""
+    ev = _t(spark, sf_dir, "events").select("event_id", "ts", "user_id", "event_type")
+    wu = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.unix_micros(F.col("ts")) - F.unix_micros(F.lag("ts").over(wu))
+    new_s = F.when(gap > 1_800_000_000, 1).otherwise(0)
+    sess = ev.withColumn(
+        "sid",
+        F.sum(F.when(F.lag("ts").over(wu).isNull(), 0).otherwise(new_s)).over(
+            wu.rowsBetween(Window.unboundedPreceding, 0)
+        ),
+    )
+    ws = (
+        Window.partitionBy("user_id", "sid")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    last_click = F.last(
+        F.when(F.col("event_type") == "click", F.col("event_id")), ignorenulls=True
+    ).over(ws)
+    return (
+        sess.withColumn("lc", last_click)
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.coalesce(F.col("lc"), F.lit(-1)).cast("bigint").alias(
+                "attributed_click_id"
+            ),
+        )
+        .orderBy("purchase_id")
+    )
+
+
+SQL_LAST_TOUCH = """
+WITH flagged AS (
+  SELECT event_id, ts, user_id, event_type,
+         CASE WHEN lag(ts) OVER w IS NULL THEN 0
+              WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000 THEN 1
+              ELSE 0 END AS new_s
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+sess AS (
+  SELECT *, sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS UNBOUNDED PRECEDING) AS sid
+  FROM flagged),
+lc AS (
+  SELECT *, last_value(CASE WHEN event_type = 'click' THEN event_id END
+                       IGNORE NULLS)
+            OVER (PARTITION BY user_id, sid ORDER BY ts, event_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS lcid
+  FROM sess)
+SELECT event_id AS purchase_id,
+       CAST(coalesce(lcid, -1) AS BIGINT) AS attributed_click_id
+FROM lc WHERE event_type = 'purchase'
+ORDER BY purchase_id
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -8620,6 +8683,7 @@ _REGISTRY: list[tuple[str, Callable[[SparkSession, str], DataFrame], str | None]
     ("linear_interpolation", q_linear_interpolation, SQL_LINEAR_INTERPOLATION),
     ("bloom_join_revenue", q_bloom_join_revenue, SQL_BLOOM_JOIN),
     ("multimodal_resize", q_multimodal_resize, SQL_MULTIMODAL_RESIZE),
+    ("last_touch_attribution", q_last_touch_attribution, SQL_LAST_TOUCH),
 ]
 
 

@@ -191,6 +191,7 @@ HEADLINE = [
     "linear_interpolation",
     "bloom_join_revenue",
     "multimodal_resize",
+    "last_touch_attribution",
 ]
 
 #: deliberate shadows: oracle-exact twins of faster default kernels, kept
