@@ -8481,6 +8481,137 @@ ORDER BY purchase_id
 """
 
 
+def q_embedding_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space outlier detection (the OOD-filtering curation op):
+    distance to the corpus centroid, top-20 farthest vectors. The
+    centroid is EXACT — components snap to int64 micro-units, sum as
+    integers, divide with integer ``div`` (the k-means re-centering law)
+    — so every engine/partitioning computes the identical centroid; the
+    squared distance then snaps to micro-units for an integer-exact
+    ranking."""
+    emb = _t(spark, sf_dir, "embeddings")
+    snapped = emb.select(
+        "vec_id",
+        F.transform(
+            F.col("embedding"),
+            lambda x: F.floor(x.cast("double") * F.lit(1_000_000.0) + F.lit(0.5)).cast(
+                "bigint"
+            ),
+        ).alias("eu"),
+    )
+    # component-wise exact sums: explode (index, value), groupBy index
+    comp = (
+        snapped.select(F.posexplode("eu").alias("i", "v"))
+        .groupBy("i")
+        .agg(F.sum("v").cast("bigint").alias("s"), F.count(F.lit(1)).cast("bigint").alias("n"))
+        .select("i", F.expr("s div n").alias("c"))
+    )
+    cent = comp.groupBy().agg(
+        F.array_sort(F.collect_list(F.struct("i", "c"))).alias("ic")
+    ).select(F.transform("ic", lambda s: s["c"]).alias("cent"))
+    d2u = F.aggregate(
+        F.zip_with(
+            F.col("eu"), F.col("cent"), lambda a, b: (a - b) * (a - b)
+        ),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc + x,
+    )
+    return (
+        snapped.crossJoin(F.broadcast(cent))
+        .select("vec_id", d2u.alias("d2_u"))
+        .orderBy(F.col("d2_u").desc(), F.col("vec_id").asc())
+        .limit(20)
+        .select(
+            "vec_id",
+            "d2_u",
+            TA.r4(F.sqrt(F.col("d2_u") / F.lit(1e12))).alias("dist"),
+        )
+    )
+
+
+SQL_EMBEDDING_OUTLIERS = f"""
+WITH snapped AS (
+  SELECT vec_id,
+         list_transform(embedding,
+           x -> CAST(floor(CAST(x AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT))
+           AS eu
+  FROM embeddings),
+comp AS (
+  SELECT i, CAST(sum(v) AS BIGINT) // CAST(count(*) AS BIGINT) AS c
+  FROM (SELECT unnest(eu) AS v,
+               unnest(range(1, len(eu) + 1)) AS i
+        FROM snapped)
+  GROUP BY i),
+cent AS (SELECT list(c ORDER BY i) AS cent FROM comp),
+scored AS (
+  SELECT vec_id,
+         CAST(list_aggregate(
+           list_transform(range(1, len(eu) + 1),
+             j -> (eu[j] - cent[j]) * (eu[j] - cent[j])), 'sum') AS BIGINT)
+           AS d2_u
+  FROM snapped, cent)
+SELECT vec_id, d2_u, {O.sql_r4('sqrt(d2_u / 1000000000000.0)')} AS dist
+FROM scored ORDER BY d2_u DESC, vec_id LIMIT 20
+"""
+
+
+def q_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Novelty curve: per document, the fraction of its 3-gram shingles
+    FIRST seen in that document (ingest order = doc_id) — how much new
+    material each document adds, the diversity-over-time diagnostic for
+    dataset ordering and dedup tuning. First-seen is a per-shingle
+    min(doc_id) aggregate joined back; both counts exact BIGINTs."""
+    docs = _t(spark, sf_dir, "documents")
+    sh = docs.select(
+        "doc_id", F.explode(D.shingles(F.col("text"), 3)).alias("s")
+    )
+    first = sh.groupBy("s").agg(F.min("doc_id").alias("first_doc"))
+    per = (
+        sh.join(first, "s")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_shingles"),
+            F.sum(F.when(F.col("first_doc") == F.col("doc_id"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_novel"),
+        )
+    )
+    return (
+        docs.select("doc_id")
+        .join(per, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_shingles", F.lit(0)).cast("bigint").alias("n_shingles"),
+            F.coalesce("n_novel", F.lit(0)).cast("bigint").alias("n_novel"),
+            TA.r4(
+                F.coalesce("n_novel", F.lit(0))
+                / F.greatest(F.coalesce("n_shingles", F.lit(0)), F.lit(1))
+            ).alias("novelty"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+SQL_NGRAM_NOVELTY = f"""
+WITH sh AS (
+  SELECT doc_id, unnest({O.sql_shingles('text', 3)}) AS s FROM documents),
+first_ AS (SELECT s, min(doc_id) AS first_doc FROM sh GROUP BY s),
+per AS (
+  SELECT sh.doc_id,
+         count(*)::BIGINT AS n_shingles,
+         sum(CASE WHEN first_doc = sh.doc_id THEN 1 ELSE 0 END)::BIGINT
+           AS n_novel
+  FROM sh JOIN first_ USING (s) GROUP BY sh.doc_id)
+SELECT d.doc_id,
+       coalesce(per.n_shingles, 0)::BIGINT AS n_shingles,
+       coalesce(per.n_novel, 0)::BIGINT AS n_novel,
+       {O.sql_r4('coalesce(per.n_novel, 0) / greatest(coalesce(per.n_shingles, 0), 1)')}
+         AS novelty
+FROM documents d LEFT JOIN per ON d.doc_id = per.doc_id
+ORDER BY d.doc_id
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -8684,6 +8815,8 @@ _REGISTRY: list[tuple[str, Callable[[SparkSession, str], DataFrame], str | None]
     ("bloom_join_revenue", q_bloom_join_revenue, SQL_BLOOM_JOIN),
     ("multimodal_resize", q_multimodal_resize, SQL_MULTIMODAL_RESIZE),
     ("last_touch_attribution", q_last_touch_attribution, SQL_LAST_TOUCH),
+    ("embedding_outliers", q_embedding_outliers, SQL_EMBEDDING_OUTLIERS),
+    ("ngram_novelty", q_ngram_novelty, SQL_NGRAM_NOVELTY),
 ]
 
 

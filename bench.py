@@ -192,6 +192,8 @@ HEADLINE = [
     "bloom_join_revenue",
     "multimodal_resize",
     "last_touch_attribution",
+    "embedding_outliers",
+    "ngram_novelty",
 ]
 
 #: deliberate shadows: oracle-exact twins of faster default kernels, kept
