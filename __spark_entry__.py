@@ -8612,6 +8612,65 @@ ORDER BY d.doc_id
 """
 
 
+def q_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM quintile segmentation: per user, Recency (latest purchase ts),
+    Frequency (purchase count) and Monetary (DECIMAL-exact value sum)
+    each scored 1-5 by ``ntile(5)`` over a TOTAL order (metric + user_id
+    tiebreak, so tile boundaries are engine-deterministic), composed into
+    the classic 3-digit segment code. Three metrics from ONE keyed agg;
+    the ntile windows run over the already-aggregated per-user table."""
+    ev = _t(spark, sf_dir, "events").filter(F.col("event_type") == "purchase")
+    per = ev.groupBy("user_id").agg(
+        F.max(F.unix_micros("ts")).alias("last_us"),
+        F.count(F.lit(1)).cast("bigint").alias("freq"),
+        F.round(F.sum(F.col("value").cast("decimal(18,4)")), 2)
+        .cast("double")
+        .alias("monetary"),
+    )
+    r = F.ntile(5).over(Window.orderBy(F.col("last_us").asc(), F.col("user_id").asc()))
+    f = F.ntile(5).over(Window.orderBy(F.col("freq").asc(), F.col("user_id").asc()))
+    m = F.ntile(5).over(
+        Window.orderBy(F.col("monetary").asc(), F.col("user_id").asc())
+    )
+    return (
+        per.select(
+            "user_id",
+            "freq",
+            "monetary",
+            r.cast("int").alias("r_score"),
+            f.cast("int").alias("f_score"),
+            m.cast("int").alias("m_score"),
+        )
+        .withColumn(
+            "segment",
+            F.concat(
+                F.col("r_score").cast("string"),
+                F.col("f_score").cast("string"),
+                F.col("m_score").cast("string"),
+            ),
+        )
+        .orderBy("user_id")
+    )
+
+
+SQL_RFM_SEGMENTS = """
+WITH per AS (
+  SELECT user_id, max(epoch_us(ts)) AS last_us,
+         count(*)::BIGINT AS freq,
+         round(sum(CAST(value AS DECIMAL(18,4))), 2)::DOUBLE AS monetary
+  FROM events WHERE event_type = 'purchase' GROUP BY user_id),
+scored AS (
+  SELECT user_id, freq, monetary,
+         CAST(ntile(5) OVER (ORDER BY last_us, user_id) AS INT) AS r_score,
+         CAST(ntile(5) OVER (ORDER BY freq, user_id) AS INT) AS f_score,
+         CAST(ntile(5) OVER (ORDER BY monetary, user_id) AS INT) AS m_score
+  FROM per)
+SELECT user_id, freq, monetary, r_score, f_score, m_score,
+       r_score::VARCHAR || f_score::VARCHAR || m_score::VARCHAR AS segment
+FROM scored ORDER BY user_id
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -8817,6 +8876,7 @@ _REGISTRY: list[tuple[str, Callable[[SparkSession, str], DataFrame], str | None]
     ("last_touch_attribution", q_last_touch_attribution, SQL_LAST_TOUCH),
     ("embedding_outliers", q_embedding_outliers, SQL_EMBEDDING_OUTLIERS),
     ("ngram_novelty", q_ngram_novelty, SQL_NGRAM_NOVELTY),
+    ("rfm_segments", q_rfm_segments, SQL_RFM_SEGMENTS),
 ]
 
 

@@ -194,6 +194,7 @@ HEADLINE = [
     "last_touch_attribution",
     "embedding_outliers",
     "ngram_novelty",
+    "rfm_segments",
 ]
 
 #: deliberate shadows: oracle-exact twins of faster default kernels, kept
