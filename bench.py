@@ -28,6 +28,7 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 import __spark_entry__ as E
+from ingestion_scripts_spark.caching import release_caches
 from ingestion_scripts_spark.session import build_session
 
 #: headline subset — the queries whose plans exercise every engine surface:
@@ -253,6 +254,11 @@ def main() -> None:
             rows = qs[name](spark, sf_dir).collect()
             samples.append(time.perf_counter() - t0)
             del rows
+            # release operator-internal tracked caches after the timer:
+            # each run rebuilds the plan (and re-persists), so unreleased
+            # caches from prior runs would accumulate orphaned RDDs across
+            # the ~200-query session (ADVICE r3 leak fix)
+            release_caches()
             # adaptive repeats: sub-0.7 s queries are codegen-dominated and
             # steal-insensitive — two samples suffice; the full median-of-N
             # is reserved for queries long enough for steal to distort.
@@ -268,7 +274,9 @@ def main() -> None:
     def timed_once(name: str) -> float:
         t0 = time.perf_counter()
         qs[name](spark, sf_dir).collect()
-        return round(time.perf_counter() - t0, 3)
+        dt = round(time.perf_counter() - t0, 3)
+        release_caches()
+        return dt
 
     per_shadow = {n: timed_once(n) for n in SHADOW if n in qs}
 

@@ -1,0 +1,58 @@
+"""Session-scoped registry for operator-internal persisted DataFrames.
+
+Several operators persist an intermediate that their (lazy) result plan
+consumes more than once — e.g. the token arrays in
+``operators/setjoin.py::setsim_join`` are read three times (prefix
+explode, verify-a, verify-b). The operator cannot unpersist before
+returning: the caller has not run the consuming action yet. But leaving
+the cache live forever is an unbounded leak across a long session that
+builds hundreds of query plans (bench.py runs ~200).
+
+The discipline:
+
+* operators call :func:`persist_tracked` instead of ``df.persist()`` for
+  any cache whose lifetime they cannot scope themselves;
+* harness loops (bench.py, tools/oracle_check.py, test fixtures) call
+  :func:`release_caches` after each query's consuming action completes.
+
+``MEMORY_AND_DISK`` means an unreleased cache degrades (evicts/spills)
+rather than OOMs, so forgetting to release is safe-but-wasteful — the
+registry turns "wasteful forever" into "released per query".
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.storagelevel import StorageLevel
+
+_LIVE: list[DataFrame] = []
+
+
+def persist_tracked(
+    df: DataFrame, level: StorageLevel = StorageLevel.MEMORY_AND_DISK
+) -> DataFrame:
+    """Persist ``df`` and register it for later :func:`release_caches`."""
+    df.persist(level)
+    _LIVE.append(df)
+    return df
+
+
+def release_caches() -> int:
+    """Unpersist every tracked DataFrame; returns how many were released.
+
+    ``blocking=False``: eviction proceeds asynchronously so the harness
+    loop never stalls on executor cleanup.
+    """
+    n = len(_LIVE)
+    for df in _LIVE:
+        try:
+            df.unpersist(blocking=False)
+        except Exception:
+            pass  # session already stopped — nothing to release
+    _LIVE.clear()
+    return n
+
+
+def live_count() -> int:
+    """Number of currently tracked (not yet released) caches."""
+    return len(_LIVE)

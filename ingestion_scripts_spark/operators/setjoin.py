@@ -30,6 +30,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from ingestion_scripts_spark.caching import persist_tracked
+
 
 def setsim_join(
     df: DataFrame,
@@ -46,10 +48,12 @@ def setsim_join(
     # the token arrays are typically an expensive upstream chain
     # (tokenize → ngram → distinct); this plan consumes them THREE times
     # (prefix explode, verify-a, verify-b), so persist the materialized
-    # arrays once (MEMORY_AND_DISK — spills, never OOMs, at corpus scale)
-    toks = df.select(
-        F.col(id_col).alias("__id"), F.col(tokens_col).alias("__tk")
-    ).persist()
+    # arrays once (MEMORY_AND_DISK — spills, never OOMs, at corpus scale).
+    # Tracked: the cache outlives this call (the returned plan is lazy);
+    # harnesses release it via caching.release_caches() post-action.
+    toks = persist_tracked(
+        df.select(F.col(id_col).alias("__id"), F.col(tokens_col).alias("__tk"))
+    )
     ex = toks.select(
         "__id", F.size("__tk").alias("__sz"), F.explode("__tk").alias("__tok")
     )

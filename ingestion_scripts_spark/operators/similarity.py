@@ -38,7 +38,25 @@ def spread(df: DataFrame) -> DataFrame:
     unaffected (the fold law stays bit-identical); only task placement
     changes, so oracle parity is untouched.
     """
-    target = df.sparkSession.sparkContext.defaultParallelism
+    spark = df.sparkSession
+    target = spark.sparkContext.defaultParallelism
+    # never probe .rdd.getNumPartitions(): under AQE that materializes
+    # upstream stages — a real Spark job per QUERY BUILD (r4 fix). The
+    # decision is metadata-only:
+    #  1. the plan already carries a Repartition (load_table spreads
+    #     documents/embeddings at the source) → trust it, no-op;
+    #  2. file-backed plan → estimate splits from file sizes (no job);
+    #  3. non-file plan (in-memory test input) → static partition count of
+    #     the parallelized RDD (no AQE stages underneath, probe is free).
+    if "Repartition" in df._jdf.queryExecution().analyzed().toString():
+        return df
+    files = df.inputFiles()
+    if files:
+        from ingestion_scripts_spark.sources.readers import estimated_file_splits
+
+        if estimated_file_splits(spark, list(files), target) < target:
+            return df.repartition(target)
+        return df
     if df.rdd.getNumPartitions() < target:
         return df.repartition(target)
     return df

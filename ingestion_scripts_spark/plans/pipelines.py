@@ -17,6 +17,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ..caching import persist_tracked
 from ..functions import nlp
 from ..functions.sentiment import make_demojize_udf, sentiment_native
 from ..functions.text import (
@@ -132,7 +133,8 @@ def reddit_pipeline(posts: DataFrame) -> DataFrame:
     # toks is consumed twice (keyword extraction AND the final join) and
     # carries the whole sentiment-enrich + clean chain — persist the
     # enriched rows once so the nested posexplode/re-nest runs one time
-    toks = toks.persist()
+    # (tracked: released by caching.release_caches() after the action)
+    toks = persist_tracked(toks)
     kw = extract_keywords(toks.select("id", "__toks"), "id", "__toks", k=5)
     out = (
         toks.drop("__toks", "keywords")

@@ -31,12 +31,53 @@ NANOS_TS_COLUMNS: dict[str, list[str]] = {"events": ["ts"]}
 #: spread note in load_table
 _SPREAD_TABLES = frozenset({"documents", "embeddings"})
 
+#: parquet schema per table path — populated on first read (see load_table)
+_SCHEMA_CACHE: dict[str, T.StructType] = {}
+
 
 def read_parquet(
     spark: SparkSession, path: str, columns: list[str] | None = None
 ) -> DataFrame:
     df = spark.read.parquet(path)
     return df.select(*columns) if columns else df
+
+
+def estimated_file_splits(spark: SparkSession, paths: list[str], stop_at: int) -> int:
+    """Scan-split estimate from file metadata ONLY — no Spark job.
+
+    ``df.rdd.getNumPartitions()`` under AQE materializes upstream query
+    stages (a real scan+shuffle job) just to learn the partition count, so
+    the spread gates must not touch ``.rdd``. Instead: splits ≈
+    Σ max(1, ceil(len/maxPartitionBytes)) over the input files, via the
+    Hadoop FileSystem client (driver-side metadata, any scheme). Early-out
+    at ``stop_at``: a production corpus with thousands of files answers
+    after one directory listing, not one RPC per file. Parquet row-group
+    granularity means the TRUE split count can be lower for huge
+    single-row-group files — acceptable: such files are a layout bug this
+    estimate shouldn't reward, and testdata files are all sub-split-size
+    (estimate exact)."""
+    sc = spark.sparkContext
+    jvm = sc._jvm
+    max_bytes = jvm.org.apache.spark.network.util.JavaUtils.byteStringAsBytes(
+        spark.conf.get("spark.sql.files.maxPartitionBytes", "134217728")
+    )
+    conf = sc._jsc.hadoopConfiguration()
+    splits = 0
+    for p in paths:
+        jp = jvm.org.apache.hadoop.fs.Path(p)
+        fs = jp.getFileSystem(conf)
+        for st in fs.globStatus(jp) or []:
+            if st.isDirectory():
+                for sub in fs.listStatus(st.getPath()):
+                    if not sub.isDirectory():
+                        splits += max(1, -(-sub.getLen() // max_bytes))
+                        if splits >= stop_at:
+                            return splits
+            else:
+                splits += max(1, -(-st.getLen() // max_bytes))
+        if splits >= stop_at:
+            return splits
+    return splits
 
 
 def load_table(
@@ -60,7 +101,18 @@ def load_table(
     ts_cols = NANOS_TS_COLUMNS.get(name, [])
     if ts_cols:
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    # schema-inference fires a (tiny but real) footer-read job on EVERY
+    # spark.read.parquet call; cache the inferred schema so only the first
+    # read of a table pays it and every later query build is job-free.
+    # Keyed per path: immutable testdata, and a changed file would be a
+    # new sf_dir. (r4: this was ~600 pointless jobs per bench session.)
+    key = f"{sf_dir}/{name}.parquet"
+    schema = _SCHEMA_CACHE.get(key)
+    if schema is None:
+        df = spark.read.parquet(key)
+        _SCHEMA_CACHE[key] = df.schema
+    else:
+        df = spark.read.schema(schema).parquet(key)
     for c in ts_cols:
         dtype = dict(df.dtypes).get(c)
         if dtype == "bigint":
@@ -86,7 +138,9 @@ def load_table(
     # TPC-H-shape query at sf0.1 with no compute to parallelize).
     if name in _SPREAD_TABLES:
         target = spark.sparkContext.defaultParallelism
-        if df.rdd.getNumPartitions() < target:
+        # metadata-only estimate — .rdd.getNumPartitions() under AQE runs
+        # a real job per call, charged to every query build (r4 fix)
+        if estimated_file_splits(spark, [f"{sf_dir}/{name}.parquet"], target) < target:
             df = df.repartition(target)
     return df.select(*columns) if columns else df
 

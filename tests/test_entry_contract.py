@@ -51,30 +51,70 @@ def test_catalog_register_testdata(spark):
 
 
 #: the driver certifies registry positions 1-50 each round; this is the
-#: deliberate r3 window (ROADMAP.md rotation table). r2's lesson: silent
-#: registry drift displaced fixed queries past position 50, so their fixes
-#: were never driver-certified — any change to this window must be a
-#: conscious edit of BOTH the registry and this pin.
-R3_WINDOW = [
-    "rss_pipeline", "reddit_pipeline", "twitter_pipeline", "sentiment",
-    "sessionize", "session_window_native", "session_window_dynamic",
-    "multimodal_meta", "multimodal_features", "multimodal_frames",
-    "stream_idempotent_sink", "stream_stateful_counts", "stream_dedup_counts",
-    "stream_enriched_counts", "stream_late_drop", "stream_stream_join",
-    "stream_outer_join", "stream_wm_dedup", "stream_fanout_sinks",
-    "bloom_gate", "curation_pipeline", "curation_to_sequences",
-    "props_extract", "idle_rich_customers", "cumulative_users",
-    "rolling_7d_value", "incremental_ingest", "tfidf_top_terms",
-    "dup_clusters", "hll_distinct_users", "repetition_signals", "pii_scrub",
-    "contamination", "stratified_sample", "simhash_near_dups",
-    "sequence_packing", "kmeans_clusters", "kmeans_sample",
-    "importance_weights", "pmi_bigrams", "nation_profit", "scd_upsert",
-    "dup_span_fraction", "jsonl_source", "anomaly_zscore",
-    "retention_cohorts", "flagship_doc_keywords", "pricing_summary",
-    "minhash_near_dups", "embedding_near_dup",
+#: deliberate r4 window (ROADMAP.md rotation table): the newest 50
+#: never-driver-green queries. r2's lesson: silent registry drift displaced
+#: fixed queries past position 50, so their fixes were never
+#: driver-certified — any change to this window must be a conscious edit of
+#: BOTH the registry and this pin.
+R4_WINDOW = [
+    "variant_props", "unpivot_part_metrics", "event_transitions",
+    "safe_cast_ingest", "url_canonicalize", "ewma_user_value",
+    "strip_accents_norm", "spearman_corr", "robust_zscore",
+    "hash_sample_per_key", "cube_revenue", "setsim_join_pairs",
+    "interval_join_bucketed", "sparse_cosine_pairs", "sliding_windows",
+    "xml_source", "supplier_wait_fault", "user_trend_slope",
+    "custom_feed_sink", "set_ops_users", "lateral_top_orders",
+    "scd_point_in_time", "wap_publish", "score_quantile_norm",
+    "trigram_udtf_top", "schema_evolution", "benford_profile", "bm25_topk",
+    "phrase_search", "token_budget_mix", "pagerank_transitions",
+    "dedup_threshold_curve", "incremental_near_dup", "embedding_profile",
+    "dup_cluster_stats", "source_similarity", "dedup_recall",
+    "stream_incremental_dedup", "tokenizer_fertility", "stratified_split",
+    "heavy_hitter_recall", "path_motifs", "sql_front_door",
+    "linear_interpolation", "bloom_join_revenue", "multimodal_resize",
+    "last_touch_attribution", "embedding_outliers", "ngram_novelty",
+    "rfm_segments",
 ]
 
 
 def test_driver_window_is_pinned():
     names = list(E.queries().keys())
-    assert names[:50] == R3_WINDOW
+    assert names[:50] == R4_WINDOW
+
+
+def test_rotation_retires_certification_debt():
+    """Mechanized ROADMAP rotation rule (VERDICT r3 item 7): the 50-query
+    driver window must be PACKED with never-driver-green queries while any
+    exist, and the remaining never-green must be queued immediately after
+    the window (so the next rotation is a pure block shift, not a hunt).
+    Fails if a new query is parked deep in the tail or the window wastes
+    slots on already-green anchors while debt remains."""
+    import glob
+    import json
+    import os
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    green: set[str] = set()
+    for path in sorted(glob.glob(os.path.join(root, "CORRECTNESS_r*.json"))):
+        for name, rec in json.load(open(path)).items():
+            if (
+                rec.get("rows_match")
+                and rec.get("schema_match")
+                and rec.get("hash_match")
+            ):
+                green.add(name)
+    names = list(E.queries().keys())
+    never = [n for n in names if n not in green]
+    window, tail = names[:50], names[50:]
+    # window slots go to debt first; anchors only once debt < 50
+    wasted = [n for n in window if n in green]
+    assert len(wasted) <= max(0, 50 - len(never)), (
+        f"window holds already-green queries while {len(never)} queries "
+        f"have no driver-green record: {wasted[:10]}"
+    )
+    # queued debt sits contiguously right after the window
+    queued = [n for n in never if n in tail]
+    assert tail[: len(queued)] == queued, (
+        "never-driver-green queries must be queued directly after the "
+        f"window; first mismatch near {tail[:len(queued)][:5]}"
+    )

@@ -97,3 +97,22 @@ def test_bloom_probe_filters_before_the_exchange(spark):
 def test_bm25_query_terms_broadcast(spark):
     p = plan(E.queries()["bm25_topk"](spark, SF))
     assert "BroadcastHashJoin" in p  # query terms into the postings
+
+
+def test_query_builders_are_lazy(spark):
+    # constructing these queries must not fire a Spark job (VERDICT r3:
+    # q_ann_recall used an eager .count() at build time; unigram_ppl and
+    # bigram_backoff_ppl had the same Python-float-denominator pattern).
+    # Builders that legitimately materialize at build time (streaming file
+    # pumps, wap_publish's audit, kmeans/bpe training loops) are excluded
+    # by design and documented in VERDICT r3.
+    # first build may fire one-off parquet listing/footer metadata jobs
+    # (cached per table); a REAL eager action (count/collect) fires on
+    # every build — so the pin is zero jobs on the warm rebuild.
+    tracker = spark.sparkContext.statusTracker()
+    for name in ("ann_recall", "unigram_ppl", "bigram_backoff_ppl"):
+        E.queries()[name](spark, SF)  # warm: metadata caches populate here
+        before = len(tracker.getJobIdsForGroup(None) or [])
+        E.queries()[name](spark, SF)
+        after = len(tracker.getJobIdsForGroup(None) or [])
+        assert after == before, f"{name} fired {after - before} job(s) at build time"

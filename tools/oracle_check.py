@@ -60,6 +60,7 @@ def main():
     only = set(args)
 
     import __spark_entry__ as E
+    from ingestion_scripts_spark.caching import release_caches
     from ingestion_scripts_spark.session import build_session
 
     spark = build_session(master="local[8]", shuffle_partitions=8)
@@ -82,6 +83,10 @@ def main():
             failures.append(name)
             print(f"[FAIL] {name}: SPARK ERROR {type(e).__name__}: {str(e)[:500]}")
             continue
+        finally:
+            # operator-internal tracked caches die with the query's action
+            # (the full-registry sweep runs ~200 queries in one session)
+            release_caches()
         if name not in sqls:
             print(f"[rows-only] {name}: {len(sdf)} rows")
             continue
