@@ -81,7 +81,11 @@ def estimated_file_splits(spark: SparkSession, paths: list[str], stop_at: int) -
 
 
 def load_table(
-    spark: SparkSession, sf_dir: str, name: str, columns: list[str] | None = None
+    spark: SparkSession,
+    sf_dir: str,
+    name: str,
+    columns: list[str] | None = None,
+    spread: bool = True,
 ) -> DataFrame:
     """Read one testdata table, normalizing nanos-timestamp columns to
     proper ``TimestampType`` so every downstream operator sees real
@@ -136,7 +140,11 @@ def load_table(
     # joins/aggregations that shuffle on their OWN keys — a round-robin
     # exchange before them is pure overhead (measured: +0.6-1.5 s per
     # TPC-H-shape query at sf0.1 with no compute to parallelize).
-    if name in _SPREAD_TABLES:
+    # ``spread=False`` opts out for consumers that impose their OWN
+    # partitioning immediately (e.g. a keyed repartition feeding a
+    # partitionBy sink) — a round-robin exchange before theirs is pure
+    # double-shuffle (measured: partitioned_sink 0.93 s → 0.41 s at sf0.1)
+    if spread and name in _SPREAD_TABLES:
         target = spark.sparkContext.defaultParallelism
         # metadata-only estimate — .rdd.getNumPartitions() under AQE runs
         # a real job per call, charged to every query build (r4 fix)
