@@ -8713,6 +8713,59 @@ FROM scored ORDER BY user_id
 """
 
 
+def q_textrank_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sentence-scoring summarizer (VERDICT r3 item 8): the
+    newspaper3k-fidelity twin of the first-k-sentences ``summary_native``
+    (reference ``rss_consumer.py:112-116`` ``article.nlp()``). Sentence
+    score = exact integer Σ of doc-level term frequencies over the
+    sentence's stopword-filtered tokens; top-2 by (score DESC, position
+    ASC) emitted in document order. The whole law is integer + fixed
+    regexes → hash-exact across engines; the oracle re-derives every
+    stage as CTEs."""
+    from ingestion_scripts_spark.functions.nlp import frequency_rank_summary
+
+    docs = _t(spark, sf_dir, "documents")
+    out = frequency_rank_summary(docs, "doc_id", "text", k_sentences=2)
+    return out.orderBy("doc_id")
+
+
+def _sql_textrank_summary() -> str:
+    from ingestion_scripts_spark.functions.nlp import SENTENCE_PATTERN
+
+    toks = O.sql_remove_stopwords(
+        O.sql_tokenize_ws(O.sql_clean_text("e.sent"))
+    )
+    return f"""
+WITH base AS (
+  SELECT doc_id,
+         list_transform(regexp_extract_all(text, {O.sq(SENTENCE_PATTERN)}),
+                        s -> trim(s)) AS sents
+  FROM documents),
+ex AS (
+  SELECT doc_id, u.pos AS pos, u.sent AS sent
+  FROM (SELECT doc_id,
+               unnest(list_transform(range(1, len(sents) + 1),
+                      i -> struct_pack(pos := i, sent := sents[i]))) AS u
+        FROM base)),
+tk AS (SELECT e.doc_id, e.pos, unnest({toks}) AS w FROM ex e),
+tf AS (SELECT doc_id, w, count(*) AS c FROM tk GROUP BY 1, 2),
+scored AS (
+  SELECT t.doc_id, t.pos, sum(f.c) AS score
+  FROM tk t JOIN tf f USING (doc_id, w) GROUP BY 1, 2),
+ranked AS (
+  SELECT e.doc_id, e.pos, e.sent,
+         row_number() OVER (PARTITION BY e.doc_id
+                            ORDER BY coalesce(s.score, 0) DESC, e.pos ASC) AS rn
+  FROM ex e LEFT JOIN scored s ON e.doc_id = s.doc_id AND e.pos = s.pos),
+sel AS (
+  SELECT doc_id, string_agg(sent, ' ' ORDER BY pos) AS summary
+  FROM ranked WHERE rn <= 2 GROUP BY doc_id)
+SELECT d.doc_id, coalesce(sel.summary, '') AS summary
+FROM documents d LEFT JOIN sel ON d.doc_id = sel.doc_id
+ORDER BY d.doc_id
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -8821,6 +8874,8 @@ _REGISTRY: list[tuple[str, Callable[[SparkSession, str], DataFrame], str | None]
     ("stream_custom_source", q_stream_custom_source, _sql_stream_custom_feed()),
     ("dq_checks", q_dq_checks, SQL_DQ_CHECKS),
     ("sessionize_udtf", q_sessionize_udtf, SQL_SESSIONIZE),
+    # --- added in r4 (mimic-green this round; driver window r5/r6) ---
+    ("textrank_summary", q_textrank_summary, _sql_textrank_summary()),
     # --- driver-green in r1-r3 (re-certified on the r5+ round-robin) ---
     ("rss_pipeline", q_rss_pipeline, SQL_RSS_PIPELINE),
     ("reddit_pipeline", q_reddit_pipeline, SQL_REDDIT_PIPELINE),

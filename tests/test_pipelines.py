@@ -96,3 +96,26 @@ def test_twitter_pipeline(spark):
     assert out.hashtags == ["Spark", "bigdata"]
     assert out.sentiment.compound > 0
     assert out.created_at_ts == datetime.datetime(2023, 1, 1, 0, 0, 0)
+
+
+def test_frequency_rank_summary_scores_and_edges(spark):
+    from ingestion_scripts_spark.functions.nlp import frequency_rank_summary
+
+    rows = [
+        # "alpha" dominates doc TF -> both alpha sentences outscore the
+        # beta one; output preserves DOCUMENT order of the winners
+        (1, "Alpha alpha wins here. Beta sentence. Alpha again wins."),
+        # tie on score -> earlier position wins
+        (2, "One common. Two common."),
+        (3, ""),  # no sentences -> ''
+        (4, None),  # null text -> ''
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    got = {
+        r.doc_id: r.summary
+        for r in frequency_rank_summary(df, "doc_id", "text", 2).collect()
+    }
+    assert got[1] == "Alpha alpha wins here. Alpha again wins."
+    assert got[2] == "One common. Two common."
+    assert got[3] == ""
+    assert got[4] == ""
