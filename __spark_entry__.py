@@ -8766,6 +8766,81 @@ ORDER BY d.doc_id
 """
 
 
+#: literal SQL PIPE syntax (Spark 4 operator pipelines) executed verbatim
+#: by spark.sql — the |> form of the portable star query
+SQL_PIPE_LITERAL = """
+FROM orders o
+|> JOIN customer c ON o.o_custkey = c.c_custkey
+|> WHERE o.o_orderdate >= DATE '1995-01-01'
+   AND o.o_orderdate < DATE '1996-01-01'
+|> AGGREGATE CAST(count(*) AS BIGINT) AS n_orders,
+     CAST(round(sum(CAST(o.o_totalprice AS DECIMAL(18,4))), 2) AS DOUBLE)
+       AS revenue
+   GROUP BY c.c_mktsegment AS segment
+|> ORDER BY segment
+"""
+
+SQL_PIPE_FRONT_DOOR = """
+SELECT c.c_mktsegment AS segment,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       CAST(round(sum(CAST(o.o_totalprice AS DECIMAL(18,4))), 2) AS DOUBLE)
+         AS revenue
+FROM orders o
+JOIN customer c ON o.o_custkey = c.c_custkey
+WHERE o.o_orderdate >= DATE '1995-01-01'
+  AND o.o_orderdate < DATE '1996-01-01'
+GROUP BY c.c_mktsegment
+ORDER BY segment
+"""
+
+
+def q_sql_pipe_front_door(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 SQL pipe syntax end-to-end: the literal ``|>`` operator
+    pipeline above runs verbatim through ``spark.sql`` against catalog temp
+    views; the oracle runs the equivalent ANSI form. Catalyst lowers both
+    to the same star-join plan (broadcast dims, partial aggs) — this
+    certifies the pipe FRONT DOOR, the sql_front_door twin for the syntax
+    Spark 4 positions for incremental query building."""
+    from ingestion_scripts_spark.catalog import register_testdata
+
+    register_testdata(spark, sf_dir)
+    return spark.sql(SQL_PIPE_LITERAL)
+
+
+def q_stream_state_reader(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 state-store DATA SOURCE: after a keyed streaming aggregation
+    checkpoints, ``spark.read.format("statestore")`` reads the operator's
+    state back as a batch DataFrame — the ops/debugging surface for
+    inspecting (and auditing) live streaming state without stopping the
+    job. The law: the state rows of a completed per-type count over the
+    events stream must equal the plain batch GROUP BY — state IS the
+    aggregate. Scale: the state source reads the checkpoint's HDFS-backed
+    store partition-parallel; no driver materialization."""
+    import tempfile
+    import uuid
+
+    from ingestion_scripts_spark.sources.readers import read_events_stream
+
+    stream = read_events_stream(spark, sf_dir)
+    counts = stream.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
+    ckpt = tempfile.mkdtemp(prefix="ckpt_statereader_")
+    name = "state_probe_" + uuid.uuid4().hex[:8]
+    q = (
+        counts.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    st = spark.read.format("statestore").load(ckpt)
+    return st.select(
+        F.col("key.event_type").alias("event_type"),
+        F.col("value.count").cast("bigint").alias("n"),
+    ).orderBy("event_type")
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -8876,6 +8951,8 @@ _REGISTRY: list[tuple[str, Callable[[SparkSession, str], DataFrame], str | None]
     ("sessionize_udtf", q_sessionize_udtf, SQL_SESSIONIZE),
     # --- added in r4 (mimic-green this round; driver window r5/r6) ---
     ("textrank_summary", q_textrank_summary, _sql_textrank_summary()),
+    ("sql_pipe_front_door", q_sql_pipe_front_door, SQL_PIPE_FRONT_DOOR),
+    ("stream_state_reader", q_stream_state_reader, SQL_STREAM_DEDUP),
     # --- driver-green in r1-r3 (re-certified on the r5+ round-robin) ---
     ("rss_pipeline", q_rss_pipeline, SQL_RSS_PIPELINE),
     ("reddit_pipeline", q_reddit_pipeline, SQL_REDDIT_PIPELINE),

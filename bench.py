@@ -197,6 +197,7 @@ HEADLINE = [
     "ngram_novelty",
     "rfm_segments",
     "textrank_summary",
+    "sql_pipe_front_door",
 ]
 
 #: deliberate shadows: oracle-exact twins of faster default kernels, kept
@@ -223,6 +224,7 @@ STREAMING = [
     "stream_fanout_sinks",
     "stream_custom_source",
     "stream_incremental_dedup",
+    "stream_state_reader",
 ]
 
 
