@@ -8842,6 +8842,221 @@ def q_stream_state_reader(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# r4 batch 2: string-similarity join, itemset mining, graph triangles,
+# distribution drift
+# ---------------------------------------------------------------------------
+
+
+def q_edit_distance_names(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Catalog name canonicalization: every DISTINCT part-name pair within
+    Levenshtein distance 1, found by the positional q-gram count filter
+    (operators/editdist.py — Ed-Join family, NO all-pairs comparison),
+    each annotated with how many catalog rows carry each spelling. The
+    pair space is over distinct names (the entity-resolution shape), and
+    ids are xxhash64 of the name — no global row_number sort anywhere.
+    Reference has no string-similarity join; §2.9 curation surface."""
+    from ingestion_scripts_spark.operators import editdist as ED
+
+    part = _t(spark, sf_dir, "part")
+    names = part.groupBy("p_name").agg(F.count(F.lit(1)).alias("n_rows"))
+    ids = names.select(
+        F.xxhash64("p_name").alias("nid"), "p_name", "n_rows"
+    )
+    pairs = ED.qgram_edit_join(ids, "nid", "p_name", k=1, q=2).select(
+        F.least("s_a", "s_b").alias("name_a"),
+        F.greatest("s_a", "s_b").alias("name_b"),
+        "dist",
+    )
+    cnt = names.select(F.col("p_name"), F.col("n_rows"))
+    return (
+        pairs.join(
+            F.broadcast(cnt.select(F.col("p_name").alias("name_a"),
+                                   F.col("n_rows").alias("rows_a"))),
+            "name_a",
+        )
+        .join(
+            F.broadcast(cnt.select(F.col("p_name").alias("name_b"),
+                                   F.col("n_rows").alias("rows_b"))),
+            "name_b",
+        )
+        .select("name_a", "name_b", "dist", "rows_a", "rows_b")
+        .orderBy("name_a", "name_b")
+    )
+
+
+SQL_EDIT_DISTANCE_NAMES = """
+WITH n AS (SELECT p_name, count(*)::BIGINT AS n_rows FROM part GROUP BY 1)
+SELECT a.p_name AS name_a, b.p_name AS name_b,
+       levenshtein(a.p_name, b.p_name)::INTEGER AS dist,
+       a.n_rows AS rows_a, b.n_rows AS rows_b
+FROM n a JOIN n b
+  ON a.p_name < b.p_name
+ AND abs(length(a.p_name) - length(b.p_name)) <= 1
+WHERE levenshtein(a.p_name, b.p_name) <= 1
+ORDER BY name_a, name_b
+"""
+
+
+def q_basket_pair_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket pair mining (operators/itemsets.py): part pairs
+    co-ordered in >= 2 orders, with support counts and micro-unit lift.
+    A-priori pruning (infrequent items never enter the pair join) and a
+    basket-keyed equi-join — the 2-itemset core of association mining,
+    shaped for billions of baskets. Lift = pair_n * n_baskets /
+    (n_a * n_b) from exact BIGINT counts, one IEEE divide, snapped."""
+    from ingestion_scripts_spark.operators import itemsets as IT
+
+    li = _t(spark, sf_dir, "lineitem")
+    return IT.pair_support(li, "l_orderkey", "l_partkey", min_support=2).orderBy(
+        "item_a", "item_b"
+    )
+
+
+SQL_BASKET_PAIR_LIFT = """
+WITH b AS (SELECT DISTINCT l_orderkey AS bk, l_partkey AS it FROM lineitem),
+item_n AS (SELECT it, count(*)::BIGINT AS n_it FROM b GROUP BY 1),
+freq AS (SELECT it FROM item_n WHERE n_it >= 2),
+fb AS (SELECT b.bk, b.it FROM b JOIN freq USING (it)),
+pairs AS (
+  SELECT x.it AS item_a, y.it AS item_b, count(*)::BIGINT AS pair_n
+  FROM fb x JOIN fb y ON x.bk = y.bk AND x.it < y.it
+  GROUP BY 1, 2 HAVING count(*) >= 2),
+nb AS (SELECT count(DISTINCT bk)::BIGINT AS n_baskets FROM b)
+SELECT p.item_a, p.item_b, p.pair_n, na.n_it AS n_a, nbb.n_it AS n_b,
+       nb.n_baskets,
+       CAST(floor(1000000.0 * p.pair_n * nb.n_baskets
+                  / (na.n_it * nbb.n_it) + 0.5) AS BIGINT) AS lift_micro
+FROM pairs p
+JOIN item_n na ON na.it = p.item_a
+JOIN item_n nbb ON nbb.it = p.item_b
+CROSS JOIN nb
+ORDER BY item_a, item_b
+"""
+
+
+def q_triangle_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle counting + local clustering coefficient over the part
+    co-order graph (edge = two parts co-ordered in >= 2 orders). The
+    Spark side orients edges low-degree -> high-degree before the wedge
+    join (operators/graph.py::triangle_stats) so hub nodes cannot blow
+    up the join — O(m^1.5) wedges on any graph; triangle identity is
+    orientation-invariant, so the oracle's plain id-ordered enumeration
+    counts the same exact BIGINTs."""
+    from ingestion_scripts_spark.operators import graph as G
+
+    li = _t(spark, sf_dir, "lineitem")
+    b = li.select(
+        F.col("l_orderkey").alias("bk"), F.col("l_partkey").alias("it")
+    ).distinct()
+    x, y = b.alias("x"), b.alias("y")
+    edges = (
+        x.join(y, (F.col("x.bk") == F.col("y.bk")) & (F.col("x.it") < F.col("y.it")))
+        .groupBy(F.col("x.it").alias("a"), F.col("y.it").alias("b"))
+        .agg(F.count(F.lit(1)).alias("w"))
+        .filter(F.col("w") >= 2)
+        .select("a", "b")
+    )
+    return G.triangle_stats(edges, "a", "b").orderBy("node")
+
+
+SQL_TRIANGLE_COOCCURRENCE = """
+WITH bsk AS (SELECT DISTINCT l_orderkey AS bk, l_partkey AS it FROM lineitem),
+e AS (
+  SELECT x.it AS a, y.it AS b
+  FROM bsk x JOIN bsk y ON x.bk = y.bk AND x.it < y.it
+  GROUP BY 1, 2 HAVING count(*) >= 2),
+deg AS (
+  SELECT node, count(*)::BIGINT AS degree FROM (
+    SELECT a AS node FROM e UNION ALL SELECT b AS node FROM e) GROUP BY 1),
+tri AS (
+  SELECT e1.a AS n1, e1.b AS n2, e2.b AS n3
+  FROM e e1 JOIN e e2 ON e2.a = e1.b
+            JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b),
+per_node AS (
+  SELECT node, count(*)::BIGINT AS triangles FROM (
+    SELECT n1 AS node FROM tri UNION ALL SELECT n2 FROM tri
+    UNION ALL SELECT n3 FROM tri) GROUP BY 1)
+SELECT d.node, d.degree,
+       coalesce(t.triangles, 0)::BIGINT AS triangles,
+       CASE WHEN d.degree >= 2
+            THEN (2000000 * coalesce(t.triangles, 0)) // (d.degree * (d.degree - 1))
+            ELSE 0 END::BIGINT AS cc_micro
+FROM deg d LEFT JOIN per_node t USING (node)
+ORDER BY node
+"""
+
+
+def q_token_kl_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-distribution drift between two corpus slices (dataset-version
+    monitoring): KL(P||Q) contribution per token, where P is the unigram
+    distribution of slice A (even doc_id), Q the add-one-smoothed
+    distribution of slice B (odd doc_id) over the union vocabulary. The
+    log ratio is built from ONE divide of exact BIGINT products
+    (cnt_a*(Nb+V)) / (Na*(cnt_b+1)), the contribution snaps to integer
+    micro-units, and ordering uses the snapped integer — engine-exact
+    ranks, the BM25 idiom."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(
+        F.col("doc_id"),
+        F.explode(X.tokenize_ws(F.lower(F.col("text")))).alias("token"),
+    )
+    a = toks.filter(F.col("doc_id") % 2 == 0)
+    b = toks.filter(F.col("doc_id") % 2 == 1)
+    cnt_a = a.groupBy("token").agg(F.count(F.lit(1)).alias("cnt_a"))
+    cnt_b = b.groupBy("token").agg(F.count(F.lit(1)).alias("cnt_b"))
+    na = a.groupBy().agg(F.count(F.lit(1)).alias("na"))
+    nb = b.groupBy().agg(F.count(F.lit(1)).alias("nb"))
+    vocab = (
+        toks.select("token").distinct().groupBy().agg(F.count(F.lit(1)).alias("v"))
+    )
+    joined = (
+        cnt_a.join(cnt_b, "token", "left")
+        .withColumn("cnt_b", F.coalesce(F.col("cnt_b"), F.lit(0)).cast("bigint"))
+        .join(F.broadcast(na))
+        .join(F.broadcast(nb))
+        .join(F.broadcast(vocab))
+    )
+    ratio = (F.col("cnt_a") * (F.col("nb") + F.col("v"))) / (
+        F.col("na") * (F.col("cnt_b") + 1)
+    )
+    kl_micro = F.floor(
+        F.lit(1000000.0) * (F.col("cnt_a") / F.col("na")) * F.log(ratio)
+        + F.lit(0.5)
+    ).cast("bigint")
+    return (
+        joined.select(
+            "token",
+            F.col("cnt_a").cast("bigint").alias("cnt_a"),
+            "cnt_b",
+            kl_micro.alias("kl_micro"),
+        )
+        .orderBy(F.desc("kl_micro"), "token")
+    )
+
+
+SQL_TOKEN_KL_DRIFT = f"""
+WITH toks AS (
+  SELECT doc_id, unnest({O.sql_tokenize_ws('lower(text)')}) AS token
+  FROM documents),
+a AS (SELECT token FROM toks WHERE doc_id % 2 = 0),
+b AS (SELECT token FROM toks WHERE doc_id % 2 = 1),
+ca AS (SELECT token, count(*)::BIGINT AS cnt_a FROM a GROUP BY 1),
+cb AS (SELECT token, count(*)::BIGINT AS cnt_b FROM b GROUP BY 1),
+na AS (SELECT count(*)::BIGINT AS na FROM a),
+nb AS (SELECT count(*)::BIGINT AS nb FROM b),
+voc AS (SELECT count(DISTINCT token)::BIGINT AS v FROM toks)
+SELECT ca.token, ca.cnt_a, coalesce(cb.cnt_b, 0)::BIGINT AS cnt_b,
+       CAST(floor(1000000.0 * (ca.cnt_a / na.na)
+                  * ln((ca.cnt_a * (nb.nb + voc.v))
+                       / (na.na * (coalesce(cb.cnt_b, 0) + 1)))
+                  + 0.5) AS BIGINT) AS kl_micro
+FROM ca LEFT JOIN cb USING (token)
+CROSS JOIN na CROSS JOIN nb CROSS JOIN voc
+ORDER BY kl_micro DESC, token
+"""
+
+
+# ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
 
@@ -8953,6 +9168,10 @@ _REGISTRY: list[tuple[str, Callable[[SparkSession, str], DataFrame], str | None]
     ("textrank_summary", q_textrank_summary, _sql_textrank_summary()),
     ("sql_pipe_front_door", q_sql_pipe_front_door, SQL_PIPE_FRONT_DOOR),
     ("stream_state_reader", q_stream_state_reader, SQL_STREAM_DEDUP),
+    ("edit_distance_names", q_edit_distance_names, SQL_EDIT_DISTANCE_NAMES),
+    ("basket_pair_lift", q_basket_pair_lift, SQL_BASKET_PAIR_LIFT),
+    ("triangle_cooccurrence", q_triangle_cooccurrence, SQL_TRIANGLE_COOCCURRENCE),
+    ("token_kl_drift", q_token_kl_drift, SQL_TOKEN_KL_DRIFT),
     # --- driver-green in r1-r3 (re-certified on the r5+ round-robin) ---
     ("rss_pipeline", q_rss_pipeline, SQL_RSS_PIPELINE),
     ("reddit_pipeline", q_reddit_pipeline, SQL_REDDIT_PIPELINE),
