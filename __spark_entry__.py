@@ -9056,6 +9056,279 @@ ORDER BY kl_micro DESC, token
 """
 
 
+def q_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup-aware train/val/test split: near-duplicate CLUSTERS (MinHash
+    pairs → connected components) are the split unit, so no near-dup pair
+    can straddle train/test — the leakage mode that plain per-doc hashing
+    (q_dataset_split) cannot prevent. Split = salted hash of the cluster
+    id, 80/10/10. The report carries the machine-checked proof: the count
+    of near-dup pairs whose endpoints landed in different splits, joined
+    in as a broadcast 1-row aggregate (0 by construction — computed, not
+    assumed)."""
+    docs = _t(spark, sf_dir, "documents")
+    pairs = persist_tracked(
+        D.minhash_dedup_pairs(docs, "doc_id", "text", threshold=0.8)
+    )
+    comps = D.connected_components(pairs, "id_a", "id_b")
+    labeled = (
+        docs.select("doc_id", "n_chars")
+        .join(comps, docs.doc_id == comps.node, "left")
+        .select(
+            "doc_id",
+            "n_chars",
+            F.coalesce(F.col("comp"), F.col("doc_id")).cast("bigint").alias("cluster_id"),
+        )
+    )
+    h = X.hash64(F.concat(F.lit("lsplit:"), F.col("cluster_id").cast("string"))) % 10
+    split = (
+        F.when(h < 8, F.lit("train")).when(h < 9, F.lit("val")).otherwise("test")
+    )
+    sp = labeled.select("doc_id", "n_chars", "cluster_id", split.alias("split"))
+    leaks = (
+        pairs.join(
+            sp.select(F.col("doc_id").alias("id_a"), F.col("split").alias("sa")),
+            "id_a",
+        )
+        .join(
+            sp.select(F.col("doc_id").alias("id_b"), F.col("split").alias("sb")),
+            "id_b",
+        )
+        .groupBy()
+        .agg(
+            F.coalesce(
+                F.sum(F.when(F.col("sa") != F.col("sb"), 1).otherwise(0)), F.lit(0)
+            )
+            .cast("bigint")
+            .alias("cross_split_pairs")
+        )
+    )
+    return (
+        sp.groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.countDistinct("cluster_id").alias("n_clusters"),
+            F.sum("n_chars").cast("bigint").alias("n_chars"),
+        )
+        .join(F.broadcast(leaks))
+        .orderBy("split")
+    )
+
+
+def _sql_leakage_safe_split() -> str:
+    h = f"{O.sql_hash64(chr(39) + 'lsplit:' + chr(39) + ' || cluster_id')} % 10"
+    return f"""
+WITH RECURSIVE sh AS (SELECT doc_id, {_SH} AS sh FROM documents),
+sig AS (SELECT doc_id, sh, {_SIG} AS sig FROM sh WHERE len(sh) > 0),
+banded AS (
+  SELECT doc_id, b AS band,
+         md5(array_to_string(list_transform(sig[b*4+1:b*4+4], x -> x::VARCHAR), ',')) AS bucket
+  FROM sig, unnest([0,1,2,3]) AS u(b)),
+cand AS (
+  SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
+  FROM banded l JOIN banded r
+    ON l.band = r.band AND l.bucket = r.bucket AND l.doc_id < r.doc_id),
+pairs AS (
+  SELECT id_a, id_b
+  FROM cand JOIN sh a ON cand.id_a = a.doc_id JOIN sh b ON cand.id_b = b.doc_id
+  WHERE round(len(list_intersect(a.sh, b.sh))::DOUBLE /
+              len(list_distinct(a.sh || b.sh)), 6) >= 0.8),
+edges AS (SELECT id_a AS a, id_b AS b FROM pairs
+          UNION SELECT id_b, id_a FROM pairs),
+reach AS (SELECT a, b FROM edges
+          UNION SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+comp AS (SELECT a AS node, least(a, min(b)) AS comp FROM reach GROUP BY a),
+labeled AS (
+  SELECT d.doc_id, d.n_chars,
+         coalesce(c.comp, d.doc_id)::BIGINT AS cluster_id
+  FROM documents d LEFT JOIN comp c ON d.doc_id = c.node),
+sp AS (
+  SELECT doc_id, n_chars, cluster_id,
+         CASE WHEN {h} < 8 THEN 'train'
+              WHEN {h} < 9 THEN 'val' ELSE 'test' END AS split
+  FROM labeled),
+leaks AS (
+  SELECT coalesce(sum(CASE WHEN sa.split <> sb.split THEN 1 ELSE 0 END), 0)::BIGINT
+           AS cross_split_pairs
+  FROM pairs p JOIN sp sa ON p.id_a = sa.doc_id
+               JOIN sp sb ON p.id_b = sb.doc_id)
+SELECT split, count(*)::BIGINT AS n_docs,
+       count(DISTINCT cluster_id)::BIGINT AS n_clusters,
+       sum(n_chars)::BIGINT AS n_chars,
+       leaks.cross_split_pairs
+FROM sp CROSS JOIN leaks
+GROUP BY split, leaks.cross_split_pairs
+ORDER BY split
+"""
+
+
+def q_hybrid_rank_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval with reciprocal-rank fusion (RRF, the standard
+    lexical+dense combiner in RAG stacks): for each query doc
+    (doc_id % 101 == 0), fuse (a) a lexical ranking by distinct-token
+    overlap and (b) the dense cosine ranking over the aligned embedding,
+    via rrf_nano = Σ_list 1e9 div (60 + rank) — pure BIGINT, so fused
+    ranks are engine-exact. Missing-from-one-list candidates contribute
+    only the list they appear in (full outer fusion)."""
+    docs = _t(spark, sf_dir, "documents")
+    emb = _t(spark, sf_dir, "embeddings")
+    toks = docs.select(
+        "doc_id", F.array_distinct(X.tokenize_ws(F.lower(F.col("text")))).alias("tk")
+    )
+    qt = toks.filter(F.col("doc_id") % 101 == 0).select(
+        F.col("doc_id").alias("query_id"), F.col("tk").alias("qtk")
+    )
+    lex = (
+        F.broadcast(qt)
+        .crossJoin(toks.select(F.col("doc_id").alias("match_id"), "tk"))
+        .filter(F.col("query_id") != F.col("match_id"))
+        .select(
+            "query_id",
+            "match_id",
+            F.size(F.array_intersect("qtk", "tk")).cast("bigint").alias("overlap"),
+        )
+        .filter(F.col("overlap") > 0)
+        .withColumn(
+            "lex_rank",
+            F.row_number().over(
+                Window.partitionBy("query_id").orderBy(
+                    F.desc("overlap"), F.asc("match_id")
+                )
+            ),
+        )
+        .filter(F.col("lex_rank") <= 10)
+        .select("query_id", "match_id", "lex_rank")
+    )
+    dense = (
+        SIM.cosine_topk(emb.filter(F.col("vec_id") % 101 == 0), emb, k=10)
+        .select("query_id", "match_id", F.col("rank").alias("dense_rank"))
+    )
+    fused = (
+        lex.join(dense, ["query_id", "match_id"], "full_outer")
+        .withColumn(
+            "rrf_nano",
+            F.expr(
+                "coalesce(1000000000 div (60 + lex_rank), 0L)"
+                " + coalesce(1000000000 div (60 + dense_rank), 0L)"
+            ).cast("bigint"),
+        )
+        .withColumn(
+            "fused_rank",
+            F.row_number().over(
+                Window.partitionBy("query_id").orderBy(
+                    F.desc("rrf_nano"), F.asc("match_id")
+                )
+            ),
+        )
+        .filter(F.col("fused_rank") <= 10)
+        .select(
+            "query_id", "match_id", "lex_rank", "dense_rank", "rrf_nano",
+            "fused_rank",
+        )
+        .orderBy("query_id", "fused_rank")
+    )
+    return fused
+
+
+def _sql_hybrid_rank_fusion() -> str:
+    nrm = _SQL_NORM
+    return f"""
+WITH toks AS (
+  SELECT doc_id, list_distinct({O.sql_tokenize_ws('lower(text)')}) AS tk
+  FROM documents),
+qt AS (SELECT doc_id AS query_id, tk AS qtk FROM toks WHERE doc_id % 101 = 0),
+lex0 AS (
+  SELECT q.query_id, t.doc_id AS match_id,
+         len(list_intersect(q.qtk, t.tk))::BIGINT AS overlap
+  FROM qt q, toks t WHERE q.query_id <> t.doc_id),
+lex AS (
+  SELECT query_id, match_id, lex_rank FROM (
+    SELECT query_id, match_id,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY overlap DESC, match_id ASC) AS lex_rank
+    FROM lex0 WHERE overlap > 0)
+  WHERE lex_rank <= 10),
+q0 AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS v
+       FROM embeddings WHERE vec_id % 101 = 0),
+q AS (SELECT query_id, list_transform(v, x -> x / {nrm('v')}) AS qv FROM q0),
+c0 AS (SELECT vec_id AS match_id, embedding::DOUBLE[] AS v FROM embeddings),
+c AS (SELECT match_id, list_transform(v, x -> x / {nrm('v')}) AS cv FROM c0),
+scored AS (
+  SELECT query_id, match_id, round({O.sql_dot('qv', 'cv', 'len(qv)')}, 6) AS sim
+  FROM q, c WHERE query_id <> match_id),
+dense AS (
+  SELECT query_id, match_id, dense_rank FROM (
+    SELECT query_id, match_id,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY sim DESC, match_id ASC) AS dense_rank
+    FROM scored)
+  WHERE dense_rank <= 10),
+fused0 AS (
+  SELECT coalesce(l.query_id, d.query_id) AS query_id,
+         coalesce(l.match_id, d.match_id) AS match_id,
+         l.lex_rank, d.dense_rank,
+         (coalesce(1000000000 // (60 + l.lex_rank), 0)
+          + coalesce(1000000000 // (60 + d.dense_rank), 0))::BIGINT AS rrf_nano
+  FROM lex l FULL OUTER JOIN dense d
+    ON l.query_id = d.query_id AND l.match_id = d.match_id)
+SELECT query_id, match_id, lex_rank::INTEGER AS lex_rank,
+       dense_rank::INTEGER AS dense_rank, rrf_nano, fused_rank
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY rrf_nano DESC, match_id ASC) AS fused_rank
+  FROM fused0)
+WHERE fused_rank <= 10
+ORDER BY query_id, fused_rank
+"""
+
+
+def q_output_file_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sink file-size planning: pack each source's documents (in doc_id
+    order) into target-sized output files by cumulative size — the
+    deterministic twin of what a size-aware writer does, as an auditable
+    plan. file_no = (running_chars - n_chars) div target, i.e. a doc
+    belongs to the file its first byte lands in; per (source, file_no)
+    the plan reports doc count, char total, and the id range. Window
+    cumulative sums are exact BIGINTs — identical on both engines."""
+    target = 20_000
+    docs = _t(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy("doc_id")
+    planned = docs.select(
+        "source",
+        "doc_id",
+        "n_chars",
+        F.sum("n_chars").over(w).cast("bigint").alias("cum_chars"),
+    ).withColumn(
+        "file_no",
+        F.expr(f"(cum_chars - n_chars) div {target}").cast("bigint"),
+    )
+    return (
+        planned.groupBy("source", "file_no")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").cast("bigint").alias("chars"),
+            F.min("doc_id").alias("first_doc"),
+            F.max("doc_id").alias("last_doc"),
+        )
+        .orderBy("source", "file_no")
+    )
+
+
+SQL_OUTPUT_FILE_PLAN = """
+WITH planned AS (
+  SELECT source, doc_id, n_chars,
+         sum(n_chars) OVER (PARTITION BY source ORDER BY doc_id
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           ::BIGINT AS cum_chars
+  FROM documents)
+SELECT source, ((cum_chars - n_chars) // 20000)::BIGINT AS file_no,
+       count(*)::BIGINT AS n_docs, sum(n_chars)::BIGINT AS chars,
+       min(doc_id) AS first_doc, max(doc_id) AS last_doc
+FROM planned
+GROUP BY 1, 2
+ORDER BY source, file_no
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -9172,6 +9445,9 @@ _REGISTRY: list[tuple[str, Callable[[SparkSession, str], DataFrame], str | None]
     ("basket_pair_lift", q_basket_pair_lift, SQL_BASKET_PAIR_LIFT),
     ("triangle_cooccurrence", q_triangle_cooccurrence, SQL_TRIANGLE_COOCCURRENCE),
     ("token_kl_drift", q_token_kl_drift, SQL_TOKEN_KL_DRIFT),
+    ("leakage_safe_split", q_leakage_safe_split, _sql_leakage_safe_split()),
+    ("hybrid_rank_fusion", q_hybrid_rank_fusion, _sql_hybrid_rank_fusion()),
+    ("output_file_plan", q_output_file_plan, SQL_OUTPUT_FILE_PLAN),
     # --- driver-green in r1-r3 (re-certified on the r5+ round-robin) ---
     ("rss_pipeline", q_rss_pipeline, SQL_RSS_PIPELINE),
     ("reddit_pipeline", q_reddit_pipeline, SQL_REDDIT_PIPELINE),
