@@ -198,6 +198,13 @@ HEADLINE = [
     "rfm_segments",
     "textrank_summary",
     "sql_pipe_front_door",
+    "edit_distance_names",
+    "basket_pair_lift",
+    "triangle_cooccurrence",
+    "token_kl_drift",
+    "leakage_safe_split",
+    "hybrid_rank_fusion",
+    "output_file_plan",
 ]
 
 #: deliberate shadows: oracle-exact twins of faster default kernels, kept

@@ -116,3 +116,35 @@ def test_query_builders_are_lazy(spark):
         E.queries()[name](spark, SF)
         after = len(tracker.getJobIdsForGroup(None) or [])
         assert after == before, f"{name} fired {after - before} job(s) at build time"
+
+
+def test_dynamic_partition_pruning_on_partitioned_sink(spark, tmp_path):
+    # a date-partitioned fact joined to a date-filtered dim must prune
+    # partitions at RUNTIME via DPP (the mechanism that turns a 100 TB
+    # full scan into a 3-day scan when the dim filter isn't a literal on
+    # the fact) — the scan's PartitionFilters must carry a dynamicpruning
+    # subquery, not just static filters
+    from pyspark.sql import functions as F
+
+    from ingestion_scripts_spark.sources.readers import load_table
+
+    fact_dir = str(tmp_path / "events_by_day")
+    ev = load_table(spark, SF, "events").withColumn(
+        "event_date", F.to_date("ts")
+    )
+    ev.write.mode("overwrite").partitionBy("event_date").parquet(fact_dir)
+
+    fact = spark.read.parquet(fact_dir)
+    dim = (
+        fact.select("event_date").distinct().orderBy("event_date").limit(3)
+        .withColumn("keep", F.lit(1))
+    )
+    # materialize the dim to its own parquet so the optimizer can't
+    # constant-fold the filter into static partition pruning
+    dim_dir = str(tmp_path / "dim_days")
+    dim.write.mode("overwrite").parquet(dim_dir)
+    dim2 = spark.read.parquet(dim_dir).filter(F.col("keep") == 1)
+
+    joined = fact.join(dim2, "event_date").groupBy("event_date").count()
+    p = plan(joined)
+    assert "dynamicpruning" in p.lower(), p
