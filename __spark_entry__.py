@@ -9329,6 +9329,142 @@ ORDER BY source, file_no
 """
 
 
+def q_mmr_diverse_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Diverse retrieval via Maximal Marginal Relevance
+    (operators/similarity.py::mmr_rerank): per query embedding
+    (vec_id % 101 == 0), greedily select 3 of the top-8 cosine candidates
+    balancing relevance against redundancy (lam = 0.7). The greedy loop is
+    unrolled into the plan (no driver state); scores are BIGINT
+    ``7*simu - 3*max_psimu`` with NO division, so picks are engine-exact
+    even for negative inter-candidate cosines. The oracle unrolls the same
+    3 rounds as CTEs."""
+    emb = _t(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") % 101 == 0)
+    return SIM.mmr_rerank(q, emb, k_candidates=8, k_select=3).orderBy(
+        "query_id", "sel_round"
+    )
+
+
+def _sql_mmr_diverse_topk() -> str:
+    nrm = _SQL_NORM
+    return f"""
+WITH q0 AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS v
+            FROM embeddings WHERE vec_id % 101 = 0),
+q AS (SELECT query_id, list_transform(v, x -> x / {nrm('v')}) AS qv FROM q0),
+c0 AS (SELECT vec_id AS cid, embedding::DOUBLE[] AS v FROM embeddings),
+c AS (SELECT cid, list_transform(v, x -> x / {nrm('v')}) AS cv FROM c0),
+scored AS (
+  SELECT query_id, cid AS match_id,
+         round({O.sql_dot('qv', 'cv', 'len(qv)')}, 6) AS sim
+  FROM q, c WHERE query_id <> cid),
+cand AS (
+  SELECT query_id, match_id, sim,
+         CAST(round(sim * 1e6) AS BIGINT) AS simu
+  FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                                     ORDER BY sim DESC, match_id ASC) AS rnk
+        FROM scored)
+  WHERE rnk <= 8),
+pairs AS (
+  SELECT a.query_id, a.match_id AS id_a, b.match_id AS id_b,
+         CAST(round(round({O.sql_dot('ca.cv', 'cb.cv', 'len(ca.cv)')}, 6) * 1e6)
+              AS BIGINT) AS psimu
+  FROM cand a JOIN cand b
+    ON a.query_id = b.query_id AND a.match_id <> b.match_id
+  JOIN c ca ON ca.cid = a.match_id
+  JOIN c cb ON cb.cid = b.match_id),
+sel1 AS (
+  SELECT query_id, match_id, 1 AS sel_round, sim,
+         (7 * simu)::BIGINT AS mmr_score10
+  FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                                     ORDER BY 7 * simu DESC, match_id ASC) AS rn
+        FROM cand)
+  WHERE rn = 1),
+red2 AS (
+  SELECT p.query_id, p.id_a, max(p.psimu) AS max_psimu
+  FROM pairs p JOIN sel1 s
+    ON p.query_id = s.query_id AND p.id_b = s.match_id
+  GROUP BY 1, 2),
+sc2 AS (
+  SELECT cand.query_id, cand.match_id, cand.sim,
+         (7 * cand.simu - 3 * r.max_psimu)::BIGINT AS score10
+  FROM cand
+  JOIN red2 r ON r.query_id = cand.query_id AND r.id_a = cand.match_id
+  WHERE NOT EXISTS (SELECT 1 FROM sel1 s
+                    WHERE s.query_id = cand.query_id
+                      AND s.match_id = cand.match_id)),
+sel2 AS (
+  SELECT query_id, match_id, 2 AS sel_round, sim, score10 AS mmr_score10
+  FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                                     ORDER BY score10 DESC, match_id ASC) AS rn
+        FROM sc2)
+  WHERE rn = 1),
+sel12 AS (SELECT query_id, match_id FROM sel1
+          UNION ALL SELECT query_id, match_id FROM sel2),
+red3 AS (
+  SELECT p.query_id, p.id_a, max(p.psimu) AS max_psimu
+  FROM pairs p JOIN sel12 s
+    ON p.query_id = s.query_id AND p.id_b = s.match_id
+  GROUP BY 1, 2),
+sc3 AS (
+  SELECT cand.query_id, cand.match_id, cand.sim,
+         (7 * cand.simu - 3 * r.max_psimu)::BIGINT AS score10
+  FROM cand
+  JOIN red3 r ON r.query_id = cand.query_id AND r.id_a = cand.match_id
+  WHERE NOT EXISTS (SELECT 1 FROM sel12 s
+                    WHERE s.query_id = cand.query_id
+                      AND s.match_id = cand.match_id)),
+sel3 AS (
+  SELECT query_id, match_id, 3 AS sel_round, sim, score10 AS mmr_score10
+  FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                                     ORDER BY score10 DESC, match_id ASC) AS rn
+        FROM sc3)
+  WHERE rn = 1)
+SELECT query_id, match_id, sel_round::INTEGER AS sel_round, sim, mmr_score10
+FROM (SELECT * FROM sel1 UNION ALL SELECT * FROM sel2
+      UNION ALL SELECT * FROM sel3)
+ORDER BY query_id, sel_round
+"""
+
+
+def q_k_anonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Privacy DQ audit: k-anonymity over the quasi-identifier
+    (event_type, event day) — equivalence classes whose distinct-user
+    count falls below k = 5 are re-identification risks that a release
+    gate must suppress or generalize. Single keyed aggregate; the report
+    lists every class with its row count, user count, and violation flag
+    (the suppression worklist, not just a yes/no)."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.select(
+            "event_type",
+            F.to_date("ts").cast("string").alias("day"),
+            "user_id",
+        )
+        .groupBy("event_type", "day")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+        .withColumn(
+            "violates_k5",
+            F.when(F.col("n_users") < 5, 1).otherwise(0).cast("int"),
+        )
+        .orderBy("event_type", "day")
+    )
+
+
+SQL_K_ANONYMITY = """
+SELECT event_type, strftime(ts, '%Y-%m-%d') AS day,
+       count(*)::BIGINT AS n_rows,
+       count(DISTINCT user_id)::BIGINT AS n_users,
+       (CASE WHEN count(DISTINCT user_id) < 5 THEN 1 ELSE 0 END)::INTEGER
+         AS violates_k5
+FROM events
+GROUP BY 1, 2
+ORDER BY event_type, day
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -9448,6 +9584,8 @@ _REGISTRY: list[tuple[str, Callable[[SparkSession, str], DataFrame], str | None]
     ("leakage_safe_split", q_leakage_safe_split, _sql_leakage_safe_split()),
     ("hybrid_rank_fusion", q_hybrid_rank_fusion, _sql_hybrid_rank_fusion()),
     ("output_file_plan", q_output_file_plan, SQL_OUTPUT_FILE_PLAN),
+    ("mmr_diverse_topk", q_mmr_diverse_topk, _sql_mmr_diverse_topk()),
+    ("k_anonymity_audit", q_k_anonymity_audit, SQL_K_ANONYMITY),
     # --- driver-green in r1-r3 (re-certified on the r5+ round-robin) ---
     ("rss_pipeline", q_rss_pipeline, SQL_RSS_PIPELINE),
     ("reddit_pipeline", q_reddit_pipeline, SQL_REDDIT_PIPELINE),

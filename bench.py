@@ -205,6 +205,8 @@ HEADLINE = [
     "leakage_safe_split",
     "hybrid_rank_fusion",
     "output_file_plan",
+    "mmr_diverse_topk",
+    "k_anonymity_audit",
 ]
 
 #: deliberate shadows: oracle-exact twins of faster default kernels, kept

@@ -458,3 +458,130 @@ def sparse_cosine_pairs(
         .select("id_a", "id_b", cos.alias("cos"))
         .where(F.col("cos") >= F.lit(min_cos_micro) / 1000000.0)
     )
+
+
+def mmr_rerank(
+    queries: DataFrame,
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k_candidates: int = 8,
+    k_select: int = 3,
+    lam_num: int = 7,
+    lam_den: int = 10,
+) -> DataFrame:
+    """Maximal Marginal Relevance re-ranking: greedily pick ``k_select``
+    results per query that balance query relevance against redundancy with
+    the already-picked set (diverse retrieval — the standard anti-"eight
+    copies of the same passage" step in RAG and dedup-aware search).
+
+    score(c | S) = lam * sim(q, c) - (1 - lam) * max_{s in S} sim(c, s)
+
+    Cross-engine exactness: cosine sims are rounded to 6 dp (the repo-wide
+    similarity law) and lifted to BIGINT micro-units; the MMR score is then
+    ``lam_num * simu - (lam_den - lam_num) * max_psimu`` — NO division, so
+    there is no floor-vs-truncate ambiguity on negative scores, and greedy
+    picks (desc score, asc id) are bit-identical on any engine/partitioning.
+
+    The greedy loop is unrolled ``k_select`` times into the plan: each round
+    is a bounded join against the (tiny, per-query <= k_select) selected
+    set — no driver-side state, no action at build time. Candidate
+    generation reuses cosine_topk's broadcast kernel; candidate-candidate
+    sims are k^2 per query, bounded by construction.
+
+    Returns (query_id, match_id, sel_round, sim, mmr_score10) where
+    ``mmr_score10`` is in lam_den * 1e-7 units (score10 = 10x micro).
+    """
+    mu = lam_den - lam_num
+    cand = (
+        cosine_topk(queries, corpus, id_col, vec_col, k=k_candidates)
+        .withColumn("simu", F.round(F.col("sim") * 1e6).cast("bigint"))
+        .select("query_id", "match_id", "sim", "simu")
+    )
+    cv = _normed(corpus, "cid", id_col, vec_col, "cv")
+    pa = (
+        cand.select("query_id", F.col("match_id").alias("id_a"))
+        .join(cv, F.col("id_a") == F.col("cid"))
+        .select("query_id", "id_a", F.col("cv").alias("va"))
+    )
+    pb = (
+        cand.select("query_id", F.col("match_id").alias("id_b"))
+        .join(cv, F.col("id_b") == F.col("cid"))
+        .select("query_id", "id_b", F.col("cv").alias("vb"))
+    )
+    pairs = (
+        pa.join(pb, "query_id")
+        .filter(F.col("id_a") != F.col("id_b"))
+        .select(
+            "query_id",
+            "id_a",
+            "id_b",
+            F.round(F.round(dot(F.col("va"), F.col("vb")), 6) * 1e6)
+            .cast("bigint")
+            .alias("psimu"),
+        )
+    )
+
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("score10"), F.asc("match_id")
+    )
+    selected = None  # (query_id, sel_id) accumulated picks
+    out = None
+    for rnd in range(1, k_select + 1):
+        if selected is None:
+            remaining = cand
+            scored = remaining.withColumn(
+                "score10", (F.lit(lam_num) * F.col("simu")).cast("bigint")
+            )
+        else:
+            remaining = cand.join(
+                selected.select(
+                    "query_id", F.col("sel_id").alias("match_id")
+                ),
+                ["query_id", "match_id"],
+                "left_anti",
+            )
+            redundancy = (
+                pairs.join(
+                    selected,
+                    (pairs.query_id == selected.query_id)
+                    & (pairs.id_b == selected.sel_id),
+                )
+                .select(pairs.query_id, pairs.id_a, pairs.psimu)
+                .groupBy("query_id", "id_a")
+                .agg(F.max("psimu").alias("max_psimu"))
+            )
+            scored = remaining.join(
+                redundancy,
+                (remaining.query_id == redundancy.query_id)
+                & (remaining.match_id == redundancy.id_a),
+            ).select(
+                remaining.query_id,
+                remaining.match_id,
+                remaining.sim,
+                remaining.simu,
+                redundancy.max_psimu,
+            ).withColumn(
+                "score10",
+                (
+                    F.lit(lam_num) * F.col("simu")
+                    - F.lit(mu) * F.col("max_psimu")
+                ).cast("bigint"),
+            )
+        pick = (
+            scored.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select(
+                "query_id",
+                "match_id",
+                F.lit(rnd).cast("int").alias("sel_round"),
+                "sim",
+                F.col("score10").alias("mmr_score10"),
+            )
+        )
+        out = pick if out is None else out.unionByName(pick)
+        new_sel = pick.select("query_id", F.col("match_id").alias("sel_id"))
+        selected = (
+            new_sel if selected is None else selected.unionByName(new_sel)
+        )
+    return out

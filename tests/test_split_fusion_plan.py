@@ -58,3 +58,34 @@ def test_output_file_plan_partitions_each_source(spark):
     # every file except possibly the last per source starts under target
     for r in plan.collect():
         assert r.n_docs >= 1
+
+
+def test_mmr_lambda_one_degenerates_to_pure_relevance(spark):
+    # with lam = 1 the redundancy term vanishes: greedy MMR must pick
+    # exactly the cosine top-k_select in rank order
+    from ingestion_scripts_spark.operators.similarity import (
+        cosine_topk,
+        mmr_rerank,
+    )
+    from ingestion_scripts_spark.sources.readers import load_table
+
+    emb = load_table(spark, SF, "embeddings")
+    q = emb.filter(F.col("vec_id") % 101 == 0)
+    mmr = mmr_rerank(q, emb, k_candidates=8, k_select=3,
+                     lam_num=10, lam_den=10).collect()
+    top = cosine_topk(q, emb, k=3).collect()
+    got = {(r.query_id, r.sel_round): r.match_id for r in mmr}
+    want = {(r.query_id, r.rank): r.match_id for r in top}
+    assert got == want
+
+
+def test_mmr_selects_distinct_candidates(spark):
+    rows = __import__("__spark_entry__").queries()["mmr_diverse_topk"](
+        spark, SF
+    ).collect()
+    per_q = {}
+    for r in rows:
+        per_q.setdefault(r.query_id, []).append(r.match_id)
+    assert per_q
+    for ids in per_q.values():
+        assert len(ids) == len(set(ids)) == 3
