@@ -9465,6 +9465,286 @@ ORDER BY event_type, day
 """
 
 
+_JL_PLANES = SIM.hyperplanes(16, 64)
+
+
+def q_jl_projection_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Johnson-Lindenstrauss random projection as an ANN scale path:
+    embeddings are projected 64 -> 16 dims through deterministic
+    md5-derived hyperplanes (the same literals on both engines), top-5
+    cosine is computed in the REDUCED space, and per-query recall against
+    the full-space top-5 quantifies the speed/quality trade — at 100 TB
+    the reduced scan moves 4x fewer bytes through every shuffle and the
+    recall harness is the evidence the shortcut is safe. Sims round to
+    6 dp before ranking (repo similarity law)."""
+    emb = _t(spark, sf_dir, "embeddings")
+
+    def project(df):
+        dots = ", ".join(
+            "aggregate(zip_with(__v, array({lits}), (x, y) -> x * y), "
+            "cast(0.0 as double), (acc, x) -> acc + x)".format(
+                lits=", ".join(f"{x}D" for x in row)
+            )
+            for row in _JL_PLANES
+        )
+        return df.select(
+            F.col("vec_id"),
+            F.expr("transform(embedding, x -> cast(x as double))").alias("__v"),
+        ).selectExpr("vec_id", f"array({dots}) AS rvec")
+
+    red = project(emb)
+    rq = red.filter(F.col("vec_id") % 101 == 0).select(
+        "vec_id", F.col("rvec").alias("embedding")
+    )
+    rtop = SIM.cosine_topk(
+        rq,
+        red.select("vec_id", F.col("rvec").alias("embedding")),
+        k=5,
+    ).select("query_id", "match_id")
+    fq = emb.filter(F.col("vec_id") % 101 == 0)
+    ftop = SIM.cosine_topk(fq, emb, k=5).select(
+        "query_id", F.col("match_id").alias("fmatch")
+    )
+    hits = (
+        ftop.join(
+            rtop.withColumnRenamed("match_id", "fmatch"),
+            ["query_id", "fmatch"],
+            "left_semi",
+        )
+        .groupBy("query_id")
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+    )
+    return (
+        ftop.select("query_id")
+        .distinct()
+        .join(hits, "query_id", "left")
+        .select(
+            "query_id",
+            F.coalesce(F.col("n_hits"), F.lit(0)).cast("bigint").alias("n_hits"),
+            F.expr("CAST(coalesce(n_hits, 0L) * 1000000 div 5 AS BIGINT)").alias(
+                "recall_micro"
+            ),
+        )
+        .orderBy("query_id")
+    )
+
+
+def _sql_jl_projection_recall() -> str:
+    nrm = _SQL_NORM
+    dots = ", ".join(
+        "list_sum(list_transform(range(1, 64 + 1), i -> v[i] * ([{lits}])[i]))".format(
+            lits=", ".join(repr(x) for x in row)
+        )
+        for row in _JL_PLANES
+    )
+    return f"""
+WITH base AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+red AS (SELECT vec_id, [{dots}] AS rv FROM base),
+rn AS (SELECT vec_id, list_transform(rv, x -> x / {nrm('rv')}) AS rvn FROM red),
+rq AS (SELECT vec_id AS query_id, rvn AS qv FROM rn WHERE vec_id % 101 = 0),
+rscored AS (
+  SELECT q.query_id, c.vec_id AS match_id,
+         round({O.sql_dot('q.qv', 'c.rvn', '16')}, 6) AS sim
+  FROM rq q, rn c WHERE q.query_id <> c.vec_id),
+rtop AS (
+  SELECT query_id, match_id FROM (
+    SELECT query_id, match_id,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY sim DESC, match_id ASC) AS rnk
+    FROM rscored) WHERE rnk <= 5),
+fn AS (SELECT vec_id, list_transform(v, x -> x / {nrm('v')}) AS fvn FROM base),
+fq AS (SELECT vec_id AS query_id, fvn AS qv FROM fn WHERE vec_id % 101 = 0),
+fscored AS (
+  SELECT q.query_id, c.vec_id AS match_id,
+         round({O.sql_dot('q.qv', 'c.fvn', '64')}, 6) AS sim
+  FROM fq q, fn c WHERE q.query_id <> c.vec_id),
+ftop AS (
+  SELECT query_id, match_id FROM (
+    SELECT query_id, match_id,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY sim DESC, match_id ASC) AS rnk
+    FROM fscored) WHERE rnk <= 5),
+hits AS (
+  SELECT f.query_id, count(*)::BIGINT AS n_hits
+  FROM ftop f JOIN rtop r
+    ON f.query_id = r.query_id AND f.match_id = r.match_id
+  GROUP BY 1)
+SELECT q.query_id AS query_id, coalesce(h.n_hits, 0)::BIGINT AS n_hits,
+       (coalesce(h.n_hits, 0) * 1000000 // 5)::BIGINT AS recall_micro
+FROM (SELECT DISTINCT query_id FROM ftop) q
+LEFT JOIN hits h ON h.query_id = q.query_id
+ORDER BY q.query_id
+"""
+
+
+def q_holt_trend_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt double-exponential smoothing per user (level alpha=0.5, trend
+    beta=0.3) over the daily value series, plus the h=3 linear forecast —
+    the trend-aware upgrade of q_ewma_user_value. The recurrence is a
+    LEFT fold whose accumulator is the [level, trend] pair; both engines
+    fold the identical [x, 0] pair list left-to-right (Spark
+    ``F.aggregate`` seeded with the first pair, DuckDB ``list_reduce``
+    whose implicit seed IS the first element), so every IEEE operation
+    happens in the same order — bit-identical, partitioning-independent
+    (per-user arrays bounded by calendar days)."""
+    ev = _t(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "user_id", F.date_trunc("day", "ts").alias("day")
+    ).agg(F.sum(F.col("value").cast("decimal(18,4)")).cast("double").alias("v"))
+    per_user = daily.groupBy("user_id").agg(
+        F.sort_array(F.collect_list(F.struct("day", "v"))).alias("series")
+    )
+    lvl_new = "(0.5D * x[0] + 0.5D * (acc[0] + acc[1]))"
+    fold = F.expr(
+        "aggregate("
+        "  slice(pairs, 2, size(pairs) - 1),"
+        "  pairs[0],"
+        f"  (acc, x) -> array({lvl_new},"
+        f"               0.3D * ({lvl_new} - acc[0]) + 0.7D * acc[1])"
+        ")"
+    )
+    return (
+        per_user.select(
+            "user_id",
+            F.size("series").cast("bigint").alias("n_days"),
+            F.expr(
+                "transform(series, s -> array(s.v, cast(0.0 as double)))"
+            ).alias("pairs"),
+        )
+        .select("user_id", "n_days", fold.alias("lb"))
+        .select(
+            "user_id",
+            "n_days",
+            TA.r4(F.expr("lb[0]")).alias("level"),
+            TA.r4(F.expr("lb[1]")).alias("trend"),
+            TA.r4(F.expr("lb[0] + 3.0D * lb[1]")).alias("forecast_3"),
+        )
+        .orderBy("user_id")
+    )
+
+
+def _sql_holt_trend_forecast() -> str:
+    lvl_new = "(0.5 * x[1] + 0.5 * (acc[1] + acc[2]))"
+    return f"""
+WITH daily AS (
+  SELECT user_id, date_trunc('day', ts) AS day,
+         sum(CAST(value AS DECIMAL(18,4)))::DOUBLE AS v
+  FROM events GROUP BY user_id, date_trunc('day', ts)),
+series AS (
+  SELECT user_id, list([v, 0.0] ORDER BY day) AS pairs
+  FROM daily GROUP BY user_id),
+folded AS (
+  SELECT user_id, len(pairs)::BIGINT AS n_days,
+         list_reduce(pairs,
+           (acc, x) -> [{lvl_new},
+                        0.3 * ({lvl_new} - acc[1]) + 0.7 * acc[2]]) AS lb
+  FROM series)
+SELECT user_id, n_days,
+       {O.sql_r4('lb[1]')} AS level,
+       {O.sql_r4('lb[2]')} AS trend,
+       {O.sql_r4('lb[1] + 3.0 * lb[2]')} AS forecast_3
+FROM folded ORDER BY user_id
+"""
+
+
+_COV_METRICS = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+
+
+def q_covariance_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise covariance/correlation matrix over the lineitem metric
+    columns in ONE aggregate pass: every Σx, Σx², Σxy accumulates as
+    exact DECIMAL (order-independent across engines and partitionings —
+    the nation_profit float-sum lesson), and only the final cov/corr
+    arithmetic is float, rounded to 4 dp. The melt to (metric_a,
+    metric_b) rows is a literal stack over the single aggregate row —
+    no second scan."""
+    li = _t(spark, sf_dir, "lineitem")
+    aggs = [F.count(F.lit(1)).alias("n")]
+    for m in _COV_METRICS:
+        aggs.append(
+            F.sum(F.col(m).cast("decimal(18,4)")).alias(f"s_{m}")
+        )
+    for i, a in enumerate(_COV_METRICS):
+        for b in _COV_METRICS[i:]:
+            aggs.append(
+                F.sum(
+                    (F.col(a).cast("decimal(18,4)")
+                     * F.col(b).cast("decimal(18,4)")).cast("decimal(38,8)")
+                ).alias(f"p_{a}_{b}")
+            )
+    g = li.groupBy().agg(*aggs)
+    stack_rows = []
+    for i, a in enumerate(_COV_METRICS):
+        for b in _COV_METRICS[i:]:
+            cov = (
+                f"(CAST(p_{a}_{b} AS DOUBLE) - CAST(s_{a} AS DOUBLE) "
+                f"* CAST(s_{b} AS DOUBLE) / n) / n"
+            )
+            var_a = (
+                f"(CAST(p_{a}_{a} AS DOUBLE) - CAST(s_{a} AS DOUBLE) "
+                f"* CAST(s_{a} AS DOUBLE) / n) / n"
+            )
+            var_b = (
+                f"(CAST(p_{b}_{b} AS DOUBLE) - CAST(s_{b} AS DOUBLE) "
+                f"* CAST(s_{b} AS DOUBLE) / n) / n"
+            )
+            stack_rows.append(
+                f"struct('{a}' AS metric_a, '{b}' AS metric_b, "
+                f"floor(({cov}) * 1e4 + 0.5) / 1e4 AS cov, "
+                f"floor((({cov}) / sqrt(({var_a}) * ({var_b}))) * 1e4 + 0.5) "
+                f"/ 1e4 AS corr)"
+            )
+    return (
+        g.select(
+            F.explode(F.expr("array(" + ", ".join(stack_rows) + ")")).alias("r")
+        )
+        .select("r.metric_a", "r.metric_b", "r.cov", "r.corr")
+        .orderBy("metric_a", "metric_b")
+    )
+
+
+def _sql_covariance_matrix() -> str:
+    sums = ["count(*)::BIGINT AS n"]
+    for m in _COV_METRICS:
+        sums.append(f"sum(CAST({m} AS DECIMAL(18,4))) AS s_{m}")
+    for i, a in enumerate(_COV_METRICS):
+        for b in _COV_METRICS[i:]:
+            # DECIMAL(19,4) operands force DuckDB onto the int128 multiply
+            # path (18-wide operands overflow the int64 fast path); the
+            # PRODUCT VALUE is exact either way, so it hashes identically
+            # to Spark's decimal(37,8) product after the double cast
+            sums.append(
+                f"sum(CAST(CAST({a} AS DECIMAL(19,4)) "
+                f"* CAST({b} AS DECIMAL(19,4)) AS DECIMAL(38,8))) AS p_{a}_{b}"
+            )
+    rows = []
+    for i, a in enumerate(_COV_METRICS):
+        for b in _COV_METRICS[i:]:
+            cov = (
+                f"(CAST(p_{a}_{b} AS DOUBLE) - CAST(s_{a} AS DOUBLE) "
+                f"* CAST(s_{b} AS DOUBLE) / n) / n"
+            )
+            var_a = (
+                f"(CAST(p_{a}_{a} AS DOUBLE) - CAST(s_{a} AS DOUBLE) "
+                f"* CAST(s_{a} AS DOUBLE) / n) / n"
+            )
+            var_b = (
+                f"(CAST(p_{b}_{b} AS DOUBLE) - CAST(s_{b} AS DOUBLE) "
+                f"* CAST(s_{b} AS DOUBLE) / n) / n"
+            )
+            rows.append(
+                f"SELECT '{a}' AS metric_a, '{b}' AS metric_b, "
+                f"floor(({cov}) * 1e4 + 0.5) / 1e4 AS cov, "
+                f"floor((({cov}) / sqrt(({var_a}) * ({var_b}))) * 1e4 + 0.5) "
+                f"/ 1e4 AS corr FROM g"
+            )
+    return (
+        "WITH g AS (SELECT " + ", ".join(sums) + " FROM lineitem)\n"
+        + "\nUNION ALL\n".join(rows)
+        + "\nORDER BY metric_a, metric_b"
+    )
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -9586,6 +9866,9 @@ _REGISTRY: list[tuple[str, Callable[[SparkSession, str], DataFrame], str | None]
     ("output_file_plan", q_output_file_plan, SQL_OUTPUT_FILE_PLAN),
     ("mmr_diverse_topk", q_mmr_diverse_topk, _sql_mmr_diverse_topk()),
     ("k_anonymity_audit", q_k_anonymity_audit, SQL_K_ANONYMITY),
+    ("jl_projection_recall", q_jl_projection_recall, _sql_jl_projection_recall()),
+    ("holt_trend_forecast", q_holt_trend_forecast, _sql_holt_trend_forecast()),
+    ("covariance_matrix", q_covariance_matrix, _sql_covariance_matrix()),
     # --- driver-green in r1-r3 (re-certified on the r5+ round-robin) ---
     ("rss_pipeline", q_rss_pipeline, SQL_RSS_PIPELINE),
     ("reddit_pipeline", q_reddit_pipeline, SQL_REDDIT_PIPELINE),

@@ -207,6 +207,9 @@ HEADLINE = [
     "output_file_plan",
     "mmr_diverse_topk",
     "k_anonymity_audit",
+    "jl_projection_recall",
+    "holt_trend_forecast",
+    "covariance_matrix",
 ]
 
 #: deliberate shadows: oracle-exact twins of faster default kernels, kept
