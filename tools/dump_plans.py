@@ -48,6 +48,35 @@ COMMENT = {
         "Per-user lead window then keyed count. ReadSchema proves column "
         "pruning: props/value never leave the scan."
     ),
+    "edit_distance_names": (
+        "Ed-Join: the (gram, occ) posting equi-join generates candidates, "
+        "the count filter prunes before the levenshtein verify, and the "
+        "short-string fallback is an exploded-length equi-join - no "
+        "CartesianProduct anywhere in the tree."
+    ),
+    "triangle_cooccurrence": (
+        "Degree-oriented wedge join: edge orientation keys every join; "
+        "each stage is a keyed Exchange + SortMergeJoin/HashAggregate - "
+        "the O(m^1.5) triangle plan, immune to hub skew."
+    ),
+    "basket_pair_lift": (
+        "A-priori prune rides a BroadcastHashJoin (frequent items into "
+        "the basket scan); the pair join is keyed on the basket id; item "
+        "counts and the 1-row basket total broadcast back into the "
+        "lift projection."
+    ),
+    "mmr_diverse_topk": (
+        "Unrolled greedy selection: three bounded join+window rounds "
+        "chained in ONE lazy plan - no driver-side loop state, no action "
+        "at build time; candidate generation reuses the broadcast cosine "
+        "kernel."
+    ),
+    "jl_projection_recall": (
+        "The 64->16 projection is a single Project of 16 fold "
+        "expressions over the scan (plane literals inlined, no join); "
+        "both ANN arms then run the same broadcast top-k shape and meet "
+        "in a left-semi hit join."
+    ),
 }
 
 
