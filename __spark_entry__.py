@@ -9745,6 +9745,97 @@ def _sql_covariance_matrix() -> str:
     )
 
 
+def q_dup_clusters_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-level dedup resolved by the alternating large-star /
+    small-star connected components (operators/dedup.py::
+    connected_components_star, Kiveris et al. SoCC'14) — O(log diameter)
+    rounds instead of O(diameter), the variant that survives
+    adversarially long duplicate chains at cluster scale. Output contract
+    and oracle are IDENTICAL to `dup_clusters` (components are
+    algorithm-invariant), so the two implementations certify each other
+    through the same SQL twin."""
+    docs = _t(spark, sf_dir, "documents")
+    pairs = D.minhash_dedup_pairs(docs, "doc_id", "text", threshold=0.8)
+    comps = D.connected_components_star(pairs, "id_a", "id_b")
+    return (
+        docs.select("doc_id")
+        .join(comps, docs.doc_id == comps.node, "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("comp"), F.col("doc_id")).cast("bigint").alias("cluster_id"),
+        )
+        .withColumn(
+            "is_rep",
+            F.when(F.col("cluster_id") == F.col("doc_id"), 1).otherwise(0).cast("int"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def q_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric containment dedup (doc-in-doc / quote-subsumption): the
+    directional law 10·|A∩B| >= 9·|A| over distinct 3-gram shingles —
+    resemblance (Jaccard) misses a short doc fully embedded in a long
+    one because the union is dominated by the long side; containment is
+    the right test for boilerplate inclusion and quoting. Candidates come
+    from the shingle posting-list equi-join (the sparse_cosine shape:
+    keyed shuffles, candidate volume bounded by posting length), exact
+    integer threshold at the end."""
+    docs = _t(spark, sf_dir, "documents")
+    sh = docs.select(
+        "doc_id", D.shingles(F.col("text")).alias("sh")
+    ).filter(F.size("sh") > 0)
+    sizes = sh.select("doc_id", F.size("sh").cast("bigint").alias("n"))
+    post = sh.select("doc_id", F.explode("sh").alias("g"))
+    inter = (
+        post.alias("a")
+        .join(
+            post.alias("b"),
+            (F.col("a.g") == F.col("b.g"))
+            & (F.col("a.doc_id") != F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("id_sub"),
+            F.col("b.doc_id").alias("id_super"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    return (
+        inter.join(
+            sizes.select(F.col("doc_id").alias("id_sub"), F.col("n").alias("n_sub")),
+            "id_sub",
+        )
+        .join(
+            sizes.select(
+                F.col("doc_id").alias("id_super"), F.col("n").alias("n_super")
+            ),
+            "id_super",
+        )
+        .filter(10 * F.col("n_shared") >= 9 * F.col("n_sub"))
+        .select("id_sub", "id_super", "n_shared", "n_sub", "n_super")
+        .orderBy("id_sub", "id_super")
+    )
+
+
+SQL_CONTAINMENT_PAIRS = f"""
+WITH sh AS (SELECT doc_id, {_SH} AS sh FROM documents),
+s2 AS (SELECT doc_id, sh, len(sh)::BIGINT AS n FROM sh WHERE len(sh) > 0),
+post AS (SELECT doc_id, unnest(sh) AS g FROM s2),
+inter AS (
+  SELECT a.doc_id AS id_sub, b.doc_id AS id_super,
+         count(*)::BIGINT AS n_shared
+  FROM post a JOIN post b ON a.g = b.g AND a.doc_id <> b.doc_id
+  GROUP BY 1, 2)
+SELECT i.id_sub, i.id_super, i.n_shared,
+       sa.n AS n_sub, sb.n AS n_super
+FROM inter i
+JOIN s2 sa ON sa.doc_id = i.id_sub
+JOIN s2 sb ON sb.doc_id = i.id_super
+WHERE 10 * i.n_shared >= 9 * sa.n
+ORDER BY id_sub, id_super
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -9869,6 +9960,8 @@ _REGISTRY: list[tuple[str, Callable[[SparkSession, str], DataFrame], str | None]
     ("jl_projection_recall", q_jl_projection_recall, _sql_jl_projection_recall()),
     ("holt_trend_forecast", q_holt_trend_forecast, _sql_holt_trend_forecast()),
     ("covariance_matrix", q_covariance_matrix, _sql_covariance_matrix()),
+    ("dup_clusters_star", q_dup_clusters_star, SQL_DUP_CLUSTERS),
+    ("containment_pairs", q_containment_pairs, SQL_CONTAINMENT_PAIRS),
     # --- driver-green in r1-r3 (re-certified on the r5+ round-robin) ---
     ("rss_pipeline", q_rss_pipeline, SQL_RSS_PIPELINE),
     ("reddit_pipeline", q_reddit_pipeline, SQL_REDDIT_PIPELINE),

@@ -210,6 +210,8 @@ HEADLINE = [
     "jl_projection_recall",
     "holt_trend_forecast",
     "covariance_matrix",
+    "dup_clusters_star",
+    "containment_pairs",
 ]
 
 #: deliberate shadows: oracle-exact twins of faster default kernels, kept

@@ -913,3 +913,99 @@ SELECT probe.__k AS {key_col},
                      THEN 1 ELSE 0 END) AS INTEGER) AS maybe_in
 FROM probe LEFT JOIN slots s ON s.slot = probe.p // {w}
 GROUP BY 1"""
+
+
+def connected_components_star(
+    pairs: DataFrame,
+    src: str = "id_a",
+    dst: str = "id_b",
+    max_iter: int = 12,
+) -> DataFrame:
+    """Connected components via alternating large-star / small-star
+    (Kiveris et al., "Connected Components in MapReduce and Beyond",
+    SoCC'14) — the adversarial-chain-safe variant of
+    ``connected_components``: each large-star + small-star round roughly
+    halves component diameter, so a path graph of length L converges in
+    O(log L) rounds where plain min-label propagation needs O(L).
+
+    large-star: every node u connects each STRICTLY GREATER neighbor v to
+    u's minimum neighbor-or-self m(u) (edges (v, m)).
+    small-star: every node u connects all LESser-or-equal neighbors and
+    itself to m(u).
+
+    Both steps are a groupBy(u) + min + re-emit — two keyed shuffles per
+    round, no driver state beyond the convergence check. Returns
+    (node, comp) for every node appearing in ``pairs``, identical to
+    ``connected_components`` output (differentially pinned in tests).
+    """
+    e = pairs.select(
+        F.col(src).cast("bigint").alias("a"), F.col(dst).cast("bigint").alias("b")
+    )
+    # undirected, no self-loops, canonical direction not required
+    edges = (
+        e.union(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+        .localCheckpoint()
+    )
+    all_nodes = edges.select(F.col("a").alias("node")).distinct().localCheckpoint()
+
+    for _ in range(max_iter):
+        # large-star: for each u, m = min(N(u) ∪ {u}); emit (v, m) for v in N(u), v > u
+        nbr_min = edges.groupBy("a").agg(
+            F.least(F.min("b"), F.first("a")).alias("m")
+        )
+        large = (
+            edges.join(nbr_min, "a")
+            .filter(F.col("b") > F.col("a"))
+            .select(F.col("b").alias("a"), F.col("m").alias("b"))
+        )
+        edges = (
+            large.filter(F.col("a") != F.col("b"))
+            .distinct()
+            .localCheckpoint()
+        )
+        edges = edges.union(
+            edges.select(F.col("b").alias("a"), F.col("a").alias("b"))
+        ).distinct().localCheckpoint()
+
+        # small-star: for each u, m = min(N<=(u) ∪ {u}); emit (v, m) for v in N(u), v <= u, plus (u, m)
+        le = edges.filter(F.col("b") <= F.col("a"))
+        m_small = le.groupBy("a").agg(
+            F.least(F.min("b"), F.first("a")).alias("m")
+        )
+        small = (
+            le.join(m_small, "a")
+            .select(F.col("b").alias("a"), F.col("m").alias("b"))
+            .union(m_small.select(F.col("a"), F.col("m").alias("b")))
+        )
+        new_edges = (
+            small.filter(F.col("a") != F.col("b"))
+            .distinct()
+            .localCheckpoint()
+        )
+        new_und = new_edges.union(
+            new_edges.select(F.col("b").alias("a"), F.col("a").alias("b"))
+        ).distinct().localCheckpoint()
+
+        # converged when every remaining edge already points node -> its
+        # final minimum (star-shaped: no edge between two non-min nodes)
+        mins = new_und.groupBy("a").agg(F.min("b").alias("m"))
+        non_star = (
+            new_und.join(mins, "a")
+            .filter((F.col("b") != F.col("m")) & (F.col("b") > F.col("a")))
+            .limit(1)
+            .count()
+        )
+        edges = new_und
+        if non_star == 0:
+            break
+
+    comp = edges.groupBy("a").agg(F.min("b").alias("m")).select(
+        F.col("a").alias("node"),
+        F.least(F.col("a"), F.col("m")).alias("comp"),
+    )
+    return (
+        all_nodes.join(comp, "node", "left")
+        .select("node", F.coalesce(F.col("comp"), F.col("node")).alias("comp"))
+    )
