@@ -9836,6 +9836,120 @@ ORDER BY id_sub, id_super
 """
 
 
+def q_stream_scd_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming CDC → SCD2 dimension maintenance: two micro-batches of
+    absolute-state updates (acctbal +100 for custkey%7 at 2024-06-01,
+    then additionally +50 for custkey%5 at 2024-09-01) applied IN ORDER
+    by a foreachBatch MERGE — read the current versioned dimension,
+    scd2_apply (operators/sink.py), write the next version directory
+    (the open-format stand-in for MERGE INTO; per-batch output dirs keyed
+    by batchId make replay idempotent). The final dimension must equal
+    the two merges unrolled, which the oracle states in closed form:
+    keys in both update sets reach version 3, each version's validity
+    interval closed by the batch that superseded it."""
+    import glob
+    import os
+    import tempfile
+    import time
+
+    from ingestion_scripts_spark.operators.sink import scd2_apply
+    from ingestion_scripts_spark.sources.readers import load_table
+
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_acctbal", "c_mktsegment"
+    )
+    root = tempfile.mkdtemp(prefix="scd_stream_")
+    dim0 = f"{root}/dim_v0"
+    (
+        cust.withColumn("version", F.lit(1).cast("bigint"))
+        .withColumn("valid_from", F.lit("2024-01-01"))
+        .withColumn("valid_to", F.lit(None).cast("string"))
+        .write.mode("overwrite")
+        .parquet(dim0)
+    )
+    bump7 = F.when(F.col("c_custkey") % 7 == 0, F.lit(100.0)).otherwise(F.lit(0.0))
+    bump5 = F.when(F.col("c_custkey") % 5 == 0, F.lit(50.0)).otherwise(F.lit(0.0))
+    upd1 = cust.withColumn("c_acctbal", F.col("c_acctbal") + bump7).withColumn(
+        "effective_date", F.lit("2024-06-01")
+    )
+    upd2 = cust.withColumn(
+        "c_acctbal", F.col("c_acctbal") + bump7 + bump5
+    ).withColumn("effective_date", F.lit("2024-09-01"))
+    src = f"{root}/updates"
+    upd1.coalesce(1).write.mode("overwrite").parquet(f"{src}/b0")
+    upd2.coalesce(1).write.mode("overwrite").parquet(f"{src}/b1")
+    now = time.time()
+    for i, d in enumerate(("b0", "b1")):
+        for p in glob.glob(f"{src}/{d}/*.parquet"):
+            os.utime(p, (now - 200 + 50 * i, now - 200 + 50 * i))
+
+    state = {"dir": dim0}
+
+    def merge_batch(bdf, bid):
+        eff = bdf.groupBy().agg(F.max("effective_date")).collect()[0][0]
+        cur = bdf.sparkSession.read.parquet(state["dir"])
+        out = scd2_apply(
+            cur,
+            bdf.drop("effective_date"),
+            "c_custkey",
+            ["c_acctbal", "c_mktsegment"],
+            eff,
+        )
+        nxt = f"{root}/dim_v{bid + 1}"
+        out.write.mode("overwrite").parquet(nxt)
+        state["dir"] = nxt
+
+    stream = (
+        spark.readStream.schema(upd1.schema)
+        .option("maxFilesPerTrigger", 1)
+        .option("recursiveFileLookup", "true")
+        .parquet(src)
+    )
+    q = (
+        stream.writeStream.foreachBatch(merge_batch)
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="ckpt_scd_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return (
+        spark.read.parquet(state["dir"])
+        .select(
+            "c_custkey",
+            "c_acctbal",
+            "c_mktsegment",
+            F.col("version").cast("bigint").alias("version"),
+            "valid_from",
+            "valid_to",
+        )
+        .orderBy("c_custkey", "version")
+    )
+
+
+SQL_STREAM_SCD_MERGE = """
+SELECT c_custkey, c_acctbal, c_mktsegment,
+       CAST(1 AS BIGINT) AS version, '2024-01-01' AS valid_from,
+       CASE WHEN c_custkey % 7 = 0 THEN '2024-06-01'
+            WHEN c_custkey % 5 = 0 THEN '2024-09-01' END AS valid_to
+FROM customer
+UNION ALL
+SELECT c_custkey, c_acctbal + 100.0, c_mktsegment,
+       CAST(2 AS BIGINT) AS version, '2024-06-01' AS valid_from,
+       CASE WHEN c_custkey % 5 = 0 THEN '2024-09-01' END AS valid_to
+FROM customer WHERE c_custkey % 7 = 0
+UNION ALL
+SELECT c_custkey,
+       c_acctbal + (CASE WHEN c_custkey % 7 = 0 THEN 100.0 ELSE 0.0 END)
+                 + 50.0,
+       c_mktsegment,
+       CAST(CASE WHEN c_custkey % 7 = 0 THEN 3 ELSE 2 END AS BIGINT)
+         AS version,
+       '2024-09-01' AS valid_from, NULL AS valid_to
+FROM customer WHERE c_custkey % 5 = 0
+ORDER BY c_custkey, version
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -9962,6 +10076,7 @@ _REGISTRY: list[tuple[str, Callable[[SparkSession, str], DataFrame], str | None]
     ("covariance_matrix", q_covariance_matrix, _sql_covariance_matrix()),
     ("dup_clusters_star", q_dup_clusters_star, SQL_DUP_CLUSTERS),
     ("containment_pairs", q_containment_pairs, SQL_CONTAINMENT_PAIRS),
+    ("stream_scd_merge", q_stream_scd_merge, SQL_STREAM_SCD_MERGE),
     # --- driver-green in r1-r3 (re-certified on the r5+ round-robin) ---
     ("rss_pipeline", q_rss_pipeline, SQL_RSS_PIPELINE),
     ("reddit_pipeline", q_reddit_pipeline, SQL_REDDIT_PIPELINE),

@@ -239,6 +239,7 @@ STREAMING = [
     "stream_custom_source",
     "stream_incremental_dedup",
     "stream_state_reader",
+    "stream_scd_merge",
 ]
 
 
