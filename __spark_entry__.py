@@ -9950,6 +9950,39 @@ ORDER BY c_custkey, version
 """
 
 
+#: one literal recursive-SQL string, run VERBATIM by spark.sql AND DuckDB:
+#: iterative ancestor-chasing (c_custkey // 10 each hop) until the leading
+#: digit — the hierarchy-walk shape (org charts, category trees,
+#: transitive closure) executable with zero dialect translation now that
+#: Spark 4 ships WITH RECURSIVE. `CAST(floor(cur / 10) AS BIGINT)` is the
+#: portable integer-div (Spark casts double→bigint by truncation, DuckDB
+#: by rounding — floor() first makes both exact).
+SQL_RECURSIVE_PORTABLE = """
+WITH RECURSIVE anc AS (
+  SELECT c_custkey AS node, c_custkey AS cur, 0 AS depth FROM customer
+  UNION ALL
+  SELECT node, CAST(floor(cur / 10) AS BIGINT), depth + 1
+  FROM anc WHERE cur >= 10
+)
+SELECT cur AS lead_digit, max(depth) AS max_depth,
+       count(*) AS n_nodes
+FROM anc WHERE cur < 10
+GROUP BY cur ORDER BY lead_digit
+"""
+
+
+def q_recursive_front_door(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recursive-CTE front door: the SAME literal WITH RECURSIVE string
+    runs on Spark 4 (spark.sql over registered testdata views) and on the
+    DuckDB oracle — the iterative hierarchy-walk class (transitive
+    closure, ancestor chains) as portable SQL, complementing
+    `sql_front_door` (flat) and `sql_pipe_front_door` (pipe syntax)."""
+    from ingestion_scripts_spark.catalog import register_testdata
+
+    register_testdata(spark, sf_dir)
+    return spark.sql(SQL_RECURSIVE_PORTABLE)
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -10077,6 +10110,7 @@ _REGISTRY: list[tuple[str, Callable[[SparkSession, str], DataFrame], str | None]
     ("dup_clusters_star", q_dup_clusters_star, SQL_DUP_CLUSTERS),
     ("containment_pairs", q_containment_pairs, SQL_CONTAINMENT_PAIRS),
     ("stream_scd_merge", q_stream_scd_merge, SQL_STREAM_SCD_MERGE),
+    ("recursive_front_door", q_recursive_front_door, SQL_RECURSIVE_PORTABLE),
     # --- driver-green in r1-r3 (re-certified on the r5+ round-robin) ---
     ("rss_pipeline", q_rss_pipeline, SQL_RSS_PIPELINE),
     ("reddit_pipeline", q_reddit_pipeline, SQL_REDDIT_PIPELINE),

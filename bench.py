@@ -212,6 +212,7 @@ HEADLINE = [
     "covariance_matrix",
     "dup_clusters_star",
     "containment_pairs",
+    "recursive_front_door",
 ]
 
 #: deliberate shadows: oracle-exact twins of faster default kernels, kept
