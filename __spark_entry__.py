@@ -9984,6 +9984,388 @@ def q_recursive_front_door(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# r4 batch 9: duplicate spans (exact substring dedup), skyline, KS drift,
+# categorical mutual information
+# ---------------------------------------------------------------------------
+
+_SPAN_TOKS_SQL = "list_filter(string_split(lower(text), ' '), t -> t <> '')"
+
+#: shared oracle CTE prefix: (doc_id, pos, span) posting rows of 5-token
+#: windows, mirroring operators/spans.py::token_spans.
+_SPAN_OCC_SQL = f"""
+WITH toks AS (SELECT doc_id, {_SPAN_TOKS_SQL} AS t FROM documents),
+occ AS (
+  SELECT doc_id, u.pos AS pos, u.span AS span
+  FROM (SELECT doc_id,
+               unnest(list_transform(range(1, greatest(len(t) - 4, 0) + 1),
+                      i -> struct_pack(pos := CAST(i AS BIGINT),
+                                       span := array_to_string(t[i:i+4], ' ')))) AS u
+        FROM toks))
+"""
+
+
+def q_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact duplicate-span detection (Lee et al. 2022 substring dedup,
+    Spark-first): every 5-token window that occurs >= 2 times corpus-wide,
+    with occurrence and document counts. Catches the repeated boilerplate
+    (licence headers, templated intros) that whole-document MinHash
+    resemblance misses. One narrow fanout + one keyed groupBy — no
+    suffix array, no all-pairs (operators/spans.py)."""
+    from ingestion_scripts_spark.operators import spans as SP
+
+    docs = _t(spark, sf_dir, "documents")
+    out = SP.duplicate_spans(docs, "doc_id", "text", k=5)
+    return out.orderBy(F.desc("n_occ"), "span")
+
+
+SQL_DUPLICATE_SPANS = f"""
+{_SPAN_OCC_SQL}
+SELECT span, CAST(count(*) AS BIGINT) AS n_occ,
+       CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
+FROM occ GROUP BY span HAVING count(*) >= 2
+ORDER BY n_occ DESC, span
+"""
+
+
+def q_span_removal_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document removal budget for exact-substring dedup: keep the
+    globally first occurrence of each duplicated 5-token span, mark every
+    other occurrence's token positions removable, report distinct covered
+    positions per doc and the exact integer ppm of the doc that is
+    copy-paste (operators/spans.py::span_removal_plan). The actionable
+    output of duplicate_spans: what to cut, from where, how much."""
+    from ingestion_scripts_spark.operators import spans as SP
+
+    docs = _t(spark, sf_dir, "documents")
+    return SP.span_removal_plan(docs, "doc_id", "text", k=5).orderBy("doc_id")
+
+
+SQL_SPAN_REMOVAL_PLAN = f"""
+{_SPAN_OCC_SQL},
+ranked AS (
+  SELECT doc_id, pos, span,
+         row_number() OVER (PARTITION BY span ORDER BY doc_id, pos) AS rn,
+         count(*) OVER (PARTITION BY span) AS n_occ
+  FROM occ),
+cov AS (
+  SELECT DISTINCT doc_id, p
+  FROM (SELECT doc_id, unnest(range(pos, pos + 5)) AS p
+        FROM ranked WHERE n_occ >= 2 AND rn >= 2)),
+perdoc AS (SELECT doc_id, count(*) AS n_removed FROM cov GROUP BY doc_id),
+tot AS (SELECT doc_id, CAST(len(t) AS BIGINT) AS n_tokens FROM toks)
+SELECT t.doc_id, t.n_tokens,
+       CAST(coalesce(p.n_removed, 0) AS BIGINT) AS n_removed,
+       CAST(CASE WHEN t.n_tokens = 0 THEN 0
+                 ELSE (coalesce(p.n_removed, 0) * 1000000) // t.n_tokens
+            END AS BIGINT) AS removed_ppm
+FROM tot t LEFT JOIN perdoc p USING (doc_id)
+ORDER BY doc_id
+"""
+
+
+def q_pareto_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 2-D skyline of part (minimize retail price, maximize size):
+    the multi-criteria filtering operator. NOT the O(n^2) dominance
+    anti-join — the frontier is computed on the per-price aggregate
+    (keyed shuffle), the running-max window sees only |distinct price|
+    rows, and full rows come back via a broadcast join of the frontier
+    points (operators/profiling.py::pareto_frontier_2d)."""
+    from ingestion_scripts_spark.operators import profiling as PR
+
+    part = _t(spark, sf_dir, "part")
+    out = PR.pareto_frontier_2d(
+        part,
+        PR.snap_units(F.col("p_retailprice"), 100),
+        F.col("p_size").cast("bigint"),
+        ["p_partkey"],
+    )
+    return out.select(
+        "p_partkey",
+        F.col("__x").alias("price_cents"),
+        F.col("__y").alias("p_size"),
+    ).orderBy("price_cents", "p_partkey")
+
+
+SQL_PARETO_FRONTIER = """
+WITH p AS (
+  SELECT p_partkey, CAST(p_size AS BIGINT) AS p_size,
+         CAST(floor(p_retailprice * 100 + 0.5) AS BIGINT) AS pc
+  FROM part),
+per_x AS (SELECT pc, max(p_size) AS best FROM p GROUP BY pc),
+fr AS (
+  SELECT pc, best,
+         max(best) OVER (ORDER BY pc
+                         RANGE BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev
+  FROM per_x),
+fp AS (SELECT pc, best FROM fr WHERE prev IS NULL OR best > prev)
+SELECT p.p_partkey, p.pc AS price_cents, p.p_size
+FROM p JOIN fp ON p.pc = fp.pc AND p.p_size = fp.best
+ORDER BY price_cents, p_partkey
+"""
+
+
+def q_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Kolmogorov-Smirnov drift per event_type between the
+    even-event_id and odd-event_id halves (the continuous-distribution
+    complement to token_kl_drift): D = max |F_A - F_B| computed as exact
+    BIGINT cross-multiplied CDF numerators |ca*nb - cb*na|, one float
+    divide at the end (operators/profiling.py::ks_statistic)."""
+    from ingestion_scripts_spark.operators import profiling as PR
+
+    ev = _t(spark, sf_dir, "events")
+    out = PR.ks_statistic(
+        ev,
+        "event_type",
+        PR.snap_units(F.col("value"), 1000000),
+        F.col("event_id") % 2 == 0,
+    )
+    return out.orderBy("event_type")
+
+
+SQL_KS_DRIFT = """
+WITH base AS (
+  SELECT event_type,
+         CAST(floor(value * 1000000 + 0.5) AS BIGINT) AS vm,
+         CASE WHEN event_id % 2 = 0 THEN 1 ELSE 0 END AS a
+  FROM events),
+cum AS (
+  SELECT event_type, vm, a,
+         sum(a) OVER (PARTITION BY event_type ORDER BY vm
+                      RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ca,
+         sum(1 - a) OVER (PARTITION BY event_type ORDER BY vm
+                      RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cb
+  FROM base),
+tot AS (
+  SELECT event_type, CAST(sum(a) AS BIGINT) AS n_a,
+         CAST(sum(1 - a) AS BIGINT) AS n_b
+  FROM base GROUP BY event_type)
+SELECT c.event_type, t.n_a, t.n_b,
+       CAST(max(abs(c.ca * t.n_b - c.cb * t.n_a)) AS BIGINT) AS d_num,
+       round(CAST(max(abs(c.ca * t.n_b - c.cb * t.n_a)) AS DOUBLE)
+             / CAST(t.n_a * t.n_b AS DOUBLE), 6) AS ks
+FROM cum c JOIN tot t USING (event_type)
+GROUP BY c.event_type, t.n_a, t.n_b
+ORDER BY event_type
+"""
+
+
+def q_column_mutual_info(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mutual information between customer nation and market segment —
+    the dependence profile between two categorical columns (dataset-card
+    material; near-zero cells expose sampling bias). Per-cell
+    contributions (nxy/N)*ln(nxy*N/(nx*ny)) snap to exact nano-units so
+    the corpus total is an order-independent integer SUM
+    (operators/profiling.py::mutual_information)."""
+    from ingestion_scripts_spark.operators import profiling as PR
+
+    cust = _t(spark, sf_dir, "customer")
+    nat = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    joined = cust.join(F.broadcast(nat), cust["c_nationkey"] == nat["n_nationkey"])
+    out = PR.mutual_information(joined, "n_name", "c_mktsegment")
+    return out.orderBy(F.desc("mi_nano"), "n_name", "c_mktsegment")
+
+
+SQL_COLUMN_MUTUAL_INFO = """
+WITH j AS (
+  SELECT n.n_name, c.c_mktsegment
+  FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey),
+cells AS (SELECT n_name, c_mktsegment, count(*) AS nxy FROM j GROUP BY 1, 2),
+mx AS (SELECT n_name, count(*) AS nx FROM j GROUP BY 1),
+my AS (SELECT c_mktsegment, count(*) AS ny FROM j GROUP BY 1),
+n AS (SELECT count(*) AS n_total FROM j),
+contrib AS (
+  SELECT c.n_name, c.c_mktsegment, CAST(c.nxy AS BIGINT) AS nxy,
+         CAST(floor((CAST(c.nxy AS DOUBLE) / CAST(n.n_total AS DOUBLE))
+                    * ln(CAST(c.nxy * n.n_total AS DOUBLE)
+                         / CAST(mx.nx * my.ny AS DOUBLE))
+                    * 1e9 + 0.5) AS BIGINT) AS mi_nano
+  FROM cells c JOIN mx USING (n_name) JOIN my USING (c_mktsegment), n)
+SELECT n_name, c_mktsegment, nxy, mi_nano,
+       CAST(sum(mi_nano) OVER () AS BIGINT) AS total_mi_nano
+FROM contrib
+ORDER BY mi_nano DESC, n_name, c_mktsegment
+"""
+
+
+# ---------------------------------------------------------------------------
+# r4 batch 10: incremental view maintenance, SNM blocking, CUSUM, HT sampling
+# ---------------------------------------------------------------------------
+
+def q_incremental_agg_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental materialized-view maintenance (operators/ivm.py): the
+    per-customer (count, revenue) view is maintained as
+    view (+) agg(inserts) (-) agg(deletes) — three keyed delta
+    aggregations and one outer merge join; the base fact table is never
+    rescanned. The ORACLE is a full recompute over base − deletes +
+    inserts, so the driver's hash match IS the IVM law (incremental ==
+    recompute, bit for bit). Base = orders before 2000-01-01; inserts =
+    the rest; deletes = base rows with o_orderkey % 13 == 0."""
+    from ingestion_scripts_spark.operators import ivm as IVM
+    from ingestion_scripts_spark.operators import profiling as PR
+
+    orders = _t(spark, sf_dir, "orders")
+    split = F.lit("2000-01-01").cast("timestamp")
+    rows = orders.select(
+        "o_custkey",
+        "o_orderkey",
+        "o_orderdate",
+        PR.snap_units(F.col("o_totalprice"), 100).alias("rc"),
+    )
+    base = rows.where(F.col("o_orderdate") < split)
+    inserts = rows.where(F.col("o_orderdate") >= split)
+    deletes = base.where(F.col("o_orderkey") % 13 == 0)
+
+    def agg(df: DataFrame) -> DataFrame:
+        return df.groupBy("o_custkey").agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum("rc").alias("revenue_cents"),
+        )
+
+    view = IVM.incremental_merge(
+        agg(base), agg(inserts), agg(deletes),
+        ["o_custkey"], "n_orders", ["revenue_cents"],
+    )
+    return view.orderBy("o_custkey")
+
+
+SQL_INCREMENTAL_AGG_VIEW = """
+WITH eff AS (
+  SELECT o_custkey, CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS rc
+  FROM orders
+  WHERE NOT (o_orderdate < TIMESTAMP '2000-01-01' AND o_orderkey % 13 = 0))
+SELECT o_custkey, CAST(count(*) AS BIGINT) AS n_orders,
+       CAST(sum(rc) AS BIGINT) AS revenue_cents
+FROM eff GROUP BY o_custkey ORDER BY o_custkey
+"""
+
+
+def q_snm_blocking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sorted-Neighborhood blocking over canonicalized part names
+    (operators/editdist.py::snm_candidate_pairs): sort by the
+    sorted-token key, pair each record with its next 2 neighbors per
+    band — candidate volume is exactly n*2 regardless of key skew, the
+    linear-output complement to q-gram blocking. Levenshtein attached
+    for downstream thresholding."""
+    from ingestion_scripts_spark.operators import editdist as ED
+
+    part = _t(spark, sf_dir, "part").select(
+        "p_partkey",
+        F.array_join(
+            F.array_sort(X.tokenize_ws(F.lower(F.col("p_name")))), " "
+        ).alias("key"),
+    )
+    out = ED.snm_candidate_pairs(part, "p_partkey", "key", window=2)
+    return out.orderBy("band", "id_a", "id_b")
+
+
+SQL_SNM_BLOCKING = """
+WITH k AS (
+  SELECT p_partkey,
+         array_to_string(list_sort(list_filter(string_split(lower(p_name), ' '),
+                                               t -> t <> '')), ' ') AS key
+  FROM part),
+b AS (SELECT p_partkey, key, substr(key, 1, 1) AS band FROM k),
+r AS (SELECT band, p_partkey, key,
+             row_number() OVER (PARTITION BY band ORDER BY key, p_partkey) AS rn
+      FROM b)
+SELECT a.band, a.p_partkey AS id_a, c.p_partkey AS id_b,
+       CAST(levenshtein(a.key, c.key) AS BIGINT) AS dist
+FROM r a JOIN r c ON a.band = c.band AND c.rn - a.rn IN (1, 2)
+ORDER BY a.band, id_a, id_b
+"""
+
+
+def q_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM change-point per event_type over the time-ordered value
+    stream (operators/profiling.py::cusum_changepoint): the k maximizing
+    |n*prefix_k − k*total| — the division-free cross-multiplied form of
+    cumulative deviation from the mean, exact BIGINT end to end. The
+    regime-shift detector next to ks_drift (distribution) and
+    token_kl_drift (vocabulary)."""
+    from ingestion_scripts_spark.operators import profiling as PR
+
+    ev = _t(spark, sf_dir, "events")
+    out = PR.cusum_changepoint(
+        ev, "event_type", ["ts", "event_id"], PR.snap_units(F.col("value"), 100)
+    )
+    return out.orderBy("event_type")
+
+
+SQL_CUSUM_CHANGEPOINT = """
+WITH base AS (
+  SELECT event_type, ts, event_id,
+         CAST(floor(value * 100 + 0.5) AS BIGINT) AS v
+  FROM events),
+cum AS (
+  SELECT event_type,
+         sum(v) OVER (PARTITION BY event_type ORDER BY ts, event_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS prefix,
+         row_number() OVER (PARTITION BY event_type ORDER BY ts, event_id) AS k,
+         count(*) OVER (PARTITION BY event_type) AS n,
+         sum(v) OVER (PARTITION BY event_type) AS total
+  FROM base),
+s AS (SELECT event_type, n, k, abs(n * prefix - k * total) AS s_abs FROM cum),
+r AS (SELECT event_type, n, k, s_abs,
+             row_number() OVER (PARTITION BY event_type
+                                ORDER BY s_abs DESC, k ASC) AS rn
+      FROM s)
+SELECT event_type, CAST(n AS BIGINT) AS n, CAST(k AS BIGINT) AS k_at_max,
+       CAST(s_abs AS BIGINT) AS s_abs_max
+FROM r WHERE rn = 1 ORDER BY event_type
+"""
+
+
+def q_ht_sampling_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Horvitz-Thompson estimation-error harness: a deterministic 1-in-10
+    hash sample of orders estimates total revenue as 10 * sample_sum
+    (inclusion probability 1/10), and the harness COMPUTES the error
+    against the exact total — measure, don't guess, for every
+    sample-based shortcut in this repo. All integers until the final
+    reported ppm (integer division)."""
+    orders = _t(spark, sf_dir, "orders")
+    from ingestion_scripts_spark.operators import profiling as PR
+
+    h = X.hash64(F.concat(F.lit("ht:"), F.col("o_orderkey").cast("string"))) % 10
+    rows = orders.select(
+        PR.snap_units(F.col("o_totalprice"), 100).alias("rc"),
+        (h == 0).cast("int").alias("in_sample"),
+    )
+    agg = rows.agg(
+        F.count(F.lit(1)).alias("n_total"),
+        F.sum("in_sample").cast("bigint").alias("n_sample"),
+        F.sum("rc").alias("true_cents"),
+        (F.sum(F.col("rc") * F.col("in_sample")) * 10).alias("est_cents"),
+    )
+    return agg.select(
+        "n_total",
+        "n_sample",
+        F.col("true_cents").cast("bigint").alias("true_cents"),
+        F.col("est_cents").cast("bigint").alias("est_cents"),
+        F.expr(
+            "CAST((abs(est_cents - true_cents) * 1000000) DIV true_cents AS BIGINT)"
+        ).alias("err_ppm"),
+    )
+
+
+SQL_HT_SAMPLING_ERROR = f"""
+WITH rows_ AS (
+  SELECT CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS rc,
+         CASE WHEN ({O.sql_hash64("('ht:' || CAST(o_orderkey AS VARCHAR))")}) % 10 = 0
+              THEN 1 ELSE 0 END AS in_sample
+  FROM orders),
+agg AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_total,
+         CAST(sum(in_sample) AS BIGINT) AS n_sample,
+         CAST(sum(rc) AS BIGINT) AS true_cents,
+         CAST(sum(rc * in_sample) * 10 AS BIGINT) AS est_cents
+  FROM rows_)
+SELECT n_total, n_sample, true_cents, est_cents,
+       CAST((abs(est_cents - true_cents) * 1000000) // true_cents AS BIGINT) AS err_ppm
+FROM agg
+"""
+
+
+# ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
 
@@ -10111,6 +10493,15 @@ _REGISTRY: list[tuple[str, Callable[[SparkSession, str], DataFrame], str | None]
     ("containment_pairs", q_containment_pairs, SQL_CONTAINMENT_PAIRS),
     ("stream_scd_merge", q_stream_scd_merge, SQL_STREAM_SCD_MERGE),
     ("recursive_front_door", q_recursive_front_door, SQL_RECURSIVE_PORTABLE),
+    ("duplicate_spans", q_duplicate_spans, SQL_DUPLICATE_SPANS),
+    ("span_removal_plan", q_span_removal_plan, SQL_SPAN_REMOVAL_PLAN),
+    ("pareto_frontier", q_pareto_frontier, SQL_PARETO_FRONTIER),
+    ("ks_drift", q_ks_drift, SQL_KS_DRIFT),
+    ("column_mutual_info", q_column_mutual_info, SQL_COLUMN_MUTUAL_INFO),
+    ("incremental_agg_view", q_incremental_agg_view, SQL_INCREMENTAL_AGG_VIEW),
+    ("snm_blocking", q_snm_blocking, SQL_SNM_BLOCKING),
+    ("cusum_changepoint", q_cusum_changepoint, SQL_CUSUM_CHANGEPOINT),
+    ("ht_sampling_error", q_ht_sampling_error, SQL_HT_SAMPLING_ERROR),
     # --- driver-green in r1-r3 (re-certified on the r5+ round-robin) ---
     ("rss_pipeline", q_rss_pipeline, SQL_RSS_PIPELINE),
     ("reddit_pipeline", q_reddit_pipeline, SQL_REDDIT_PIPELINE),

@@ -34,6 +34,8 @@ in the plan at any scale.
 
 from __future__ import annotations
 
+from functools import reduce
+
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -159,3 +161,49 @@ def qgram_edit_join(
         .select("id_a", "id_b", "s_a", "s_b", "dist")
     )
     return verified
+
+
+def snm_candidate_pairs(
+    df: DataFrame,
+    id_col: str,
+    key_col: str,
+    window: int = 2,
+    band_expr=None,
+) -> DataFrame:
+    """Sorted-Neighborhood Method blocking (Hernandez & Stolfo '95): sort
+    records by a canonical key, emit each record paired with its next
+    ``window`` neighbors in sort order — the linear-output complement to
+    q-gram blocking (``qgram_edit_join``): candidate volume is exactly
+    n*window regardless of key distribution.
+
+    Scale shape: records are BANDED by ``band_expr`` (default: first
+    character of the key) and the sort + lead() window runs PER BAND —
+    a partitioned window, never a global single-partition sort. Pairs
+    that straddle a band boundary are missed by one pass; production
+    runs the standard multi-pass SNM (a second pass with a rotated key)
+    — the law tests pin the per-band semantics.
+
+    Returns (band, id_a, id_b, dist) with dist = levenshtein(key_a, key_b),
+    id_a/id_b in sort order within the band.
+    """
+    band = band_expr if band_expr is not None else F.substring(F.col(key_col), 1, 1)
+    base = df.select(
+        band.alias("band"),
+        F.col(id_col).alias("__id"),
+        F.col(key_col).alias("__key"),
+    )
+    w = Window.partitionBy("band").orderBy("__key", "__id")
+    pairs = []
+    for off in range(1, window + 1):
+        pairs.append(
+            base.withColumn("__id2", F.lead("__id", off).over(w))
+            .withColumn("__key2", F.lead("__key", off).over(w))
+            .where(F.col("__id2").isNotNull())
+        )
+    out = reduce(lambda a, b: a.unionByName(b), pairs)
+    return out.select(
+        "band",
+        F.col("__id").alias("id_a"),
+        F.col("__id2").alias("id_b"),
+        F.levenshtein("__key", "__key2").cast("bigint").alias("dist"),
+    )

@@ -1,0 +1,218 @@
+"""Dataset-profiling operators: Pareto frontier, two-sample KS drift,
+categorical mutual information.
+
+All three follow the repo's cross-engine exactness laws: measures are
+snapped to integer micro/nano units built from exact BIGINT counts with
+at most one float divide (and identical IEEE op order on both engines),
+so results are independent of partitioning and merge order.
+
+Scale shapes (100 TB):
+- ``pareto_frontier_2d``: the naive skyline is an all-pairs dominance
+  anti-join (O(n^2)). Here the frontier is computed on the PER-X-VALUE
+  aggregate (one keyed groupBy shuffle), so the global running-max
+  window only ever sees |distinct x| rows — tiny next to the fact table
+  — and full rows are recovered with a broadcast join of the frontier
+  points. No all-pairs anywhere.
+- ``ks_statistic``: cumulative counts via a RANGE window partitioned by
+  the group key (so ties share one CDF step, and no global sort
+  exists); the D statistic is max |ca*nb - cb*na| in exact BIGINTs.
+- ``mutual_information``: three keyed aggregations (cells + two
+  marginals, each with map-side partials) joined back; per-cell
+  contributions snap to nano-units so the corpus-level sum is exact
+  integer arithmetic.
+
+Reference scope: SURVEY.md §2.9 extension surface (the reference
+pipeline has no profiling layer).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def snap_units(col: Column, scale: int) -> Column:
+    """floor(x*scale + 0.5) as BIGINT — the repo-wide half-up snap."""
+    return F.floor(col * F.lit(float(scale)) + F.lit(0.5)).cast("bigint")
+
+
+def pareto_frontier_2d(
+    df: DataFrame,
+    minimize_col: Column,
+    maximize_col: Column,
+    keep_cols: list[str],
+) -> DataFrame:
+    """Exact 2-D skyline: rows for which no other row is <= on
+    ``minimize_col`` and >= on ``maximize_col`` with at least one strict.
+
+    ``minimize_col`` must already be an exact integer (snap floats with
+    ``snap_units`` first). Ties on BOTH dimensions are all kept (neither
+    dominates). Returns keep_cols + (__x, __y).
+    """
+    pts = df.select(
+        *keep_cols, minimize_col.alias("__x"), maximize_col.alias("__y")
+    )
+    per_x = pts.groupBy("__x").agg(F.max("__y").alias("__best"))
+    w = Window.orderBy("__x").rangeBetween(Window.unboundedPreceding, -1)
+    frontier = (
+        per_x.withColumn("__prev", F.max("__best").over(w))
+        .where(F.col("__prev").isNull() | (F.col("__best") > F.col("__prev")))
+        .select(F.col("__x").alias("__fx"), F.col("__best").alias("__fy"))
+    )
+    return pts.join(
+        F.broadcast(frontier),
+        (pts["__x"] == frontier["__fx"]) & (pts["__y"] == frontier["__fy"]),
+    ).select(*keep_cols, "__x", "__y")
+
+
+def ks_statistic(
+    df: DataFrame,
+    group_col: str,
+    value_micro: Column,
+    is_a: Column,
+) -> DataFrame:
+    """Two-sample Kolmogorov-Smirnov statistic per group between the
+    ``is_a`` rows (sample A) and the rest (sample B).
+
+    D = max over x of |F_A(x) - F_B(x)| evaluated as the exact integer
+    |ca*nb - cb*na| (cross-multiplied CDF numerators), with ONE float
+    divide at the end. ``value_micro`` must be an exact integer.
+
+    Returns (group_col, n_a, n_b, d_num, ks) with ks rounded to 6 dp.
+    """
+    base = df.select(
+        F.col(group_col),
+        value_micro.alias("__vm"),
+        F.when(is_a, F.lit(1)).otherwise(F.lit(0)).alias("__a"),
+    )
+    w = (
+        Window.partitionBy(group_col)
+        .orderBy("__vm")
+        .rangeBetween(Window.unboundedPreceding, 0)
+    )
+    cum = base.withColumn("ca", F.sum("__a").over(w)).withColumn(
+        "cb", F.sum(1 - F.col("__a")).over(w)
+    )
+    tot = base.groupBy(group_col).agg(
+        F.sum("__a").cast("bigint").alias("n_a"),
+        F.sum(1 - F.col("__a")).cast("bigint").alias("n_b"),
+    )
+    d = (
+        cum.join(tot, group_col)
+        .groupBy(group_col, "n_a", "n_b")
+        .agg(
+            F.max(
+                F.abs(F.col("ca") * F.col("n_b") - F.col("cb") * F.col("n_a"))
+            ).alias("d_num")
+        )
+    )
+    return d.select(
+        group_col,
+        "n_a",
+        "n_b",
+        "d_num",
+        F.round(
+            F.col("d_num").cast("double")
+            / (F.col("n_a") * F.col("n_b")).cast("double"),
+            6,
+        ).alias("ks"),
+    )
+
+
+def mutual_information(
+    df: DataFrame,
+    x_col: str,
+    y_col: str,
+) -> DataFrame:
+    """Per-cell mutual-information contributions between two categorical
+    columns: (nxy/N) * ln(nxy*N / (nx*ny)), snapped to exact nano-units.
+
+    Both engines compute the identical IEEE sequence on identical exact
+    BIGINTs — one divide inside the ln, one divide for the weight — so
+    the snap is engine-stable and the total (an integer SUM over cells)
+    is partition-order independent.
+
+    Returns (x, y, nxy, mi_nano, total_mi_nano)."""
+    cells = df.groupBy(x_col, y_col).agg(F.count(F.lit(1)).alias("nxy"))
+    nx = df.groupBy(x_col).agg(F.count(F.lit(1)).alias("nx"))
+    ny = df.groupBy(y_col).agg(F.count(F.lit(1)).alias("ny"))
+    n = df.agg(F.count(F.lit(1)).alias("n_total"))
+    contrib = (
+        cells.join(nx, x_col)
+        .join(ny, y_col)
+        .crossJoin(F.broadcast(n))
+        .withColumn(
+            "mi_nano",
+            F.floor(
+                (F.col("nxy").cast("double") / F.col("n_total").cast("double"))
+                * F.log(
+                    (F.col("nxy") * F.col("n_total")).cast("double")
+                    / (F.col("nx") * F.col("ny")).cast("double")
+                )
+                * F.lit(1e9)
+                + F.lit(0.5)
+            ).cast("bigint"),
+        )
+    )
+    return contrib.select(
+        x_col,
+        y_col,
+        F.col("nxy").cast("bigint").alias("nxy"),
+        "mi_nano",
+        F.sum("mi_nano").over(Window.partitionBy(F.lit(1))).alias("total_mi_nano"),
+    )
+
+
+def cusum_changepoint(
+    df: DataFrame,
+    group_col: str,
+    order_cols: list[str],
+    value_micro: Column,
+) -> DataFrame:
+    """CUSUM change-point detection per group: the index k maximizing
+    |S_k| where S_k is the cumulative deviation from the group mean.
+
+    Division-free exactness: instead of subtracting the float mean per
+    step, the deviation sum is cross-multiplied —
+
+        S_k_scaled = n * prefix_k - k * total
+
+    (== n * sum_{i<=k}(v_i - mean)) — all BIGINT, so the argmax is
+    engine- and partition-order exact. Ties break to the smallest k.
+
+    Scale shape: one partitioned running-sum window (rows frame over the
+    group's order columns — no global sort), one keyed argmax via
+    row_number. Returns (group, n, k_at_max, s_abs_max).
+    """
+    base = df.select(F.col(group_col), *order_cols, value_micro.alias("__v"))
+    w_ord = (
+        Window.partitionBy(group_col)
+        .orderBy(*order_cols)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    w_grp = Window.partitionBy(group_col)
+    cum = (
+        base.withColumn("__prefix", F.sum("__v").over(w_ord))
+        .withColumn(
+            "__k",
+            F.row_number().over(Window.partitionBy(group_col).orderBy(*order_cols)),
+        )
+        .withColumn("__n", F.count(F.lit(1)).over(w_grp))
+        .withColumn("__total", F.sum("__v").over(w_grp))
+        .withColumn(
+            "__s_abs",
+            F.abs(F.col("__n") * F.col("__prefix") - F.col("__k") * F.col("__total")),
+        )
+    )
+    ranked = cum.withColumn(
+        "__rn",
+        F.row_number().over(
+            Window.partitionBy(group_col).orderBy(F.desc("__s_abs"), F.asc("__k"))
+        ),
+    ).where(F.col("__rn") == 1)
+    return ranked.select(
+        group_col,
+        F.col("__n").cast("bigint").alias("n"),
+        F.col("__k").cast("bigint").alias("k_at_max"),
+        F.col("__s_abs").cast("bigint").alias("s_abs_max"),
+    )
