@@ -132,11 +132,18 @@ def mutual_information(
     the snap is engine-stable and the total (an integer SUM over cells)
     is partition-order independent.
 
-    Returns (x, y, nxy, mi_nano, total_mi_nano)."""
+    Returns (x, y, nxy, mi_nano, total_mi_nano).
+
+    The fact table is scanned ONCE (the cells aggregation); marginals
+    and the grand total re-aggregate the tiny cells table — at 100 TB
+    that is the difference between one shuffle of the facts and four."""
     cells = df.groupBy(x_col, y_col).agg(F.count(F.lit(1)).alias("nxy"))
-    nx = df.groupBy(x_col).agg(F.count(F.lit(1)).alias("nx"))
-    ny = df.groupBy(y_col).agg(F.count(F.lit(1)).alias("ny"))
-    n = df.agg(F.count(F.lit(1)).alias("n_total"))
+    from ingestion_scripts_spark.caching import persist_tracked
+
+    cells = persist_tracked(cells)
+    nx = cells.groupBy(x_col).agg(F.sum("nxy").alias("nx"))
+    ny = cells.groupBy(y_col).agg(F.sum("nxy").alias("ny"))
+    n = cells.agg(F.sum("nxy").alias("n_total"))
     contrib = (
         cells.join(nx, x_col)
         .join(ny, y_col)

@@ -148,3 +148,28 @@ def test_dynamic_partition_pruning_on_partitioned_sink(spark, tmp_path):
     joined = fact.join(dim2, "event_date").groupBy("event_date").count()
     p = plan(joined)
     assert "dynamicpruning" in p.lower(), p
+
+
+def test_r4_batch_9_10_queries_plan_clean(spark):
+    # the new join-bearing queries must not plan an unbroadcast cartesian,
+    # and the skyline's frontier join must be a broadcast
+    qs = E.queries()
+    for name in [
+        "duplicate_spans",
+        "span_removal_plan",
+        "pareto_frontier",
+        "incremental_agg_view",
+        "snm_blocking",
+        "column_mutual_info",
+    ]:
+        p = plan(qs[name](spark, SF))
+        assert "CartesianProduct" not in p, name
+    p = plan(qs["pareto_frontier"](spark, SF))
+    assert "BroadcastHashJoin" in p  # frontier points broadcast back
+
+
+def test_mutual_information_scans_facts_once(spark):
+    # marginals derive from the cells aggregate, not fresh fact scans:
+    # the customer parquet appears in at most 1 scan node of the plan
+    p = plan(E.queries()["column_mutual_info"](spark, SF))
+    assert p.count("customer.parquet") <= 1, p
