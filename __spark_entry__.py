@@ -10366,6 +10366,71 @@ FROM agg
 
 
 # ---------------------------------------------------------------------------
+# r4 batch 11: streaming quota admission
+# ---------------------------------------------------------------------------
+
+def q_stream_quota_admission(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming per-source QUOTA admission (streams.py::quota_admit):
+    each source may ingest at most 15 documents over the stream's
+    lifetime — the streaming form of domain caps / rate limiting, as
+    keyed state that must survive the batch boundary. Documents replay
+    as two deterministic micro-batches (even then odd doc_ids); a
+    source's budget spent in batch 0 must stay spent in batch 1, which
+    is exactly what the closed-form oracle (admit_rank over batch
+    parity then doc_id) checks."""
+    import glob
+    import os
+    import tempfile
+    import time
+    import uuid
+
+    from ingestion_scripts_spark.streaming.streams import quota_admit
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "source")
+    src = tempfile.mkdtemp(prefix="quota_src_")
+    docs.filter(F.col("doc_id") % 2 == 0).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(f"{src}/b0")
+    docs.filter(F.col("doc_id") % 2 == 1).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(f"{src}/b1")
+    now = time.time()
+    for i, d in enumerate(("b0", "b1")):
+        for p in glob.glob(f"{src}/{d}/*.parquet"):
+            os.utime(p, (now - 200 + 50 * i, now - 200 + 50 * i))
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .option("recursiveFileLookup", "true")
+        .parquet(src)
+    )
+    admitted = quota_admit(stream, "source", "doc_id", quota=15)
+    name = "stream_quota_" + uuid.uuid4().hex[:8]
+    q = (
+        admitted.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("update")
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="ckpt_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name).orderBy("source", "admit_rank")
+
+
+SQL_STREAM_QUOTA = """
+WITH ranked AS (
+  SELECT source, doc_id,
+         CAST(row_number() OVER (PARTITION BY source
+                                 ORDER BY doc_id % 2, doc_id) AS BIGINT)
+           AS admit_rank
+  FROM documents)
+SELECT source, doc_id, admit_rank FROM ranked
+WHERE admit_rank <= 15 ORDER BY source, admit_rank
+"""
+
+
+# ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
 
@@ -10502,6 +10567,7 @@ _REGISTRY: list[tuple[str, Callable[[SparkSession, str], DataFrame], str | None]
     ("snm_blocking", q_snm_blocking, SQL_SNM_BLOCKING),
     ("cusum_changepoint", q_cusum_changepoint, SQL_CUSUM_CHANGEPOINT),
     ("ht_sampling_error", q_ht_sampling_error, SQL_HT_SAMPLING_ERROR),
+    ("stream_quota_admission", q_stream_quota_admission, SQL_STREAM_QUOTA),
     # --- driver-green in r1-r3 (re-certified on the r5+ round-robin) ---
     ("rss_pipeline", q_rss_pipeline, SQL_RSS_PIPELINE),
     ("reddit_pipeline", q_reddit_pipeline, SQL_REDDIT_PIPELINE),

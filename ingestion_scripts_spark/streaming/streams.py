@@ -197,3 +197,51 @@ def tws_user_counts(stream: DataFrame, key: str = "user_id") -> DataFrame:
         outputMode="Update",
         timeMode="None",
     )
+
+
+def quota_admit(
+    stream: DataFrame,
+    key: str,
+    order_col: str,
+    quota: int,
+) -> DataFrame:
+    """Streaming per-key quota admission (rate limiting at ingest): each
+    key admits at most ``quota`` rows over the stream's lifetime; later
+    rows are dropped. The streaming form of domain caps — stop pulling
+    from a source once its budget is spent, while the stream keeps
+    flowing for everyone else.
+
+    State is ONE bigint per key (rows admitted so far) — bounded,
+    partitioned by the key shuffle, checkpointed. Rows inside a batch
+    are admitted in ``order_col`` order so replay is deterministic;
+    across batches, arrival (trigger) order decides — both together
+    give the closed-form law the oracle replays: admit_rank =
+    row_number over (key, [batch order, order_col]) <= quota.
+
+    Emits (key, order_col, admit_rank) for admitted rows only.
+    """
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    out_schema = f"{key} string, {order_col} bigint, admit_rank bigint"
+    state_schema = "admitted bigint"
+
+    def update(key_tuple, pdfs, state: GroupState):
+        import pandas as pd
+
+        batch = pd.concat(list(pdfs), ignore_index=True)
+        batch = batch.sort_values(order_col, kind="mergesort").reset_index(drop=True)
+        admitted = state.get[0] if state.exists else 0
+        room = max(0, quota - admitted)
+        take = batch.iloc[:room]
+        state.update((admitted + len(take),))
+        yield pd.DataFrame(
+            {
+                key: [key_tuple[0]] * len(take),
+                order_col: take[order_col].tolist(),
+                "admit_rank": [admitted + i + 1 for i in range(len(take))],
+            }
+        )
+
+    return stream.groupBy(key).applyInPandasWithState(
+        update, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
+    )

@@ -252,3 +252,58 @@ def test_checkpoint_restart_processes_only_new_files(spark, tmp_path):
     got = spark.read.parquet(sink)
     assert got.count() == 100  # b0 NOT reprocessed, b1 fully ingested
     assert got.select("id").distinct().count() == 100
+
+
+def test_quota_admit_spent_budget_stays_spent(spark, tmp_path):
+    """quota_admit: a key's quota spent in earlier batches blocks later
+    batches entirely (3-batch replay; the 2-batch oracle query can't see
+    the fully-spent case)."""
+    import json as _json
+
+    src = tmp_path / "quota_in"
+    src.mkdir()
+    # batch files named in mtime order below; quota=3 per key
+    batches = [
+        [{"source": "a", "doc_id": 10}, {"source": "a", "doc_id": 12},
+         {"source": "b", "doc_id": 11}],
+        [{"source": "a", "doc_id": 20}, {"source": "a", "doc_id": 22},
+         {"source": "b", "doc_id": 21}],
+        [{"source": "a", "doc_id": 30}, {"source": "b", "doc_id": 31}],
+    ]
+    import os
+    import time
+    now = time.time()
+    for i, rows in enumerate(batches):
+        p = src / f"b{i}.json"
+        with open(p, "w") as f:
+            for r in rows:
+                f.write(_json.dumps(r) + "\n")
+        os.utime(p, (now - 100 + i * 10, now - 100 + i * 10))
+
+    schema = T.StructType([
+        T.StructField("source", T.StringType()),
+        T.StructField("doc_id", T.LongType()),
+    ])
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .json(str(src))
+    )
+    out = ST.quota_admit(stream, "source", "doc_id", quota=3)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("quota_admit_t")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ckpt_q"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    rows = spark.table("quota_admit_t").collect()
+    got = sorted((r.source, r.doc_id, r.admit_rank) for r in rows)
+    # a: 10,12 (batch0) then 20 (batch1, rank 3); 22 and 30 rejected.
+    # b: 11, 21, 31 all admitted (3 <= quota).
+    assert got == [
+        ("a", 10, 1), ("a", 12, 2), ("a", 20, 3),
+        ("b", 11, 1), ("b", 21, 2), ("b", 31, 3),
+    ]
