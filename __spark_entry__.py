@@ -10431,6 +10431,78 @@ WHERE admit_rank <= 15 ORDER BY source, admit_rank
 
 
 # ---------------------------------------------------------------------------
+# r4 batch 12: entity resolution end-to-end
+# ---------------------------------------------------------------------------
+
+def q_er_canonical_entities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity resolution END-TO-END: SNM blocking over canonicalized part
+    names (editdist.snm_candidate_pairs) → edit-distance threshold
+    (dist <= 2) → connected components (dedup.connected_components) →
+    canonical entity id = min partkey per cluster, with member counts.
+    The composition that turns the blocking + matching + clustering
+    operators into a master-data table: every part mapped to exactly one
+    entity, singletons included. The oracle replays the same pair set
+    through a recursive transitive closure."""
+    from ingestion_scripts_spark.operators import editdist as ED
+
+    part = _t(spark, sf_dir, "part").select(
+        "p_partkey",
+        F.array_join(
+            F.array_sort(X.tokenize_ws(F.lower(F.col("p_name")))), " "
+        ).alias("key"),
+    )
+    edges = ED.snm_candidate_pairs(part, "p_partkey", "key", window=2).where(
+        F.col("dist") <= 2
+    )
+    comp = D.connected_components_star(edges, "id_a", "id_b", max_iter=40)
+    mapped = part.join(
+        comp, part["p_partkey"] == comp["node"], "left"
+    ).select(
+        "p_partkey",
+        F.coalesce(F.col("comp"), F.col("p_partkey")).cast("bigint").alias(
+            "entity_id"
+        ),
+    )
+    sizes = mapped.groupBy("entity_id").agg(
+        F.count(F.lit(1)).alias("n_members")
+    )
+    return mapped.join(sizes, "entity_id").select(
+        "p_partkey", "entity_id", "n_members"
+    ).orderBy("p_partkey")
+
+
+SQL_ER_CANONICAL = """
+WITH RECURSIVE k AS (
+  SELECT p_partkey,
+         array_to_string(list_sort(list_filter(string_split(lower(p_name), ' '),
+                                               t -> t <> '')), ' ') AS key
+  FROM part),
+b AS (SELECT p_partkey, key, substr(key, 1, 1) AS band FROM k),
+r AS (SELECT band, p_partkey, key,
+             row_number() OVER (PARTITION BY band ORDER BY key, p_partkey) AS rn
+      FROM b),
+pairs AS (
+  SELECT a.p_partkey AS id_a, c.p_partkey AS id_b
+  FROM r a JOIN r c ON a.band = c.band AND c.rn - a.rn IN (1, 2)
+  WHERE levenshtein(a.key, c.key) <= 2),
+edges AS (SELECT id_a AS a, id_b AS b FROM pairs
+          UNION SELECT id_b, id_a FROM pairs),
+reach AS (SELECT a, b FROM edges
+          UNION SELECT rr.a, e.b FROM reach rr JOIN edges e ON rr.b = e.a),
+comp AS (SELECT a AS node, least(a, min(b)) AS comp FROM reach GROUP BY a),
+mapped AS (
+  SELECT p.p_partkey,
+         CAST(coalesce(c.comp, p.p_partkey) AS BIGINT) AS entity_id
+  FROM part p LEFT JOIN comp c ON p.p_partkey = c.node),
+sizes AS (SELECT entity_id, CAST(count(*) AS BIGINT) AS n_members
+          FROM mapped GROUP BY entity_id)
+SELECT m.p_partkey, m.entity_id, s.n_members
+FROM mapped m JOIN sizes s USING (entity_id)
+ORDER BY p_partkey
+"""
+
+
+# ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
 
@@ -10568,6 +10640,7 @@ _REGISTRY: list[tuple[str, Callable[[SparkSession, str], DataFrame], str | None]
     ("cusum_changepoint", q_cusum_changepoint, SQL_CUSUM_CHANGEPOINT),
     ("ht_sampling_error", q_ht_sampling_error, SQL_HT_SAMPLING_ERROR),
     ("stream_quota_admission", q_stream_quota_admission, SQL_STREAM_QUOTA),
+    ("er_canonical_entities", q_er_canonical_entities, SQL_ER_CANONICAL),
     # --- driver-green in r1-r3 (re-certified on the r5+ round-robin) ---
     ("rss_pipeline", q_rss_pipeline, SQL_RSS_PIPELINE),
     ("reddit_pipeline", q_reddit_pipeline, SQL_REDDIT_PIPELINE),

@@ -754,6 +754,16 @@ def connected_components(
         labels = new_labels
         if changed == 0:
             break
+    else:
+        # exhausted max_iter while labels were still moving: the graph has
+        # a diameter longer than the round budget (long chains — the SNM /
+        # sorted-key topology). Returning here would yield silently WRONG
+        # components; fail loudly and point at the O(log diameter) engine.
+        raise ValueError(
+            f"connected_components did not converge in {max_iter} rounds "
+            "(component diameter exceeds the budget); use "
+            "connected_components_star for long-chain graphs"
+        )
     return labels
 
 

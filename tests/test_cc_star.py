@@ -67,3 +67,20 @@ def test_star_cc_matches_label_propagation(spark):
     star = {r.node: r.comp for r in connected_components_star(df).collect()}
     plain = {r.node: r.comp for r in connected_components(df).collect()}
     assert star == plain
+
+
+def test_plain_cc_raises_instead_of_truncating(spark):
+    """connected_components must fail loudly when the diameter exceeds the
+    round budget — a silently mislabeled long chain is how ER-style graphs
+    corrupt downstream dedup (caught live on snm chains at sf0.1)."""
+    import pytest as _pytest
+    from ingestion_scripts_spark.operators import dedup as D
+
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(30)], ["id_a", "id_b"]
+    )
+    with _pytest.raises(ValueError, match="did not converge"):
+        D.connected_components(chain, max_iter=3).collect()
+    # with budget >= diameter it converges to one component
+    ok = D.connected_components(chain, max_iter=31).collect()
+    assert {r["comp"] for r in ok} == {0}
