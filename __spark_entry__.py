@@ -10503,6 +10503,60 @@ ORDER BY p_partkey
 
 
 # ---------------------------------------------------------------------------
+# r4 batch 13: graph traversal (bounded-hop BFS)
+# ---------------------------------------------------------------------------
+
+def q_bfs_hops_coorder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded-hop BFS over the part co-order graph from a deterministic
+    seed set (partkey % 97 == 0): the traversal primitive
+    (graph.py::bfs_hops) — minimal hop distance within 6 hops, frontier
+    expanded exactly once per node. Completes the graph family: PageRank
+    (importance), triangles (density), components (reachability), BFS
+    (distance). Oracle: recursive CTE over distinct (node, hop) states
+    — UNION, not UNION ALL, so paths collapse into states and the
+    closure is O(nodes * hops)."""
+    from ingestion_scripts_spark.operators import graph as G
+
+    li = _t(spark, sf_dir, "lineitem")
+    b = li.select(
+        F.col("l_orderkey").alias("bk"), F.col("l_partkey").alias("it")
+    ).distinct()
+    x, y = b.alias("x"), b.alias("y")
+    edges = (
+        x.join(y, (F.col("x.bk") == F.col("y.bk")) & (F.col("x.it") < F.col("y.it")))
+        .groupBy(F.col("x.it").alias("a"), F.col("y.it").alias("b"))
+        .agg(F.count(F.lit(1)).alias("w"))
+        .filter(F.col("w") >= 2)
+        .select("a", "b")
+    )
+    nodes = edges.select(F.col("a").alias("node")).union(
+        edges.select(F.col("b").alias("node"))
+    ).distinct()
+    seeds = nodes.where(F.col("node") % 97 == 0)
+    return G.bfs_hops(edges, seeds, "a", "b", "node", max_hops=6).orderBy("node")
+
+
+SQL_BFS_HOPS = """
+WITH RECURSIVE bsk AS (
+  SELECT DISTINCT l_orderkey AS bk, l_partkey AS it FROM lineitem),
+e AS (
+  SELECT x.it AS a, y.it AS b
+  FROM bsk x JOIN bsk y ON x.bk = y.bk AND x.it < y.it
+  GROUP BY 1, 2 HAVING count(*) >= 2),
+esym AS (SELECT a, b FROM e UNION SELECT b, a FROM e),
+nodes AS (SELECT DISTINCT a AS node FROM esym),
+walk AS (
+  SELECT node, 0 AS hop FROM nodes WHERE node % 97 = 0
+  UNION
+  SELECT es.b AS node, w.hop + 1 AS hop
+  FROM walk w JOIN esym es ON w.node = es.a
+  WHERE w.hop < 6)
+SELECT node, CAST(min(hop) AS BIGINT) AS hops
+FROM walk GROUP BY node ORDER BY node
+"""
+
+
+# ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
 
@@ -10641,6 +10695,7 @@ _REGISTRY: list[tuple[str, Callable[[SparkSession, str], DataFrame], str | None]
     ("ht_sampling_error", q_ht_sampling_error, SQL_HT_SAMPLING_ERROR),
     ("stream_quota_admission", q_stream_quota_admission, SQL_STREAM_QUOTA),
     ("er_canonical_entities", q_er_canonical_entities, SQL_ER_CANONICAL),
+    ("bfs_hops_coorder", q_bfs_hops_coorder, SQL_BFS_HOPS),
     # --- driver-green in r1-r3 (re-certified on the r5+ round-robin) ---
     ("rss_pipeline", q_rss_pipeline, SQL_RSS_PIPELINE),
     ("reddit_pipeline", q_reddit_pipeline, SQL_REDDIT_PIPELINE),

@@ -164,3 +164,57 @@ def triangle_stats(edges: DataFrame, a_col: str = "a", b_col: str = "b") -> Data
             .alias("cc_micro"),
         )
     )
+
+
+def bfs_hops(
+    edges: DataFrame,
+    sources: DataFrame,
+    src: str = "a",
+    dst: str = "b",
+    node_col: str = "node",
+    max_hops: int = 6,
+) -> DataFrame:
+    """Bounded-hop BFS (unweighted shortest path) from a source SET over
+    an undirected edge list — the traversal primitive next to
+    ``pagerank_int`` (global importance), ``triangle_stats`` (local
+    density) and connected components (reachability): hop distance says
+    HOW FAR, not just whether, a node is from the seeds.
+
+    Frontier iteration: each round joins only the NEWLY-discovered
+    frontier against the edge list (anti-join against settled labels),
+    so a node is expanded exactly once and per-round cost is
+    O(frontier boundary), not O(visited). ``localCheckpoint`` truncates
+    lineage per round. ``max_hops`` bounds rounds (and state) — the
+    production form for "within k hops" questions; unreached nodes are
+    simply absent.
+
+    Returns (node, hops) with hops = exact minimal hop count <= max_hops.
+    """
+    e = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+    esym = (
+        e.union(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+        .localCheckpoint()
+    )
+    labels = (
+        sources.select(F.col(node_col).alias("node"))
+        .distinct()
+        .withColumn("hops", F.lit(0).cast("bigint"))
+        .localCheckpoint()
+    )
+    frontier = labels.select("node")
+    for h in range(1, max_hops + 1):
+        reached = (
+            frontier.join(esym, frontier["node"] == esym["a"])
+            .select(F.col("b").alias("node"))
+            .distinct()
+        )
+        fresh = reached.join(labels.select("node"), "node", "left_anti").localCheckpoint()
+        if fresh.isEmpty():
+            break
+        labels = labels.union(
+            fresh.withColumn("hops", F.lit(h).cast("bigint"))
+        ).localCheckpoint()
+        frontier = fresh
+    return labels

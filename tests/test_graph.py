@@ -30,3 +30,28 @@ def test_pagerank_chain_orders_downstream_higher(spark):
     e = _edges(spark, [("a", "b", 1), ("b", "c", 1)])
     got = {r.node: r.pr_u for r in pagerank_int(e, "src", "dst", "w", iters=3).collect()}
     assert got["c"] > got["b"] > got["a"]
+
+
+def test_bfs_hops_matches_bruteforce(spark):
+    """bfs_hops on a known graph: two components, one seeded; hop counts
+    match a hand BFS and the unseeded component is absent."""
+    from ingestion_scripts_spark.operators import graph as G
+    from pyspark.sql import functions as F
+
+    edges = spark.createDataFrame(
+        [(0, 1), (1, 2), (2, 3), (3, 4), (1, 5), (5, 6), (10, 11)],
+        ["a", "b"],
+    )
+    seeds = spark.createDataFrame([(0,)], ["node"])
+    got = {r["node"]: r["hops"] for r in G.bfs_hops(edges, seeds).collect()}
+    assert got == {0: 0, 1: 1, 2: 2, 5: 2, 3: 3, 6: 3, 4: 4}
+    # max_hops truncates: at 2 hops nodes 3/6/4 are absent
+    got2 = {
+        r["node"]: r["hops"]
+        for r in G.bfs_hops(edges, seeds, max_hops=2).collect()
+    }
+    assert got2 == {0: 0, 1: 1, 2: 2, 5: 2}
+    # a seed inside both components covers both
+    seeds2 = spark.createDataFrame([(0,), (10,)], ["node"])
+    got3 = {r["node"]: r["hops"] for r in G.bfs_hops(edges, seeds2).collect()}
+    assert got3[10] == 0 and got3[11] == 1 and got3[0] == 0

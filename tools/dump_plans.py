@@ -77,6 +77,34 @@ COMMENT = {
         "both ANN arms then run the same broadcast top-k shape and meet "
         "in a left-semi hit join."
     ),
+    "duplicate_spans": (
+        "Substring dedup as span postings: Generate (explode) fans each "
+        "doc into its 5-token windows with no shuffle, then ONE keyed "
+        "HashAggregate pair (partial before the exchange, final after) "
+        "groups on the span value. Linear fanout, single shuffle, no "
+        "suffix array and no all-pairs."
+    ),
+    "pareto_frontier": (
+        "Skyline without the O(n^2) dominance join: the per-price "
+        "max(size) aggregate shuffles the facts ONCE; the running-max "
+        "window then runs over |distinct price| rows (the WindowExec "
+        "single-partition warning applies to that tiny aggregate, not "
+        "the fact table), and frontier points come back as a "
+        "BroadcastHashJoin against the full table."
+    ),
+    "incremental_agg_view": (
+        "Incremental view maintenance: three HashAggregate pairs (base, "
+        "insert, delete deltas — each with map-side partials) meet in "
+        "SortMergeJoin full-outer merges keyed on the view key. In "
+        "production only the delta aggs run per refresh; the base agg "
+        "node is the stored view."
+    ),
+    "er_canonical_entities": (
+        "Entity resolution: the SNM lead() windows are partitioned by "
+        "band (no global sort), the star-CC rounds are keyed "
+        "groupBy/join pairs with localCheckpoint truncating lineage "
+        "per round, and the final size join is keyed on entity_id."
+    ),
 }
 
 
