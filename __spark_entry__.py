@@ -10557,6 +10557,181 @@ FROM walk GROUP BY node ORDER BY node
 
 
 # ---------------------------------------------------------------------------
+# r4 batch 14: PSI drift and chi-square independence
+# ---------------------------------------------------------------------------
+
+def q_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population Stability Index per event_type between the even- and
+    odd-event_id halves — the binned drift score ML monitoring actually
+    alerts on (PSI > 0.2 = retrain), next to ks_drift (unbinned) and
+    token_kl_drift (categorical). Fixed reference bins (10 x 50-unit
+    value bands — the production form: bins are frozen with the model,
+    not re-derived per scoring run), add-one smoothing so empty bins
+    stay finite, per-bin contributions (pa−pb)·ln(pa/pb) snapped to
+    micro-units, total an order-independent integer SUM."""
+    ev = _t(spark, sf_dir, "events")
+    from ingestion_scripts_spark.operators import profiling as PR
+
+    base = ev.select(
+        "event_type",
+        F.least(
+            F.floor(PR.snap_units(F.col("value"), 1000000) / 50000000), F.lit(9)
+        ).cast("bigint").alias("bin"),
+        F.when(F.col("event_id") % 2 == 0, 1).otherwise(0).alias("a"),
+    )
+    cells = base.groupBy("event_type", "bin").agg(
+        F.sum("a").alias("ca_raw"), F.sum(1 - F.col("a")).alias("cb_raw")
+    )
+    # every (event_type, bin) cell exists, 0-filled: cross the observed
+    # event types with the 10 reference bins
+    types = base.select("event_type").distinct()
+    bins = spark.range(10).select(F.col("id").cast("bigint").alias("bin"))
+    grid = types.crossJoin(F.broadcast(bins))
+    full = grid.join(cells, ["event_type", "bin"], "left").select(
+        "event_type",
+        "bin",
+        F.coalesce("ca_raw", F.lit(0)).cast("bigint").alias("ca"),
+        F.coalesce("cb_raw", F.lit(0)).cast("bigint").alias("cb"),
+    )
+    tot = full.groupBy("event_type").agg(
+        F.sum("ca").alias("na"), F.sum("cb").alias("nb")
+    )
+    pa = (F.col("ca") + 1).cast("double") / (F.col("na") + 10).cast("double")
+    pb = (F.col("cb") + 1).cast("double") / (F.col("nb") + 10).cast("double")
+    scored = full.join(tot, "event_type").withColumn(
+        "psi_micro",
+        F.floor((pa - pb) * F.log(pa / pb) * F.lit(1e6) + F.lit(0.5)).cast(
+            "bigint"
+        ),
+    )
+    return scored.select(
+        "event_type",
+        "bin",
+        "ca",
+        "cb",
+        "psi_micro",
+        F.sum("psi_micro")
+        .over(Window.partitionBy("event_type"))
+        .alias("total_psi_micro"),
+    ).orderBy("event_type", "bin")
+
+
+SQL_PSI_DRIFT = """
+WITH base AS (
+  SELECT event_type,
+         least(CAST(floor(CAST(floor(value * 1000000 + 0.5) AS BIGINT)
+                          / 50000000) AS BIGINT), 9) AS bin,
+         CASE WHEN event_id % 2 = 0 THEN 1 ELSE 0 END AS a
+  FROM events),
+cells AS (
+  SELECT event_type, bin, CAST(sum(a) AS BIGINT) AS ca_raw,
+         CAST(sum(1 - a) AS BIGINT) AS cb_raw
+  FROM base GROUP BY 1, 2),
+grid AS (
+  SELECT t.event_type, CAST(b.b AS BIGINT) AS bin
+  FROM (SELECT DISTINCT event_type FROM base) t,
+       (SELECT unnest(range(0, 10)) AS b) b),
+full_ AS (
+  SELECT g.event_type, g.bin,
+         coalesce(c.ca_raw, 0) AS ca, coalesce(c.cb_raw, 0) AS cb
+  FROM grid g LEFT JOIN cells c ON g.event_type = c.event_type AND g.bin = c.bin),
+tot AS (SELECT event_type, CAST(sum(ca) AS BIGINT) AS na,
+               CAST(sum(cb) AS BIGINT) AS nb
+        FROM full_ GROUP BY 1),
+scored AS (
+  SELECT f.event_type, f.bin, f.ca, f.cb,
+         CAST(floor(
+           (CAST(f.ca + 1 AS DOUBLE) / CAST(t.na + 10 AS DOUBLE)
+            - CAST(f.cb + 1 AS DOUBLE) / CAST(t.nb + 10 AS DOUBLE))
+           * ln((CAST(f.ca + 1 AS DOUBLE) / CAST(t.na + 10 AS DOUBLE))
+                / (CAST(f.cb + 1 AS DOUBLE) / CAST(t.nb + 10 AS DOUBLE)))
+           * 1e6 + 0.5) AS BIGINT) AS psi_micro
+  FROM full_ f JOIN tot t USING (event_type))
+SELECT event_type, bin, ca, cb, psi_micro,
+       CAST(sum(psi_micro) OVER (PARTITION BY event_type) AS BIGINT)
+         AS total_psi_micro
+FROM scored
+ORDER BY event_type, bin
+"""
+
+
+def q_chi2_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square independence between event_type and a derived user
+    cohort (user_id % 4) — the significance test behind every A/B table:
+    per-cell contribution ((O·N − rt·ct)/N)²/E computed as ONE exact
+    BIGINT difference (O·N − rt·ct; the float square happens on an
+    integer-exact operand, so both engines square the same number),
+    then two float ops. Complements column_mutual_info (effect size)
+    with the test statistic."""
+    ev = _t(spark, sf_dir, "events")
+    base = ev.select(
+        "event_type", (F.col("user_id") % 4).cast("bigint").alias("cohort")
+    )
+    cells = base.groupBy("event_type", "cohort").agg(
+        F.count(F.lit(1)).alias("o")
+    )
+    from ingestion_scripts_spark.caching import persist_tracked
+
+    cells = persist_tracked(cells)
+    rt = cells.groupBy("event_type").agg(F.sum("o").alias("rt"))
+    ct = cells.groupBy("cohort").agg(F.sum("o").alias("ct"))
+    n = cells.agg(F.sum("o").alias("n_total"))
+    scored = (
+        cells.join(rt, "event_type")
+        .join(ct, "cohort")
+        .crossJoin(F.broadcast(n))
+        .withColumn(
+            "diff", (F.col("o") * F.col("n_total") - F.col("rt") * F.col("ct"))
+        )
+        .withColumn(
+            "chi2_nano",
+            F.floor(
+                (F.col("diff").cast("double") * F.col("diff").cast("double"))
+                / (
+                    F.col("rt").cast("double")
+                    * F.col("ct").cast("double")
+                    * F.col("n_total").cast("double")
+                )
+                * F.lit(1e9)
+                + F.lit(0.5)
+            ).cast("bigint"),
+        )
+    )
+    return scored.select(
+        "event_type",
+        "cohort",
+        F.col("o").cast("bigint").alias("o"),
+        "chi2_nano",
+        F.sum("chi2_nano").over(Window.partitionBy(F.lit(1))).alias(
+            "total_chi2_nano"
+        ),
+    ).orderBy("event_type", "cohort")
+
+
+SQL_CHI2_INDEPENDENCE = """
+WITH base AS (
+  SELECT event_type, CAST(user_id % 4 AS BIGINT) AS cohort FROM events),
+cells AS (SELECT event_type, cohort, count(*) AS o FROM base GROUP BY 1, 2),
+rt AS (SELECT event_type, CAST(sum(o) AS BIGINT) AS rt FROM cells GROUP BY 1),
+ct AS (SELECT cohort, CAST(sum(o) AS BIGINT) AS ct FROM cells GROUP BY 1),
+n AS (SELECT CAST(sum(o) AS BIGINT) AS n_total FROM cells),
+scored AS (
+  SELECT c.event_type, c.cohort, CAST(c.o AS BIGINT) AS o,
+         CAST(floor(
+           (CAST(c.o * n.n_total - r.rt * t.ct AS DOUBLE)
+            * CAST(c.o * n.n_total - r.rt * t.ct AS DOUBLE))
+           / (CAST(r.rt AS DOUBLE) * CAST(t.ct AS DOUBLE)
+              * CAST(n.n_total AS DOUBLE))
+           * 1e9 + 0.5) AS BIGINT) AS chi2_nano
+  FROM cells c JOIN rt r USING (event_type) JOIN ct t USING (cohort), n)
+SELECT event_type, cohort, o, chi2_nano,
+       CAST(sum(chi2_nano) OVER () AS BIGINT) AS total_chi2_nano
+FROM scored
+ORDER BY event_type, cohort
+"""
+
+
+# ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
 
@@ -10696,6 +10871,8 @@ _REGISTRY: list[tuple[str, Callable[[SparkSession, str], DataFrame], str | None]
     ("stream_quota_admission", q_stream_quota_admission, SQL_STREAM_QUOTA),
     ("er_canonical_entities", q_er_canonical_entities, SQL_ER_CANONICAL),
     ("bfs_hops_coorder", q_bfs_hops_coorder, SQL_BFS_HOPS),
+    ("psi_drift", q_psi_drift, SQL_PSI_DRIFT),
+    ("chi2_independence", q_chi2_independence, SQL_CHI2_INDEPENDENCE),
     # --- driver-green in r1-r3 (re-certified on the r5+ round-robin) ---
     ("rss_pipeline", q_rss_pipeline, SQL_RSS_PIPELINE),
     ("reddit_pipeline", q_reddit_pipeline, SQL_REDDIT_PIPELINE),
