@@ -213,6 +213,19 @@ HEADLINE = [
     "dup_clusters_star",
     "containment_pairs",
     "recursive_front_door",
+    "duplicate_spans",
+    "span_removal_plan",
+    "pareto_frontier",
+    "ks_drift",
+    "column_mutual_info",
+    "incremental_agg_view",
+    "snm_blocking",
+    "cusum_changepoint",
+    "ht_sampling_error",
+    "er_canonical_entities",
+    "bfs_hops_coorder",
+    "psi_drift",
+    "chi2_independence",
 ]
 
 #: deliberate shadows: oracle-exact twins of faster default kernels, kept
@@ -241,6 +254,7 @@ STREAMING = [
     "stream_incremental_dedup",
     "stream_state_reader",
     "stream_scd_merge",
+    "stream_quota_admission",
 ]
 
 
