@@ -62,3 +62,45 @@ def test_token_budget_take_survives_repartition(spark):
         )
 
     assert run(docs) == run(docs.repartition(9))
+
+
+def test_profiling_laws_survive_repartition(spark):
+    """KS, CUSUM, MI, and the sparse-pair style integer snaps of the new
+    profiling family are partition-order independent by construction —
+    pin it."""
+    from ingestion_scripts_spark.operators import profiling as PR
+
+    rows = [
+        ("g" + str(i % 3), i, float((i * 37) % 101) / 7.0) for i in range(120)
+    ]
+    df = spark.createDataFrame(rows, "grp string, event_id bigint, value double")
+
+    def ks(d):
+        return sorted(
+            (r.grp, r.n_a, r.n_b, r.d_num, r.ks)
+            for r in PR.ks_statistic(
+                d, "grp", PR.snap_units(F.col("value"), 1000000),
+                F.col("event_id") % 2 == 0,
+            ).collect()
+        )
+
+    def cusum(d):
+        return sorted(
+            (r.grp, r.n, r.k_at_max, r.s_abs_max)
+            for r in PR.cusum_changepoint(
+                d, "grp", ["event_id"], PR.snap_units(F.col("value"), 100)
+            ).collect()
+        )
+
+    def mi(d):
+        dd = d.select(
+            (F.col("event_id") % 5).cast("string").alias("x"),
+            (F.col("event_id") % 3).cast("string").alias("y"),
+        )
+        return sorted(
+            (r.x, r.y, r.nxy, r.mi_nano, r.total_mi_nano)
+            for r in PR.mutual_information(dd, "x", "y").collect()
+        )
+
+    for fn in (ks, cusum, mi):
+        assert fn(df) == fn(df.repartition(11)) == fn(df.repartition(1)), fn.__name__
