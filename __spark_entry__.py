@@ -10750,6 +10750,46 @@ ORDER BY event_type, cohort
 
 
 # ---------------------------------------------------------------------------
+# r4 batch 15: multimodal audio framing
+# ---------------------------------------------------------------------------
+
+def q_multimodal_audio_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The audio FRAMING leg of the multimodal surface
+    (multimodal.py::audio_energy_windows): binary payload → Arrow
+    mapInPandas → per-window exact BIGINT energy (sum of squared
+    samples) with (media_id, win_no) lineage — the shape VAD / silence
+    trimming / loudness normalization consume. Sample decode is the
+    documented deterministic stand-in (base64 bytes), so the oracle
+    recomputes every sample with ascii() and the whole Arrow round-trip
+    is value-checked."""
+    from ingestion_scripts_spark.operators.multimodal import (
+        audio_energy_windows,
+        text_to_media,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    media = text_to_media(docs)
+    return audio_energy_windows(media).orderBy("media_id", "win_no")
+
+
+SQL_MULTIMODAL_AUDIO = """
+WITH b AS (
+  SELECT doc_id AS media_id, to_base64(encode(text)) AS s FROM documents),
+w AS (
+  SELECT media_id, CAST(t.i AS BIGINT) AS win_no,
+         substr(s, CAST(t.i * 64 + 1 AS BIGINT), 64) AS chunk
+  FROM b, unnest(range(0, CAST(ceil(length(s) / 64.0) AS BIGINT))) AS t(i))
+SELECT media_id, win_no,
+       CAST(length(chunk) AS BIGINT) AS n_samples,
+       CAST(list_sum(list_transform(range(1, length(chunk) + 1),
+                     j -> ascii(substr(chunk, j, 1)) * ascii(substr(chunk, j, 1))))
+            AS BIGINT) AS energy
+FROM w WHERE length(chunk) > 0
+ORDER BY media_id, win_no
+"""
+
+
+# ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
 
@@ -10891,6 +10931,7 @@ _REGISTRY: list[tuple[str, Callable[[SparkSession, str], DataFrame], str | None]
     ("bfs_hops_coorder", q_bfs_hops_coorder, SQL_BFS_HOPS),
     ("psi_drift", q_psi_drift, SQL_PSI_DRIFT),
     ("chi2_independence", q_chi2_independence, SQL_CHI2_INDEPENDENCE),
+    ("multimodal_audio_energy", q_multimodal_audio_energy, SQL_MULTIMODAL_AUDIO),
     # --- driver-green in r1-r3 (re-certified on the r5+ round-robin) ---
     ("rss_pipeline", q_rss_pipeline, SQL_RSS_PIPELINE),
     ("reddit_pipeline", q_reddit_pipeline, SQL_REDDIT_PIPELINE),

@@ -226,6 +226,7 @@ HEADLINE = [
     "bfs_hops_coorder",
     "psi_drift",
     "chi2_independence",
+    "multimodal_audio_energy",
 ]
 
 #: deliberate shadows: oracle-exact twins of faster default kernels, kept

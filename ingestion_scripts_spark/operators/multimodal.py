@@ -180,3 +180,57 @@ def sample_frames(
         F.col(id_col), F.posexplode(frames).alias("frame_no", "frame_token")
     )
     return ex.filter(F.col("frame_token") != "")
+
+
+def audio_energy_windows(
+    df: DataFrame,
+    payload_col: str = "payload",
+    id_col: str = "media_id",
+    window: int = 64,
+) -> DataFrame:
+    """Fixed-window energy profile over an audio-like binary payload —
+    the framing leg audio pipelines need (VAD, silence trimming, loudness
+    normalization all start from per-window energy). The payload is
+    treated as a PCM-ish sample stream; as with the other kernels the
+    sample DECODE is a documented deterministic stand-in (base64 bytes of
+    the payload — ASCII, so the DuckDB oracle can recompute every sample
+    with ascii()), while the Arrow plumbing — binary column through
+    mapInPandas, per-window lineage (media_id, win_no), exact BIGINT
+    energy sums — is the real contract.
+
+    Returns (media_id, win_no, n_samples, energy) with
+    energy = sum(sample_i^2) as exact int64 (no float anywhere).
+    """
+    import base64
+
+    out_schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType()),
+            T.StructField("win_no", T.LongType()),
+            T.StructField("n_samples", T.LongType()),
+            T.StructField("energy", T.LongType()),
+        ]
+    )
+
+    def run(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            ids, wins, ns, es = [], [], [], []
+            for mid, payload in zip(pdf[id_col], pdf[payload_col]):
+                if payload is None:
+                    continue
+                s = base64.b64encode(bytes(payload)).decode("ascii")
+                for w in range(0, (len(s) + window - 1) // window):
+                    chunk = s[w * window : (w + 1) * window]
+                    if not chunk:
+                        continue
+                    ids.append(int(mid))
+                    wins.append(w)
+                    ns.append(len(chunk))
+                    es.append(sum(ord(c) * ord(c) for c in chunk))
+            yield pd.DataFrame(
+                {"media_id": ids, "win_no": wins, "n_samples": ns, "energy": es}
+            )
+
+    return df.select(id_col, payload_col).mapInPandas(run, out_schema)

@@ -59,3 +59,28 @@ def test_resize_and_frame_sample_plumbing(spark):
         per_doc.setdefault(r.media_id, []).append(r.frame_no)
     assert per_doc[1] == sorted(per_doc[1])  # ordered frame index
     assert len(per_doc[1]) > len(per_doc.get(2, []))  # longer payload → more frames
+
+
+def test_audio_energy_windows_exact(spark):
+    """Per-window energy matches a pure-Python recompute byte for byte,
+    and window lineage covers the whole payload with no gaps."""
+    import base64
+
+    from ingestion_scripts_spark.operators.multimodal import (
+        audio_energy_windows,
+        text_to_media,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "hello world " * 20), (2, "x"), (3, "abc" * 64)],
+        ["doc_id", "text"],
+    )
+    out = audio_energy_windows(text_to_media(docs)).collect()
+    got = {(r.media_id, r.win_no): (r.n_samples, r.energy) for r in out}
+    for doc_id, text in [(1, "hello world " * 20), (2, "x"), (3, "abc" * 64)]:
+        s = base64.b64encode(text.encode()).decode()
+        chunks = [s[i : i + 64] for i in range(0, len(s), 64)]
+        for w, c in enumerate(chunks):
+            assert got[(doc_id, w)] == (len(c), sum(ord(ch) ** 2 for ch in c))
+        # no extra windows
+        assert not any(k[0] == doc_id and k[1] >= len(chunks) for k in got)
