@@ -10790,6 +10790,94 @@ ORDER BY media_id, win_no
 
 
 # ---------------------------------------------------------------------------
+# r4 batch 16: Bloom dedup audit (bounded-memory dedup, quantified FPs)
+# ---------------------------------------------------------------------------
+
+def q_bloom_dedup_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded-memory Bloom dedup with its false-positive cost COMPUTED,
+    not assumed: docs arrive in doc_id order through a 65536-bit / 2-hash
+    Bloom filter; a doc is dropped iff both its bits were set by earlier
+    docs. The closed-form law: dropped(d) <=> max(first_set(b1),
+    first_set(b2)) < d, where first_set(bit) = min doc_id over docs
+    carrying that bit — NON-recursive because a dropped doc's bits are by
+    definition already set, so inserting dropped docs changes nothing
+    and insert-all ≡ insert-admitted. The audit joins exact text dedup
+    back in and counts false positives — the measured price of O(m bits)
+    state instead of an O(n) exact key set (the streaming twin of
+    operators/bloom.py's join pruning; portable md5 hashes so the oracle
+    replays bit-for-bit)."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    m = 65536
+    b1 = X.hash64(F.concat(F.lit("b1:"), F.col("text"))) % m
+    b2 = X.hash64(F.concat(F.lit("b2:"), F.col("text"))) % m
+    base = docs.select("doc_id", b1.alias("b1"), b2.alias("b2"), "text")
+    base = persist_tracked(base)
+    bits = base.select("doc_id", F.explode(F.array("b1", "b2")).alias("bit"))
+    first_set = bits.groupBy("bit").agg(F.min("doc_id").alias("fs"))
+    fs1 = first_set.select(F.col("bit").alias("b1"), F.col("fs").alias("fs1"))
+    fs2 = first_set.select(F.col("bit").alias("b2"), F.col("fs").alias("fs2"))
+    first_text = base.groupBy("text").agg(F.min("doc_id").alias("ft"))
+    scored = (
+        base.join(fs1, "b1")
+        .join(fs2, "b2")
+        .join(first_text, "text")
+        .select(
+            "doc_id",
+            (
+                (F.col("fs1") < F.col("doc_id")) & (F.col("fs2") < F.col("doc_id"))
+            ).cast("int").alias("dropped"),
+            (F.col("ft") < F.col("doc_id")).cast("int").alias("is_dup"),
+        )
+        .withColumn(
+            "false_positive",
+            (F.col("dropped") == 1).cast("int") * (F.col("is_dup") == 0).cast("int"),
+        )
+    )
+    w_all = Window.partitionBy(F.lit(1))
+    return scored.select(
+        "doc_id",
+        "dropped",
+        "is_dup",
+        "false_positive",
+        F.sum("dropped").over(w_all).cast("bigint").alias("n_dropped"),
+        F.sum("false_positive").over(w_all).cast("bigint").alias("n_false_positives"),
+    ).orderBy("doc_id")
+
+
+SQL_BLOOM_DEDUP_AUDIT = f"""
+WITH base AS (
+  SELECT doc_id,
+         ({O.sql_hash64("('b1:' || text)")}) % 65536 AS b1,
+         ({O.sql_hash64("('b2:' || text)")}) % 65536 AS b2,
+         text
+  FROM documents),
+bits AS (
+  SELECT doc_id, b1 AS bit FROM base
+  UNION ALL SELECT doc_id, b2 AS bit FROM base),
+first_set AS (SELECT bit, min(doc_id) AS fs FROM bits GROUP BY bit),
+first_text AS (SELECT text, min(doc_id) AS ft FROM base GROUP BY text),
+scored AS (
+  SELECT b.doc_id,
+         CAST(CASE WHEN f1.fs < b.doc_id AND f2.fs < b.doc_id
+              THEN 1 ELSE 0 END AS INT) AS dropped,
+         CAST(CASE WHEN t.ft < b.doc_id THEN 1 ELSE 0 END AS INT) AS is_dup
+  FROM base b
+  JOIN first_set f1 ON b.b1 = f1.bit
+  JOIN first_set f2 ON b.b2 = f2.bit
+  JOIN first_text t ON b.text = t.text),
+fp AS (
+  SELECT doc_id, dropped, is_dup,
+         CAST(CASE WHEN dropped = 1 AND is_dup = 0 THEN 1 ELSE 0 END AS INT)
+           AS false_positive
+  FROM scored)
+SELECT doc_id, dropped, is_dup, false_positive,
+       CAST(sum(dropped) OVER () AS BIGINT) AS n_dropped,
+       CAST(sum(false_positive) OVER () AS BIGINT) AS n_false_positives
+FROM fp ORDER BY doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
 
@@ -10932,6 +11020,7 @@ _REGISTRY: list[tuple[str, Callable[[SparkSession, str], DataFrame], str | None]
     ("psi_drift", q_psi_drift, SQL_PSI_DRIFT),
     ("chi2_independence", q_chi2_independence, SQL_CHI2_INDEPENDENCE),
     ("multimodal_audio_energy", q_multimodal_audio_energy, SQL_MULTIMODAL_AUDIO),
+    ("bloom_dedup_audit", q_bloom_dedup_audit, SQL_BLOOM_DEDUP_AUDIT),
     # --- driver-green in r1-r3 (re-certified on the r5+ round-robin) ---
     ("rss_pipeline", q_rss_pipeline, SQL_RSS_PIPELINE),
     ("reddit_pipeline", q_reddit_pipeline, SQL_REDDIT_PIPELINE),

@@ -227,6 +227,7 @@ HEADLINE = [
     "psi_drift",
     "chi2_independence",
     "multimodal_audio_energy",
+    "bloom_dedup_audit",
 ]
 
 #: deliberate shadows: oracle-exact twins of faster default kernels, kept
