@@ -10878,6 +10878,164 @@ FROM fp ORDER BY doc_id
 
 
 # ---------------------------------------------------------------------------
+# r4 batch 17: seeded label propagation, join-size estimation harness
+# ---------------------------------------------------------------------------
+
+def q_label_spread_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seeded label propagation (semi-supervised community assignment)
+    over the part co-order graph: seeds (partkey % 97 == 0) carry their
+    own id as label; two UNROLLED rounds assign every node the weighted
+    majority label of its labeled neighbors (edge weight = co-order
+    count; ties → smallest label); seeds stay clamped. Unlike BFS/CC the
+    rounds are unrolled INTO the plan — zero driver actions at build,
+    each round is one keyed join + one keyed argmax. The community
+    complement to connected components: labels compete, they don't just
+    flood."""
+    li = _t(spark, sf_dir, "lineitem")
+    b = li.select(
+        F.col("l_orderkey").alias("bk"), F.col("l_partkey").alias("it")
+    ).distinct()
+    x, y = b.alias("x"), b.alias("y")
+    e = (
+        x.join(y, (F.col("x.bk") == F.col("y.bk")) & (F.col("x.it") < F.col("y.it")))
+        .groupBy(F.col("x.it").alias("a"), F.col("y.it").alias("b"))
+        .agg(F.count(F.lit(1)).alias("w"))
+        .filter(F.col("w") >= 2)
+    )
+    esym = e.union(
+        e.select(F.col("b").alias("a"), F.col("a").alias("b"), "w")
+    )
+    esym = persist_tracked(esym)
+    seeds = (
+        esym.select(F.col("a").alias("node"))
+        .distinct()
+        .where(F.col("node") % 97 == 0)
+        .select("node", F.col("node").alias("label"))
+    )
+
+    def spread(labels: DataFrame) -> DataFrame:
+        votes = (
+            esym.join(labels, esym["b"] == labels["node"])
+            .groupBy(F.col("a").alias("node"), "label")
+            .agg(F.sum("w").alias("votes"))
+        )
+        w_rank = Window.partitionBy("node").orderBy(
+            F.desc("votes"), F.asc("label")
+        )
+        winner = (
+            votes.withColumn("rn", F.row_number().over(w_rank))
+            .where(F.col("rn") == 1)
+            .select("node", "label")
+        )
+        # seeds stay clamped: seed label wins over any vote
+        return winner.join(seeds.select("node"), "node", "left_anti").unionByName(
+            seeds
+        )
+    labels = spread(spread(seeds))
+    return labels.select(
+        F.col("node").cast("bigint").alias("node"),
+        F.col("label").cast("bigint").alias("label"),
+    ).orderBy("node")
+
+
+SQL_LABEL_SPREAD = """
+WITH bsk AS (SELECT DISTINCT l_orderkey AS bk, l_partkey AS it FROM lineitem),
+e AS (
+  SELECT x.it AS a, y.it AS b, count(*) AS w
+  FROM bsk x JOIN bsk y ON x.bk = y.bk AND x.it < y.it
+  GROUP BY 1, 2 HAVING count(*) >= 2),
+esym AS (SELECT a, b, w FROM e UNION ALL SELECT b, a, w FROM e),
+seeds AS (
+  SELECT node, node AS label
+  FROM (SELECT DISTINCT a AS node FROM esym) WHERE node % 97 = 0),
+r1v AS (
+  SELECT es.a AS node, s.label, CAST(sum(es.w) AS BIGINT) AS votes
+  FROM esym es JOIN seeds s ON es.b = s.node GROUP BY 1, 2),
+r1w AS (
+  SELECT node, label FROM (
+    SELECT node, label,
+           row_number() OVER (PARTITION BY node
+                              ORDER BY votes DESC, label ASC) AS rn
+    FROM r1v) WHERE rn = 1),
+r1 AS (
+  SELECT node, label FROM r1w WHERE node NOT IN (SELECT node FROM seeds)
+  UNION ALL SELECT node, label FROM seeds),
+r2v AS (
+  SELECT es.a AS node, l.label, CAST(sum(es.w) AS BIGINT) AS votes
+  FROM esym es JOIN r1 l ON es.b = l.node GROUP BY 1, 2),
+r2w AS (
+  SELECT node, label FROM (
+    SELECT node, label,
+           row_number() OVER (PARTITION BY node
+                              ORDER BY votes DESC, label ASC) AS rn
+    FROM r2v) WHERE rn = 1),
+r2 AS (
+  SELECT node, label FROM r2w WHERE node NOT IN (SELECT node FROM seeds)
+  UNION ALL SELECT node, label FROM seeds)
+SELECT CAST(node AS BIGINT) AS node, CAST(label AS BIGINT) AS label
+FROM r2 ORDER BY node
+"""
+
+
+def q_join_size_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-cardinality estimation by KEY sampling — the shuffle-planning
+    harness: hash-sample 1-in-20 of the join KEYS (key sampling keeps
+    every matching pair of a sampled key, so the estimator is unbiased:
+    E[20·|A_s ⋈ B_s|] = |A ⋈ B|), scale up, and COMPUTE the error
+    against the exact join size (itself obtained without materializing
+    the join: sum over keys of cnt_l·cnt_o). All integers; one row."""
+    li = _t(spark, sf_dir, "lineitem").select(F.col("l_orderkey").alias("k"))
+    od = _t(spark, sf_dir, "orders").select(F.col("o_orderkey").alias("k"))
+    cl = li.groupBy("k").agg(F.count(F.lit(1)).alias("cl"))
+    co = od.groupBy("k").agg(F.count(F.lit(1)).alias("co"))
+    joined = cl.join(co, "k").select(
+        "k",
+        (F.col("cl") * F.col("co")).alias("pairs"),
+        (X.hash64(F.concat(F.lit("js:"), F.col("k").cast("string"))) % 20 == 0)
+        .cast("int")
+        .alias("in_sample"),
+    )
+    agg = joined.agg(
+        F.sum("pairs").cast("bigint").alias("true_pairs"),
+        (F.sum(F.col("pairs") * F.col("in_sample")) * 20)
+        .cast("bigint")
+        .alias("est_pairs"),
+        F.sum("in_sample").cast("bigint").alias("n_sampled_keys"),
+        F.count(F.lit(1)).cast("bigint").alias("n_keys"),
+    )
+    return agg.select(
+        "n_keys",
+        "n_sampled_keys",
+        "true_pairs",
+        "est_pairs",
+        F.expr(
+            "CAST((abs(est_pairs - true_pairs) * 1000000) DIV true_pairs AS BIGINT)"
+        ).alias("err_ppm"),
+    )
+
+
+SQL_JOIN_SIZE_ESTIMATE = f"""
+WITH cl AS (SELECT l_orderkey AS k, count(*) AS cl FROM lineitem GROUP BY 1),
+co AS (SELECT o_orderkey AS k, count(*) AS co FROM orders GROUP BY 1),
+j AS (
+  SELECT cl.k, CAST(cl.cl * co.co AS BIGINT) AS pairs,
+         CASE WHEN ({O.sql_hash64("('js:' || CAST(cl.k AS VARCHAR))")}) % 20 = 0
+              THEN 1 ELSE 0 END AS in_sample
+  FROM cl JOIN co ON cl.k = co.k),
+agg AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_keys,
+         CAST(sum(in_sample) AS BIGINT) AS n_sampled_keys,
+         CAST(sum(pairs) AS BIGINT) AS true_pairs,
+         CAST(sum(pairs * in_sample) * 20 AS BIGINT) AS est_pairs
+  FROM j)
+SELECT n_keys, n_sampled_keys, true_pairs, est_pairs,
+       CAST((abs(est_pairs - true_pairs) * 1000000) // true_pairs AS BIGINT)
+         AS err_ppm
+FROM agg
+"""
+
+
+# ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
 
@@ -11021,6 +11179,8 @@ _REGISTRY: list[tuple[str, Callable[[SparkSession, str], DataFrame], str | None]
     ("chi2_independence", q_chi2_independence, SQL_CHI2_INDEPENDENCE),
     ("multimodal_audio_energy", q_multimodal_audio_energy, SQL_MULTIMODAL_AUDIO),
     ("bloom_dedup_audit", q_bloom_dedup_audit, SQL_BLOOM_DEDUP_AUDIT),
+    ("label_spread_communities", q_label_spread_communities, SQL_LABEL_SPREAD),
+    ("join_size_estimate", q_join_size_estimate, SQL_JOIN_SIZE_ESTIMATE),
     # --- driver-green in r1-r3 (re-certified on the r5+ round-robin) ---
     ("rss_pipeline", q_rss_pipeline, SQL_RSS_PIPELINE),
     ("reddit_pipeline", q_reddit_pipeline, SQL_REDDIT_PIPELINE),

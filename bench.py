@@ -228,6 +228,8 @@ HEADLINE = [
     "chi2_independence",
     "multimodal_audio_energy",
     "bloom_dedup_audit",
+    "label_spread_communities",
+    "join_size_estimate",
 ]
 
 #: deliberate shadows: oracle-exact twins of faster default kernels, kept

@@ -55,3 +55,41 @@ def test_bfs_hops_matches_bruteforce(spark):
     seeds2 = spark.createDataFrame([(0,), (10,)], ["node"])
     got3 = {r["node"]: r["hops"] for r in G.bfs_hops(edges, seeds2).collect()}
     assert got3[10] == 0 and got3[11] == 1 and got3[0] == 0
+
+
+def test_label_spread_semantics_via_entry_query(spark):
+    """The unrolled 2-round label spread: seeds clamp, neighbors take the
+    weighted majority, ties go to the smallest label. Checked on a
+    hand graph through the same join/argmax shape as the entry query."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    # weighted graph: node 1..3 seeds are 97*k ids to mimic the query
+    e = spark.createDataFrame(
+        [(0, 10, 5), (97, 10, 3), (0, 97, 1), (194, 20, 1), (0, 20, 1)],
+        ["a", "b", "w"],
+    )
+    esym = e.union(e.select(F.col("b").alias("a"), F.col("a").alias("b"), "w"))
+    seeds = (
+        esym.select(F.col("a").alias("node")).distinct()
+        .where(F.col("node") % 97 == 0)
+        .select("node", F.col("node").alias("label"))
+    )
+    votes = (
+        esym.join(seeds, esym["b"] == seeds["node"])
+        .groupBy(F.col("a").alias("node"), "label")
+        .agg(F.sum("w").alias("votes"))
+    )
+    w_rank = Window.partitionBy("node").orderBy(F.desc("votes"), F.asc("label"))
+    winner = (
+        votes.withColumn("rn", F.row_number().over(w_rank))
+        .where(F.col("rn") == 1).select("node", "label")
+    )
+    labels = winner.join(seeds.select("node"), "node", "left_anti").unionByName(seeds)
+    got = {r.node: r.label for r in labels.collect()}
+    # node 10: 0 votes 5 beats 97 votes 3 -> label 0
+    assert got[10] == 0
+    # node 20: tie between 194 (w=1) and 0 (w=1) -> smallest label 0
+    assert got[20] == 0
+    # seeds clamped to themselves even though they neighbor other seeds
+    assert got[0] == 0 and got[97] == 97 and got[194] == 194
