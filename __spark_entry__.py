@@ -6399,7 +6399,7 @@ WITH ranked AS (
          rank() OVER (PARTITION BY event_type ORDER BY value) AS rx,
          rank() OVER (PARTITION BY event_type
                       ORDER BY json_extract(props,'$.k')::BIGINT) AS ry
-  FROM events),
+  FROM events WHERE value > 0),
 agg AS (
   SELECT event_type, CAST(count(*) AS BIGINT) AS n,
          CAST(sum(rx) AS BIGINT) AS sx, CAST(sum(ry) AS BIGINT) AS sy,
@@ -11036,6 +11036,104 @@ FROM agg
 
 
 # ---------------------------------------------------------------------------
+# r4 batch 18: pandas UDAF (grouped-agg) and applyInArrow surfaces
+# ---------------------------------------------------------------------------
+
+def q_grouped_agg_udaf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The pandas GROUPED-AGG UDAF surface (Series -> scalar through
+    Arrow), done order-independently: the JVM precomputes integer
+    log-micro values (floor(ln(value)*1e6+0.5) — same libm call both
+    engines), the UDAF is a plain integer sum (commutative, so Arrow
+    batch order cannot flip it), and the geometric mean exponentiates
+    the exact integer total. Covers the one Python-aggregation API the
+    engine had not yet certified; everything stays Arrow-batched."""
+    from pyspark.sql.functions import PandasUDFType, pandas_udf
+
+    # NOTE: explicit GROUPED_AGG functionType — this module has
+    # `from __future__ import annotations`, which turns signature
+    # annotations into strings Spark's inference cannot resolve.
+    @pandas_udf("long", PandasUDFType.GROUPED_AGG)
+    def int_sum(s):
+        return int(s.sum())
+
+    ev = _t(spark, sf_dir, "events").where(F.col("value") > 0)  # gmean domain
+    lm = F.floor(F.log(F.col("value")) * 1000000.0 + F.lit(0.5)).cast("bigint")
+    base = ev.select("event_type", lm.alias("lm"))
+    # a grouped-agg pandas UDF cannot mix with JVM aggregates in one
+    # agg() — count rides through a second UDAF column instead
+    @pandas_udf("long", PandasUDFType.GROUPED_AGG)
+    def int_count(s):
+        return int(len(s))
+
+    agg = base.groupBy("event_type").agg(
+        int_count("lm").alias("n"), int_sum("lm").alias("sum_lm")
+    )
+    return agg.select(
+        "event_type",
+        F.col("n").cast("bigint").alias("n"),
+        "sum_lm",
+        F.floor(
+            F.exp(F.col("sum_lm").cast("double") / (F.col("n") * 1000000.0))
+            * 1000000.0
+            + F.lit(0.5)
+        ).cast("bigint").alias("gmean_micro"),
+    ).orderBy("event_type")
+
+
+SQL_GROUPED_AGG_UDAF = """
+WITH base AS (
+  SELECT event_type,
+         CAST(floor(ln(value) * 1000000.0 + 0.5) AS BIGINT) AS lm
+  FROM events WHERE value > 0),
+agg AS (
+  SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(lm) AS BIGINT) AS sum_lm
+  FROM base GROUP BY event_type)
+SELECT event_type, n, sum_lm,
+       CAST(floor(exp(CAST(sum_lm AS DOUBLE) / (n * 1000000.0))
+                  * 1000000.0 + 0.5) AS BIGINT) AS gmean_micro
+FROM agg ORDER BY event_type
+"""
+
+
+def q_arrow_group_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4's ``applyInArrow`` grouped-map surface: each source's
+    documents arrive as a pyarrow Table (no pandas detour), per-group
+    stats computed with pyarrow.compute on exact integers. The
+    Arrow-native sibling of applyInPandas — zero serialization to
+    pandas, the fastest Python crossing the engine offers."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    def stats(table: pa.Table) -> pa.Table:
+        n = table.num_rows
+        chars = pc.sum(pc.utf8_length(table.column("text"))).as_py() or 0
+        max_id = pc.max(table.column("doc_id")).as_py()
+        return pa.table(
+            {
+                "source": [table.column("source")[0].as_py()],
+                "n_docs": pa.array([n], pa.int64()),
+                "total_chars": pa.array([int(chars)], pa.int64()),
+                "max_doc_id": pa.array([int(max_id)], pa.int64()),
+            }
+        )
+
+    docs = _t(spark, sf_dir, "documents").select("source", "doc_id", "text")
+    out = docs.groupBy("source").applyInArrow(
+        stats, "source string, n_docs long, total_chars long, max_doc_id long"
+    )
+    return out.orderBy("source")
+
+
+SQL_ARROW_GROUP_STATS = """
+SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(length(text)) AS BIGINT) AS total_chars,
+       CAST(max(doc_id) AS BIGINT) AS max_doc_id
+FROM documents GROUP BY source ORDER BY source
+"""
+
+
+# ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
 
@@ -11181,6 +11279,8 @@ _REGISTRY: list[tuple[str, Callable[[SparkSession, str], DataFrame], str | None]
     ("bloom_dedup_audit", q_bloom_dedup_audit, SQL_BLOOM_DEDUP_AUDIT),
     ("label_spread_communities", q_label_spread_communities, SQL_LABEL_SPREAD),
     ("join_size_estimate", q_join_size_estimate, SQL_JOIN_SIZE_ESTIMATE),
+    ("grouped_agg_udaf", q_grouped_agg_udaf, SQL_GROUPED_AGG_UDAF),
+    ("arrow_group_stats", q_arrow_group_stats, SQL_ARROW_GROUP_STATS),
     # --- driver-green in r1-r3 (re-certified on the r5+ round-robin) ---
     ("rss_pipeline", q_rss_pipeline, SQL_RSS_PIPELINE),
     ("reddit_pipeline", q_reddit_pipeline, SQL_REDDIT_PIPELINE),

@@ -230,6 +230,8 @@ HEADLINE = [
     "bloom_dedup_audit",
     "label_spread_communities",
     "join_size_estimate",
+    "grouped_agg_udaf",
+    "arrow_group_stats",
 ]
 
 #: deliberate shadows: oracle-exact twins of faster default kernels, kept
