@@ -11134,6 +11134,160 @@ FROM documents GROUP BY source ORDER BY source
 
 
 # ---------------------------------------------------------------------------
+# r4 batch 19: model-eval AUC, bot-traffic detection, index compaction
+# ---------------------------------------------------------------------------
+
+def q_roc_auc_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source ROC-AUC of document length as a predictor of
+    lang == 'en' (the classifier-eval primitive every curation model —
+    quality scorer, langid, toxicity — is graded with at corpus scale).
+    Tie-correct Mann-Whitney ranks carried as exact BIGINTs, one float
+    divide rounded to 6 places (operators/profiling.py::roc_auc)."""
+    from ingestion_scripts_spark.operators import profiling as PR
+
+    docs = _t(spark, sf_dir, "documents")
+    out = PR.roc_auc(
+        docs, "source", F.col("n_chars"), F.col("lang") == F.lit("en")
+    )
+    return out.orderBy("source")
+
+
+SQL_ROC_AUC_QUALITY = """
+WITH base AS (
+  SELECT source AS g, CAST(n_chars AS BIGINT) AS s,
+         CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+  FROM documents),
+ranked AS (
+  SELECT g, s, y,
+         rank() OVER (PARTITION BY g ORDER BY s) AS rmin,
+         count(*) OVER (PARTITION BY g, s) AS ties
+  FROM base),
+agg AS (
+  SELECT g, CAST(sum(y) AS BIGINT) AS n_pos,
+         CAST(sum(1 - y) AS BIGINT) AS n_neg,
+         CAST(sum(y * (2 * rmin + ties - 1)) AS BIGINT) AS s2
+  FROM ranked GROUP BY g)
+SELECT g AS source, n_pos, n_neg,
+       CAST(s2 - n_pos * (n_pos + 1) AS BIGINT) AS u2,
+       CASE WHEN n_pos > 0 AND n_neg > 0
+            THEN round(CAST(s2 - n_pos * (n_pos + 1) AS DOUBLE)
+                       / CAST(2 * n_pos * n_neg AS DOUBLE), 6)
+       END AS auc
+FROM agg ORDER BY source
+"""
+
+
+def q_bot_burst_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Machine-traffic detection from inter-arrival regularity: per-user
+    whole-second gaps (deterministic (ts, event_id) order), flagged when
+    CV^2 < 1/20 over >= 30 gaps. The variance test is exact DECIMAL
+    cross-multiplication — 20*n*sum(g^2) < 21*sum(g)^2 — with widths
+    chosen so BOTH engines stay on the int128 decimal path (DuckDB
+    silently falls back to DOUBLE when a product exceeds width 38)
+    (operators/profiling.py::interarrival_stats)."""
+    from ingestion_scripts_spark.operators import profiling as PR
+
+    ev = _t(spark, sf_dir, "events")
+    out = PR.interarrival_stats(
+        ev, "user_id", "ts", "event_id", min_gaps=30, cv2_den=20
+    )
+    return out.orderBy("user_id")
+
+
+SQL_BOT_BURST_USERS = """
+WITH gaps AS (
+  SELECT user_id,
+         (epoch_us(ts) - lag(epoch_us(ts)) OVER (
+             PARTITION BY user_id ORDER BY ts, event_id)) // 1000000 AS gap
+  FROM events),
+gg AS (
+  SELECT user_id, CAST(gap AS DECIMAL(18,0)) AS g
+  FROM gaps WHERE gap IS NOT NULL),
+agg AS (
+  SELECT user_id, CAST(count(*) AS BIGINT) AS n_gaps,
+         CAST(sum(g) AS DECIMAL(18,0)) AS sg,
+         CAST(sum(g * g) AS DECIMAL(26,0)) AS sg2
+  FROM gg GROUP BY user_id)
+SELECT user_id, n_gaps, CAST(sg AS BIGINT) AS sum_gap_s,
+       CASE WHEN n_gaps >= 30
+             AND CAST(20 AS DECIMAL(2,0)) * CAST(n_gaps AS DECIMAL(8,0)) * sg2
+                 < CAST(21 AS DECIMAL(2,0)) * sg * sg
+            THEN 1 ELSE 0 END AS is_bot
+FROM agg ORDER BY user_id
+"""
+
+
+def q_index_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSM-style dedup-index compaction: three index segments (initial
+    build, a re-ingest of every 5th doc, and a segment of deletes for
+    every 15th plus updates for every 7th) fold into one via
+    latest-segment-wins + tombstone drop (operators/sink.py::
+    compact_segments — ONE keyed row_number window, no join). The
+    maintenance half of the incremental near-dup index
+    (operators/dedup.py::minhash_incremental_pairs)."""
+    from ingestion_scripts_spark.operators import sink as SK
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    did = F.col("doc_id")
+
+    def seg(df, seg_no, op):
+        return df.select(
+            "doc_id", F.lit(seg_no).alias("seg"), F.lit(op).alias("op")
+        )
+
+    segs = (
+        seg(docs, 0, "upsert")
+        .unionAll(seg(docs.where(did % 5 == 0), 1, "upsert"))
+        .unionAll(seg(docs.where(did % 15 == 0), 2, "delete"))
+        .unionAll(seg(docs.where((did % 7 == 0) & (did % 15 != 0)), 2, "upsert"))
+    )
+    segs = segs.withColumn(
+        "sig",
+        F.substring(
+            F.md5(
+                F.concat_ws(
+                    ":", did.cast("string"), F.col("seg").cast("string")
+                )
+            ),
+            1,
+            8,
+        ),
+    )
+    out = SK.compact_segments(segs, ["doc_id"], "seg", "op")
+    return out.select(
+        "doc_id", F.col("seg").cast("int").alias("chosen_seg"), "sig"
+    ).orderBy("doc_id")
+
+
+SQL_INDEX_COMPACTION = """
+WITH segs AS (
+  SELECT doc_id, 0 AS seg, 'upsert' AS op FROM documents
+  UNION ALL
+  SELECT doc_id, 1, 'upsert' FROM documents WHERE doc_id % 5 = 0
+  UNION ALL
+  SELECT doc_id, 2, 'delete' FROM documents WHERE doc_id % 15 = 0
+  UNION ALL
+  SELECT doc_id, 2, 'upsert' FROM documents
+  WHERE doc_id % 7 = 0 AND doc_id % 15 <> 0),
+sig AS (
+  SELECT doc_id, seg, op,
+         substr(md5(CAST(doc_id AS VARCHAR) || ':' || CAST(seg AS VARCHAR)),
+                1, 8) AS sig
+  FROM segs),
+win AS (
+  SELECT doc_id, seg, op, sig,
+         row_number() OVER (
+             PARTITION BY doc_id
+             ORDER BY seg DESC,
+                      CASE WHEN op = 'delete' THEN 0 ELSE 1 END, op) AS rn
+  FROM sig)
+SELECT doc_id, CAST(seg AS INT) AS chosen_seg, sig
+FROM win WHERE rn = 1 AND op <> 'delete'
+ORDER BY doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
 
@@ -11281,6 +11435,9 @@ _REGISTRY: list[tuple[str, Callable[[SparkSession, str], DataFrame], str | None]
     ("join_size_estimate", q_join_size_estimate, SQL_JOIN_SIZE_ESTIMATE),
     ("grouped_agg_udaf", q_grouped_agg_udaf, SQL_GROUPED_AGG_UDAF),
     ("arrow_group_stats", q_arrow_group_stats, SQL_ARROW_GROUP_STATS),
+    ("roc_auc_quality", q_roc_auc_quality, SQL_ROC_AUC_QUALITY),
+    ("bot_burst_users", q_bot_burst_users, SQL_BOT_BURST_USERS),
+    ("index_compaction", q_index_compaction, SQL_INDEX_COMPACTION),
     # --- driver-green in r1-r3 (re-certified on the r5+ round-robin) ---
     ("rss_pipeline", q_rss_pipeline, SQL_RSS_PIPELINE),
     ("reddit_pipeline", q_reddit_pipeline, SQL_REDDIT_PIPELINE),

@@ -223,3 +223,121 @@ def cusum_changepoint(
         F.col("__k").cast("bigint").alias("k_at_max"),
         F.col("__s_abs").cast("bigint").alias("s_abs_max"),
     )
+
+
+def roc_auc(
+    df: DataFrame,
+    group_col: str,
+    score: Column,
+    label: Column,
+) -> DataFrame:
+    """Rank-based ROC-AUC (Mann-Whitney U) per group, tie-correct and
+    engine-exact.
+
+    AUC = P(score_pos > score_neg) + 0.5 * P(tie). With average ranks
+    over the ascending score order this is
+
+        AUC = (sum_pos(avgrank) - n_pos(n_pos+1)/2) / (n_pos * n_neg)
+
+    Exactness law: avgrank = (rank_min + rank_max)/2 is a half-integer,
+    so the sum is carried as ``u2 = sum_pos(rank_min + rank_max)
+    - n_pos(n_pos+1)`` — exact BIGINTs (safe to ~3e9 rows per group,
+    where 2*sum(rank) approaches int64), with ONE float divide rounded
+    to 6 places at the end, identical on both engines. ``score`` must
+    already be an exact integer (snap floats with ``snap_units``).
+
+    Scale shape: rank_min is a rank() window per group and rank_max
+    derives from the per-(group, score) tie count — both are keyed
+    shuffles on the group (plus score) key, no global sort; the final
+    aggregate is one map-side-combinable groupBy. Groups with no
+    positives or no negatives return NULL auc (undefined).
+    """
+    base = df.select(
+        F.col(group_col).alias("g"),
+        score.cast("bigint").alias("s"),
+        F.when(label, F.lit(1)).otherwise(F.lit(0)).alias("y"),
+    )
+    rank_min = F.rank().over(Window.partitionBy("g").orderBy("s"))
+    ties = F.count(F.lit(1)).over(Window.partitionBy("g", "s"))
+    ranked = base.withColumn("r2", (2 * rank_min + ties - 1).cast("bigint"))
+    agg = ranked.groupBy("g").agg(
+        F.sum("y").cast("bigint").alias("n_pos"),
+        F.sum(1 - F.col("y")).cast("bigint").alias("n_neg"),
+        F.sum(F.col("y") * F.col("r2")).cast("bigint").alias("s2"),
+    )
+    u2 = F.col("s2") - F.col("n_pos") * (F.col("n_pos") + 1)
+    return agg.select(
+        F.col("g").alias(group_col),
+        "n_pos",
+        "n_neg",
+        u2.cast("bigint").alias("u2"),
+        F.when(
+            (F.col("n_pos") > 0) & (F.col("n_neg") > 0),
+            F.round(
+                u2.cast("double")
+                / (2 * F.col("n_pos") * F.col("n_neg")).cast("double"),
+                6,
+            ),
+        ).alias("auc"),
+    )
+
+
+def interarrival_stats(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    tiebreak_col: str,
+    min_gaps: int = 30,
+    cv2_den: int = 20,
+) -> DataFrame:
+    """Per-key inter-arrival-gap statistics with a division-free
+    burst/bot flag (machine-generated traffic shows abnormally REGULAR
+    timing: coefficient of variation of the gaps near zero).
+
+    Gaps are whole seconds: ``(epoch_us(ts) - lag) div 1_000_000`` —
+    truncated integer division of a nonnegative difference, identical on
+    both engines. The flag
+
+        is_bot = n_gaps >= min_gaps AND cv2_den * (n*sum(g^2) - sum(g)^2)
+                 < sum(g)^2
+
+    (i.e. CV^2 < 1/cv2_den) is evaluated in DECIMAL(38,0): sums of
+    squared second-gaps stay below ~1e26 even for decade-long histories,
+    so the comparison is exact integer arithmetic — no variance divide,
+    no float anywhere.
+
+    Scale shape: one lag window partitioned by key ordered by
+    (ts, tiebreak) — the tiebreaker makes equal-timestamp orders
+    deterministic — then one map-side-combinable groupBy. No global
+    sort, no self-join.
+    """
+    gap_s = F.expr(
+        f"(unix_micros({ts_col}) - lag(unix_micros({ts_col})) OVER "
+        f"(PARTITION BY {key_col} ORDER BY {ts_col}, {tiebreak_col})) div 1000000"
+    )
+    gaps = (
+        df.withColumn("__gap", gap_s)
+        .where(F.col("__gap").isNotNull())
+        .select(F.col(key_col), F.col("__gap").cast("decimal(18,0)").alias("g"))
+    )
+    agg = gaps.groupBy(key_col).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_gaps"),
+        F.sum("g").cast("decimal(38,0)").alias("sg"),
+        F.sum(F.col("g") * F.col("g")).cast("decimal(38,0)").alias("sg2"),
+    )
+    var_num = F.col("n_gaps").cast("decimal(38,0)") * F.col("sg2") - F.col(
+        "sg"
+    ) * F.col("sg")
+    return agg.select(
+        key_col,
+        "n_gaps",
+        F.col("sg").cast("bigint").alias("sum_gap_s"),
+        F.when(
+            (F.col("n_gaps") >= F.lit(min_gaps))
+            & (F.lit(cv2_den).cast("decimal(38,0)") * var_num < F.col("sg") * F.col("sg")),
+            F.lit(1),
+        )
+        .otherwise(F.lit(0))
+        .cast("int")
+        .alias("is_bot"),
+    )

@@ -17,7 +17,7 @@ from __future__ import annotations
 
 import os
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions.timefns import audit_timestamp
@@ -160,4 +160,40 @@ def scd2_apply(
         .unionByName(untouched_open.select(*out_cols))
         .unionByName(closing.select(*out_cols))
         .unionByName(fresh.select(*out_cols))
+    )
+
+
+def compact_segments(
+    segments: DataFrame,
+    key_cols: list[str],
+    seq_col: str,
+    op_col: str,
+    delete_op: str = "delete",
+) -> DataFrame:
+    """LSM-style index/segment compaction: given the union of index
+    segments where each row is (key..., seq, op, payload...), keep only
+    the row with the highest ``seq`` per key (latest segment wins), then
+    drop keys whose surviving op is a tombstone.
+
+    This is the batch twin of the dedup-index maintenance path
+    (operators/dedup.py::minhash_incremental_pairs persists per-segment
+    band buckets): periodic compaction folds N segments + tombstones
+    into one, so lookups join ONE segment instead of N.
+
+    Scale shape: one row_number window partitioned by the key (a single
+    keyed shuffle — no join, no global sort). Ties on ``seq`` within a
+    key break to the tombstone first (a delete and an upsert in the SAME
+    segment means the delete wins), then are deterministic via the op
+    string ordering.
+    """
+    w = Window.partitionBy(*key_cols).orderBy(
+        F.desc(seq_col),
+        F.when(F.col(op_col) == delete_op, 0).otherwise(1).asc(),
+        F.asc(op_col),
+    )
+    return (
+        segments.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") == 1)
+        .where(F.col(op_col) != delete_op)
+        .drop("__rn")
     )
