@@ -21,6 +21,12 @@ Both return the reference's 4-field struct
 
 from __future__ import annotations
 
+# module-level so the factories' pandas_udf type hints ('pd.Series', string
+# annotations under `from __future__ import annotations`) resolve against
+# THIS module's globals — a local `import pandas as pd` inside the factory
+# leaves the hint unresolvable and pandas_udf raises UNSUPPORTED_SIGNATURE
+# (latent until the lib-gated branches first executed; tests/test_lib_udf_doubles.py)
+import pandas as pd
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 

@@ -1030,3 +1030,27 @@ def connected_components_star(
         all_nodes.join(comp, "node", "left")
         .select("node", F.coalesce(F.col("comp"), F.col("node")).alias("comp"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Connected-components selection policy (VERDICT r4 item 7)
+# ---------------------------------------------------------------------------
+#: Which CC to call:
+#:
+#: * ``components`` (= ``connected_components_star``) is the DEFAULT for any
+#:   graph whose diameter is not known to be small: entity-resolution
+#:   blocking graphs, SNM neighbor chains, co-occurrence graphs, anything
+#:   adversarial or user-supplied. Alternating large-star/small-star halves
+#:   diameter per round (Kiveris et al., SoCC'14), so a length-L chain
+#:   costs O(log L) rounds where min-label propagation costs O(L) — at
+#:   100 TB an unnoticed long chain turns min-label into hundreds of
+#:   shuffles. Star also FAILS LOUDLY when unconverged.
+#:
+#: * ``connected_components`` (min-label) is the cheaper choice ONLY when
+#:   the topology guarantees a shallow diameter — MinHash near-dup clusters
+#:   are dense and 2-4 hops deep — and it doubles as the differential
+#:   oracle for the star variant (tests/test_cc_star.py pins equality on
+#:   random graphs, paths, stars, and disjoint cliques). Its ``max_iter``
+#:   guard raises rather than returning partial labels, so a wrong guess
+#:   about diameter is an error, not silent corruption.
+components = connected_components_star

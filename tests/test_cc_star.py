@@ -84,3 +84,13 @@ def test_plain_cc_raises_instead_of_truncating(spark):
     # with budget >= diameter it converges to one component
     ok = D.connected_components(chain, max_iter=31).collect()
     assert {r["comp"] for r in ok} == {0}
+
+
+def test_default_components_is_star():
+    """Selection policy (VERDICT r4 item 7): the package default
+    ``components`` must be the adversarial-chain-safe star variant;
+    min-label stays available as the diameter-bounded fast path and the
+    differential oracle."""
+    from ingestion_scripts_spark.operators import dedup as D
+
+    assert D.components is D.connected_components_star

@@ -51,35 +51,36 @@ def test_catalog_register_testdata(spark):
 
 
 #: the driver certifies registry positions 1-50 each round; this is the
-#: deliberate r4 window (ROADMAP.md rotation table): the newest 50
-#: never-driver-green queries. r2's lesson: silent registry drift displaced
-#: fixed queries past position 50, so their fixes were never
-#: driver-certified — any change to this window must be a conscious edit of
-#: BOTH the registry and this pin.
-R4_WINDOW = [
-    "variant_props", "unpivot_part_metrics", "event_transitions",
-    "safe_cast_ingest", "url_canonicalize", "ewma_user_value",
-    "strip_accents_norm", "spearman_corr", "robust_zscore",
-    "hash_sample_per_key", "cube_revenue", "setsim_join_pairs",
-    "interval_join_bucketed", "sparse_cosine_pairs", "sliding_windows",
-    "xml_source", "supplier_wait_fault", "user_trend_slope",
-    "custom_feed_sink", "set_ops_users", "lateral_top_orders",
-    "scd_point_in_time", "wap_publish", "score_quantile_norm",
-    "trigram_udtf_top", "schema_evolution", "benford_profile", "bm25_topk",
-    "phrase_search", "token_budget_mix", "pagerank_transitions",
-    "dedup_threshold_curve", "incremental_near_dup", "embedding_profile",
-    "dup_cluster_stats", "source_similarity", "dedup_recall",
-    "stream_incremental_dedup", "tokenizer_fertility", "stratified_split",
-    "heavy_hitter_recall", "path_motifs", "sql_front_door",
-    "linear_interpolation", "bloom_join_revenue", "multimodal_resize",
-    "last_touch_attribution", "embedding_outliers", "ngram_novelty",
-    "rfm_segments",
+#: deliberate r5 window (ROADMAP.md rotation table): newest-first
+#: never-driver-green — the 42 r4-session additions (judge mimic-verified
+#: but never driver-certified) + 8 from the pre-r4 queue. r2's lesson:
+#: silent registry drift displaced fixed queries past position 50, so their
+#: fixes were never driver-certified — any change to this window must be a
+#: conscious edit of BOTH the registry and this pin.
+R5_WINDOW = [
+    "textrank_summary", "sql_pipe_front_door", "stream_state_reader",
+    "edit_distance_names", "basket_pair_lift", "triangle_cooccurrence",
+    "token_kl_drift", "leakage_safe_split", "hybrid_rank_fusion",
+    "output_file_plan", "mmr_diverse_topk", "k_anonymity_audit",
+    "jl_projection_recall", "holt_trend_forecast", "covariance_matrix",
+    "dup_clusters_star", "containment_pairs", "stream_scd_merge",
+    "recursive_front_door", "duplicate_spans", "span_removal_plan",
+    "pareto_frontier", "ks_drift", "column_mutual_info",
+    "incremental_agg_view", "snm_blocking", "cusum_changepoint",
+    "ht_sampling_error", "stream_quota_admission", "er_canonical_entities",
+    "bfs_hops_coorder", "psi_drift", "chi2_independence",
+    "multimodal_audio_energy", "bloom_dedup_audit",
+    "label_spread_communities", "join_size_estimate", "grouped_agg_udaf",
+    "arrow_group_stats", "roc_auc_quality", "bot_burst_users",
+    "index_compaction", "temperature_mix", "csv_source",
+    "corrupt_record_routing", "hll_merge_rollup", "grouping_sets_revenue",
+    "window_dist_funcs", "lang_histograms", "stats_corr",
 ]
 
 
 def test_driver_window_is_pinned():
     names = list(E.queries().keys())
-    assert names[:50] == R4_WINDOW
+    assert names[:50] == R5_WINDOW
 
 
 def test_rotation_retires_certification_debt():

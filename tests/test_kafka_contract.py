@@ -157,3 +157,95 @@ def test_read_kafka_stream_contract(spark, tmp_path, monkeypatch):
         (1, 7, "view"),
         (2, 8, "click"),
     ]
+
+
+def test_kafka_round_trip_write_then_read(spark, tmp_path, monkeypatch):
+    """K1 ROUND-TRIP (VERDICT r4 item 5): records leave through
+    ``write_kafka_stream`` and come back through ``read_kafka_stream`` as
+    the same typed rows. No broker exists in this container, so the wire
+    is an in-container stand-in — a text directory carrying exactly what
+    Kafka carries (one string ``value`` per message) — while BOTH engine
+    code paths (payload projection + JSON serialization on the way out,
+    subscription + ``from_json`` typed decode on the way in) execute for
+    real and unmodified."""
+    from pyspark.sql.streaming.readwriter import DataStreamReader, DataStreamWriter
+
+    from ingestion_scripts_spark.sources.readers import read_kafka_stream
+    from ingestion_scripts_spark.streaming.streams import write_kafka_stream
+
+    wire = tmp_path / "wire"
+    wire.mkdir()
+
+    # --- outbound: "kafka" sink lands each micro-batch's value column on the wire
+    orig_wformat, orig_woption = DataStreamWriter.format, DataStreamWriter.option
+    orig_wstart = DataStreamWriter.start
+
+    def w_format(self, fmt):
+        return orig_wformat(self, "memory" if fmt == "kafka" else fmt)
+
+    def w_option(self, k, v):
+        return self if k in ("kafka.bootstrap.servers", "topic") else orig_woption(self, k, v)
+
+    def w_start(self, *a, **kw):
+        return orig_wstart(self, queryName="k1_wire")
+
+    monkeypatch.setattr(DataStreamWriter, "format", w_format)
+    monkeypatch.setattr(DataStreamWriter, "option", w_option)
+    monkeypatch.setattr(DataStreamWriter, "start", w_start)
+
+    src = tmp_path / "src"
+    src.mkdir()
+    with open(src / "part0.json", "w") as f:
+        for r in ROWS:
+            f.write(json.dumps(r) + "\n")
+    q = write_kafka_stream(
+        spark.readStream.schema(EVENT).json(str(src)),
+        brokers="broker:9092",
+        topic="events.rt",
+        checkpoint=str(tmp_path / "ckpt_out"),
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    with open(wire / "messages.txt", "w") as f:
+        for r in spark.sql("SELECT value FROM k1_wire").collect():
+            f.write(r.value + "\n")
+
+    # restore the writer before the inbound leg (its memory sink must keep
+    # its own queryName)
+    monkeypatch.setattr(DataStreamWriter, "format", orig_wformat)
+    monkeypatch.setattr(DataStreamWriter, "option", orig_woption)
+    monkeypatch.setattr(DataStreamWriter, "start", orig_wstart)
+
+    # --- inbound: "kafka" source reads the wire (string value per message)
+    orig_rformat, orig_roption = DataStreamReader.format, DataStreamReader.option
+    orig_rload = DataStreamReader.load
+
+    def r_format(self, fmt):
+        return orig_rformat(self, "text" if fmt == "kafka" else fmt)
+
+    def r_option(self, k, v):
+        return self if k.startswith("kafka.") or k == "subscribe" else orig_roption(self, k, v)
+
+    def r_load(self, path=None, **kw):
+        return orig_rload(self, path or str(wire), **kw)
+
+    monkeypatch.setattr(DataStreamReader, "format", r_format)
+    monkeypatch.setattr(DataStreamReader, "option", r_option)
+    monkeypatch.setattr(DataStreamReader, "load", r_load)
+
+    typed = read_kafka_stream(spark, brokers="broker:9092", topic="events.rt", schema=EVENT)
+    q2 = (
+        typed.writeStream.format("memory")
+        .queryName("k1_back")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q2.awaitTermination()
+
+    back = sorted(
+        (r.event_id, r.user_id, r.event_type)
+        for r in spark.table("k1_back").collect()
+    )
+    assert back == sorted((r["event_id"], r["user_id"], r["event_type"]) for r in ROWS)

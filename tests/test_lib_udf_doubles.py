@@ -1,0 +1,97 @@
+"""Execute the lib-gated pandas_udf branches (vader / emoji / bs4 —
+``functions/sentiment.py``; reference ``reddit_consumer.py:80-88``,
+``twitter_consumer.py:89``, ``rss_consumer.py:106-111``) in a sandbox
+where the real wheels cannot be installed (VERDICT r4 item 3).
+
+Strategy: ship API-faithful test doubles (``tests/fakelibs/``) to Spark
+workers via ``addPyFile`` and put them on the driver's sys.path, so the
+factory's driver-side import AND the UDF body's worker-side import both
+resolve — the whole Arrow-batched code path runs for real. Cleanup pops
+the fakes from driver sys.path/sys.modules so every other test still sees
+the libraries as absent (identity/native fallbacks stay pinned)."""
+
+import os
+import shutil
+import sys
+
+import pytest
+from pyspark.sql import functions as F
+
+FAKELIBS = os.path.join(os.path.dirname(os.path.abspath(__file__)), "fakelibs")
+_MODS = ("vaderSentiment", "vaderSentiment.vaderSentiment", "emoji", "bs4")
+
+
+@pytest.fixture
+def fake_libs(spark, tmp_path):
+    zip_base = str(tmp_path / "fakelibs")
+    zip_path = shutil.make_archive(zip_base, "zip", FAKELIBS)
+    # worker-side: distributed and appended to the worker sys.path
+    spark.sparkContext.addPyFile(zip_path)
+    # driver-side: factories import at UDF-construction time
+    sys.path.insert(0, FAKELIBS)
+    try:
+        yield
+    finally:
+        sys.path.remove(FAKELIBS)
+        for m in _MODS:
+            sys.modules.pop(m, None)
+
+
+def test_vader_udf_branch_executes(spark, fake_libs):
+    from ingestion_scripts_spark.functions.sentiment import make_sentiment_udf
+
+    vader = make_sentiment_udf()
+    assert vader is not None, "factory must see the (fake) lib"
+    row = spark.range(1).select(
+        vader(F.lit("this is great and awesome")).alias("s")
+    ).collect()[0].s
+    assert row.compound > 0
+    assert abs(row.negative + row.neutral + row.positive - 1.0) < 1e-6
+
+
+def test_demojize_udf_branch_executes(spark, fake_libs):
+    from ingestion_scripts_spark.functions.sentiment import make_demojize_udf
+
+    demojize = make_demojize_udf()
+    assert demojize is not None
+    out = spark.createDataFrame(
+        [("ok \U0001F600",), (None,)], ["t"]
+    ).select(demojize(F.col("t")).alias("t")).collect()
+    vals = {r.t for r in out}
+    assert "ok :grinning_face:" in vals and None in vals
+
+
+def test_html_strip_udf_branch_executes(spark, fake_libs):
+    from ingestion_scripts_spark.functions.sentiment import make_html_strip_udf
+
+    strip = make_html_strip_udf()
+    assert strip is not None
+    out = spark.createDataFrame(
+        [("<p>keep this</p><script>drop()</script><a href=x>link</a> tail",)],
+        ["t"],
+    ).select(strip(F.col("t")).alias("t")).collect()[0].t
+    assert "keep this" in out and "tail" in out
+    assert "drop" not in out and "link" not in out
+
+
+def test_fallbacks_restored_after_doubles(spark):
+    """Runs in the same session AFTER the fixture tests: the driver must
+    again see the libs as absent, so pipelines keep their pinned
+    native/identity fallbacks (the rss/reddit oracles depend on it)."""
+    from ingestion_scripts_spark.functions.sentiment import (
+        make_demojize_udf,
+        make_html_strip_udf,
+        make_sentiment_udf,
+    )
+
+    for factory, lib in [
+        (make_sentiment_udf, "vaderSentiment"),
+        (make_demojize_udf, "emoji"),
+        (make_html_strip_udf, "bs4"),
+    ]:
+        try:
+            __import__(lib)
+            installed = True
+        except ImportError:
+            installed = False
+        assert (factory() is not None) == installed

@@ -56,6 +56,11 @@ def dtype_kind_mismatches(sdf: pd.DataFrame, odf: pd.DataFrame) -> list[str]:
 
 def main():
     args = [a for a in sys.argv[1:]]
+    json_out = None
+    if "--json" in args:
+        i = args.index("--json")
+        json_out = args[i + 1]
+        del args[i : i + 2]
     sf_dir = args.pop(0) if args and args[0].startswith("/") else "/root/testdata/sf0.01"
     only = set(args)
 
@@ -74,6 +79,7 @@ def main():
 
     qs, sqls = E.queries(), E.oracle_sql()
     failures = []
+    record: dict[str, dict] = {}
     for name, fn in qs.items():
         if only and name not in only:
             continue
@@ -81,6 +87,7 @@ def main():
             sdf = fn(spark, sf_dir).toPandas()
         except Exception as e:
             failures.append(name)
+            record[name] = {"status": "fail", "err": f"spark: {str(e)[:200]}"}
             print(f"[FAIL] {name}: SPARK ERROR {type(e).__name__}: {str(e)[:500]}")
             continue
         finally:
@@ -88,39 +95,52 @@ def main():
             # (the full-registry sweep runs ~200 queries in one session)
             release_caches()
         if name not in sqls:
+            record[name] = {"status": "rows_only", "rows": len(sdf)}
             print(f"[rows-only] {name}: {len(sdf)} rows")
             continue
         try:
             odf = con.execute(sqls[name]).df()
         except Exception as e:
             failures.append(name)
+            record[name] = {"status": "fail", "err": f"oracle: {str(e)[:200]}"}
             print(f"[FAIL] {name}: ORACLE ERROR {type(e).__name__}: {str(e)[:500]}")
             continue
         kind_bad = dtype_kind_mismatches(sdf, odf)
         if kind_bad:
             failures.append(name)
+            record[name] = {"status": "fail", "err": f"dtype drift {kind_bad}"}
             print(f"[FAIL] {name}: dtype-kind drift {kind_bad}")
             continue
         scols, srows = canon_df(sdf)
         ocols, orows = canon_df(odf)
         if scols != ocols:
             failures.append(name)
+            record[name] = {"status": "fail", "err": f"columns {scols} vs {ocols}"}
             print(f"[FAIL] {name}: columns {scols} vs {ocols}")
             continue
         if len(srows) != len(orows):
             failures.append(name)
+            record[name] = {"status": "fail", "err": f"rowcount {len(srows)} vs {len(orows)}"}
             print(f"[FAIL] {name}: rowcount {len(srows)} vs {len(orows)}")
             continue
         bad = [(a, b) for a, b in zip(srows, orows) if a != b]
         if bad:
             failures.append(name)
+            record[name] = {"status": "fail", "err": f"{len(bad)}/{len(srows)} rows differ"}
             print(f"[FAIL] {name}: {len(bad)}/{len(srows)} rows differ; first:")
             print("  spark :", bad[0][0])
             print("  oracle:", bad[0][1])
         else:
+            record[name] = {"status": "ok", "rows": len(srows)}
             print(f"[OK]   {name}: {len(srows)} rows")
 
     spark.stop()
+    if json_out:
+        import json as _json
+
+        with open(json_out, "w") as fh:
+            _json.dump({"sf_dir": sf_dir, "results": record}, fh, indent=1, sort_keys=True)
+        print(f"wrote {json_out} ({len(record)} entries)")
     print(f"\n{len(failures)} failing: {failures}" if failures else "\nALL OK")
     sys.exit(1 if failures else 0)
 
