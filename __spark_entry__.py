@@ -11288,6 +11288,466 @@ ORDER BY doc_id
 
 
 # ---------------------------------------------------------------------------
+# r5 batch 2: record linkage, agreement/calibration QA, HITS, Kneser-Ney,
+# DP count release, token-bucket rate limiting (batch + streaming)
+# ---------------------------------------------------------------------------
+
+def q_fellegi_sunter_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fellegi-Sunter probabilistic record-linkage scoring
+    (operators/linkage.py) over sorted-neighborhood candidates: customers
+    blocked by nation, paired with their next 3 acctbal-order neighbors
+    (candidate volume exactly 3n, skew-independent), then scored with
+    log2 agreement weights on (mktsegment, acctbal-band). u-probabilities
+    are ESTIMATED FROM THE DATA as exact integer ratios (Σ n_v(n_v-1) /
+    N(N-1), one groupBy per field, broadcast 1-row joins); m-priors are
+    fixed. The scoring layer the reference's unique-key dedup sink
+    (K3) cannot express — graded match confidence instead of binary."""
+    from ingestion_scripts_spark.operators import linkage as L
+
+    cust = _t(spark, sf_dir, "customer")
+    recs = cust.select(
+        "c_custkey",
+        F.col("c_nationkey").cast("bigint").alias("blk"),
+        "c_mktsegment",
+        F.floor(F.col("c_acctbal") * 100 + 0.5).cast("bigint").alias("bal_cents"),
+    ).withColumn(
+        "bal_band", F.floor(F.col("bal_cents") / F.lit(100000.0)).cast("bigint")
+    )
+    pairs = L.sorted_neighborhood_pairs(
+        recs.select("c_custkey", "blk", "c_mktsegment", "bal_band", "bal_cents"),
+        "c_custkey", "blk", ["bal_cents"], window=3,
+    )
+    u_seg = L.u_probability(recs, "c_mktsegment", "u_seg")
+    u_band = L.u_probability(recs, "bal_band", "u_band")
+    agree_seg = F.col("c_mktsegment_a") == F.col("c_mktsegment_b")
+    agree_band = F.col("bal_band_a") == F.col("bal_band_b")
+    return (
+        pairs.crossJoin(F.broadcast(u_seg))
+        .crossJoin(F.broadcast(u_band))
+        .select(
+            "id_a",
+            "id_b",
+            agree_seg.cast("int").alias("agree_seg"),
+            agree_band.cast("int").alias("agree_band"),
+            TA.r4(
+                L.fs_field_weight(agree_seg, 0.9, F.col("u_seg"))
+                + L.fs_field_weight(agree_band, 0.85, F.col("u_band"))
+            ).alias("weight"),
+        )
+        .orderBy("id_a", "id_b")
+    )
+
+
+#: disagreement weights use (1.0 - m) as an EXPRESSION on both sides —
+#: the IEEE double 1.0-0.9 is not the literal 0.1, and both engines must
+#: evaluate the same subtraction.
+SQL_FELLEGI_SUNTER = """
+WITH recs AS (
+  SELECT c_custkey, CAST(c_nationkey AS BIGINT) AS blk, c_mktsegment,
+         CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT) AS bal_cents,
+         CAST(floor(CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT) / 100000.0)
+              AS BIGINT) AS bal_band
+  FROM customer),
+r AS (
+  SELECT *, row_number() OVER (PARTITION BY blk ORDER BY bal_cents, c_custkey)
+         AS rn
+  FROM recs),
+u1 AS (
+  SELECT sum(nv * (nv - 1)) / (sum(nv) * (sum(nv) - 1)) AS u_seg
+  FROM (SELECT count(*)::BIGINT AS nv FROM recs GROUP BY c_mktsegment)),
+u2 AS (
+  SELECT sum(nv * (nv - 1)) / (sum(nv) * (sum(nv) - 1)) AS u_band
+  FROM (SELECT count(*)::BIGINT AS nv FROM recs GROUP BY bal_band)),
+p AS (
+  SELECT a.c_custkey AS id_a, b.c_custkey AS id_b,
+         CASE WHEN a.c_mktsegment = b.c_mktsegment THEN 1 ELSE 0 END AS agree_seg,
+         CASE WHEN a.bal_band = b.bal_band THEN 1 ELSE 0 END AS agree_band
+  FROM r a JOIN r b ON a.blk = b.blk AND b.rn - a.rn IN (1, 2, 3))
+SELECT id_a, id_b, agree_seg, agree_band,
+       floor((CASE WHEN agree_seg = 1 THEN ln(0.9 / u_seg) / ln(2)
+                   ELSE ln((1.0 - 0.9) / (1.0 - u_seg)) / ln(2) END
+            + CASE WHEN agree_band = 1 THEN ln(0.85 / u_band) / ln(2)
+                   ELSE ln((1.0 - 0.85) / (1.0 - u_band)) / ln(2) END)
+             * 10000.0 + 0.5) / 10000.0 AS weight
+FROM p, u1, u2
+ORDER BY id_a, id_b
+"""
+
+
+def q_cohens_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inter-annotator agreement (operators/profiling.py::cohens_kappa)
+    between two deterministic quality raters over documents — rater A:
+    n_chars >= 250; rater B: >= 40 whitespace tokens of cleaned text.
+    The QA statistic for any double-labeled curation pass; exact BIGINT
+    contingency counts, kappa as one double expression, r4."""
+    from ingestion_scripts_spark.operators import profiling as PR
+
+    docs = _t(spark, sf_dir, "documents")
+    wc = F.size(X.tokenize_ws(X.clean_text(F.col("text")))).cast("bigint")
+    return PR.cohens_kappa(
+        docs, F.col("n_chars") >= 250, wc >= 40
+    )
+
+
+def _sql_cohens_kappa() -> str:
+    toks = O.sql_tokenize_ws(O.sql_clean_text("text"))
+    return f"""
+WITH flags AS (
+  SELECT CASE WHEN n_chars >= 250 THEN 1 ELSE 0 END AS a,
+         CASE WHEN len({toks}) >= 40 THEN 1 ELSE 0 END AS b
+  FROM documents),
+agg AS (
+  SELECT count(*)::BIGINT AS n, sum(a)::BIGINT AS n_a, sum(b)::BIGINT AS n_b,
+         sum(CASE WHEN a = b THEN 1 ELSE 0 END)::BIGINT AS n_agree
+  FROM flags)
+SELECT n, n_a, n_b, n_agree,
+       floor((n_agree / n) * 10000.0 + 0.5) / 10000.0 AS po,
+       floor(((n_a * n_b + (n - n_a) * (n - n_b)) / (n * n)) * 10000.0 + 0.5)
+         / 10000.0 AS pe,
+       floor(((n_agree / n - (n_a * n_b + (n - n_a) * (n - n_b)) / (n * n))
+              / (1.0 - (n_a * n_b + (n - n_a) * (n - n_b)) / (n * n)))
+             * 10000.0 + 0.5) / 10000.0 AS kappa
+FROM agg
+"""
+
+
+def q_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reliability diagram + ECE mass for a [0,1] quality score
+    (operators/profiling.py::calibration_bins): score = min(1, wc/80)
+    held in exact integer micro-units, label = n_chars >= 250, decile
+    bins. Per-bin mean-predicted vs empirical positive rate and the
+    bin's ECE numerator — ALL BIGINT (integer division), bit-identical
+    across engines and partitionings. The calibration audit for every
+    learned filter a curation pipeline gates on."""
+    from ingestion_scripts_spark.operators import profiling as PR
+
+    docs = _t(spark, sf_dir, "documents")
+    wc = F.size(X.tokenize_ws(X.clean_text(F.col("text")))).cast("bigint")
+    # score = min(1, wc/80) in micro-units = min(1e6, wc·12500): pure
+    # integer arithmetic, no division on either engine
+    score_u = F.least(
+        F.lit(1_000_000).cast("bigint"), (wc * F.lit(12500)).cast("bigint")
+    )
+    base = docs.select(
+        score_u.alias("__score_u"), (F.col("n_chars") >= 250).alias("__lab")
+    )
+    return PR.calibration_bins(
+        base, F.col("__score_u"), F.col("__lab")
+    ).orderBy("bin")
+
+
+def _sql_calibration_bins() -> str:
+    toks = O.sql_tokenize_ws(O.sql_clean_text("text"))
+    return f"""
+WITH base AS (
+  SELECT least(1000000, len({toks}) * 12500)::BIGINT AS s,
+         CASE WHEN n_chars >= 250 THEN 1 ELSE 0 END AS y
+  FROM documents),
+binned AS (
+  SELECT least((s * 10) // 1000000, 9)::BIGINT AS bin, s, y FROM base),
+agg AS (
+  SELECT bin, count(*)::BIGINT AS n, sum(s)::BIGINT AS ss, sum(y)::BIGINT AS sy
+  FROM binned GROUP BY bin)
+SELECT bin, n,
+       (ss // n)::BIGINT AS mean_score_u,
+       ((sy * 1000000) // n)::BIGINT AS pos_rate_u,
+       abs(ss // n - (sy * 1000000) // n)::BIGINT AS gap_u,
+       (n * abs(ss // n - (sy * 1000000) // n))::BIGINT AS ece_num
+FROM agg ORDER BY bin
+"""
+
+
+def q_hits_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HITS hub/authority (operators/graph.py::hits_int) over the
+    event-type transition graph (consecutive events per user, weighted
+    by count) — 4 exact-integer iterations, max-normalized per
+    half-round via broadcast 1-row aggregates. Hub = 'leads into
+    engaged activity', authority = 'is the destination of engaged
+    activity'; the directed-importance companion to
+    pagerank_transitions."""
+    from ingestion_scripts_spark.operators import graph as G
+
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    edges = (
+        ev.select("user_id", "ts", "event_id", "event_type")
+        .withColumn("prev", F.lag("event_type").over(w))
+        .filter(F.col("prev").isNotNull())
+        .groupBy(F.col("prev").alias("src"), F.col("event_type").alias("dst"))
+        .agg(F.count(F.lit(1)).alias("w"))
+    )
+    return G.hits_int(edges, "src", "dst", "w", iters=4).orderBy("node")
+
+
+def _sql_hits_scores(iters: int = 4) -> str:
+    """Unrolled-CTE DuckDB twin of hits_int: same BIGINT sums, same
+    (x * 1e6) // max rescale per half-round."""
+    # every CTE MATERIALIZED: DuckDB inlines plain CTEs at each reference,
+    # and each normalization level references the previous one twice — the
+    # unrolled chain would otherwise explode exponentially at PLAN time
+    parts = ["""
+WITH ed AS MATERIALIZED (
+  SELECT prev AS src, event_type AS dst, count(*)::BIGINT AS w
+  FROM (SELECT user_id, event_type,
+               lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                 AS prev
+        FROM events)
+  WHERE prev IS NOT NULL GROUP BY 1, 2),
+nodes AS MATERIALIZED (SELECT src AS node FROM ed UNION SELECT dst FROM ed),
+h0 AS MATERIALIZED (SELECT node, CAST(1000000 AS BIGINT) AS h FROM nodes)"""]
+    prev_h = "h0"
+    for i in range(1, iters + 1):
+        parts.append(f""",
+a{i}raw AS MATERIALIZED (
+  SELECT n.node, coalesce(sum(e.w * h.h), 0)::BIGINT AS ar
+  FROM nodes n
+  LEFT JOIN ed e ON e.dst = n.node
+  LEFT JOIN {prev_h} h ON h.node = e.src
+  GROUP BY 1),
+a{i} AS MATERIALIZED (
+  SELECT node,
+         ((ar * 1000000) // (SELECT greatest(max(ar), 1) FROM a{i}raw))::BIGINT
+           AS a
+  FROM a{i}raw),
+h{i}raw AS MATERIALIZED (
+  SELECT n.node, coalesce(sum(e.w * a.a), 0)::BIGINT AS hr
+  FROM nodes n
+  LEFT JOIN ed e ON e.src = n.node
+  LEFT JOIN a{i} a ON a.node = e.dst
+  GROUP BY 1),
+h{i} AS MATERIALIZED (
+  SELECT node,
+         ((hr * 1000000) // (SELECT greatest(max(hr), 1) FROM h{i}raw))::BIGINT
+           AS h
+  FROM h{i}raw)""")
+        prev_h = f"h{i}"
+    parts.append(f"""
+SELECT h.node, h.h AS hub_u, a.a AS auth_u
+FROM h{iters} h JOIN a{iters} a USING (node)
+ORDER BY h.node""")
+    return "".join(parts)
+
+
+def q_kneser_ney_ppl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interpolated Kneser-Ney bigram LM (D = 0.75) self-scored per
+    language — the modern-smoothing step past bigram_backoff_ppl's
+    stupid backoff: P(w2|w1) = max(c12-D,0)/c1 + D·N1+(w1,·)/c1 ·
+    Pcont(w2), Pcont(w2) = N1+(·,w2)/|bigram types|. Continuation
+    counts come free from the SAME bigram-count aggregate (three keyed
+    re-aggregations of one table, no extra pass over tokens); the
+    per-language NLL sums over bigram TYPES weighted by count. r4 at
+    the end absorbs summation-order float jitter."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", "lang", X.tokenize_ws(X.clean_text(F.col("text"))).alias("t")
+    )
+    tok = toks.select("doc_id", "lang", F.posexplode("t").alias("pos", "w"))
+    wdoc = Window.partitionBy("doc_id").orderBy("pos")
+    big = (
+        tok.withColumn("w_prev", F.lag("w").over(wdoc))
+        .filter(F.col("w_prev").isNotNull())
+        .groupBy("lang", "w_prev", "w")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c12"))
+    )
+    big = persist_tracked(big)
+    c1 = big.groupBy("lang", "w_prev").agg(
+        F.sum("c12").cast("bigint").alias("c1"),
+        F.count(F.lit(1)).cast("bigint").alias("n1plus"),
+    )
+    cont = big.groupBy("lang", "w").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cont_w2")
+    )
+    tt = big.groupBy("lang").agg(F.count(F.lit(1)).cast("bigint").alias("t_types"))
+    p = (
+        big.join(c1, ["lang", "w_prev"])
+        .join(cont, ["lang", "w"])
+        .join(F.broadcast(tt), "lang")
+        .withColumn(
+            "__p",
+            (
+                F.greatest(F.col("c12") - F.lit(0.75), F.lit(0.0)) / F.col("c1")
+                + (F.lit(0.75) * F.col("n1plus") / F.col("c1"))
+                * (F.col("cont_w2") / F.col("t_types"))
+            ),
+        )
+    )
+    return (
+        p.groupBy("lang")
+        .agg(
+            F.sum("c12").cast("bigint").alias("n_bigrams"),
+            F.first("t_types").alias("t_types"),
+            TA.r4(F.exp(-F.sum(F.col("c12") * F.log("__p")) / F.sum("c12"))).alias(
+                "ppl"
+            ),
+        )
+        .orderBy("lang")
+    )
+
+
+def _sql_kneser_ney_ppl() -> str:
+    toks = O.sql_tokenize_ws(O.sql_clean_text("text"))
+    return f"""
+WITH tok AS (
+  SELECT doc_id, lang, unnest(ts) AS w, generate_subscripts(ts, 1) AS pos
+  FROM (SELECT doc_id, lang, {toks} AS ts FROM documents)),
+big AS (
+  SELECT lang, w_prev, w, count(*)::BIGINT AS c12
+  FROM (SELECT lang, w,
+               lag(w) OVER (PARTITION BY doc_id ORDER BY pos) AS w_prev
+        FROM tok)
+  WHERE w_prev IS NOT NULL GROUP BY 1, 2, 3),
+c1 AS (SELECT lang, w_prev, sum(c12)::BIGINT AS c1, count(*)::BIGINT AS n1plus
+       FROM big GROUP BY 1, 2),
+cont AS (SELECT lang, w, count(*)::BIGINT AS cont_w2 FROM big GROUP BY 1, 2),
+tt AS (SELECT lang, count(*)::BIGINT AS t_types FROM big GROUP BY 1),
+p AS (
+  SELECT b.lang, b.c12,
+         tt.t_types,
+         greatest(b.c12 - 0.75, 0.0) / c1.c1
+           + (0.75 * c1.n1plus / c1.c1) * (cont.cont_w2 / (tt.t_types * 1.0))
+           AS pr
+  FROM big b
+  JOIN c1 ON c1.lang = b.lang AND c1.w_prev = b.w_prev
+  JOIN cont ON cont.lang = b.lang AND cont.w = b.w
+  JOIN tt ON tt.lang = b.lang)
+SELECT lang, sum(c12)::BIGINT AS n_bigrams,
+       CAST(min(t_types) AS BIGINT) AS t_types,
+       floor(exp(-sum(c12 * ln(pr)) / sum(c12)) * 10000.0 + 0.5) / 10000.0
+         AS ppl
+FROM p GROUP BY lang ORDER BY lang
+"""
+
+
+def q_dp_count_laplace(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Differential-privacy-STYLE noisy count release per language
+    (operators/profiling.py::dp_laplace_noise_u): Laplace(1/ε), ε = 1,
+    noise derived deterministically from the portable md5 hash of the
+    group key via the inverse CDF — the privacy-budget shape of a real
+    DP release with the RNG swapped for a seeded hash so the oracle is
+    exact. Counts and noise in integer micro-units; one groupBy, one
+    row-local expression."""
+    from ingestion_scripts_spark.operators import profiling as PR
+
+    docs = _t(spark, sf_dir, "documents")
+    counts = docs.groupBy("lang").agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    noise = PR.dp_laplace_noise_u(F.col("lang"), 1.0, "dp:")
+    return (
+        counts.select(
+            "lang",
+            "n",
+            noise.alias("noise_u"),
+            (F.col("n") * 1_000_000 + noise).cast("bigint").alias("noisy_count_u"),
+        )
+        .orderBy("lang")
+    )
+
+
+def _sql_dp_count_laplace() -> str:
+    h = O.sql_hash64("'dp:' || lang")
+    return f"""
+WITH counts AS (SELECT lang, count(*)::BIGINT AS n FROM documents GROUP BY 1),
+u AS (
+  SELECT lang, n, ({h} % 999983) / 999983.0 AS uu FROM counts),
+nz AS (
+  SELECT lang, n,
+         CAST(floor((CASE WHEN uu - 0.5 < 0 THEN -1.0 ELSE 1.0 END)
+                    * (1.0 * -ln(1.0 - 2.0 * abs(uu - 0.5)))
+                    * 1000000.0 + 0.5) AS BIGINT) AS noise_u
+  FROM u)
+SELECT lang, n, noise_u,
+       (n * 1000000 + noise_u)::BIGINT AS noisy_count_u
+FROM nz ORDER BY lang
+"""
+
+
+def q_rate_limit_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-bucket rate limiting replayed per user over event time
+    (operators/ratelimit.py): capacity 3 tokens, cost 1/event, refill
+    1 token / 10 h — an exact integer milli-token recursion, inherently
+    sequential PER KEY, run as one keyed applyInPandas (keys are
+    independent: embarrassingly parallel at 100 TB). The oracle is a
+    DuckDB recursive CTE of the same recursion. ~15% of events are
+    denied at this refill rate, so the law genuinely bites."""
+    from ingestion_scripts_spark.operators import ratelimit as RL
+
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id",
+        F.col("ts").cast("long").alias("es"),
+        "event_id",
+    )
+    return RL.token_bucket_replay(
+        ev, "user_id", "es", "event_id", per_s=36000
+    ).orderBy("user_id")
+
+
+def q_stream_token_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming token-bucket admission
+    (streams.py::token_bucket_admit): the same integer milli-token law
+    as q_rate_limit_replay, but as keyed state surviving a micro-batch
+    boundary — events replay as two time-ordered batches (before/after
+    Jan 16) and a bucket drained in batch 0 must still be drained when
+    batch 1 arrives. Final per-key emission must equal the batch
+    replay, which is exactly what the shared recursive-CTE oracle
+    checks."""
+    import glob
+    import os
+    import tempfile
+    import time
+    import uuid
+
+    from ingestion_scripts_spark.streaming.streams import token_bucket_admit
+
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id", F.col("ts").cast("long").alias("es"), "event_id"
+    )
+    src = tempfile.mkdtemp(prefix="tb_src_")
+    cutoff = F.lit("2024-01-16 00:00:00").cast("timestamp").cast("long")
+    ev.filter(F.col("es") < cutoff).coalesce(1).write.mode("overwrite").parquet(
+        f"{src}/b0"
+    )
+    ev.filter(F.col("es") >= cutoff).coalesce(1).write.mode("overwrite").parquet(
+        f"{src}/b1"
+    )
+    now = time.time()
+    for i, d in enumerate(("b0", "b1")):
+        for pth in glob.glob(f"{src}/{d}/*.parquet"):
+            os.utime(pth, (now - 200 + 50 * i, now - 200 + 50 * i))
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .option("recursiveFileLookup", "true")
+        .parquet(src)
+    )
+    out = token_bucket_admit(stream, "user_id", "es", "event_id", per_s=36000)
+    name = "stream_tb_" + uuid.uuid4().hex[:8]
+    q = (
+        out.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("update")
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="ckpt_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    # final state per key = the emission with the highest n_events
+    tbl = spark.table(name)
+    return (
+        tbl.groupBy("user_id")
+        .agg(
+            F.max("n_events").alias("n_events"),
+            F.max_by("n_admitted", "n_events").alias("n_admitted"),
+            F.max_by("tokens_end_mt", "n_events").alias("tokens_end_mt"),
+        )
+        .orderBy("user_id")
+    )
+
+
+from ingestion_scripts_spark.operators.ratelimit import sql_token_bucket as _sql_tb  # noqa: E402
+
+RL_SQL_TOKEN_BUCKET = _sql_tb(per_s=36000)
+
+
+# ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
 
@@ -11387,6 +11847,15 @@ _REGISTRY: list[tuple[str, Callable[[SparkSession, str], DataFrame], str | None]
     ("stream_custom_source", q_stream_custom_source, _sql_stream_custom_feed()),
     ("dq_checks", q_dq_checks, SQL_DQ_CHECKS),
     ("sessionize_udtf", q_sessionize_udtf, SQL_SESSIONIZE),
+    # --- added in r5 (never-green; window r6 per rotation rule) ---
+    ("fellegi_sunter_scores", q_fellegi_sunter_scores, SQL_FELLEGI_SUNTER),
+    ("cohens_kappa", q_cohens_kappa, _sql_cohens_kappa()),
+    ("calibration_bins", q_calibration_bins, _sql_calibration_bins()),
+    ("hits_scores", q_hits_scores, _sql_hits_scores()),
+    ("kneser_ney_ppl", q_kneser_ney_ppl, _sql_kneser_ney_ppl()),
+    ("dp_count_laplace", q_dp_count_laplace, _sql_dp_count_laplace()),
+    ("rate_limit_replay", q_rate_limit_replay, RL_SQL_TOKEN_BUCKET),
+    ("stream_token_bucket", q_stream_token_bucket, RL_SQL_TOKEN_BUCKET),
     # --- driver-green in r1-r4 (re-certified on the r6+ round-robin) ---
     ("variant_props", q_variant_props, SQL_VARIANT_PROPS),
     ("unpivot_part_metrics", q_unpivot_part_metrics, SQL_UNPIVOT_PART),

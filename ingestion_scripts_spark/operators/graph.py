@@ -218,3 +218,73 @@ def bfs_hops(
         ).localCheckpoint()
         frontier = fresh
     return labels
+
+
+def hits_int(
+    edges: DataFrame,
+    src_col: str,
+    dst_col: str,
+    weight_col: str,
+    iters: int = 4,
+) -> DataFrame:
+    """HITS hub/authority scores (Kleinberg, JACM 1999) in exact integer
+    micro-units — the companion to ``pagerank_int`` for directed
+    importance where 'points at good pages' (hub) and 'is pointed at by
+    good hubs' (authority) are distinct signals (source-quality vs
+    content-quality weighting in crawl curation).
+
+    Determinism without float normalization: scores start at 1e6; each
+    half-round computes raw BIGINT sums a'(v) = Σ_u w·h(u) (resp.
+    h'(u) = Σ_v w·a(v)) then rescales by the round's MAX via exact
+    integer division (x · 1e6) div max — the max joins in as a broadcast
+    1-row aggregate, so every value stays ≤ 1e6 and all arithmetic is
+    BIGINT (≤ ~1e15 for weights < 1e3 · 1e6 nodes-fanin), independent of
+    aggregation order and identical in the DuckDB oracle's unrolled CTEs.
+
+    Per iteration: two keyed shuffles + two 1-row max aggregates. No
+    driver state beyond the loop counter — same scale shape as
+    ``pagerank_int``."""
+    e = edges.select(
+        F.col(src_col).alias("src"),
+        F.col(dst_col).alias("dst"),
+        F.col(weight_col).cast("bigint").alias("w"),
+    )
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .union(e.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    hub = nodes.select("node", F.lit(1_000_000).cast("bigint").alias("h"))
+    auth = None
+    for _ in range(iters):
+        a_raw = (
+            e.join(hub, e.src == hub.node)
+            .select(F.col("dst").alias("node"), (F.col("w") * F.col("h")).alias("x"))
+            .groupBy("node")
+            .agg(F.sum("x").cast("bigint").alias("ar"))
+        )
+        a_all = nodes.join(a_raw, "node", "left").select(
+            "node", F.coalesce(F.col("ar"), F.lit(0)).cast("bigint").alias("ar")
+        )
+        amax = a_all.agg(F.max("ar").alias("__amax"))
+        auth = a_all.crossJoin(F.broadcast(amax)).select(
+            "node", F.expr("(ar * 1000000) div greatest(__amax, 1L)").cast("bigint").alias("a")
+        )
+        h_raw = (
+            e.join(auth, e.dst == auth.node)
+            .select(F.col("src").alias("node"), (F.col("w") * F.col("a")).alias("x"))
+            .groupBy("node")
+            .agg(F.sum("x").cast("bigint").alias("hr"))
+        )
+        h_all = nodes.join(h_raw, "node", "left").select(
+            "node", F.coalesce(F.col("hr"), F.lit(0)).cast("bigint").alias("hr")
+        )
+        hmax = h_all.agg(F.max("hr").alias("__hmax"))
+        hub = h_all.crossJoin(F.broadcast(hmax)).select(
+            "node", F.expr("(hr * 1000000) div greatest(__hmax, 1L)").cast("bigint").alias("h")
+        )
+    return hub.join(auth, "node").select(
+        "node",
+        F.col("h").alias("hub_u"),
+        F.col("a").alias("auth_u"),
+    )

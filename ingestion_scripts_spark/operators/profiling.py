@@ -341,3 +341,99 @@ def interarrival_stats(
         .cast("int")
         .alias("is_bot"),
     )
+
+
+def cohens_kappa(df: DataFrame, a: Column, b: Column) -> DataFrame:
+    """Inter-annotator agreement (Cohen's kappa) between two binary
+    raters — the standard QA statistic when two labeling passes (human,
+    heuristic, or model) disagree on training-data quality labels.
+
+    One full-table aggregate produces the four exact BIGINT counts
+    (n, both raters' positives, raw agreements); po, pe, kappa are then
+    single double expressions over those integers — no float summation
+    anywhere, so the result is partition-order independent before the
+    final 1e-4 rounding. kappa = (po - pe) / (1 - pe) with
+    pe = (na·nb + (n-na)(n-nb)) / n²."""
+    ac = a.cast("int")
+    bc = b.cast("int")
+    agg = df.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(ac).cast("bigint").alias("n_a"),
+        F.sum(bc).cast("bigint").alias("n_b"),
+        F.sum((ac == bc).cast("int")).cast("bigint").alias("n_agree"),
+    )
+    po = F.col("n_agree") / F.col("n")
+    pe = (
+        F.col("n_a") * F.col("n_b")
+        + (F.col("n") - F.col("n_a")) * (F.col("n") - F.col("n_b"))
+    ) / (F.col("n") * F.col("n"))
+    r4 = lambda c: F.floor(c * 10000.0 + 0.5) / 10000.0  # noqa: E731
+    return agg.select(
+        "n", "n_a", "n_b", "n_agree",
+        r4(po).alias("po"),
+        r4(pe).alias("pe"),
+        r4((po - pe) / (F.lit(1.0) - pe)).alias("kappa"),
+    )
+
+
+def calibration_bins(
+    df: DataFrame,
+    score_micro: Column,
+    label: Column,
+    n_bins: int = 10,
+) -> DataFrame:
+    """Reliability diagram for a [0,1] classifier score held in exact
+    integer MICRO-units: decile bins, per-bin mean predicted score vs
+    empirical positive rate, and the bin's ECE mass — everything BIGINT
+    (integer div), so bit-identical across engines and partitionings.
+    The calibration audit for every learned quality/toxicity filter a
+    curation pipeline gates on.
+
+    Returns (bin, n, mean_score_u, pos_rate_u, gap_u, ece_num) where
+    ece_num = n * gap_u: Σ ece_num / Σ n is the corpus ECE in micro-units.
+    One keyed aggregate; nothing shuffles but the n_bins-row result."""
+    s = score_micro.cast("bigint")
+    binned = df.select(
+        s.alias("__s"), label.cast("int").alias("__y")
+    ).select(
+        F.least(
+            F.expr(f"(__s * {n_bins}) div 1000000"), F.lit(n_bins - 1)
+        ).cast("bigint").alias("bin"),
+        "__s",
+        "__y",
+    )
+    agg = binned.groupBy("bin").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("__s").cast("bigint").alias("ss"),
+        F.sum("__y").cast("bigint").alias("sy"),
+    )
+    mean_u = F.expr("ss div n")
+    pos_u = F.expr("(sy * 1000000) div n")
+    return agg.select(
+        "bin",
+        "n",
+        mean_u.cast("bigint").alias("mean_score_u"),
+        pos_u.cast("bigint").alias("pos_rate_u"),
+        F.abs(mean_u - pos_u).cast("bigint").alias("gap_u"),
+        (F.col("n") * F.abs(mean_u - pos_u)).cast("bigint").alias("ece_num"),
+    )
+
+
+def dp_laplace_noise_u(key: Column, epsilon: float, salt: str) -> Column:
+    """Deterministic 'Laplace' noise in MICRO-units for differential-
+    privacy-style count release: u ~ Uniform(0,1) derived from the
+    portable 60-bit md5 hash of (salt || key), inverse-CDF transformed
+    to Laplace(0, 1/ε). The modulus 999983 (prime, odd) makes u = 0.5
+    unreachable, so ln(1-2|u-0.5|) never sees 0. Same closed form on
+    both engines; deterministic per key, which keeps the oracle exact —
+    a production release would swap the hash for a real RNG."""
+    from ..functions.text import hash64
+
+    h = hash64(F.concat(F.lit(salt), key.cast("string")))
+    u = (h % F.lit(999983)).cast("double") / F.lit(999983.0)
+    centered = u - F.lit(0.5)
+    mag = F.lit(1.0 / epsilon) * -F.log(
+        F.lit(1.0) - F.lit(2.0) * F.abs(centered)
+    )
+    signed = F.when(centered < 0, -mag).otherwise(mag)
+    return F.floor(signed * 1_000_000.0 + 0.5).cast("bigint")

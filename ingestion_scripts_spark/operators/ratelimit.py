@@ -1,0 +1,126 @@
+"""Token-bucket rate limiting — replayed per key over event time.
+
+The admission law every ingest edge needs (API quotas, crawl
+politeness, per-tenant fairness), as an EXACT integer recursion so the
+batch replay, the streaming operator (``streams.token_bucket_admit``)
+and the DuckDB recursive-CTE oracle all agree bit-for-bit:
+
+    state: tokens in MILLI-tokens, capacity ``cap_mt``, cost
+    ``cost_mt`` per event, refill ``rate_mt`` per ``per_s`` seconds.
+    For each event in (epoch_s, seq) order:
+        tokens = min(cap_mt, tokens + (Δs · rate_mt) div per_s)
+        admit  = tokens >= cost_mt ; if admit: tokens -= cost_mt
+
+Integer division makes the refill exact; Δs comes from bigint epoch
+seconds. The recursion is inherently sequential PER KEY, so the engine
+runs it as ``applyInPandas`` — one shuffle on the key, then a tight
+vectorized-ish loop over each key's (small) ordered history. Keys are
+independent: at 100 TB this is embarrassingly parallel across users,
+and per-key history length is bounded by the replay window, not the
+corpus.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def token_bucket_replay(
+    events: DataFrame,
+    key: str,
+    epoch_col: str,
+    seq_col: str,
+    cap_mt: int = 3000,
+    cost_mt: int = 1000,
+    rate_mt: int = 1000,
+    per_s: int = 60,
+) -> DataFrame:
+    """Batch replay: per ``key``, walk events in (epoch, seq) order
+    through the integer token bucket. Returns one row per key:
+    (key, n_events, n_admitted, tokens_end_mt)."""
+    out_schema = (
+        f"{key} bigint, n_events bigint, n_admitted bigint, tokens_end_mt bigint"
+    )
+
+    def run(pdf):
+        import pandas as pd
+
+        pdf = pdf.sort_values([epoch_col, seq_col], kind="mergesort")
+        tokens = cap_mt
+        prev = None
+        admitted = 0
+        for es in pdf[epoch_col].astype("int64"):
+            if prev is not None:
+                tokens = min(cap_mt, tokens + ((es - prev) * rate_mt) // per_s)
+            prev = es
+            if tokens >= cost_mt:
+                tokens -= cost_mt
+                admitted += 1
+        return pd.DataFrame(
+            {
+                key: [pdf[key].iloc[0]],
+                "n_events": [len(pdf)],
+                "n_admitted": [admitted],
+                "tokens_end_mt": [tokens],
+            }
+        )
+
+    return (
+        events.select(
+            F.col(key),
+            F.col(epoch_col).cast("bigint").alias(epoch_col),
+            F.col(seq_col).cast("bigint").alias(seq_col),
+        )
+        .groupBy(key)
+        .applyInPandas(run, out_schema)
+    )
+
+
+def sql_token_bucket(
+    key: str = "user_id",
+    cap_mt: int = 3000,
+    cost_mt: int = 1000,
+    rate_mt: int = 1000,
+    per_s: int = 60,
+) -> str:
+    """DuckDB recursive-CTE twin of ``token_bucket_replay`` over the
+    ``events`` view — the oracle both the batch and streaming operators
+    are checked against. Same integer recursion, floor division (all
+    quantities non-negative, so floor == truncate)."""
+    return f"""
+WITH RECURSIVE seq AS (
+  SELECT {key},
+         CAST(floor(epoch(ts)) AS BIGINT) AS es,
+         event_id,
+         row_number() OVER (PARTITION BY {key}
+                            ORDER BY CAST(floor(epoch(ts)) AS BIGINT), event_id)
+           AS rn
+  FROM events),
+walk AS (
+  SELECT {key}, rn, es,
+         CASE WHEN {cap_mt} >= {cost_mt} THEN {cap_mt} - {cost_mt}
+              ELSE {cap_mt} END AS tokens,
+         CASE WHEN {cap_mt} >= {cost_mt} THEN 1 ELSE 0 END AS admitted
+  FROM seq WHERE rn = 1
+  UNION ALL
+  SELECT s.{key}, s.rn, s.es,
+         CASE WHEN refreshed >= {cost_mt} THEN refreshed - {cost_mt}
+              ELSE refreshed END,
+         w.admitted + CASE WHEN refreshed >= {cost_mt} THEN 1 ELSE 0 END
+  FROM walk w
+  JOIN seq s ON s.{key} = w.{key} AND s.rn = w.rn + 1
+  CROSS JOIN LATERAL (
+    SELECT least({cap_mt}, w.tokens + ((s.es - w.es) * {rate_mt}) // {per_s})
+      AS refreshed) r),
+final AS (
+  SELECT {key}, rn, tokens, admitted,
+         row_number() OVER (PARTITION BY {key} ORDER BY rn DESC) AS rev
+  FROM walk)
+SELECT {key},
+       CAST(rn AS BIGINT) AS n_events,
+       CAST(admitted AS BIGINT) AS n_admitted,
+       CAST(tokens AS BIGINT) AS tokens_end_mt
+FROM final WHERE rev = 1
+ORDER BY {key}
+"""

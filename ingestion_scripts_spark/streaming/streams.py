@@ -245,3 +245,65 @@ def quota_admit(
     return stream.groupBy(key).applyInPandasWithState(
         update, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
     )
+
+
+def token_bucket_admit(
+    stream: DataFrame,
+    key: str,
+    epoch_col: str,
+    seq_col: str,
+    cap_mt: int = 3000,
+    cost_mt: int = 1000,
+    rate_mt: int = 1000,
+    per_s: int = 36000,
+) -> DataFrame:
+    """Streaming token-bucket admission (``applyInPandasWithState``) —
+    the live form of ``operators/ratelimit.py::token_bucket_replay``,
+    sharing its EXACT integer law (milli-tokens, floor-division refill)
+    so a batch replay of the same events is the oracle.
+
+    State per key: (tokens_mt, last_es, n_events, n_admitted) — four
+    bigints, bounded, checkpointed. Rows inside a batch walk in
+    (epoch, seq) order; correctness across batches therefore requires
+    time-ordered batch arrival (the normal Kafka/file-age case — the
+    quota_admit caveat). Emits the running (key, n_events, n_admitted,
+    tokens_end_mt) each batch in update mode; the final emission per key
+    equals the batch replay."""
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    out_schema = (
+        f"{key} bigint, n_events bigint, n_admitted bigint, tokens_end_mt bigint"
+    )
+    state_schema = "tokens bigint, last_es bigint, n_ev bigint, n_adm bigint"
+
+    def update(key_tuple, pdfs, state: GroupState):
+        import pandas as pd
+
+        batch = pd.concat(list(pdfs), ignore_index=True)
+        batch = batch.sort_values([epoch_col, seq_col], kind="mergesort")
+        if state.exists:
+            tokens, last_es, n_ev, n_adm = state.get
+        else:
+            tokens, last_es, n_ev, n_adm = cap_mt, None, 0, 0
+        for es in batch[epoch_col].astype("int64"):
+            es = int(es)
+            if last_es is not None:
+                tokens = min(cap_mt, tokens + ((es - last_es) * rate_mt) // per_s)
+            last_es = es
+            n_ev += 1
+            if tokens >= cost_mt:
+                tokens -= cost_mt
+                n_adm += 1
+        state.update((tokens, last_es, n_ev, n_adm))
+        yield pd.DataFrame(
+            {
+                key: [key_tuple[0]],
+                "n_events": [n_ev],
+                "n_admitted": [n_adm],
+                "tokens_end_mt": [tokens],
+            }
+        )
+
+    return stream.groupBy(key).applyInPandasWithState(
+        update, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
+    )
