@@ -11404,9 +11404,12 @@ SELECT n, n_a, n_b, n_agree,
        floor((n_agree / n) * 10000.0 + 0.5) / 10000.0 AS po,
        floor(((n_a * n_b + (n - n_a) * (n - n_b)) / (n * n)) * 10000.0 + 0.5)
          / 10000.0 AS pe,
-       floor(((n_agree / n - (n_a * n_b + (n - n_a) * (n - n_b)) / (n * n))
-              / (1.0 - (n_a * n_b + (n - n_a) * (n - n_b)) / (n * n)))
-             * 10000.0 + 0.5) / 10000.0 AS kappa
+       CASE WHEN (n_a * n_b + (n - n_a) * (n - n_b)) = (n * n) THEN NULL
+            ELSE floor(((n_agree / n
+                         - (n_a * n_b + (n - n_a) * (n - n_b)) / (n * n))
+                        / (1.0 - (n_a * n_b + (n - n_a) * (n - n_b)) / (n * n)))
+                       * 10000.0 + 0.5) / 10000.0
+       END AS kappa
 FROM agg
 """
 
@@ -11647,7 +11650,7 @@ def _sql_dp_count_laplace() -> str:
     return f"""
 WITH counts AS (SELECT lang, count(*)::BIGINT AS n FROM documents GROUP BY 1),
 u AS (
-  SELECT lang, n, ({h} % 999983) / 999983.0 AS uu FROM counts),
+  SELECT lang, n, (({h} % 999981) + 1) / 999983.0 AS uu FROM counts),
 nz AS (
   SELECT lang, n,
          CAST(floor((CASE WHEN uu - 0.5 < 0 THEN -1.0 ELSE 1.0 END)
@@ -11691,6 +11694,7 @@ def q_stream_token_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
     checks."""
     import glob
     import os
+    import shutil
     import tempfile
     import time
     import uuid
@@ -11701,45 +11705,55 @@ def q_stream_token_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id", F.col("ts").cast("long").alias("es"), "event_id"
     )
     src = tempfile.mkdtemp(prefix="tb_src_")
-    cutoff = F.lit("2024-01-16 00:00:00").cast("timestamp").cast("long")
-    ev.filter(F.col("es") < cutoff).coalesce(1).write.mode("overwrite").parquet(
-        f"{src}/b0"
-    )
-    ev.filter(F.col("es") >= cutoff).coalesce(1).write.mode("overwrite").parquet(
-        f"{src}/b1"
-    )
-    now = time.time()
-    for i, d in enumerate(("b0", "b1")):
-        for pth in glob.glob(f"{src}/{d}/*.parquet"):
-            os.utime(pth, (now - 200 + 50 * i, now - 200 + 50 * i))
-    stream = (
-        spark.readStream.schema(ev.schema)
-        .option("maxFilesPerTrigger", 1)
-        .option("recursiveFileLookup", "true")
-        .parquet(src)
-    )
-    out = token_bucket_admit(stream, "user_id", "es", "event_id", per_s=36000)
-    name = "stream_tb_" + uuid.uuid4().hex[:8]
-    q = (
-        out.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("update")
-        .option("checkpointLocation", tempfile.mkdtemp(prefix="ckpt_"))
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
-    # final state per key = the emission with the highest n_events
-    tbl = spark.table(name)
-    return (
-        tbl.groupBy("user_id")
-        .agg(
-            F.max("n_events").alias("n_events"),
-            F.max_by("n_admitted", "n_events").alias("n_admitted"),
-            F.max_by("tokens_end_mt", "n_events").alias("tokens_end_mt"),
+    ckpt = tempfile.mkdtemp(prefix="ckpt_")
+    try:
+        cutoff = F.lit("2024-01-16 00:00:00").cast("timestamp").cast("long")
+        ev.filter(F.col("es") < cutoff).coalesce(1).write.mode("overwrite").parquet(
+            f"{src}/b0"
         )
-        .orderBy("user_id")
-    )
+        ev.filter(F.col("es") >= cutoff).coalesce(1).write.mode("overwrite").parquet(
+            f"{src}/b1"
+        )
+        # the file source orders same-trigger candidates by mtime; pinning
+        # b0 older than b1 makes the two-batch replay deterministic
+        now = time.time()
+        for i, d in enumerate(("b0", "b1")):
+            for pth in glob.glob(f"{src}/{d}/*.parquet"):
+                os.utime(pth, (now - 200 + 50 * i, now - 200 + 50 * i))
+        stream = (
+            spark.readStream.schema(ev.schema)
+            .option("maxFilesPerTrigger", 1)
+            .option("recursiveFileLookup", "true")
+            .parquet(src)
+        )
+        out = token_bucket_admit(stream, "user_id", "es", "event_id", per_s=36000)
+        name = "stream_tb_" + uuid.uuid4().hex[:8]
+        q = (
+            out.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("update")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        # final state per key = the emission with the highest n_events;
+        # materialize BEFORE the finally-block deletes the source dirs
+        tbl = spark.table(name)
+        rows = (
+            tbl.groupBy("user_id")
+            .agg(
+                F.max("n_events").alias("n_events"),
+                F.max_by("n_admitted", "n_events").alias("n_admitted"),
+                F.max_by("tokens_end_mt", "n_events").alias("tokens_end_mt"),
+            )
+            .orderBy("user_id")
+        )
+        return spark.createDataFrame(rows.collect(), rows.schema)
+    finally:
+        # repeated full-registry sweeps must not leak tempdirs (r5 ADVICE)
+        shutil.rmtree(src, ignore_errors=True)
+        shutil.rmtree(ckpt, ignore_errors=True)
 
 
 from ingestion_scripts_spark.operators.ratelimit import sql_token_bucket as _sql_tb  # noqa: E402
@@ -11748,14 +11762,233 @@ RL_SQL_TOKEN_BUCKET = _sql_tb(per_s=36000)
 
 
 # ---------------------------------------------------------------------------
+# r6 batch 2: k-core, k-center coreset, average precision, SQ8 recall
+# ---------------------------------------------------------------------------
+
+
+def q_kcore_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-core of the part co-order graph (graph.py::kcore_peel): the dense
+    kernel the degree/triangle/component queries each miss — spam-farm
+    and hub filtering on curation graphs. Same edge builder as
+    bfs_hops_coorder; 6 synchronous peel rounds, fixed unroll matched by
+    the oracle's identical CTE chain (exact pre-fixpoint equality; the
+    law test pins that 6 rounds IS the fixpoint on this graph)."""
+    from ingestion_scripts_spark.operators import graph as G
+
+    li = _t(spark, sf_dir, "lineitem")
+    b = li.select(
+        F.col("l_orderkey").alias("bk"), F.col("l_partkey").alias("it")
+    ).distinct()
+    x, y = b.alias("x"), b.alias("y")
+    edges = (
+        x.join(y, (F.col("x.bk") == F.col("y.bk")) & (F.col("x.it") < F.col("y.it")))
+        .groupBy(F.col("x.it").alias("a"), F.col("y.it").alias("b"))
+        .agg(F.count(F.lit(1)).alias("w"))
+        .filter(F.col("w") >= 2)
+        .select("a", "b")
+    )
+    return G.kcore_peel(edges, "a", "b", k=3, rounds=6).orderBy("node")
+
+
+def _sql_kcore_parts(k: int = 3, rounds: int = 6) -> str:
+    """Unrolled synchronous-peeling twin; MATERIALIZED is load-bearing —
+    alive{r} is referenced twice by deg{r+1}."""
+    parts = [
+        """
+WITH bsk AS MATERIALIZED (
+  SELECT DISTINCT l_orderkey AS bk, l_partkey AS it FROM lineitem),
+e AS MATERIALIZED (
+  SELECT x.it AS a, y.it AS b
+  FROM bsk x JOIN bsk y ON x.bk = y.bk AND x.it < y.it
+  GROUP BY 1, 2 HAVING count(*) >= 2),
+esym AS MATERIALIZED (SELECT a, b FROM e UNION ALL SELECT b, a FROM e),
+alive0 AS MATERIALIZED (SELECT DISTINCT a AS node FROM esym)"""
+    ]
+    for r in range(1, rounds + 1):
+        parts.append(
+            f""",
+deg{r} AS MATERIALIZED (
+  SELECT e.a AS node, CAST(count(*) AS BIGINT) AS core_deg
+  FROM esym e
+  JOIN alive{r - 1} x ON e.a = x.node
+  JOIN alive{r - 1} y ON e.b = y.node
+  GROUP BY 1),
+alive{r} AS MATERIALIZED (SELECT node FROM deg{r} WHERE core_deg >= {k})"""
+        )
+    parts.append(
+        f"""
+SELECT node, core_deg FROM deg{rounds} WHERE core_deg >= {k} ORDER BY node"""
+    )
+    return "".join(parts)
+
+
+def q_kcenter_coreset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy k-center coreset over the embedding corpus
+    (clustering.py::kcenter_greedy, k=8): farthest-point selection whose
+    picked ids + coverage radii are exact integers — the diversify stage
+    of dedup-then-diversify selection."""
+    from ingestion_scripts_spark.operators.clustering import kcenter_greedy
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return kcenter_greedy(emb, "embedding", "vec_id", k=8).orderBy("rank")
+
+
+def _sql_kcenter_coreset(k: int = 8) -> str:
+    """Unrolled Gonzalez greedy: c{r} = argmax over d{r-1}'s running
+    min-distance, d{r} folds the new center in with least()."""
+    d2 = (
+        "(SELECT CAST(list_sum(list_transform(range(1, len(d.v) + 1),"
+        " i -> (d.v[i] - c.v[i]) * (d.v[i] - c.v[i]))) AS BIGINT) FROM {src} c)"
+    )
+    parts = [
+        """
+WITH q AS MATERIALIZED (
+  SELECT vec_id AS pid,
+         list_transform(embedding,
+                        x -> CAST(floor(CAST(x AS DOUBLE) * 1000000.0 + 0.5)
+                                  AS BIGINT)) AS v
+  FROM embeddings),
+c1 AS MATERIALIZED (
+  SELECT pid, v, CAST(0 AS BIGINT) AS dmin FROM q ORDER BY pid LIMIT 1),
+d1 AS MATERIALIZED (
+  SELECT d.pid, d.v, """
+        + d2.format(src="c1")
+        + """ AS dmin
+  FROM q d)"""
+    ]
+    for r in range(2, k + 1):
+        parts.append(
+            f""",
+c{r} AS MATERIALIZED (
+  SELECT pid, v, dmin FROM d{r - 1} ORDER BY dmin DESC, pid ASC LIMIT 1),
+d{r} AS MATERIALIZED (
+  SELECT d.pid, d.v, least(d.dmin, {d2.format(src='c' + str(r))}) AS dmin
+  FROM d{r - 1} d)"""
+        )
+    sel = [
+        "SELECT CAST(1 AS BIGINT) AS rank, pid AS center_id,"
+        " CAST(0 AS BIGINT) AS picked_dist_sq FROM c1"
+    ]
+    for r in range(2, k + 1):
+        sel.append(
+            f"SELECT CAST({r} AS BIGINT), pid, dmin FROM c{r}"
+        )
+    parts.append("\n" + "\nUNION ALL ".join(sel) + "\nORDER BY rank")
+    return "".join(parts)
+
+
+def q_avg_precision_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source average precision of document length predicting
+    lang == 'en' (profiling.py::average_precision) — the PR-side
+    companion to roc_auc_quality on the identical scored/labelled input,
+    because curation gates live in the imbalanced-label regime where
+    ROC-AUC saturates and AP does not."""
+    from ingestion_scripts_spark.operators import profiling as PR
+
+    docs = _t(spark, sf_dir, "documents")
+    out = PR.average_precision(
+        docs, "source", F.col("n_chars"), F.col("lang") == F.lit("en"), "doc_id"
+    )
+    return out.select(F.col("g").alias("source"), "n_pos", "n", "ap").orderBy(
+        "source"
+    )
+
+
+SQL_AVG_PRECISION_QUALITY = """
+WITH base AS (
+  SELECT source AS g, CAST(n_chars AS BIGINT) AS s,
+         CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y, doc_id AS id
+  FROM documents),
+ranked AS (
+  SELECT g, y,
+         CAST(row_number() OVER (PARTITION BY g ORDER BY s DESC, id ASC)
+              AS BIGINT) AS i,
+         CAST(sum(y) OVER (PARTITION BY g ORDER BY s DESC, id ASC
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              AS BIGINT) AS cum_pos
+  FROM base),
+agg AS (
+  SELECT g, CAST(sum(y) AS BIGINT) AS n_pos, CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(CASE WHEN y = 1 THEN (cum_pos * 1000000) // i ELSE 0 END)
+              AS BIGINT) AS aps
+  FROM ranked GROUP BY g)
+SELECT g AS source, n_pos, n,
+       CASE WHEN n_pos > 0 THEN floor(aps / n_pos + 0.5) / 1000000.0 END AS ap
+FROM agg ORDER BY source
+"""
+
+
+def q_sq8_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@10 of SQ8 scalar-quantized dot-product search vs the exact
+    kernel, per query (similarity.py::sq8_quantize_recall) — measures
+    what 4x index compression costs on the actual corpus."""
+    from ingestion_scripts_spark.operators.similarity import sq8_quantize_recall
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return sq8_quantize_recall(emb, "vec_id", "embedding", k=10, query_mod=50).orderBy(
+        "query_id"
+    )
+
+
+SQL_SQ8_RECALL = """
+WITH q AS MATERIALIZED (
+  SELECT vec_id AS pid,
+         list_transform(embedding,
+                        x -> CAST(floor(CAST(x AS DOUBLE) * 1000000.0 + 0.5)
+                                  AS BIGINT)) AS vm
+  FROM embeddings),
+ex AS MATERIALIZED (
+  SELECT pid, i AS pos, vm[i] AS x
+  FROM q, unnest(range(1, len(vm) + 1)) AS t(i)),
+mm AS MATERIALIZED (
+  SELECT pos, min(x) AS lo,
+         CAST(greatest(max(x) - min(x), 1) AS BIGINT) AS rng
+  FROM ex GROUP BY pos),
+dq AS MATERIALIZED (
+  SELECT e.pid, e.pos,
+         mm.lo + ((((e.x - mm.lo) * 255) // mm.rng) * mm.rng) // 255 AS xq
+  FROM ex e JOIN mm USING (pos)),
+tdot AS MATERIALIZED (
+  SELECT a.pid AS query_id, b.pid AS pid, CAST(sum(a.x * b.x) AS BIGINT) AS d
+  FROM ex a JOIN ex b ON a.pos = b.pos AND b.pid <> a.pid
+  WHERE a.pid % 50 = 0
+  GROUP BY 1, 2),
+truth AS MATERIALIZED (
+  SELECT query_id, pid FROM (
+    SELECT query_id, pid,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY d DESC, pid ASC) AS r
+    FROM tdot) WHERE r <= 10),
+qdot AS MATERIALIZED (
+  SELECT a.pid AS query_id, b.pid AS pid,
+         CAST(sum(a.xq * b.xq) AS BIGINT) AS d
+  FROM dq a JOIN dq b ON a.pos = b.pos AND b.pid <> a.pid
+  WHERE a.pid % 50 = 0
+  GROUP BY 1, 2),
+approx AS MATERIALIZED (
+  SELECT query_id, pid FROM (
+    SELECT query_id, pid,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY d DESC, pid ASC) AS r
+    FROM qdot) WHERE r <= 10)
+SELECT t.query_id, CAST(count(*) AS BIGINT) AS n_truth,
+       CAST(count(a.pid) AS BIGINT) AS n_hit,
+       floor(count(a.pid) * 1000000.0 / count(*) + 0.5) / 1000000.0 AS recall
+FROM truth t
+LEFT JOIN approx a ON a.query_id = t.query_id AND a.pid = t.pid
+GROUP BY 1 ORDER BY 1
+"""
+
+
+# ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
 
 _REGISTRY: list[tuple[str, Callable[[SparkSession, str], DataFrame], str | None]] = [
-    # --- r5 driver window (first 50): newest-first never-driver-green —
-    # the 42 r4-session additions (judge mimic-verified, never driver-certified)
-    # + 8 from the pre-r4 queue. Driver checks positions 1-50; ROADMAP.md has
-    # the rotation schedule; the window is pinned by tests/test_entry_contract.py.
+    # DECLARATION order (stable; roughly r5's layout). The driver-facing
+    # order is produced by the _R6_WINDOW block shift after this list —
+    # driver checks positions 1-50 of the SHIFTED order; ROADMAP.md has the
+    # rotation schedule; the window is pinned by tests/test_entry_contract.py.
     ("textrank_summary", q_textrank_summary, _sql_textrank_summary()),
     ("sql_pipe_front_door", q_sql_pipe_front_door, SQL_PIPE_FRONT_DOOR),
     ("stream_state_reader", q_stream_state_reader, SQL_STREAM_DEDUP),
@@ -12005,7 +12238,50 @@ _REGISTRY: list[tuple[str, Callable[[SparkSession, str], DataFrame], str | None]
     ("hourly_windows", q_hourly_windows, SQL_HOURLY),
     ("stream_hourly_windows", q_stream_hourly_windows, SQL_STREAM_HOURLY),
     ("stream_sessionize", q_stream_sessionize, SQL_STREAM_SESSIONIZE),
+    # --- r6 batch 2 additions ---
+    ("kcore_parts", q_kcore_parts, _sql_kcore_parts()),
+    ("kcenter_coreset", q_kcenter_coreset, _sql_kcenter_coreset()),
+    ("avg_precision_quality", q_avg_precision_quality, SQL_AVG_PRECISION_QUALITY),
+    ("sq8_recall", q_sq8_recall, SQL_SQ8_RECALL),
 ]
+
+# --- r6 driver-window rotation (ROADMAP.md rotation table) -----------------
+# The driver certifies positions 1-50 each round. r6 window = the FINAL 48
+# never-driver-green queries (the 40 queued at r5 positions 51-90 plus the 8
+# r5-session additions) + 2 oldest-certified r1 anchors, which starts the
+# steady-state round-robin re-validation the ROADMAP plans for r7+. Expressed
+# as an explicit block shift over the declaration order above so the
+# declaration text stays stable; tests/test_entry_contract.py pins the
+# resulting window verbatim.
+_R6_WINDOW = [
+    "semdedup", "cms_heavy_hitters", "doc_chunks", "gopher_rules",
+    "priority_sample", "domain_caps", "orc_source", "unigram_ppl",
+    "bpe_merges", "bpe_tokenize", "ivf_trained_topk", "hist_quantiles",
+    "dataset_split", "char_entropy", "min_price_supplier", "column_profile",
+    "bigram_backoff_ppl", "ann_recall", "zorder_layout", "observed_ingest",
+    "skew_report", "dataset_card", "session_funnel", "langid_confusion",
+    "cross_split_contamination", "first_touch_attribution",
+    "partitioned_sink", "dedup_best_survivor", "boilerplate_segments",
+    "daily_gapfill", "interval_join_hot_hours", "bucketed_join_revenue",
+    "winsorized_lengths", "snapshot_diff", "weekly_growth",
+    "top_customer_by_nation", "custom_feed_source", "stream_custom_source",
+    "dq_checks", "sessionize_udtf", "fellegi_sunter_scores", "cohens_kappa",
+    "calibration_bins", "hits_scores", "kneser_ney_ppl", "dp_count_laplace",
+    "rate_limit_replay", "stream_token_bucket",
+    # r6-session additions (never-green debt outranks re-certification
+    # anchors while any exists — the rotation law in
+    # tests/test_entry_contract.py): two in the window, two queued next
+    "kcore_parts", "kcenter_coreset",
+]
+#: never-driver-green overflow, queued contiguously at positions 51-52 so
+#: the r7 rotation is a pure block shift
+_R6_QUEUE = ["avg_precision_quality", "sq8_recall"]
+_BY_NAME = {t[0]: t for t in _REGISTRY}
+_REGISTRY = (
+    [_BY_NAME[n] for n in _R6_WINDOW]
+    + [_BY_NAME[n] for n in _R6_QUEUE]
+    + [t for t in _REGISTRY if t[0] not in set(_R6_WINDOW) | set(_R6_QUEUE)]
+)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

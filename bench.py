@@ -232,6 +232,17 @@ HEADLINE = [
     "join_size_estimate",
     "grouped_agg_udaf",
     "arrow_group_stats",
+    "fellegi_sunter_scores",
+    "cohens_kappa",
+    "calibration_bins",
+    "hits_scores",
+    "kneser_ney_ppl",
+    "dp_count_laplace",
+    "rate_limit_replay",
+    "kcore_parts",
+    "kcenter_coreset",
+    "avg_precision_quality",
+    "sq8_recall",
 ]
 
 #: deliberate shadows: oracle-exact twins of faster default kernels, kept
@@ -261,7 +272,33 @@ STREAMING = [
     "stream_state_reader",
     "stream_scd_merge",
     "stream_quota_admission",
+    "stream_token_bucket",
 ]
+
+
+#: r5→r4 drift movers (>1.5× with zero code change — r5 VERDICT item 5):
+#: these get median-of-5 minimum so one steal spike cannot move the median,
+#: letting BENCH_r{N} attribute their totals to host vs plan.
+DRIFT_WATCH = {"bpe_tokenize", "bloom_join_revenue", "segment_dedup", "unigram_ppl"}
+
+
+def _host_probe() -> tuple[float, list[float]]:
+    """Attribute round-over-round drift to the HOST, not the plans
+    (r5 VERDICT item 5: totals grew +7% twice with zero code change).
+    A fixed single-thread integer workload's wall time scales directly
+    with CPU steal / frequency throttling; recorded pre+post alongside
+    loadavg so BENCH_r{N} comparisons can be normalized."""
+    t0 = time.perf_counter()
+    x = 0
+    for i in range(5_000_000):
+        x += i * i
+    assert x > 0
+    dt = round(time.perf_counter() - t0, 4)
+    try:
+        load = [round(v, 2) for v in os.getloadavg()]
+    except OSError:
+        load = []
+    return dt, load
 
 
 def main() -> None:
@@ -278,6 +315,8 @@ def main() -> None:
     names = [n for n in HEADLINE if n in qs]
     stream_names = [n for n in STREAMING if n in qs]
 
+    probe_pre, load_pre = _host_probe()
+
     # warmup: run the cheapest query once to absorb JVM + codegen startup
     qs["pricing_summary"](spark, sf_dir).collect()
 
@@ -288,7 +327,8 @@ def main() -> None:
 
     def timed(name: str) -> float:
         samples = []
-        for i in range(runs):
+        n_runs = max(runs, 5) if name in DRIFT_WATCH else runs
+        for i in range(n_runs):
             t0 = time.perf_counter()
             rows = qs[name](spark, sf_dir).collect()
             samples.append(time.perf_counter() - t0)
@@ -320,9 +360,13 @@ def main() -> None:
 
     per_shadow = {n: timed_once(n) for n in SHADOW if n in qs}
 
+    probe_post, load_post = _host_probe()
+
     total = round(sum(per_query.values()), 3)
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     detail = {
+        "host_probe_sec": {"pre": probe_pre, "post": probe_post},
+        "loadavg": {"pre": load_pre, "post": load_post},
         "metric": "headline_queries_total_wall",
         "value": total,
         "unit": "sec",
@@ -352,6 +396,7 @@ def main() -> None:
                 "unit": "sec",
                 "n_queries": len(per_query),
                 "streaming_total": detail["streaming_total"],
+                "host_probe_sec": detail["host_probe_sec"],
                 "queries_detail": "BENCH_DETAIL.json",
                 "sf": sf,
             }

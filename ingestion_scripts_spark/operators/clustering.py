@@ -215,3 +215,77 @@ def sql_kmeans(
         "WITH " + ",\n".join(ctes)
         + "\nSELECT vec_id, cluster_id, d2 FROM fin WHERE rn = 1"
     )
+
+
+def kcenter_greedy(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    k: int = 8,
+):
+    """Greedy k-center / farthest-point coreset selection (Gonzalez 1985):
+    seed with the smallest id, then k-1 times pick the point FARTHEST from
+    its nearest already-selected center. The classic 2-approximation to
+    the k-center cover — the "diversify" half of dedup-then-diversify
+    corpus selection, and the standard seeding for coresets: the selected
+    rows cover the embedding space within 2x the optimal radius, so a
+    downstream sampler that quotas around them sees every mode of the
+    corpus (where uniform sampling oversamples dense regions).
+
+    Spark shape: the quantized working set is localCheckpoint-ed once;
+    every iteration is ONE narrow map (distance to the newest center
+    folded into a running ``least``) + a top-1 TakeOrdered — no shuffle
+    at all, no driver state beyond the k selected vectors (k x dim
+    literals, same footprint as the k-means loop above). At 100 TB this
+    is k scans, each embarrassingly parallel; the expression holds ALL
+    selected centers as literals (k·dim constants — trivial for the
+    k <= 64 this stage uses).
+
+    Cross-engine determinism: components snap to exact int64 micro-units
+    BEFORE any arithmetic, squared L2 distances are exact BIGINT sums
+    (order-independent), argmax ties break to the smallest id, and the
+    recorded ``picked_dist_sq`` (the coverage radius at selection time,
+    a decreasing sequence) is an exact integer — the DuckDB oracle
+    unrolls the identical k steps and matches bit-for-bit.
+
+    Returns (rank, center_id, picked_dist_sq): rank 1..k in selection
+    order; picked_dist_sq = 0 for the seed.
+    """
+    from .similarity import spread
+
+    pts = df.select(
+        F.col(id_col).alias("pid"),
+        F.transform(
+            F.col(vec_col).cast("array<double>"),
+            lambda x: F.floor(x * 1000000.0 + F.lit(0.5)).cast("bigint"),
+        ).alias("v"),
+    )
+    pts = spread(pts).localCheckpoint()
+
+    seed = pts.orderBy("pid").limit(1).collect()[0]
+    picked: list[tuple[int, int, int]] = [(1, seed["pid"], 0)]
+    vecs: list[list[int]] = [list(seed["v"])]
+
+    for rank in range(2, k + 1):
+        dmin = None
+        for cv in vecs:
+            arr = F.array(*[F.lit(int(x)).cast("bigint") for x in cv])
+            d = F.aggregate(
+                F.zip_with(F.col("v"), arr, lambda a, b: (a - b) * (a - b)),
+                F.lit(0).cast("bigint"),
+                lambda acc, x: acc + x,
+            )
+            dmin = d if dmin is None else F.least(dmin, d)
+        far = (
+            pts.select("pid", "v", dmin.alias("dmin"))
+            .orderBy(F.desc("dmin"), F.asc("pid"))
+            .limit(1)
+            .collect()[0]
+        )
+        picked.append((rank, far["pid"], int(far["dmin"])))
+        vecs.append(list(far["v"]))
+
+    spark = df.sparkSession
+    return spark.createDataFrame(
+        picked, "rank bigint, center_id bigint, picked_dist_sq bigint"
+    )

@@ -243,16 +243,25 @@ def hits_int(
 
     Per iteration: two keyed shuffles + two 1-row max aggregates. No
     driver state beyond the loop counter — same scale shape as
-    ``pagerank_int``."""
+    ``pagerank_int``.
+
+    ``localCheckpoint`` per half-round is load-bearing, not a tuning
+    knob: each rescale references its raw-sum frame TWICE (the 1-row max
+    and the division), so without truncation the logical plan doubles
+    every half-round — 2^(2·iters) re-derivations of the upstream edge
+    build (measured: 225 s for a sub-second graph at sf0.01). The edge
+    set and node list are checkpointed once for the same reason (each is
+    read twice per iteration)."""
     e = edges.select(
         F.col(src_col).alias("src"),
         F.col(dst_col).alias("dst"),
         F.col(weight_col).cast("bigint").alias("w"),
-    )
+    ).localCheckpoint()
     nodes = (
         e.select(F.col("src").alias("node"))
         .union(e.select(F.col("dst").alias("node")))
         .distinct()
+        .localCheckpoint()
     )
     hub = nodes.select("node", F.lit(1_000_000).cast("bigint").alias("h"))
     auth = None
@@ -266,6 +275,7 @@ def hits_int(
         a_all = nodes.join(a_raw, "node", "left").select(
             "node", F.coalesce(F.col("ar"), F.lit(0)).cast("bigint").alias("ar")
         )
+        a_all = a_all.localCheckpoint()
         amax = a_all.agg(F.max("ar").alias("__amax"))
         auth = a_all.crossJoin(F.broadcast(amax)).select(
             "node", F.expr("(ar * 1000000) div greatest(__amax, 1L)").cast("bigint").alias("a")
@@ -279,6 +289,7 @@ def hits_int(
         h_all = nodes.join(h_raw, "node", "left").select(
             "node", F.coalesce(F.col("hr"), F.lit(0)).cast("bigint").alias("hr")
         )
+        h_all = h_all.localCheckpoint()
         hmax = h_all.agg(F.max("hr").alias("__hmax"))
         hub = h_all.crossJoin(F.broadcast(hmax)).select(
             "node", F.expr("(hr * 1000000) div greatest(__hmax, 1L)").cast("bigint").alias("h")
@@ -288,3 +299,56 @@ def hits_int(
         F.col("h").alias("hub_u"),
         F.col("a").alias("auth_u"),
     )
+
+
+def kcore_peel(
+    edges: DataFrame,
+    a_col: str,
+    b_col: str,
+    k: int,
+    rounds: int = 6,
+) -> DataFrame:
+    """k-core subgraph by synchronous peeling (Seidman 1983; distributed
+    formulation as in Montresor et al. 2013): repeatedly drop every node
+    whose degree among SURVIVORS is < k. The k-core is the standard
+    "dense kernel" filter in curation graphs — spam/link-farm detection
+    on domain graphs, high-confidence co-occurrence mining on item
+    graphs — where degree alone over-keeps star centers and components
+    over-keep everything connected.
+
+    Spark shape: the UNDIRECTED edge set is symmetrized once; each round
+    is two semi-joins (edge endpoints against the survivor set) + one
+    keyed count — all shuffles keyed by node, no driver state. A round's
+    survivor set is ``localCheckpoint``-ed: peeling rounds chain plans
+    (round r reads round r-1's survivors twice), so truncating lineage
+    keeps the plan linear in ``rounds`` instead of exponential — the
+    same idiom as ``dedup.connected_components_star``.
+
+    ``rounds`` is a FIXED unroll, not run-to-convergence — the DuckDB
+    oracle unrolls the identical chain, so both engines compute the same
+    (possibly pre-fixpoint) set and the differential is exact. Peeling
+    removes at least one node per non-converged round within any finite
+    graph's peel depth; callers pick ``rounds`` >= the expected peel
+    depth and the law test (tests/test_r6_graph_laws.py) pins fixpoint
+    on the query's actual graph.
+
+    Returns survivors as (node, core_deg) — core_deg is the node's
+    degree within the k-core (>= k by construction).
+    """
+    e = edges.select(F.col(a_col).alias("a"), F.col(b_col).alias("b"))
+    ed = e.union(
+        e.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    )
+    alive = ed.select(F.col("a").alias("node")).distinct().localCheckpoint()
+    deg = None
+    for _ in range(rounds):
+        live = ed.join(
+            alive.select(F.col("node").alias("a")), "a"
+        ).join(alive.select(F.col("node").alias("b")), "b")
+        deg = (
+            live.groupBy("a")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("core_deg"))
+            .select(F.col("a").alias("node"), "core_deg")
+        )
+        alive = deg.filter(F.col("core_deg") >= k).select("node").localCheckpoint()
+    return deg.filter(F.col("core_deg") >= k)

@@ -353,9 +353,15 @@ def cohens_kappa(df: DataFrame, a: Column, b: Column) -> DataFrame:
     single double expressions over those integers — no float summation
     anywhere, so the result is partition-order independent before the
     final 1e-4 rounding. kappa = (po - pe) / (1 - pe) with
-    pe = (na·nb + (n-na)(n-nb)) / n²."""
-    ac = a.cast("int")
-    bc = b.cast("int")
+    pe = (na·nb + (n-na)(n-nb)) / n².
+
+    NULL rater inputs count as False (coalesced BEFORE the int cast —
+    a bare sum(cast) would silently SKIP them, drifting from any SQL
+    twin whose CASE maps NULL to 0); kappa is NULL when pe = 1 (both
+    raters constant — agreement is undefined), decided on the EXACT
+    integer identity pe=1 ⟺ na·nb + (n-na)(n-nb) = n², not on a float."""
+    ac = F.coalesce(a.cast("boolean"), F.lit(False)).cast("int")
+    bc = F.coalesce(b.cast("boolean"), F.lit(False)).cast("int")
     agg = df.agg(
         F.count(F.lit(1)).cast("bigint").alias("n"),
         F.sum(ac).cast("bigint").alias("n_a"),
@@ -363,16 +369,18 @@ def cohens_kappa(df: DataFrame, a: Column, b: Column) -> DataFrame:
         F.sum((ac == bc).cast("int")).cast("bigint").alias("n_agree"),
     )
     po = F.col("n_agree") / F.col("n")
-    pe = (
-        F.col("n_a") * F.col("n_b")
-        + (F.col("n") - F.col("n_a")) * (F.col("n") - F.col("n_b"))
-    ) / (F.col("n") * F.col("n"))
+    pe_num = F.col("n_a") * F.col("n_b") + (F.col("n") - F.col("n_a")) * (
+        F.col("n") - F.col("n_b")
+    )
+    pe = pe_num / (F.col("n") * F.col("n"))
     r4 = lambda c: F.floor(c * 10000.0 + 0.5) / 10000.0  # noqa: E731
     return agg.select(
         "n", "n_a", "n_b", "n_agree",
         r4(po).alias("po"),
         r4(pe).alias("pe"),
-        r4((po - pe) / (F.lit(1.0) - pe)).alias("kappa"),
+        F.when(pe_num == F.col("n") * F.col("n"), F.lit(None).cast("double"))
+        .otherwise(r4((po - pe) / (F.lit(1.0) - pe)))
+        .alias("kappa"),
     )
 
 
@@ -423,17 +431,85 @@ def dp_laplace_noise_u(key: Column, epsilon: float, salt: str) -> Column:
     """Deterministic 'Laplace' noise in MICRO-units for differential-
     privacy-style count release: u ~ Uniform(0,1) derived from the
     portable 60-bit md5 hash of (salt || key), inverse-CDF transformed
-    to Laplace(0, 1/ε). The modulus 999983 (prime, odd) makes u = 0.5
-    unreachable, so ln(1-2|u-0.5|) never sees 0. Same closed form on
-    both engines; deterministic per key, which keeps the oracle exact —
-    a production release would swap the hash for a real RNG."""
+    to Laplace(0, 1/ε). h maps to 1..999981 then divides by 999983, so
+    u ∈ (0, 1) strictly: u = 0 (which would give ln(0) = -inf and an
+    overflowing BIGINT cast — r5 ADVICE) is unreachable BY CONSTRUCTION,
+    and u = 0.5 would need the non-integer numerator 999983/2. Same
+    closed form on both engines; deterministic per key, which keeps the
+    oracle exact — a production release would swap the hash for a real
+    RNG."""
     from ..functions.text import hash64
 
     h = hash64(F.concat(F.lit(salt), key.cast("string")))
-    u = (h % F.lit(999983)).cast("double") / F.lit(999983.0)
+    u = ((h % F.lit(999981)) + F.lit(1)).cast("double") / F.lit(999983.0)
     centered = u - F.lit(0.5)
     mag = F.lit(1.0 / epsilon) * -F.log(
         F.lit(1.0) - F.lit(2.0) * F.abs(centered)
     )
     signed = F.when(centered < 0, -mag).otherwise(mag)
     return F.floor(signed * 1_000_000.0 + 0.5).cast("bigint")
+
+
+def average_precision(
+    df: DataFrame,
+    group_col: str,
+    score: Column,
+    label: Column,
+    id_col: str,
+) -> DataFrame:
+    """Per-group average precision (area under the precision-recall curve
+    by the standard sum-over-positives estimator) — the companion to
+    ``roc_auc`` for the imbalanced-label regime every curation classifier
+    actually lives in (quality gates pass 1-10% of documents; ROC-AUC is
+    blind to that asymmetry, AP is not).
+
+    AP = (1/P) * sum over positives at rank i of precision@i, with the
+    ranking pinned by (score DESC, id ASC) so score ties are
+    deterministic on both engines.
+
+    Cross-engine exactness: each precision term is floored to integer
+    MICRO-units — term_i = (cum_pos_i * 1e6) div i — so the per-group sum
+    is exact BIGINT arithmetic (any partitioning, any merge order), and
+    the only float op is the final divide by n_pos, snapped with the
+    house floor(x + 0.5)/1e6 idiom. AP is therefore computed on a 1e-6
+    grid; the estimator bias is < 1e-6 * depth, irrelevant for ranking
+    model candidates. NULL labels count as negative (coalesced before the
+    cast — a bare cast would silently drop them from ranks).
+
+    One window pass + one keyed agg — shuffles on group only.
+    """
+    base = df.select(
+        F.col(group_col).alias("g"),
+        score.cast("bigint").alias("s"),
+        F.coalesce(label.cast("boolean"), F.lit(False)).cast("int").alias("y"),
+        F.col(id_col).alias("__id"),
+    )
+    w = Window.partitionBy("g").orderBy(F.desc("s"), F.asc("__id"))
+    wc = w.rowsBetween(Window.unboundedPreceding, 0)
+    ranked = base.select(
+        "g",
+        "y",
+        F.row_number().over(w).cast("bigint").alias("i"),
+        F.sum("y").over(wc).cast("bigint").alias("cum_pos"),
+    )
+    agg = ranked.groupBy("g").agg(
+        F.sum("y").cast("bigint").alias("n_pos"),
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(
+            F.when(
+                F.col("y") == 1,
+                F.expr("(cum_pos * 1000000) div i"),
+            ).otherwise(F.lit(0))
+        )
+        .cast("bigint")
+        .alias("ap_micro_sum"),
+    )
+    return agg.select(
+        "g",
+        "n_pos",
+        "n",
+        F.when(
+            F.col("n_pos") > 0,
+            F.floor(F.col("ap_micro_sum") / F.col("n_pos") + 0.5) / 1000000.0,
+        ).alias("ap"),
+    )

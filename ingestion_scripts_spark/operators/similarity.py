@@ -585,3 +585,119 @@ def mmr_rerank(
             new_sel if selected is None else selected.unionByName(new_sel)
         )
     return out
+
+
+def sq8_codebook(pts: DataFrame, vec_micro_col: str = "vm") -> list[tuple[int, int]]:
+    """Per-dimension (min, max) over a micro-unit integer vector column —
+    the SQ8 scalar-quantization codebook. One posexplode + a dim-keyed
+    min/max agg (map-side partials move dim rows per task, independent of
+    corpus size), then a dim-sized collect — the same driver-state shape
+    as the k-means centroid loop (``clustering.py::kmeans_fit``): O(dim)
+    integers on the driver, embedded downstream as literals (a broadcast
+    by construction, no join)."""
+    rows = (
+        pts.select(F.posexplode(F.col(vec_micro_col)).alias("pos", "x"))
+        .groupBy("pos")
+        .agg(F.min("x").alias("lo"), F.max("x").alias("hi"))
+        .collect()
+    )
+    book = {r["pos"]: (int(r["lo"]), int(r["hi"])) for r in rows}
+    return [book[i] for i in range(len(book))]
+
+
+def sq8_quantize_recall(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 10,
+    query_mod: int = 50,
+) -> DataFrame:
+    """Recall@k of SQ8 scalar-quantized dot-product search vs the exact
+    kernel — the QA harness for the memory side of 100 TB ANN: int8
+    codes are 4x smaller than f32 (the difference between an index that
+    fits executor memory and one that spills), and this query measures
+    what that compression costs on the actual corpus, per query.
+
+    SQ8 (the FAISS ScalarQuantizer recipe): per-dim [lo, hi] codebook,
+    code c_j = ((x_j - lo_j) * 255) div rng_j in 0..255 with
+    rng_j = max(hi_j - lo_j, 1), decode x~_j = lo_j + (c_j * rng_j)
+    div 255. Every operand is a NON-NEGATIVE exact int64 micro-unit, so
+    the ``floor(a / b)`` double-divide used here IS integer floor
+    division (numerators < 2^31, denominators >= 1: an exact-rational
+    quotient is never within 1 ulp of a crossing), matching the DuckDB
+    twin's BIGINT ``//`` bit-for-bit; both top-k sets break dot-product
+    ties to the smaller id.
+
+    Shape: codebook = one dim-keyed agg + O(dim) driver literals; the
+    truth and SQ searches are each a broadcast(queries) x corpus scan
+    with a per-query windowed top-k — ``cosine_topk``'s plan run twice —
+    then a left join on (query, id) counts the overlap. No all-pairs, no
+    Python rows.
+
+    Returns (query_id, n_truth, n_hit, recall) with recall on the 1e-6
+    grid.
+    """
+    pts = df.select(
+        F.col(id_col).alias("pid"),
+        F.transform(
+            F.col(vec_col).cast("array<double>"),
+            lambda x: F.floor(x * 1000000.0 + F.lit(0.5)).cast("bigint"),
+        ).alias("vm"),
+    )
+    pts = spread(pts).localCheckpoint()
+    book = sq8_codebook(pts, "vm")
+    lo_arr = F.array(*[F.lit(l).cast("bigint") for l, _ in book])
+    rng_arr = F.array(*[F.lit(max(h - l, 1)).cast("bigint") for l, h in book])
+    fdiv = lambda a, b: F.floor(a / b).cast("bigint")  # noqa: E731 — see law note
+    code = F.zip_with(
+        F.zip_with(F.col("vm"), lo_arr, lambda x, l: x - l),
+        rng_arr,
+        lambda d, r: fdiv(d * F.lit(255), r),
+    )
+    deq = F.zip_with(
+        F.zip_with(code, rng_arr, lambda c, r: c * r),
+        lo_arr,
+        lambda cr, l: l + fdiv(cr, F.lit(255)),
+    )
+    sq = pts.select("pid", deq.alias("vq"))
+
+    def topk(base: DataFrame, vcol: str, out: str) -> DataFrame:
+        qs = base.filter((F.col("pid") % query_mod) == 0).select(
+            F.col("pid").alias("query_id"), F.col(vcol).alias("qv")
+        )
+        dotc = F.aggregate(
+            F.zip_with(F.col("qv"), F.col(vcol), lambda a, b: a * b),
+            F.lit(0).cast("bigint"),
+            lambda acc, x: acc + x,
+        )
+        scored = (
+            F.broadcast(qs)
+            .join(base, F.col("query_id") != F.col("pid"))
+            .select("query_id", "pid", dotc.alias("d"))
+        )
+        w = Window.partitionBy("query_id").orderBy(F.desc("d"), F.asc("pid"))
+        return (
+            scored.withColumn("r", F.row_number().over(w))
+            .filter(F.col("r") <= k)
+            .select(F.col("query_id").alias(out + "_q"), F.col("pid").alias(out))
+        )
+
+    truth = topk(pts, "vm", "t_id")
+    approx = topk(sq, "vq", "a_id")
+    joined = truth.join(
+        approx,
+        (F.col("t_id_q") == F.col("a_id_q")) & (F.col("t_id") == F.col("a_id")),
+        "left",
+    )
+    out = joined.groupBy(F.col("t_id_q").alias("query_id")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_truth"),
+        F.count("a_id").cast("bigint").alias("n_hit"),
+    )
+    return out.select(
+        "query_id",
+        "n_truth",
+        "n_hit",
+        (
+            F.floor(F.col("n_hit") * 1000000.0 / F.col("n_truth") + 0.5) / 1000000.0
+        ).alias("recall"),
+    )

@@ -106,23 +106,19 @@ def reddit_pipeline(posts: DataFrame) -> DataFrame:
     comment boundaries — reproduced via flatten() below.
     """
     demojize = make_demojize_udf()
+    # A Python UDF may NOT appear inside a higher-order-function lambda
+    # (Spark raises UNSUPPORTED_FEATURE.LAMBDA_FUNCTION_WITH_PYTHON_UDF at
+    # analysis time — SURVEY.md §2.7 N2), so the demojize+clean leg rides
+    # the same posexplode→re-nest pass as sentiment: there the comment text
+    # is a top-level column and the pandas_udf is legal.
     text_clean = (
         (lambda c: clean_text(demojize(c))) if demojize else (lambda c: clean_text(c))
     )
 
     with_sent = posts.withColumn("sentiment", sentiment_native(F.col("title")))
-    with_sent = nlp.enrich_nested_comments(
+    cleaned = nlp.enrich_nested_comments(
         with_sent, "id", "comments",
-        text_fn=None, out_field="sentiment", sentiment_fn=sentiment_native,
-    )
-    cleaned = with_sent.withColumn(
-        "comments",
-        F.transform(
-            F.col("comments"),
-            lambda c: F.struct(
-                text_clean(c["text"]).alias("text"), c["sentiment"].alias("sentiment")
-            ),
-        ),
+        text_fn=text_clean, out_field="sentiment", sentiment_fn=sentiment_native,
     )
     toks = cleaned.withColumn(
         "__toks",

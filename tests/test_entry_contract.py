@@ -51,36 +51,36 @@ def test_catalog_register_testdata(spark):
 
 
 #: the driver certifies registry positions 1-50 each round; this is the
-#: deliberate r5 window (ROADMAP.md rotation table): newest-first
-#: never-driver-green — the 42 r4-session additions (judge mimic-verified
-#: but never driver-certified) + 8 from the pre-r4 queue. r2's lesson:
+#: deliberate r6 window (ROADMAP.md rotation table): the 48 queued
+#: never-driver-green queries (40 from r5 positions 51-90 + the 8
+#: r5-session additions) + 2 of the 4 r6-session additions (the other 2
+#: queue contiguously at positions 51-52 — debt outranks re-certification
+#: anchors while any exists). r2's lesson:
 #: silent registry drift displaced fixed queries past position 50, so their
 #: fixes were never driver-certified — any change to this window must be a
 #: conscious edit of BOTH the registry and this pin.
-R5_WINDOW = [
-    "textrank_summary", "sql_pipe_front_door", "stream_state_reader",
-    "edit_distance_names", "basket_pair_lift", "triangle_cooccurrence",
-    "token_kl_drift", "leakage_safe_split", "hybrid_rank_fusion",
-    "output_file_plan", "mmr_diverse_topk", "k_anonymity_audit",
-    "jl_projection_recall", "holt_trend_forecast", "covariance_matrix",
-    "dup_clusters_star", "containment_pairs", "stream_scd_merge",
-    "recursive_front_door", "duplicate_spans", "span_removal_plan",
-    "pareto_frontier", "ks_drift", "column_mutual_info",
-    "incremental_agg_view", "snm_blocking", "cusum_changepoint",
-    "ht_sampling_error", "stream_quota_admission", "er_canonical_entities",
-    "bfs_hops_coorder", "psi_drift", "chi2_independence",
-    "multimodal_audio_energy", "bloom_dedup_audit",
-    "label_spread_communities", "join_size_estimate", "grouped_agg_udaf",
-    "arrow_group_stats", "roc_auc_quality", "bot_burst_users",
-    "index_compaction", "temperature_mix", "csv_source",
-    "corrupt_record_routing", "hll_merge_rollup", "grouping_sets_revenue",
-    "window_dist_funcs", "lang_histograms", "stats_corr",
+R6_WINDOW = [
+    "semdedup", "cms_heavy_hitters", "doc_chunks", "gopher_rules",
+    "priority_sample", "domain_caps", "orc_source", "unigram_ppl",
+    "bpe_merges", "bpe_tokenize", "ivf_trained_topk", "hist_quantiles",
+    "dataset_split", "char_entropy", "min_price_supplier", "column_profile",
+    "bigram_backoff_ppl", "ann_recall", "zorder_layout", "observed_ingest",
+    "skew_report", "dataset_card", "session_funnel", "langid_confusion",
+    "cross_split_contamination", "first_touch_attribution",
+    "partitioned_sink", "dedup_best_survivor", "boilerplate_segments",
+    "daily_gapfill", "interval_join_hot_hours", "bucketed_join_revenue",
+    "winsorized_lengths", "snapshot_diff", "weekly_growth",
+    "top_customer_by_nation", "custom_feed_source", "stream_custom_source",
+    "dq_checks", "sessionize_udtf", "fellegi_sunter_scores", "cohens_kappa",
+    "calibration_bins", "hits_scores", "kneser_ney_ppl", "dp_count_laplace",
+    "rate_limit_replay", "stream_token_bucket",
+    "kcore_parts", "kcenter_coreset",
 ]
 
 
 def test_driver_window_is_pinned():
     names = list(E.queries().keys())
-    assert names[:50] == R5_WINDOW
+    assert names[:50] == R6_WINDOW
 
 
 def test_rotation_retires_certification_debt():

@@ -10,6 +10,7 @@ resolve — the whole Arrow-batched code path runs for real. Cleanup pops
 the fakes from driver sys.path/sys.modules so every other test still sees
 the libraries as absent (identity/native fallbacks stay pinned)."""
 
+import importlib
 import os
 import shutil
 import sys
@@ -32,9 +33,18 @@ def fake_libs(spark, tmp_path):
     try:
         yield
     finally:
-        sys.path.remove(FAKELIBS)
+        # addPyFile ALSO inserts <SparkFiles root>/fakelibs.zip into the
+        # DRIVER's sys.path for the rest of the session — scrub every
+        # fakelibs-derived entry, or later tests (test_pipelines, ...) see
+        # a fake `emoji` importable and take the lib-present branch
+        # (r5 VERDICT item 2: session leak).
+        zip_name = os.path.basename(zip_path)
+        sys.path[:] = [
+            p for p in sys.path if p != FAKELIBS and not p.endswith(zip_name)
+        ]
         for m in _MODS:
             sys.modules.pop(m, None)
+        importlib.invalidate_caches()
 
 
 def test_vader_udf_branch_executes(spark, fake_libs):
@@ -72,6 +82,40 @@ def test_html_strip_udf_branch_executes(spark, fake_libs):
     ).select(strip(F.col("t")).alias("t")).collect()[0].t
     assert "keep this" in out and "tail" in out
     assert "drop" not in out and "link" not in out
+
+
+def test_reddit_pipeline_runs_with_lib_udfs_active(spark, fake_libs):
+    """Regression (r5 VERDICT item 1): with the emoji lib importable,
+    reddit_pipeline must still ANALYZE and RUN — the demojize pandas_udf
+    may not sit inside an F.transform lambda (Spark raises
+    UNSUPPORTED_FEATURE.LAMBDA_FUNCTION_WITH_PYTHON_UDF); it must ride the
+    posexplode→re-nest pass. Reference: reddit_consumer.py:124-136."""
+    from pyspark.sql import Row
+
+    from ingestion_scripts_spark.plans import pipelines as P
+    from ingestion_scripts_spark.schemas import REDDIT_POST
+
+    posts = spark.createDataFrame(
+        [
+            Row(
+                id="p1", title="good news everyone", author=None,
+                created="2023-03-04 05:06:07", score=10, upvote_ratio=0.9,
+                reddit=None, domain=None, url=None,
+                comments=[
+                    Row(text="this is great \U0001F600 stuff", sentiment=None),
+                    Row(text="terrible awful bad stuff", sentiment=None),
+                ],
+                keywords=None, sentiment=None,
+            )
+        ],
+        REDDIT_POST,
+    )
+    out = P.reddit_pipeline(posts).collect()[0]
+    # demojize ran (fake lib maps 😀 -> :grinning_face:); clean_text then
+    # strips the punctuation, leaving the alias words as plain tokens
+    assert "grinning" in out.comments[0].text
+    assert out.comments[0].sentiment.compound > 0
+    assert out.comments[1].sentiment.compound < 0
 
 
 def test_fallbacks_restored_after_doubles(spark):

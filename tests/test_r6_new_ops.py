@@ -1,0 +1,152 @@
+"""Law/property tests for the r6 batch-2 operators: k-core peeling
+(`operators/graph.py::kcore_peel`), greedy k-center coreset selection
+(`operators/clustering.py::kcenter_greedy`), per-group average precision
+(`operators/profiling.py::average_precision`), and SQ8 scalar-quantization
+recall (`operators/similarity.py::sq8_quantize_recall`). Style model:
+tests/test_cc_star.py — pin the LAW (peel fixpoint, greedy selection
+order, exact AP arithmetic, order-preserving quantization) against
+independently hand-derived expectations, not golden snapshots."""
+
+from pyspark.sql import functions as F
+
+from ingestion_scripts_spark.operators.clustering import kcenter_greedy
+from ingestion_scripts_spark.operators.graph import kcore_peel
+from ingestion_scripts_spark.operators.profiling import average_precision
+from ingestion_scripts_spark.operators.similarity import (
+    sq8_codebook,
+    sq8_quantize_recall,
+)
+
+
+# --------------------------------------------------------------------------
+# k-core
+# --------------------------------------------------------------------------
+
+def _edges(spark, pairs):
+    return spark.createDataFrame(pairs, "a bigint, b bigint")
+
+
+def test_kcore_keeps_clique_peels_tail(spark):
+    # 4-clique {1,2,3,4} with a pendant path 4-5-6: the 3-core is exactly
+    # the clique (every clique node has in-core degree 3); 5 and 6 peel.
+    clique = [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4)]
+    e = _edges(spark, clique + [(4, 5), (5, 6)])
+    out = kcore_peel(e, "a", "b", k=3, rounds=4).collect()
+    assert {r["node"] for r in out} == {1, 2, 3, 4}
+    assert all(r["core_deg"] == 3 for r in out)
+
+
+def test_kcore_fixpoint_extra_rounds_are_noops(spark):
+    clique = [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4)]
+    e = _edges(spark, clique + [(4, 5), (5, 6)])
+    a = sorted(map(tuple, kcore_peel(e, "a", "b", k=3, rounds=3).collect()))
+    b = sorted(map(tuple, kcore_peel(e, "a", "b", k=3, rounds=6).collect()))
+    assert a == b
+
+
+def test_kcore_chain_peels_to_empty_one_end_per_round(spark):
+    # path 1-2-3-4-5 has no 2-core, but peeling needs MULTIPLE rounds
+    # (only the endpoints drop each round) — pins that the unroll really
+    # iterates rather than filtering on initial degree once.
+    path = [(i, i + 1) for i in range(1, 5)]
+    e = _edges(spark, path)
+    assert kcore_peel(e, "a", "b", k=2, rounds=1).count() == 3  # 2,3,4 left
+    assert kcore_peel(e, "a", "b", k=2, rounds=3).count() == 0
+    # a cycle IS its own 2-core: nothing ever peels
+    cycle = path + [(5, 1)]
+    out = kcore_peel(_edges(spark, cycle), "a", "b", k=2, rounds=3).collect()
+    assert {r["node"] for r in out} == {1, 2, 3, 4, 5}
+
+
+# --------------------------------------------------------------------------
+# greedy k-center
+# --------------------------------------------------------------------------
+
+def test_kcenter_selection_order_and_radii_exact(spark):
+    # 1-D corpus: id1 at 0.0 (seed: min id), id2 at 0.1, id3 at 1.0,
+    # id4 at 0.5. Greedy: pick id3 (farthest from seed, 1e6^2), then id4
+    # (min-dist 0.5^2 to either end), then id2 (0.1^2 to seed).
+    df = spark.createDataFrame(
+        [(1, [0.0]), (2, [0.1]), (3, [1.0]), (4, [0.5])],
+        "vec_id bigint, embedding array<double>",
+    )
+    out = kcenter_greedy(df, "embedding", "vec_id", k=4).orderBy("rank").collect()
+    assert [(r["rank"], r["center_id"], r["picked_dist_sq"]) for r in out] == [
+        (1, 1, 0),
+        (2, 3, 1_000_000_000_000),
+        (3, 4, 250_000_000_000),
+        (4, 2, 10_000_000_000),
+    ]
+
+
+def test_kcenter_radii_nonincreasing_on_real_vectors(spark):
+    from ingestion_scripts_spark.sources.readers import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    out = kcenter_greedy(emb, "embedding", "vec_id", k=5).orderBy("rank").collect()
+    radii = [r["picked_dist_sq"] for r in out[1:]]  # seed's 0 excluded
+    assert radii == sorted(radii, reverse=True)
+    assert len({r["center_id"] for r in out}) == 5  # never re-picks
+
+
+# --------------------------------------------------------------------------
+# average precision
+# --------------------------------------------------------------------------
+
+def test_average_precision_exact_micro_arithmetic(spark):
+    # ranked by score desc: labels (1, 0, 1) -> terms 1e6 and (2e6 div 3),
+    # AP = floor((1000000 + 666666) / 2 + 0.5) / 1e6 = 0.833333
+    df = spark.createDataFrame(
+        [("g", 10, True, 1), ("g", 9, False, 2), ("g", 8, True, 3)],
+        "g string, s bigint, y boolean, id bigint",
+    )
+    row = average_precision(df, "g", F.col("s"), F.col("y"), "id").collect()[0]
+    assert (row["n_pos"], row["n"], row["ap"]) == (2, 3, 0.833333)
+
+
+def test_average_precision_perfect_ranking_is_one(spark):
+    df = spark.createDataFrame(
+        [("g", 10, True, 1), ("g", 9, True, 2), ("g", 8, False, 3)],
+        "g string, s bigint, y boolean, id bigint",
+    )
+    assert average_precision(df, "g", F.col("s"), F.col("y"), "id").collect()[0][
+        "ap"
+    ] == 1.0
+
+
+def test_average_precision_null_label_counts_negative(spark):
+    # NULL label must rank (and count) as a negative, not vanish from i
+    df = spark.createDataFrame(
+        [("g", 10, None, 1), ("g", 9, True, 2)],
+        "g string, s bigint, y boolean, id bigint",
+    )
+    row = average_precision(df, "g", F.col("s"), F.col("y"), "id").collect()[0]
+    assert (row["n_pos"], row["n"], row["ap"]) == (1, 2, 0.5)
+
+
+# --------------------------------------------------------------------------
+# SQ8 quantization
+# --------------------------------------------------------------------------
+
+def test_sq8_codebook_matches_python(spark):
+    vals = [[1, 5, -3], [2, -7, 9]]
+    df = spark.createDataFrame(
+        [(v,) for v in vals], "vm array<bigint>"
+    )
+    assert sq8_codebook(df, "vm") == [(1, 2), (-7, 5), (-3, 9)]
+
+
+def test_sq8_recall_perfect_when_spacing_dwarfs_quant_error(spark):
+    # 12 collinear points spaced 10_000 micro apart; SQ8's max decode
+    # error is rng/255 ~ 431 micro, far below the spacing, so quantized
+    # top-k MUST equal exact top-k -> recall 1.0 for the one query (id 0).
+    df = spark.createDataFrame(
+        [(i, [i * 0.01, i * 0.01]) for i in range(12)],
+        "vec_id bigint, embedding array<double>",
+    )
+    out = sq8_quantize_recall(df, "vec_id", "embedding", k=5, query_mod=12).collect()
+    assert len(out) == 1
+    row = out[0]
+    assert (row["query_id"], row["n_truth"], row["n_hit"], row["recall"]) == (
+        0, 5, 5, 1.0,
+    )
