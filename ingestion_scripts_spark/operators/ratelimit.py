@@ -38,42 +38,71 @@ def token_bucket_replay(
 ) -> DataFrame:
     """Batch replay: per ``key``, walk events in (epoch, seq) order
     through the integer token bucket. Returns one row per key:
-    (key, n_events, n_admitted, tokens_end_mt)."""
+    (key, n_events, n_admitted, tokens_end_mt).
+
+    Shape: ONE ``mapInPandas`` over key-hash-partitioned,
+    (key, epoch, seq)-sorted partitions, carrying the open key's bucket
+    across Arrow batch boundaries (the batch iterator is per PARTITION,
+    and repartition-by-key guarantees a key never straddles partitions).
+    The earlier ``groupBy().applyInPandas`` shape was semantically
+    identical but paid a pandas sort + DataFrame construction PER KEY —
+    ~3k keys made it the slowest headline query (7.2 s at sf0.1); the
+    single sorted pass is one shuffle and one linear walk."""
     out_schema = (
         f"{key} bigint, n_events bigint, n_admitted bigint, tokens_end_mt bigint"
     )
 
-    def run(pdf):
+    def walk(batches):
         import pandas as pd
 
-        pdf = pdf.sort_values([epoch_col, seq_col], kind="mergesort")
-        tokens = cap_mt
-        prev = None
-        admitted = 0
-        for es in pdf[epoch_col].astype("int64"):
-            if prev is not None:
-                tokens = min(cap_mt, tokens + ((es - prev) * rate_mt) // per_s)
-            prev = es
-            if tokens >= cost_mt:
-                tokens -= cost_mt
-                admitted += 1
-        return pd.DataFrame(
-            {
-                key: [pdf[key].iloc[0]],
-                "n_events": [len(pdf)],
-                "n_admitted": [admitted],
-                "tokens_end_mt": [tokens],
-            }
-        )
+        cur = None  # open key
+        tokens = prev = n = adm = 0
+        done_k: list[int] = []
+        done_n: list[int] = []
+        done_adm: list[int] = []
+        done_tok: list[int] = []
+        for pdf in batches:
+            for kk, es in zip(
+                pdf[key].astype("int64"), pdf[epoch_col].astype("int64")
+            ):
+                if kk != cur:
+                    if cur is not None:
+                        done_k.append(cur)
+                        done_n.append(n)
+                        done_adm.append(adm)
+                        done_tok.append(tokens)
+                    cur, tokens, prev, n, adm = kk, cap_mt, None, 0, 0
+                if prev is not None:
+                    tokens = min(cap_mt, tokens + ((es - prev) * rate_mt) // per_s)
+                prev = es
+                n += 1
+                if tokens >= cost_mt:
+                    tokens -= cost_mt
+                    adm += 1
+        if cur is not None:
+            done_k.append(cur)
+            done_n.append(n)
+            done_adm.append(adm)
+            done_tok.append(tokens)
+        if done_k:
+            yield pd.DataFrame(
+                {
+                    key: done_k,
+                    "n_events": done_n,
+                    "n_admitted": done_adm,
+                    "tokens_end_mt": done_tok,
+                }
+            )
 
     return (
         events.select(
-            F.col(key),
+            F.col(key).cast("bigint").alias(key),
             F.col(epoch_col).cast("bigint").alias(epoch_col),
             F.col(seq_col).cast("bigint").alias(seq_col),
         )
-        .groupBy(key)
-        .applyInPandas(run, out_schema)
+        .repartition(F.col(key))
+        .sortWithinPartitions(key, epoch_col, seq_col)
+        .mapInPandas(walk, out_schema)
     )
 
 
