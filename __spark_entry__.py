@@ -33,7 +33,7 @@ from ingestion_scripts_spark.operators import keywords as K
 from ingestion_scripts_spark.operators import similarity as SIM
 from ingestion_scripts_spark.operators import text_analysis as TA
 
-from ingestion_scripts_spark.registry.part06 import *  # noqa: E402,F401,F403
+from ingestion_scripts_spark.registry.part07 import *  # noqa: E402,F401,F403
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -304,6 +304,10 @@ _REGISTRY: list[tuple[str, Callable[[SparkSession, str], DataFrame], str | None]
     ("kcenter_coreset", q_kcenter_coreset, _sql_kcenter_coreset()),
     ("avg_precision_quality", q_avg_precision_quality, SQL_AVG_PRECISION_QUALITY),
     ("sq8_recall", q_sq8_recall, SQL_SQ8_RECALL),
+    ("ndcg_quality", q_ndcg_quality, _sql_ndcg_quality()),
+    ("zipf_slope", q_zipf_slope, _sql_zipf_slope()),
+    ("max_coverage", q_max_coverage, _sql_max_coverage()),
+    ("source_unique_vocab", q_source_unique_vocab, _sql_source_unique_vocab()),
 ]
 
 # --- r6 driver-window rotation (ROADMAP.md rotation table) -----------------
@@ -336,7 +340,10 @@ _R6_WINDOW = [
 ]
 #: never-driver-green overflow, queued contiguously at positions 51-52 so
 #: the r7 rotation is a pure block shift
-_R6_QUEUE = ["avg_precision_quality", "sq8_recall"]
+_R6_QUEUE = [
+    "avg_precision_quality", "sq8_recall", "ndcg_quality", "zipf_slope",
+    "max_coverage", "source_unique_vocab",
+]
 _BY_NAME = {t[0]: t for t in _REGISTRY}
 _REGISTRY = (
     [_BY_NAME[n] for n in _R6_WINDOW]

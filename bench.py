@@ -243,6 +243,10 @@ HEADLINE = [
     "kcenter_coreset",
     "avg_precision_quality",
     "sq8_recall",
+    "ndcg_quality",
+    "zipf_slope",
+    "max_coverage",
+    "source_unique_vocab",
 ]
 
 #: deliberate shadows: oracle-exact twins of faster default kernels, kept

@@ -336,9 +336,12 @@ def kcore_peel(
     degree within the k-core (>= k by construction).
     """
     e = edges.select(F.col(a_col).alias("a"), F.col(b_col).alias("b"))
+    # the symmetrized edge set is read TWICE PER ROUND (once per endpoint
+    # semi-join); checkpointing it once stops every round from re-running
+    # the caller's upstream edge build (often itself a self-join)
     ed = e.union(
         e.select(F.col("b").alias("a"), F.col("a").alias("b"))
-    )
+    ).localCheckpoint()
     alive = ed.select(F.col("a").alias("node")).distinct().localCheckpoint()
     deg = None
     for _ in range(rounds):

@@ -513,3 +513,76 @@ def average_precision(
             F.floor(F.col("ap_micro_sum") / F.col("n_pos") + 0.5) / 1000000.0,
         ).alias("ap"),
     )
+
+
+def ndcg_discounts_micro(k: int) -> list[int]:
+    """Frozen integer DCG discount table: disc_i = round(1e6 / log2(i+1))
+    for ranks 1..k. Computed ONCE driver-side and embedded as literals in
+    BOTH engines' plans — log2 lives in libm, whose last-ulp behavior is
+    the one thing Spark (JVM Math) and DuckDB (C libm) do NOT share, so
+    neither engine evaluates a logarithm at query time."""
+    import math
+
+    return [round(1_000_000 / math.log2(i + 1)) for i in range(1, k + 1)]
+
+
+def ndcg_at_k(
+    df: DataFrame,
+    group_col: str,
+    score: Column,
+    rel: Column,
+    id_col: str,
+    k: int = 10,
+) -> DataFrame:
+    """Per-group nDCG@k with GRADED relevance — the third leg of the
+    ranking-eval family (roc_auc: balanced binary; average_precision:
+    imbalanced binary; ndcg: graded, position-discounted — the metric
+    retrieval/rerank stages are actually tuned on).
+
+    DCG@k = sum over predicted ranks i<=k of rel_i * disc_i and
+    IDCG@k the same over the ideal (rel-sorted) ranking, with disc_i
+    from ``ndcg_discounts_micro`` — so both aggregates are EXACT BIGINT
+    sums (partition-order independent) and the single float op is the
+    final DCG/IDCG divide, snapped to the 1e-6 grid. Predicted ranking
+    ties break on (score DESC, id ASC); the ideal ranking's tiebreak
+    cannot affect IDCG (equal rel => equal term). Groups with zero
+    relevant docs get NULL (0/0 is undefined, not 1.0 — an all-junk
+    group must not score as perfectly ranked).
+
+    Two window passes over the same shuffle key + one keyed agg.
+    """
+    disc = ndcg_discounts_micro(k)
+    disc_arr = F.array(*[F.lit(d).cast("bigint") for d in disc])
+    base = df.select(
+        F.col(group_col).alias("g"),
+        score.cast("bigint").alias("s"),
+        F.coalesce(rel.cast("bigint"), F.lit(0)).alias("rel"),
+        F.col(id_col).alias("__id"),
+    )
+    w_pred = Window.partitionBy("g").orderBy(F.desc("s"), F.asc("__id"))
+    w_ideal = Window.partitionBy("g").orderBy(F.desc("rel"), F.asc("__id"))
+    ranked = base.select(
+        "g",
+        "rel",
+        F.row_number().over(w_pred).alias("i_pred"),
+        F.row_number().over(w_ideal).alias("i_ideal"),
+    )
+    term = lambda i: F.col("rel") * F.element_at(disc_arr, i)  # noqa: E731
+    agg = ranked.groupBy("g").agg(
+        F.sum(F.when(F.col("i_pred") <= k, term(F.col("i_pred"))).otherwise(0))
+        .cast("bigint")
+        .alias("dcg_micro"),
+        F.sum(F.when(F.col("i_ideal") <= k, term(F.col("i_ideal"))).otherwise(0))
+        .cast("bigint")
+        .alias("idcg_micro"),
+    )
+    return agg.select(
+        "g",
+        "dcg_micro",
+        "idcg_micro",
+        F.when(
+            F.col("idcg_micro") > 0,
+            F.floor(F.col("dcg_micro") * 1000000.0 / F.col("idcg_micro") + 0.5)
+            / 1000000.0,
+        ).alias("ndcg"),
+    )

@@ -422,3 +422,169 @@ def priority_sample(df, id_col: str, weight_col: Column, k: int = 50):
         .orderBy(F.col("es_key").asc(), F.col(id_col).asc())
         .limit(k)
     )
+
+
+def zipf_slope(
+    df,
+    group_col: str,
+    tokens_col: str,
+    top_n: int = 200,
+):
+    """Per-group OLS slope of ln(frequency) on ln(rank) over the top-N
+    tokens — the Zipf-law fit every natural corpus tracks at slope ~ -1.
+    Template spam and boilerplate flatten the curve (slope -> 0: a few
+    tokens repeated uniformly), machine gibberish steepens it, so the
+    slope is a per-source corpus-health signal the length/punct
+    heuristics in ``quality_score`` cannot see.
+
+    Determinism: ranks are pinned by (count DESC, token ASC); each
+    ln(rank)/ln(count) point is snapped to an exact int64 MICRO-unit
+    immediately (floor(ln·1e6 + 0.5)), so the OLS sums Σx, Σy, Σxy, Σx²
+    are exact integer arithmetic — partition-order independent, and the
+    closed-form slope touches floats only in the final divide, rounded
+    to 4 dp. Magnitudes: x <= ln(200)·1e6 ~ 5.3e6, y <= ~4e7 for any
+    realistic count, so Σx·Σy <= ~3e18 stays inside int64 (DuckDB errors
+    loudly on overflow; the bound is the guarantee it never fires).
+    Groups with < 3 distinct tokens return NULL (slope undefined).
+
+    One explode + two keyed shuffles (token count, group agg).
+    """
+    from pyspark.sql import Window
+
+    tf = (
+        df.select(F.col(group_col).alias("g"), F.explode(tokens_col).alias("t"))
+        .groupBy("g", "t")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    w = Window.partitionBy("g").orderBy(F.desc("c"), F.asc("t"))
+    snap = lambda col: F.floor(F.log(col) * 1000000.0 + 0.5).cast("bigint")  # noqa: E731
+    pts = (
+        tf.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= top_n)
+        .select(
+            "g",
+            snap(F.col("rnk").cast("double")).alias("x"),
+            snap(F.col("c").cast("double")).alias("y"),
+        )
+    )
+    agg = pts.groupBy("g").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("x").cast("bigint").alias("sx"),
+        F.sum("y").cast("bigint").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast("bigint").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("bigint").alias("sxx"),
+    )
+    num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    den = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    return agg.select(
+        "g",
+        F.col("n").alias("n_points"),
+        F.when(
+            (F.col("n") >= 3) & (den != 0),
+            F.floor(num / den * 10000.0 + 0.5) / 10000.0,
+        ).alias("slope"),
+    )
+
+
+def max_coverage_select(df, id_col: str, tokens_col: str, k: int = 5):
+    """Greedy maximum-coverage selection (the Nemhauser-Wolsey-Fisher
+    1-1/e submodular baseline): k rounds, each picking the document whose
+    tokens cover the most NOT-yet-covered vocabulary — the set-cover
+    complement to ``kcenter_greedy``'s metric diversification, and the
+    standard "maximize vocabulary per token budget" selector for seed /
+    eval corpora.
+
+    Spark shape mirrors the k-means/k-center driver loop: the distinct-
+    token working set is localCheckpoint-ed once; each round is ONE
+    narrow map (gain = |tokens \\ covered| with the covered vocabulary
+    embedded as an array literal — a broadcast by construction) + a
+    top-1 TakeOrdered, no shuffle. Driver state is the covered
+    vocabulary of the PICKED docs only, bounded by k * max-doc-tokens,
+    never corpus-sized.
+
+    Determinism: gains are exact integers; ties break to the smallest
+    id; picked docs are excluded explicitly (after covering, their gain
+    is 0 and the id-asc tiebreak could otherwise re-pick them). The
+    DuckDB oracle unrolls the identical k rounds.
+
+    Returns (rank, doc_id, gain) — gain = tokens newly covered at pick
+    time, a non-increasing sequence (submodularity, pinned by the law
+    test).
+    """
+    from pyspark.sql import functions as F
+
+    from .similarity import spread
+
+    base = df.select(
+        F.col(id_col).alias("pid"),
+        F.array_distinct(F.col(tokens_col)).alias("t"),
+    )
+    base = spread(base).localCheckpoint()
+
+    picked: list[tuple[int, int, int]] = []
+    covered: set[str] = set()
+    picked_ids: list = []
+    for rank in range(1, k + 1):
+        cov_arr = F.array(*[F.lit(x) for x in sorted(covered)])
+        gain = (
+            F.size(F.array_except(F.col("t"), cov_arr))
+            if covered
+            else F.size(F.col("t"))
+        )
+        cand = base
+        if picked_ids:
+            cand = cand.filter(~F.col("pid").isin(picked_ids))
+        top = (
+            cand.select("pid", "t", gain.alias("gain"))
+            .orderBy(F.desc("gain"), F.asc("pid"))
+            .limit(1)
+            .collect()
+        )
+        if not top:
+            break
+        row = top[0]
+        picked.append((rank, row["pid"], int(row["gain"])))
+        picked_ids.append(row["pid"])
+        covered.update(row["t"])
+    spark = df.sparkSession
+    return spark.createDataFrame(picked, "rank bigint, doc_id bigint, gain bigint")
+
+
+def source_unique_vocab(df, group_col: str, tokens_col: str):
+    """Leave-one-out vocabulary attribution per source: of each source's
+    distinct vocabulary, how much exists NOWHERE else in the corpus —
+    the cheapest data-valuation signal (a source whose vocabulary is
+    fully covered elsewhere adds no lexical diversity; one with a high
+    unique fraction is irreplaceable). Exactly equivalent to
+    |vocab(corpus)| - |vocab(corpus - source)| without re-scanning the
+    corpus per source: a token counts toward its source iff its distinct-
+    source count is 1.
+
+    One explode + two keyed shuffles ((token, source) dedup, then token
+    source-count), all map-side-combinable. Returns
+    (source, vocab, unique_vocab, unique_ratio) with the ratio on the
+    1e-4 grid.
+    """
+    from pyspark.sql import functions as F
+
+    tok_src = (
+        df.select(F.col(group_col).alias("g"), F.explode(tokens_col).alias("t"))
+        .distinct()
+    )
+    src_count = tok_src.groupBy("t").agg(F.count(F.lit(1)).alias("ns"))
+    per = (
+        tok_src.join(src_count, "t")
+        .groupBy("g")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("vocab"),
+            F.sum((F.col("ns") == 1).cast("int")).cast("bigint").alias("unique_vocab"),
+        )
+    )
+    return per.select(
+        "g",
+        "vocab",
+        "unique_vocab",
+        (
+            F.floor(F.col("unique_vocab") * 10000.0 / F.col("vocab") + 0.5) / 10000.0
+        ).alias("unique_ratio"),
+    )

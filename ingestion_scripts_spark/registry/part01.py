@@ -29,6 +29,30 @@ from ingestion_scripts_spark.operators import text_analysis as TA
 SF_SMOKE = "/root/testdata/sf0.001"
 
 
+#: scratch dirs created by queries this session; cleaned at process exit
+#: (r5 ADVICE leak class, applied registry-wide: per-query stream sources /
+#: checkpoints must not accumulate across repeated full-registry sweeps).
+#: Cleanup is atexit, NOT eager — several batch queries return LAZY
+#: DataFrames that still read from their scratch dir at collect() time.
+_SCRATCH_DIRS: list[str] = []
+
+
+def _scratch(prefix: str) -> str:
+    import atexit
+    import shutil
+    import tempfile as _tf
+
+    d = _tf.mkdtemp(prefix=prefix)
+    if not _SCRATCH_DIRS:
+        atexit.register(
+            lambda: [shutil.rmtree(p, ignore_errors=True) for p in _SCRATCH_DIRS]
+        )
+    _SCRATCH_DIRS.append(d)
+    return d
+
+
+
+
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     from ingestion_scripts_spark.sources.readers import load_table
 
@@ -1628,7 +1652,7 @@ def q_stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
         agg.writeStream.format("memory")
         .queryName(name)
         .outputMode("complete")
-        .option("checkpointLocation", tempfile.mkdtemp(prefix="ckpt_"))
+        .option("checkpointLocation", _scratch(prefix="ckpt_"))
         .trigger(availableNow=True)
         .start()
     )
@@ -1683,7 +1707,7 @@ def q_stream_hourly_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
         agg.writeStream.format("memory")
         .queryName(name)
         .outputMode("complete")
-        .option("checkpointLocation", tempfile.mkdtemp(prefix="ckpt_"))
+        .option("checkpointLocation", _scratch(prefix="ckpt_"))
         .trigger(availableNow=True)
         .start()
     )
@@ -1727,7 +1751,7 @@ def q_stream_dedup_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         dedup.writeStream.format("memory")
         .queryName(name)
         .outputMode("append")
-        .option("checkpointLocation", tempfile.mkdtemp(prefix="ckpt_"))
+        .option("checkpointLocation", _scratch(prefix="ckpt_"))
         .trigger(availableNow=True)
         .start()
     )
@@ -2028,6 +2052,8 @@ FROM documents ORDER BY media_id
 
 
 __all__ = [
+    '_SCRATCH_DIRS',
+    '_scratch',
     'SF_SMOKE',
     '_t',
     '_fmt_ts',

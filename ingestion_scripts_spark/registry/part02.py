@@ -963,7 +963,7 @@ def q_stream_enriched_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         enriched.writeStream.format("memory")
         .queryName(name)
         .outputMode("append")
-        .option("checkpointLocation", tempfile.mkdtemp(prefix="ckpt_"))
+        .option("checkpointLocation", _scratch(prefix="ckpt_"))
         .trigger(availableNow=True)
         .start()
     )
@@ -1010,7 +1010,7 @@ def q_stream_late_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ingestion_scripts_spark.sources.readers import load_table
 
     ev = load_table(spark, sf_dir, "events").select("event_id", "ts")
-    src = tempfile.mkdtemp(prefix="late_src_")
+    src = _scratch(prefix="late_src_")
     ev.filter(F.col("event_id") % 2 == 0).coalesce(1).write.mode(
         "overwrite"
     ).parquet(f"{src}/b0")
@@ -1041,7 +1041,7 @@ def q_stream_late_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
         agg.writeStream.format("memory")
         .queryName(name)
         .outputMode("append")
-        .option("checkpointLocation", tempfile.mkdtemp(prefix="ckpt_"))
+        .option("checkpointLocation", _scratch(prefix="ckpt_"))
         .trigger(availableNow=True)
         .start()
     )
@@ -1156,7 +1156,7 @@ def q_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events").select(
         "event_id", "ts", "user_id", "event_type"
     )
-    src = tempfile.mkdtemp(prefix="ssj_src_")
+    src = _scratch(prefix="ssj_src_")
     ev.filter(F.col("event_type") == "purchase").coalesce(1).write.mode(
         "overwrite"
     ).parquet(f"{src}/purchases")
@@ -1186,7 +1186,7 @@ def q_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         joined.writeStream.format("memory")
         .queryName(name)
         .outputMode("append")
-        .option("checkpointLocation", tempfile.mkdtemp(prefix="ckpt_"))
+        .option("checkpointLocation", _scratch(prefix="ckpt_"))
         .trigger(availableNow=True)
         .start()
     )
@@ -1226,7 +1226,7 @@ def q_stream_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id", "ts", "user_id", "event_type"
     )
     max_ts = ev.agg(F.max("ts")).collect()[0][0]
-    src = tempfile.mkdtemp(prefix="soj_src_")
+    src = _scratch(prefix="soj_src_")
     sentinel = ev.limit(1).select(
         F.lit(-1).cast("bigint").alias("event_id"),
         (F.lit(max_ts) + F.expr("INTERVAL 10 HOURS")).alias("ts"),
@@ -1277,7 +1277,7 @@ def q_stream_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         joined.writeStream.format("memory")
         .queryName(name)
         .outputMode("append")
-        .option("checkpointLocation", tempfile.mkdtemp(prefix="ckpt_"))
+        .option("checkpointLocation", _scratch(prefix="ckpt_"))
         .trigger(availableNow=True)
         .start()
     )
@@ -1430,7 +1430,7 @@ def q_jsonl_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     import tempfile
 
     docs = _t(spark, sf_dir, "documents")
-    tmp = tempfile.mkdtemp(prefix="jsonl_src_")
+    tmp = _scratch(prefix="jsonl_src_")
     docs.select("doc_id", "text", "lang", "source", "n_chars").coalesce(
         4
     ).write.mode("overwrite").json(tmp)
@@ -1757,7 +1757,7 @@ def q_csv_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     import tempfile
 
     docs = _t(spark, sf_dir, "documents")
-    tmp = tempfile.mkdtemp(prefix="csv_src_")
+    tmp = _scratch(prefix="csv_src_")
     docs.select("doc_id", "text", "lang", "source", "n_chars").coalesce(
         4
     ).write.mode("overwrite").option("header", True).option("quoteAll", True).csv(
@@ -1802,7 +1802,7 @@ def q_corrupt_record_routing(spark: SparkSession, sf_dir: str) -> DataFrame:
     import tempfile
 
     docs = _t(spark, sf_dir, "documents")
-    tmp = tempfile.mkdtemp(prefix="corrupt_src_")
+    tmp = _scratch(prefix="corrupt_src_")
     line = F.to_json(F.struct("doc_id", "text", "source"))
     corrupted = docs.select(
         F.when(
@@ -2038,6 +2038,8 @@ FROM lineitem GROUP BY 1 ORDER BY l_returnflag
 
 
 __all__ = [
+    '_SCRATCH_DIRS',
+    '_scratch',
     'SF_SMOKE',
     '_t',
     '_fmt_ts',

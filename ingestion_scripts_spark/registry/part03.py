@@ -346,7 +346,7 @@ def q_stream_stateful_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ingestion_scripts_spark.streaming.streams import stateful_user_counts
 
     ev = load_table(spark, sf_dir, "events").select("event_id", "user_id")
-    src = tempfile.mkdtemp(prefix="state_src_")
+    src = _scratch(prefix="state_src_")
     ev.filter(F.col("event_id") % 2 == 0).coalesce(1).write.mode(
         "overwrite"
     ).parquet(f"{src}/b0")
@@ -369,7 +369,7 @@ def q_stream_stateful_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         counted.writeStream.format("memory")
         .queryName(name)
         .outputMode("update")
-        .option("checkpointLocation", tempfile.mkdtemp(prefix="ckpt_"))
+        .option("checkpointLocation", _scratch(prefix="ckpt_"))
         .trigger(availableNow=True)
         .start()
     )
@@ -417,7 +417,7 @@ def q_stream_wm_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         dedup.writeStream.format("memory")
         .queryName(name)
         .outputMode("append")
-        .option("checkpointLocation", tempfile.mkdtemp(prefix="ckpt_"))
+        .option("checkpointLocation", _scratch(prefix="ckpt_"))
         .trigger(availableNow=True)
         .start()
     )
@@ -650,7 +650,7 @@ def q_stream_idempotent_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ingestion_scripts_spark.sources.readers import load_table
 
     ev = load_table(spark, sf_dir, "events").select("event_id", "event_type")
-    src = tempfile.mkdtemp(prefix="idem_src_")
+    src = _scratch(prefix="idem_src_")
     ev.filter(F.col("event_id") % 2 == 0).coalesce(1).write.mode(
         "overwrite"
     ).parquet(f"{src}/b0")
@@ -665,12 +665,12 @@ def q_stream_idempotent_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("recursiveFileLookup", "true")
         .parquet(src)
     )
-    sink = tempfile.mkdtemp(prefix="idem_sink_") + "/out"
+    sink = _scratch(prefix="idem_sink_") + "/out"
     q = (
         stream.writeStream.foreachBatch(
             make_foreach_batch_writer(sink, ["event_id"], audit=False)
         )
-        .option("checkpointLocation", tempfile.mkdtemp(prefix="ckpt_"))
+        .option("checkpointLocation", _scratch(prefix="ckpt_"))
         .trigger(availableNow=True)
         .start()
     )
@@ -703,7 +703,7 @@ def q_stream_fanout_sinks(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ingestion_scripts_spark.sources.readers import read_events_stream
 
     stream = read_events_stream(spark, sf_dir)
-    base = tempfile.mkdtemp(prefix="fanout_")
+    base = _scratch(prefix="fanout_")
     good_path, dead_path = f"{base}/bronze", f"{base}/quarantine"
     ok = F.col("value").isNotNull() & (F.col("value") >= 1.0)
 
@@ -718,7 +718,7 @@ def q_stream_fanout_sinks(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     q = (
         stream.writeStream.foreachBatch(route)
-        .option("checkpointLocation", tempfile.mkdtemp(prefix="ckpt_"))
+        .option("checkpointLocation", _scratch(prefix="ckpt_"))
         .trigger(availableNow=True)
         .start()
     )
@@ -1233,7 +1233,7 @@ def q_partitioned_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ingestion_scripts_spark.sources.readers import load_table
 
     docs = load_table(spark, sf_dir, "documents", spread=False)
-    tmp = tempfile.mkdtemp(prefix="part_sink_")
+    tmp = _scratch(prefix="part_sink_")
     docs.repartition("lang").write.mode("overwrite").partitionBy("lang").parquet(tmp)
     back = spark.read.parquet(tmp).filter(F.col("lang") == "en")
     return (
@@ -1409,7 +1409,7 @@ def q_orc_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     import tempfile
 
     docs = _t(spark, sf_dir, "documents")
-    tmp = tempfile.mkdtemp(prefix="orc_src_")
+    tmp = _scratch(prefix="orc_src_")
     docs.select("doc_id", "text", "lang", "source", "n_chars").coalesce(
         4
     ).write.mode("overwrite").orc(tmp)
@@ -1610,7 +1610,7 @@ def q_bucketed_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem").select(
         F.col("l_orderkey").alias("o_orderkey"), "l_extendedprice", "l_discount"
     )
-    loc = tempfile.mkdtemp(prefix="bktq_")
+    loc = _scratch(prefix="bktq_")
     spark.sql(f"CREATE DATABASE IF NOT EXISTS bktq LOCATION '{loc}'")
     write_bucketed(orders, "bktq.bkt_orders", "o_orderkey", 8)
     write_bucketed(li, "bktq.bkt_lineitem", "o_orderkey", 8)
@@ -1893,7 +1893,7 @@ def q_stream_custom_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         stream.writeStream.format("memory")
         .queryName(name)
         .outputMode("append")
-        .option("checkpointLocation", tempfile.mkdtemp(prefix="ckpt_feed_"))
+        .option("checkpointLocation", _scratch(prefix="ckpt_feed_"))
         .start()
     )
     # availableNow would stop at the offset prefetched at query start (one
@@ -2045,6 +2045,8 @@ def q_variant_props(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 __all__ = [
+    '_SCRATCH_DIRS',
+    '_scratch',
     'SF_SMOKE',
     '_t',
     '_fmt_ts',

@@ -730,7 +730,7 @@ def q_xml_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     import tempfile
 
     docs = _t(spark, sf_dir, "documents")
-    tmp = tempfile.mkdtemp(prefix="xml_src_")
+    tmp = _scratch(prefix="xml_src_")
     docs.select("doc_id", "text", "lang", "source", "n_chars").coalesce(
         4
     ).write.mode("overwrite").format("xml").option("rootTag", "docs").option(
@@ -923,7 +923,7 @@ def q_custom_feed_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("k")
     )
-    tmp = tempfile.mkdtemp(prefix="jsonl_sink_") + "/out"
+    tmp = _scratch(prefix="jsonl_sink_") + "/out"
     ev.repartition(4).write.format("jsonl_sink").mode("append").option(
         "path", tmp
     ).save()
@@ -1119,7 +1119,7 @@ def q_wap_publish(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _t(spark, sf_dir, "events").select(
         "event_id", "user_id", "event_type", "value"
     )
-    root = tempfile.mkdtemp(prefix="wap_")
+    root = _scratch(prefix="wap_")
     staged, published = os.path.join(root, "staged"), os.path.join(root, "pub")
     ev.write.mode("overwrite").parquet(staged)
     back = spark.read.parquet(staged)
@@ -1261,7 +1261,7 @@ def q_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("k")
     )
-    tmp = tempfile.mkdtemp(prefix="schevo_")
+    tmp = _scratch(prefix="schevo_")
     old = ev.filter(F.col("event_id") % 2 == 0).select("event_id", "event_type")
     new = ev.filter(F.col("event_id") % 2 == 1)
     old.write.mode("overwrite").parquet(tmp + "/b=0")
@@ -1915,7 +1915,7 @@ def q_stream_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     import time
 
     docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
-    src = tempfile.mkdtemp(prefix="incdd_src_")
+    src = _scratch(prefix="incdd_src_")
     for i in range(3):
         docs.filter(F.col("doc_id") % 3 == i).coalesce(1).write.mode(
             "overwrite"
@@ -1924,7 +1924,7 @@ def q_stream_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     for i in range(3):
         for p in glob.glob(f"{src}/b{i}/*.parquet"):
             os.utime(p, (now - 300 + 50 * i, now - 300 + 50 * i))
-    sink = tempfile.mkdtemp(prefix="incdd_sink_") + "/out"
+    sink = _scratch(prefix="incdd_sink_") + "/out"
 
     def handle(batch_df: DataFrame, _bid: int) -> None:
         # Production shape: the batch's shingles and LSH band buckets are
@@ -2019,7 +2019,7 @@ def q_stream_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     q = (
         stream.writeStream.foreachBatch(handle)
-        .option("checkpointLocation", tempfile.mkdtemp(prefix="ckpt_"))
+        .option("checkpointLocation", _scratch(prefix="ckpt_"))
         .trigger(availableNow=True)
         .start()
     )
@@ -2070,6 +2070,8 @@ ORDER BY doc_id
 
 
 __all__ = [
+    '_SCRATCH_DIRS',
+    '_scratch',
     'SF_SMOKE',
     '_t',
     '_fmt_ts',

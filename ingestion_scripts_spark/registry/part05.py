@@ -752,7 +752,7 @@ def q_stream_state_reader(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     stream = read_events_stream(spark, sf_dir)
     counts = stream.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
-    ckpt = tempfile.mkdtemp(prefix="ckpt_statereader_")
+    ckpt = _scratch(prefix="ckpt_statereader_")
     name = "state_probe_" + uuid.uuid4().hex[:8]
     q = (
         counts.writeStream.format("memory")
@@ -1787,7 +1787,7 @@ def q_stream_scd_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = load_table(spark, sf_dir, "customer").select(
         "c_custkey", "c_acctbal", "c_mktsegment"
     )
-    root = tempfile.mkdtemp(prefix="scd_stream_")
+    root = _scratch(prefix="scd_stream_")
     dim0 = f"{root}/dim_v0"
     (
         cust.withColumn("version", F.lit(1).cast("bigint"))
@@ -1836,7 +1836,7 @@ def q_stream_scd_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     q = (
         stream.writeStream.foreachBatch(merge_batch)
-        .option("checkpointLocation", tempfile.mkdtemp(prefix="ckpt_scd_"))
+        .option("checkpointLocation", _scratch(prefix="ckpt_scd_"))
         .trigger(availableNow=True)
         .start()
     )
@@ -2034,6 +2034,8 @@ ORDER BY price_cents, p_partkey
 
 
 __all__ = [
+    '_SCRATCH_DIRS',
+    '_scratch',
     'SF_SMOKE',
     '_t',
     '_fmt_ts',

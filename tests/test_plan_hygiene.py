@@ -173,3 +173,51 @@ def test_mutual_information_scans_facts_once(spark):
     # the customer parquet appears in at most 1 scan node of the plan
     p = plan(E.queries()["column_mutual_info"](spark, SF))
     assert p.count("customer.parquet") <= 1, p
+
+
+def test_kcenter_iteration_pass_has_no_exchange(spark):
+    """kcenter_greedy's scale claim: after the one-time working-set
+    checkpoint, each farthest-point iteration is a narrow map + top-1
+    TakeOrdered — NO shuffle. Machine-check it on the argmax pass the
+    operator actually builds."""
+    from pyspark.sql import functions as F
+
+    from ingestion_scripts_spark.operators.clustering import kcenter_greedy  # noqa: F401
+    from ingestion_scripts_spark.sources.readers import load_table
+
+    pts = (
+        load_table(spark, SF, "embeddings")
+        .select(
+            F.col("vec_id").alias("pid"),
+            F.transform(
+                F.col("embedding").cast("array<double>"),
+                lambda x: F.floor(x * 1000000.0 + F.lit(0.5)).cast("bigint"),
+            ).alias("v"),
+        )
+        .localCheckpoint()
+    )
+    center = [0] * 64
+    arr = F.array(*[F.lit(x).cast("bigint") for x in center])
+    d = F.aggregate(
+        F.zip_with(F.col("v"), arr, lambda a, b: (a - b) * (a - b)),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc + x,
+    )
+    pass_df = pts.select("pid", d.alias("dmin")).orderBy(
+        F.desc("dmin"), F.asc("pid")
+    ).limit(1)
+    p = plan(pass_df)
+    assert "Exchange" not in p, p
+    assert "TakeOrderedAndProject" in p, p
+
+
+def test_sq8_and_ndcg_plans_broadcast_and_shuffle_once(spark):
+    # sq8_recall: the query side must broadcast (corpus x queries scan),
+    # never a cartesian or SMJ over the corpus
+    p = plan(E.queries()["sq8_recall"](spark, SF))
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" in p or "BroadcastHashJoin" in p, p
+    # ndcg: two window passes over the SAME shuffle key must reuse one
+    # Exchange for ranking (the group key), not shuffle per window
+    p2 = plan(E.queries()["ndcg_quality"](spark, SF))
+    assert "CartesianProduct" not in p2

@@ -150,3 +150,150 @@ def test_sq8_recall_perfect_when_spacing_dwarfs_quant_error(spark):
     assert (row["query_id"], row["n_truth"], row["n_hit"], row["recall"]) == (
         0, 5, 5, 1.0,
     )
+
+
+def test_kcore_query_rounds_reach_fixpoint_on_real_graph(spark):
+    """The registered query unrolls 12 rounds; pin that this IS the
+    fixpoint on the actual co-order graph (measured peel depth: 8 at
+    sf0.001, 10 at sf0.01 — the initial guess of 6 was NOT converged,
+    caught only by this rounds-vs-rounds+2 comparison)."""
+    from ingestion_scripts_spark.sources.readers import load_table
+
+    li = load_table(spark, "/root/testdata/sf0.001", "lineitem")
+    b = li.select(
+        F.col("l_orderkey").alias("bk"), F.col("l_partkey").alias("it")
+    ).distinct()
+    x, y = b.alias("x"), b.alias("y")
+    edges = (
+        x.join(y, (F.col("x.bk") == F.col("y.bk")) & (F.col("x.it") < F.col("y.it")))
+        .groupBy(F.col("x.it").alias("a"), F.col("y.it").alias("b"))
+        .agg(F.count(F.lit(1)).alias("w"))
+        .filter(F.col("w") >= 2)
+        .select("a", "b")
+        .localCheckpoint()
+    )
+    at_12 = sorted(map(tuple, kcore_peel(edges, "a", "b", k=3, rounds=12).collect()))
+    at_14 = sorted(map(tuple, kcore_peel(edges, "a", "b", k=3, rounds=14).collect()))
+    assert at_12 == at_14 and len(at_12) > 0
+
+
+# --------------------------------------------------------------------------
+# nDCG@k
+# --------------------------------------------------------------------------
+
+def test_ndcg_discount_table_is_frozen():
+    from ingestion_scripts_spark.operators.profiling import ndcg_discounts_micro
+
+    # the literal table both engines embed; changing it breaks every
+    # recorded hash, so pin it
+    assert ndcg_discounts_micro(10) == [
+        1000000, 630930, 500000, 430677, 386853,
+        356207, 333333, 315465, 301030, 289065,
+    ]
+
+
+def test_ndcg_perfect_worst_and_undefined(spark):
+    from ingestion_scripts_spark.operators.profiling import ndcg_at_k
+
+    df = spark.createDataFrame(
+        [
+            ("perfect", 10, 3, 1), ("perfect", 9, 0, 2),
+            ("worst", 1, 3, 11), ("worst", 2, 0, 12),
+            ("nopos", 5, 0, 21), ("nopos", 4, 0, 22),
+        ],
+        "g string, s bigint, rel bigint, id bigint",
+    )
+    rows = {
+        r["g"]: r
+        for r in ndcg_at_k(df, "g", F.col("s"), F.col("rel"), "id", k=10).collect()
+    }
+    assert rows["perfect"]["ndcg"] == 1.0
+    # worst: DCG = 3 * disc_2 = 1892790, IDCG = 3 * disc_1 = 3000000
+    assert rows["worst"]["dcg_micro"] == 1892790
+    assert rows["worst"]["ndcg"] == 0.63093
+    assert rows["nopos"]["ndcg"] is None  # 0/0 is undefined, not perfect
+
+
+# --------------------------------------------------------------------------
+# Zipf slope
+# --------------------------------------------------------------------------
+
+def _docs_with_counts(spark, counts):
+    """One doc per group holding token t{i} repeated counts[i] times."""
+    toks = []
+    for i, c in enumerate(counts):
+        toks.extend([f"t{i:03d}"] * c)
+    return spark.createDataFrame([("g", toks)], "g string, t array<string>")
+
+
+def test_zipf_slope_zero_for_uniform_and_near_minus_one_for_zipf(spark):
+    from ingestion_scripts_spark.operators.text_analysis import zipf_slope
+
+    uni = _docs_with_counts(spark, [7] * 20)
+    row = zipf_slope(uni, "g", "t", top_n=200).collect()[0]
+    assert (row["n_points"], row["slope"]) == (20, 0.0)
+
+    zipf = _docs_with_counts(spark, [10000 // i for i in range(1, 41)])
+    row = zipf_slope(zipf, "g", "t", top_n=200).collect()[0]
+    assert row["n_points"] == 40
+    assert -1.01 < row["slope"] < -0.99
+
+
+def test_zipf_slope_undefined_under_three_points(spark):
+    from ingestion_scripts_spark.operators.text_analysis import zipf_slope
+
+    two = _docs_with_counts(spark, [5, 3])
+    row = zipf_slope(two, "g", "t", top_n=200).collect()[0]
+    assert row["n_points"] == 2 and row["slope"] is None
+
+
+# --------------------------------------------------------------------------
+# greedy max-coverage + unique vocabulary
+# --------------------------------------------------------------------------
+
+def test_max_coverage_greedy_hand_case(spark):
+    from ingestion_scripts_spark.operators.text_analysis import max_coverage_select
+
+    df = spark.createDataFrame(
+        [
+            (1, ["a", "b", "c"]),
+            (2, ["a", "b"]),
+            (3, ["d"]),
+            (4, ["c", "d", "e", "f"]),
+        ],
+        "doc_id bigint, t array<string>",
+    )
+    out = max_coverage_select(df, "doc_id", "t", k=3).orderBy("rank").collect()
+    # round 1: d4 covers 4; round 2: d1 and d2 both gain {a,b} -> min id d1;
+    # round 3: everything left gains 0 -> min id d2 (picked docs excluded)
+    assert [(r["rank"], r["doc_id"], r["gain"]) for r in out] == [
+        (1, 4, 4), (2, 1, 2), (3, 2, 0),
+    ]
+
+
+def test_max_coverage_gains_nonincreasing_and_ids_distinct(spark):
+    from ingestion_scripts_spark.functions import text as X
+    from ingestion_scripts_spark.operators.text_analysis import max_coverage_select
+    from ingestion_scripts_spark.sources.readers import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    toks = docs.select(
+        "doc_id", X.tokenize_ws(X.clean_text(F.col("text"))).alias("t")
+    )
+    out = max_coverage_select(toks, "doc_id", "t", k=5).orderBy("rank").collect()
+    gains = [r["gain"] for r in out]
+    assert gains == sorted(gains, reverse=True)  # submodularity
+    assert len({r["doc_id"] for r in out}) == len(out)
+
+
+def test_source_unique_vocab_hand_case(spark):
+    from ingestion_scripts_spark.operators.text_analysis import source_unique_vocab
+
+    df = spark.createDataFrame(
+        [("g1", ["a", "b", "b"]), ("g2", ["b", "c"])],
+        "g string, t array<string>",
+    )
+    rows = {r["g"]: r for r in source_unique_vocab(df, "g", "t").collect()}
+    assert (rows["g1"]["vocab"], rows["g1"]["unique_vocab"]) == (2, 1)  # a
+    assert (rows["g2"]["vocab"], rows["g2"]["unique_vocab"]) == (2, 1)  # c
+    assert rows["g1"]["unique_ratio"] == 0.5
