@@ -308,6 +308,8 @@ _REGISTRY: list[tuple[str, Callable[[SparkSession, str], DataFrame], str | None]
     ("zipf_slope", q_zipf_slope, _sql_zipf_slope()),
     ("max_coverage", q_max_coverage, _sql_max_coverage()),
     ("source_unique_vocab", q_source_unique_vocab, _sql_source_unique_vocab()),
+    ("ppr_coorder", q_ppr_coorder, _sql_ppr_coorder()),
+    ("dedup_funnel", q_dedup_funnel, _sql_dedup_funnel()),
 ]
 
 # --- r6 driver-window rotation (ROADMAP.md rotation table) -----------------
@@ -342,7 +344,7 @@ _R6_WINDOW = [
 #: the r7 rotation is a pure block shift
 _R6_QUEUE = [
     "avg_precision_quality", "sq8_recall", "ndcg_quality", "zipf_slope",
-    "max_coverage", "source_unique_vocab",
+    "max_coverage", "source_unique_vocab", "ppr_coorder", "dedup_funnel",
 ]
 _BY_NAME = {t[0]: t for t in _REGISTRY}
 _REGISTRY = (

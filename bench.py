@@ -247,6 +247,8 @@ HEADLINE = [
     "zipf_slope",
     "max_coverage",
     "source_unique_vocab",
+    "ppr_coorder",
+    "dedup_funnel",
 ]
 
 #: deliberate shadows: oracle-exact twins of faster default kernels, kept

@@ -6,7 +6,7 @@ previous part, and a cumulative ``__all__`` so the front door's single
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ingestion_scripts_spark import oracle as O
@@ -212,3 +212,185 @@ __all__ = __all__ + [  # noqa: F405,PLE0605 — extend the chained list
     "q_source_unique_vocab",
     "_sql_source_unique_vocab",
 ]
+
+
+def q_ppr_coorder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Personalized PageRank from the part seed whitelist (node % 97 == 0
+    — the same seed set bfs_hops_coorder measures hop distance from) over
+    the WEIGHTED symmetrized co-order graph: the crawl-frontier
+    prioritizer (graph.py::personalized_pagerank_int). BFS answers "how
+    far from the seeds"; PPR answers "how much trusted mass flows here",
+    which is the actual scheduling signal."""
+    from ingestion_scripts_spark.operators import graph as G
+
+    li = _t(spark, sf_dir, "lineitem")
+    b = li.select(
+        F.col("l_orderkey").alias("bk"), F.col("l_partkey").alias("it")
+    ).distinct()
+    x, y = b.alias("x"), b.alias("y")
+    e0 = (
+        x.join(y, (F.col("x.bk") == F.col("y.bk")) & (F.col("x.it") < F.col("y.it")))
+        .groupBy(F.col("x.it").alias("a"), F.col("y.it").alias("b"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("w"))
+        .filter(F.col("w") >= 2)
+    )
+    edges = e0.select("a", "b", "w").union(
+        e0.select(F.col("b").alias("a"), F.col("a").alias("b"), "w")
+    )
+    nodes = edges.select(F.col("a").alias("node")).distinct()
+    seeds = nodes.where(F.col("node") % 97 == 0)
+    out = G.personalized_pagerank_int(edges, "a", "b", "w", seeds, "node", iters=3)
+    return out.orderBy(F.col("ppr_u").desc(), "node")
+
+
+def _sql_ppr_coorder(iters: int = 3) -> str:
+    its, prev = [], "r0"
+    for i in range(1, iters + 1):
+        its.append(
+            f"""it{i} AS MATERIALIZED (
+  SELECT n.node, n.s,
+         CAST(n.s * 150000 + (85 * coalesce(c.c, 0)) // 100 AS BIGINT) AS r
+  FROM flagged n LEFT JOIN (
+    SELECT e.b AS node, CAST(sum((p.r * e.w) // e.wt) AS BIGINT) AS c
+    FROM e JOIN {prev} p ON e.a = p.node
+    GROUP BY e.b) c ON n.node = c.node)"""
+        )
+        prev = f"it{i}"
+    return f"""
+WITH bsk AS MATERIALIZED (
+  SELECT DISTINCT l_orderkey AS bk, l_partkey AS it FROM lineitem),
+e1 AS MATERIALIZED (
+  SELECT x.it AS a, y.it AS b, count(*)::BIGINT AS w
+  FROM bsk x JOIN bsk y ON x.bk = y.bk AND x.it < y.it
+  GROUP BY 1, 2 HAVING count(*) >= 2),
+e0 AS MATERIALIZED (
+  SELECT a, b, w FROM e1 UNION ALL SELECT b, a, w FROM e1),
+e AS MATERIALIZED (
+  SELECT e0.a, e0.b, e0.w, o.wt
+  FROM e0 JOIN (SELECT a, sum(w)::BIGINT AS wt FROM e0 GROUP BY a) o
+    ON e0.a = o.a),
+flagged AS MATERIALIZED (
+  SELECT node, CAST(CASE WHEN node % 97 = 0 THEN 1 ELSE 0 END AS BIGINT) AS s
+  FROM (SELECT DISTINCT a AS node FROM e0)),
+r0 AS (SELECT node, s, CAST(s * 1000000 AS BIGINT) AS r FROM flagged),
+{",".join(its)}
+SELECT node, r AS ppr_u, r / 1000000.0 AS ppr
+FROM {prev} ORDER BY ppr_u DESC, node
+"""
+
+
+__all__ = __all__ + ["q_ppr_coorder", "_sql_ppr_coorder"]  # noqa: F405,PLE0605
+
+
+def q_dedup_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The curation dedup funnel END-TO-END: stage attrition through
+    exact-hash dedup → MinHash-LSH near-dup removal (greedy
+    lower-id-survives over the banded pairs) → shared-segment dominance
+    (drop docs whose 8-word segments are mostly seen elsewhere) — one
+    row per stage with survivors and removed. Each stage reuses the
+    already-certified kernel (``dedup.exact_dedup`` law / pair LSH /
+    ``segment_dedup``); the value of the composite is the ATTRITION
+    REPORT a pipeline owner actually reads, and the oracle recomputes
+    the entire cascade independently, so stage interactions (a near-dup
+    pair whose lower member was itself an exact dup, a segment-dominated
+    doc already gone at stage 2) are differentially pinned too."""
+    from ingestion_scripts_spark.operators import dedup as D2
+
+    docs = _t(spark, sf_dir, "documents")
+
+    surv1 = docs.groupBy(F.md5(F.col("text")).alias("__h")).agg(
+        F.min("doc_id").alias("doc_id")
+    )
+    d1 = docs.join(surv1.select("doc_id"), "doc_id")
+    pairs = D2.minhash_dedup_pairs(d1, "doc_id", "text", threshold=0.8)
+    removed2 = pairs.select(F.col("id_b").alias("doc_id")).distinct()
+    d2 = d1.join(removed2, "doc_id", "left_anti")
+    seg = D2.segment_dedup(d2, "doc_id", "text", seg_words=8, max_docs=1)
+    removed3 = seg.filter(2 * F.col("n_kept") < F.col("n_seg")).select("doc_id")
+    d3 = d2.join(removed3, "doc_id", "left_anti")
+
+    def stage(name: str, df: DataFrame) -> DataFrame:
+        return df.agg(
+            F.lit(name).alias("stage"),
+            F.count(F.lit(1)).cast("bigint").alias("survivors"),
+        )
+
+    counts = (
+        stage("s0_total", docs)
+        .unionByName(stage("s1_exact", d1))
+        .unionByName(stage("s2_minhash", d2))
+        .unionByName(stage("s3_segment", d3))
+    )
+    return (
+        counts.withColumn(
+            "removed",
+            F.coalesce(F.lag("survivors").over(Window.orderBy("stage")), F.col("survivors"))
+            - F.col("survivors"),
+        )
+        .select("stage", "survivors", "removed")
+        .orderBy("stage")
+    )
+
+
+def _sql_dedup_funnel() -> str:
+    sh = O.sql_shingles("text", 3)
+    sig = O.sql_minhash_signature("sh", 16)
+    toks = O.sql_tokenize_ws("text")
+    return f"""
+WITH surv1 AS MATERIALIZED (
+  SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)),
+d1 AS MATERIALIZED (
+  SELECT d.* FROM documents d JOIN surv1 USING (doc_id)),
+sh AS MATERIALIZED (SELECT doc_id, {sh} AS sh FROM d1),
+sig AS (SELECT doc_id, sh, {sig} AS sig FROM sh WHERE len(sh) > 0),
+banded AS (
+  SELECT doc_id, b AS band,
+         md5(array_to_string(list_transform(sig[b*4+1:b*4+4],
+                                            x -> x::VARCHAR), ',')) AS bucket
+  FROM sig, unnest([0,1,2,3]) AS u(b)),
+cand AS (
+  SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
+  FROM banded l JOIN banded r
+    ON l.band = r.band AND l.bucket = r.bucket AND l.doc_id < r.doc_id),
+removed2 AS MATERIALIZED (
+  SELECT DISTINCT id_b AS doc_id
+  FROM cand JOIN sh a ON cand.id_a = a.doc_id JOIN sh b ON cand.id_b = b.doc_id
+  WHERE round(len(list_intersect(a.sh, b.sh))::DOUBLE /
+              len(list_distinct(a.sh || b.sh)), 6) >= 0.8),
+d2 AS MATERIALIZED (
+  SELECT d1.* FROM d1 LEFT JOIN removed2 USING (doc_id)
+  WHERE removed2.doc_id IS NULL),
+t2 AS MATERIALIZED (SELECT doc_id, {toks} AS t FROM d2),
+idx AS (SELECT doc_id, t,
+               unnest(generate_series(0, (ceil(len(t)/8.0))::INT - 1)) AS i
+        FROM t2),
+seg AS (SELECT doc_id, i AS seg_idx,
+               array_to_string(list_slice(t, i*8+1, i*8+8), ' ') AS seg
+        FROM idx),
+cnt AS (SELECT seg, count(DISTINCT doc_id) AS seg_df FROM seg GROUP BY seg),
+kept AS (SELECT s.doc_id, count(*) AS n_kept
+         FROM seg s JOIN cnt c USING (seg) WHERE c.seg_df <= 1
+         GROUP BY s.doc_id),
+shares AS (
+  SELECT t2.doc_id, (ceil(len(t2.t)/8.0))::BIGINT AS n_seg,
+         coalesce(k.n_kept, 0)::BIGINT AS n_kept
+  FROM t2 LEFT JOIN kept k USING (doc_id)),
+removed3 AS MATERIALIZED (
+  SELECT doc_id FROM shares WHERE 2 * n_kept < n_seg),
+d3 AS MATERIALIZED (
+  SELECT d2.doc_id FROM d2 LEFT JOIN removed3 USING (doc_id)
+  WHERE removed3.doc_id IS NULL),
+counts AS (
+  SELECT 's0_total' AS stage, CAST(count(*) AS BIGINT) AS survivors
+    FROM documents
+  UNION ALL SELECT 's1_exact', CAST(count(*) AS BIGINT) FROM d1
+  UNION ALL SELECT 's2_minhash', CAST(count(*) AS BIGINT) FROM d2
+  UNION ALL SELECT 's3_segment', CAST(count(*) AS BIGINT) FROM d3)
+SELECT stage, survivors,
+       CAST(coalesce(lag(survivors) OVER (ORDER BY stage), survivors)
+            - survivors AS BIGINT) AS removed
+FROM counts ORDER BY stage
+"""
+
+
+__all__ = __all__ + ["q_dedup_funnel", "_sql_dedup_funnel"]  # noqa: F405,PLE0605

@@ -297,3 +297,52 @@ def test_source_unique_vocab_hand_case(spark):
     assert (rows["g1"]["vocab"], rows["g1"]["unique_vocab"]) == (2, 1)  # a
     assert (rows["g2"]["vocab"], rows["g2"]["unique_vocab"]) == (2, 1)  # c
     assert rows["g1"]["unique_ratio"] == 0.5
+
+
+# --------------------------------------------------------------------------
+# personalized PageRank
+# --------------------------------------------------------------------------
+
+def test_ppr_mass_flows_only_from_seeds(spark):
+    """Hand trace on A(seed)->B, C->B with iters=3: the seed settles at
+    the teleport base 150000; B receives 85% of A's base (127500) once
+    the initial burst decays; the non-seed source C holds EXACTLY 0 —
+    in PPR untrusted nodes with no trusted in-flow never earn mass
+    (global pagerank_int would give C its 150000 base)."""
+    from ingestion_scripts_spark.operators.graph import personalized_pagerank_int
+
+    edges = spark.createDataFrame(
+        [("A", "B", 1), ("C", "B", 1)], "src string, dst string, w bigint"
+    )
+    seeds = spark.createDataFrame([("A",)], "node string")
+    out = {
+        r["node"]: r["ppr_u"]
+        for r in personalized_pagerank_int(
+            edges, "src", "dst", "w", seeds, "node", iters=3
+        ).collect()
+    }
+    assert out == {"A": 150000, "B": 127500, "C": 0}
+
+
+def test_dedup_funnel_invariants(spark):
+    """Funnel laws on real data: survivors non-increasing, removed
+    reconciles exactly with the stage-to-stage drop, s0 == table count,
+    and the exact stage matches an independent distinct-text count."""
+    import __spark_entry__ as E
+
+    sf = "/root/testdata/sf0.001"
+    rows = E.queries()["dedup_funnel"](spark, sf).collect()
+    assert [r["stage"] for r in rows] == [
+        "s0_total", "s1_exact", "s2_minhash", "s3_segment",
+    ]
+    surv = [r["survivors"] for r in rows]
+    assert surv == sorted(surv, reverse=True)
+    assert rows[0]["removed"] == 0
+    for prev, cur in zip(rows, rows[1:]):
+        assert cur["removed"] == prev["survivors"] - cur["survivors"]
+
+    from ingestion_scripts_spark.sources.readers import load_table
+
+    docs = load_table(spark, sf, "documents")
+    assert rows[0]["survivors"] == docs.count()
+    assert rows[1]["survivors"] == docs.select("text").distinct().count()
