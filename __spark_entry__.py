@@ -310,6 +310,8 @@ _REGISTRY: list[tuple[str, Callable[[SparkSession, str], DataFrame], str | None]
     ("source_unique_vocab", q_source_unique_vocab, _sql_source_unique_vocab()),
     ("ppr_coorder", q_ppr_coorder, _sql_ppr_coorder()),
     ("dedup_funnel", q_dedup_funnel, _sql_dedup_funnel()),
+    ("pq_recall", q_pq_recall, _sql_pq_recall()),
+    ("conformal_gate", q_conformal_gate, SQL_CONFORMAL_GATE),
 ]
 
 # --- r6 driver-window rotation (ROADMAP.md rotation table) -----------------
@@ -345,6 +347,7 @@ _R6_WINDOW = [
 _R6_QUEUE = [
     "avg_precision_quality", "sq8_recall", "ndcg_quality", "zipf_slope",
     "max_coverage", "source_unique_vocab", "ppr_coorder", "dedup_funnel",
+    "pq_recall", "conformal_gate",
 ]
 _BY_NAME = {t[0]: t for t in _REGISTRY}
 _REGISTRY = (

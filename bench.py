@@ -249,6 +249,8 @@ HEADLINE = [
     "source_unique_vocab",
     "ppr_coorder",
     "dedup_funnel",
+    "pq_recall",
+    "conformal_gate",
 ]
 
 #: deliberate shadows: oracle-exact twins of faster default kernels, kept

@@ -156,6 +156,65 @@ def kmeans_fit(
     return centroids, assign_clusters(pts, centroids)
 
 
+def sql_kmeans_ctes(
+    prefix: str,
+    pts_sql: str,
+    k: int = 8,
+    iters: int = 3,
+    dim: int = 64,
+) -> tuple[list[str], str, str]:
+    """The unrolled-kmeans CTE chain with a NAMESPACE PREFIX, so several
+    independent fits can live in one statement (product quantization
+    trains one per subspace). ``pts_sql`` must yield (vec_id, v).
+    Returns (ctes, final-assignment CTE name, final-centroid CTE name);
+    the assignment CTE still carries its rn column (filter rn = 1)."""
+    p = prefix
+    d2 = (
+        f"round(list_sum(list_transform(range(1, {dim} + 1), "
+        "i -> (v[i] - c[i]) * (v[i] - c[i]))), 6)"
+    )
+    ctes = [
+        f"{p}pts AS ({pts_sql})",
+        (
+            f"{p}cent0 AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, "
+            "list_transform(v, x -> floor(x * 1000000.0 + 0.5) / 1000000.0) AS c "
+            f"FROM (SELECT vec_id, v FROM {p}pts ORDER BY vec_id LIMIT {k}))"
+        ),
+    ]
+    for t in range(iters):
+        nxt = t + 1
+        ctes += [
+            (
+                f"{p}a{t} AS (SELECT vec_id, v, cid, {d2} AS d2, "
+                "row_number() OVER (PARTITION BY vec_id ORDER BY "
+                f"{d2} ASC, cid ASC) AS rn FROM {p}pts, {p}cent{t})"
+            ),
+            (
+                # partition-order-independent re-centering law (= kmeans_fit):
+                # exact int64 micro-unit sums, floor(x+0.5) mean re-rounding
+                f"{p}pc{t} AS (SELECT cid, ii.i AS i, "
+                "floor(sum(CAST(floor(v[ii.i] * 1000000.0 + 0.5) AS BIGINT)) "
+                "/ count(*) + 0.5) / 1000000.0 AS m "
+                f"FROM {p}a{t}, (SELECT unnest(range(1, {dim} + 1)) AS i) ii "
+                "WHERE rn = 1 GROUP BY 1, 2)"
+            ),
+            (
+                f"{p}cent{nxt} AS (SELECT c0.cid, coalesce(n.c, c0.c) AS c "
+                f"FROM {p}cent{t} c0 LEFT JOIN "
+                f"(SELECT cid, list(m ORDER BY i) AS c FROM {p}pc{t} GROUP BY cid) n "
+                "USING (cid))"
+            ),
+        ]
+    ctes.append(
+        (
+            f"{p}fin AS (SELECT vec_id, v, cid AS cluster_id, {d2} AS d2, "
+            "row_number() OVER (PARTITION BY vec_id ORDER BY "
+            f"{d2} ASC, cid ASC) AS rn FROM {p}pts, {p}cent{iters})"
+        )
+    )
+    return ctes, f"{p}fin", f"{p}cent{iters}"
+
+
 def sql_kmeans(
     table: str = "embeddings",
     vec_col: str = "embedding",
@@ -168,52 +227,16 @@ def sql_kmeans(
     recomputing init/assign/re-center from scratch (independent
     differential test of the whole algorithm). Yields
     (vec_id, v, cluster_id, d2) after the final assignment."""
-    d2 = (
-        f"round(list_sum(list_transform(range(1, {dim} + 1), "
-        "i -> (v[i] - c[i]) * (v[i] - c[i]))), 6)"
-    )
-    ctes = [
-        f"pts AS (SELECT {id_col} AS vec_id, {vec_col}::DOUBLE[] AS v FROM {table})",
-        (
-            "cent0 AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, "
-            "list_transform(v, x -> floor(x * 1000000.0 + 0.5) / 1000000.0) AS c "
-            f"FROM (SELECT vec_id, v FROM pts ORDER BY vec_id LIMIT {k}))"
-        ),
-    ]
-    for t in range(iters):
-        nxt = t + 1
-        ctes += [
-            (
-                f"a{t} AS (SELECT vec_id, v, cid, {d2} AS d2, "
-                "row_number() OVER (PARTITION BY vec_id ORDER BY "
-                f"{d2} ASC, cid ASC) AS rn FROM pts, cent{t})"
-            ),
-            (
-                # partition-order-independent re-centering law (= kmeans_fit):
-                # exact int64 micro-unit sums, floor(x+0.5) mean re-rounding
-                f"pc{t} AS (SELECT cid, ii.i AS i, "
-                "floor(sum(CAST(floor(v[ii.i] * 1000000.0 + 0.5) AS BIGINT)) "
-                "/ count(*) + 0.5) / 1000000.0 AS m "
-                f"FROM a{t}, (SELECT unnest(range(1, {dim} + 1)) AS i) ii "
-                "WHERE rn = 1 GROUP BY 1, 2)"
-            ),
-            (
-                f"cent{nxt} AS (SELECT c0.cid, coalesce(n.c, c0.c) AS c "
-                f"FROM cent{t} c0 LEFT JOIN "
-                f"(SELECT cid, list(m ORDER BY i) AS c FROM pc{t} GROUP BY cid) n "
-                "USING (cid))"
-            ),
-        ]
-    ctes.append(
-        (
-            f"fin AS (SELECT vec_id, v, cid AS cluster_id, {d2} AS d2, "
-            "row_number() OVER (PARTITION BY vec_id ORDER BY "
-            f"{d2} ASC, cid ASC) AS rn FROM pts, cent{iters})"
-        )
+    ctes, fin, _ = sql_kmeans_ctes(
+        "",
+        f"SELECT {id_col} AS vec_id, {vec_col}::DOUBLE[] AS v FROM {table}",
+        k=k,
+        iters=iters,
+        dim=dim,
     )
     return (
         "WITH " + ",\n".join(ctes)
-        + "\nSELECT vec_id, cluster_id, d2 FROM fin WHERE rn = 1"
+        + f"\nSELECT vec_id, cluster_id, d2 FROM {fin} WHERE rn = 1"
     )
 
 

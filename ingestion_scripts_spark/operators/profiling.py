@@ -586,3 +586,70 @@ def ndcg_at_k(
             / 1000000.0,
         ).alias("ndcg"),
     )
+
+
+def conformal_threshold(
+    df: DataFrame,
+    group_col: str,
+    score: Column,
+    id_col: str,
+    alpha_num: int = 9,
+    alpha_den: int = 10,
+) -> DataFrame:
+    """Split-conformal quantile threshold per group (Vovk; Angelopoulos &
+    Bates 2022): the k-th smallest calibration score with
+    k = ceil((n + 1) · α), which guarantees P(new score <= threshold) >= α
+    for exchangeable data — the principled way to turn a quality/
+    nonconformity score into a selective gate ("keep the top α mass")
+    with a finite-sample guarantee instead of an eyeballed cutoff.
+
+    Everything is exact integer arithmetic: α is the rational
+    alpha_num/alpha_den, k = ceil(num·(n+1)/den) computed with integer
+    ceiling division, the threshold is an order statistic (ties broken
+    by id for a deterministic WITNESS row, though the VALUE is tie-free
+    by definition), and the empirical coverage check cnt(s <= thr)/n is
+    reported on the 1e-4 grid. Groups where k > n (too few calibration
+    points for the requested level) return NULL threshold — undefined,
+    not clamped.
+
+    One window pass + one keyed agg + a broadcast-sized join back.
+    """
+    base = df.select(
+        F.col(group_col).alias("g"),
+        score.cast("bigint").alias("s"),
+        F.col(id_col).alias("__id"),
+    )
+    w = Window.partitionBy("g").orderBy(F.asc("s"), F.asc("__id"))
+    ranked = base.withColumn("rn", F.row_number().over(w))
+    counts = ranked.groupBy("g").agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    # k = ceil(num*(n+1)/den) as exact integer: (num*(n+1) + den - 1) div den
+    k = F.expr(f"({alpha_num} * (n + 1) + {alpha_den} - 1) div {alpha_den}")
+    kd = counts.select("g", "n", k.cast("bigint").alias("k"))
+    thr = (
+        ranked.join(F.broadcast(kd), "g")
+        .filter(F.col("rn") == F.col("k"))
+        .select("g", F.col("s").alias("threshold"))
+    )
+    cov = (
+        base.join(F.broadcast(thr), "g")
+        .groupBy("g")
+        .agg(
+            F.sum((F.col("s") <= F.col("threshold")).cast("int"))
+            .cast("bigint")
+            .alias("n_covered")
+        )
+    )
+    return (
+        kd.join(thr, "g", "left")
+        .join(cov, "g", "left")
+        .select(
+            "g",
+            "n",
+            "k",
+            "threshold",
+            F.when(
+                F.col("threshold").isNotNull(),
+                F.floor(F.col("n_covered") * 10000.0 / F.col("n") + 0.5) / 10000.0,
+            ).alias("coverage"),
+        )
+    )

@@ -701,3 +701,142 @@ def sq8_quantize_recall(
             F.floor(F.col("n_hit") * 1000000.0 / F.col("n_truth") + 0.5) / 1000000.0
         ).alias("recall"),
     )
+
+
+def pq_recall(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    m: int = 4,
+    ksub: int = 16,
+    iters: int = 2,
+    k: int = 10,
+    query_mod: int = 50,
+    dim: int = 64,
+) -> DataFrame:
+    """Recall@k of PRODUCT-quantized asymmetric-distance search vs the
+    exact kernel (Jégou et al. 2011, the FAISS `IVFPQ` building block) —
+    the vector-compression capstone next to ``sq8_quantize_recall``: SQ8
+    keeps one byte PER DIMENSION (4x), PQ keeps one code per SUBSPACE
+    (here 64 dims → 4 bytes, 64x), which is what actually fits a
+    trillion-vector index in executor memory; this query measures what
+    that costs on the real corpus.
+
+    Train: the vector splits into ``m`` contiguous subspaces; each gets
+    its own ``ksub``-centroid k-means (`clustering.kmeans_fit` — the
+    already-certified deterministic fit: smallest-id init, exact
+    integer re-centering, (d2, cid) argmin). Encode: per subspace, the
+    centroid id (one byte for ksub <= 256). Search (ADC): approx
+    dist(q, x) = Σ_j d2_r6(q_slice_j, centroid_j[code_j(x)]) — the query
+    stays full-precision, only the corpus is compressed; per-subspace
+    distances use the SAME round-6 law as ``assign_clusters`` and the
+    subspace sum runs in fixed j order, so both engines agree exactly.
+    Truth: exact int64 micro-unit squared L2 (as in ``kcenter_greedy``).
+    Both top-k sets break ties to the smaller id.
+
+    Scale shape: m independent kmeans fits over dim/m-wide slices (the
+    fit's own driver loop, O(ksub·dim) state); encoding is m narrow maps
+    joined on id; ADC is a broadcast(queries) x codes scan with m
+    broadcast-sized centroid-table joins (ksub rows each) and a windowed
+    top-k. The oracle re-trains all m codebooks from scratch in one
+    statement (prefixed unrolled-kmeans CTE chains), so codebook,
+    codes, ADC ranking and recall are ALL differentially pinned.
+
+    Returns (query_id, n_truth, n_hit, recall).
+    """
+    from .clustering import kmeans_fit
+
+    sub = dim // m
+    pts = df.select(
+        F.col(id_col).alias("pid"),
+        F.col(vec_col).cast("array<double>").alias("v"),
+    )
+    pts = spread(pts).localCheckpoint()
+
+    spark = df.sparkSession
+    codes = None
+    cent_dfs = []
+    for j in range(m):
+        sl = pts.select("pid", F.slice("v", j * sub + 1, sub).alias("v"))
+        centroids, assigned = kmeans_fit(sl, vec_col="v", id_col="pid", k=ksub, iters=iters)
+        cj = assigned.select(
+            F.col("__id").alias("pid"), F.col("cluster_id").alias(f"c{j}")
+        )
+        codes = cj if codes is None else codes.join(cj, "pid")
+        cent_dfs.append(
+            spark.createDataFrame(
+                [(cid, vec) for cid, vec in enumerate(centroids)],
+                f"c{j} int, cent{j} array<double>",
+            )
+        )
+    codes = codes.localCheckpoint()
+
+    qs = pts.filter((F.col("pid") % query_mod) == 0).select(
+        F.col("pid").alias("query_id"), F.col("v").alias("qv")
+    )
+    adc = F.broadcast(qs).join(codes, F.col("query_id") != F.col("pid"))
+    for j in range(m):
+        adc = adc.join(F.broadcast(cent_dfs[j]), f"c{j}")
+    d = None
+    for j in range(m):
+        dj = F.round(
+            F.aggregate(
+                F.zip_with(
+                    F.slice(F.col("qv"), j * sub + 1, sub),
+                    F.col(f"cent{j}"),
+                    lambda x, c: (x - c) * (x - c),
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ),
+            6,
+        )
+        d = dj if d is None else d + dj
+    w = Window.partitionBy("query_id").orderBy(F.asc("d"), F.asc("pid"))
+    approx = (
+        adc.select("query_id", "pid", d.alias("d"))
+        .withColumn("r", F.row_number().over(w))
+        .filter(F.col("r") <= k)
+        .select(F.col("query_id").alias("a_q"), F.col("pid").alias("a_id"))
+    )
+
+    vm = pts.select(
+        "pid",
+        F.transform(
+            F.col("v"), lambda x: F.floor(x * 1000000.0 + F.lit(0.5)).cast("bigint")
+        ).alias("vm"),
+    )
+    qm = vm.filter((F.col("pid") % query_mod) == 0).select(
+        F.col("pid").alias("query_id"), F.col("vm").alias("qm")
+    )
+    td = F.aggregate(
+        F.zip_with(F.col("qm"), F.col("vm"), lambda a, b: (a - b) * (a - b)),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc + x,
+    )
+    wt = Window.partitionBy("query_id").orderBy(F.asc("d"), F.asc("pid"))
+    truth = (
+        F.broadcast(qm)
+        .join(vm, F.col("query_id") != F.col("pid"))
+        .select("query_id", "pid", td.alias("d"))
+        .withColumn("r", F.row_number().over(wt))
+        .filter(F.col("r") <= k)
+        .select(F.col("query_id").alias("t_q"), F.col("pid").alias("t_id"))
+    )
+    joined = truth.join(
+        approx,
+        (F.col("t_q") == F.col("a_q")) & (F.col("t_id") == F.col("a_id")),
+        "left",
+    )
+    out = joined.groupBy(F.col("t_q").alias("query_id")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_truth"),
+        F.count("a_id").cast("bigint").alias("n_hit"),
+    )
+    return out.select(
+        "query_id",
+        "n_truth",
+        "n_hit",
+        (
+            F.floor(F.col("n_hit") * 1000000.0 / F.col("n_truth") + 0.5) / 1000000.0
+        ).alias("recall"),
+    )

@@ -394,3 +394,156 @@ FROM counts ORDER BY stage
 
 
 __all__ = __all__ + ["q_dedup_funnel", "_sql_dedup_funnel"]  # noqa: F405,PLE0605
+
+
+def q_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@10 of product-quantized ADC search vs the exact kernel
+    (similarity.py::pq_recall, m=4 subspaces x 16 centroids = 4-byte
+    codes, 64x compression) — the PQ capstone of the ANN family
+    (LSH buckets, IVF cells, JL projection, SQ8 scalar, PQ product)."""
+    from ingestion_scripts_spark.operators.similarity import pq_recall
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return pq_recall(
+        emb, "vec_id", "embedding", m=4, ksub=16, iters=2, k=10, query_mod=50
+    ).orderBy("query_id")
+
+
+def _sql_pq_recall(
+    m: int = 4,
+    ksub: int = 16,
+    iters: int = 2,
+    k: int = 10,
+    query_mod: int = 50,
+    dim: int = 64,
+) -> str:
+    from ingestion_scripts_spark.operators.clustering import sql_kmeans_ctes
+
+    sub = dim // m
+    all_ctes: list[str] = []
+    fins, cents = [], []
+    for j in range(m):
+        pts_sql = (
+            f"SELECT vec_id, (list_slice(embedding, {j * sub + 1}, "
+            f"{(j + 1) * sub}))::DOUBLE[] AS v FROM embeddings"
+        )
+        ctes, fin, cent = sql_kmeans_ctes(
+            f"p{j}", pts_sql, k=ksub, iters=iters, dim=sub
+        )
+        all_ctes += ctes
+        fins.append(fin)
+        cents.append(cent)
+    code_joins = "\n  ".join(
+        f"JOIN (SELECT vec_id, cluster_id AS c{j} FROM {fins[j]} WHERE rn = 1) a{j} "
+        + ("USING (vec_id)" if j > 0 else "")
+        for j in range(m)
+    ).replace("JOIN (", "(", 1)
+    d_terms = " + ".join(
+        f"round(list_sum(list_transform(range(1, {sub} + 1), "
+        f"i -> (q.qv[{j * sub} + i] - k{j}.c[i]) "
+        f"* (q.qv[{j * sub} + i] - k{j}.c[i]))), 6)"
+        for j in range(m)
+    )
+    cent_joins = "\n  ".join(
+        f"JOIN {cents[j]} k{j} ON k{j}.cid = x.c{j}" for j in range(m)
+    )
+    all_ctes += [
+        f"codes AS MATERIALIZED (SELECT * FROM\n  {code_joins})",
+        (
+            f"q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv "
+            f"FROM embeddings WHERE vec_id % {query_mod} = 0)"
+        ),
+        (
+            f"adc AS (SELECT q.query_id, x.vec_id AS pid, {d_terms} AS d\n"
+            f"  FROM q, codes x\n  {cent_joins}\n"
+            "  WHERE x.vec_id <> q.query_id)"
+        ),
+        (
+            "approx AS MATERIALIZED (SELECT query_id, pid FROM ("
+            "SELECT query_id, pid, row_number() OVER (PARTITION BY query_id "
+            "ORDER BY d ASC, pid ASC) AS r FROM adc) "
+            f"WHERE r <= {k})"
+        ),
+        (
+            "vm AS MATERIALIZED (SELECT vec_id, list_transform(embedding, "
+            "x -> CAST(floor(CAST(x AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT)) "
+            "AS vm FROM embeddings)"
+        ),
+        (
+            f"tq AS (SELECT vec_id AS query_id, vm AS qm FROM vm "
+            f"WHERE vec_id % {query_mod} = 0)"
+        ),
+        (
+            f"tdist AS (SELECT t.query_id, v.vec_id AS pid, "
+            f"CAST(list_sum(list_transform(range(1, {dim} + 1), "
+            "i -> (t.qm[i] - v.vm[i]) * (t.qm[i] - v.vm[i]))) AS BIGINT) AS d "
+            "FROM tq t, vm v WHERE v.vec_id <> t.query_id)"
+        ),
+        (
+            "truth AS MATERIALIZED (SELECT query_id, pid FROM ("
+            "SELECT query_id, pid, row_number() OVER (PARTITION BY query_id "
+            "ORDER BY d ASC, pid ASC) AS r FROM tdist) "
+            f"WHERE r <= {k})"
+        ),
+    ]
+    return (
+        "WITH " + ",\n".join(all_ctes) + """
+SELECT t.query_id, CAST(count(*) AS BIGINT) AS n_truth,
+       CAST(count(a.pid) AS BIGINT) AS n_hit,
+       floor(count(a.pid) * 1000000.0 / count(*) + 0.5) / 1000000.0 AS recall
+FROM truth t
+LEFT JOIN approx a ON a.query_id = t.query_id AND a.pid = t.pid
+GROUP BY 1 ORDER BY 1
+"""
+    )
+
+
+__all__ = __all__ + ["q_pq_recall", "_sql_pq_recall"]  # noqa: F405,PLE0605
+
+
+def q_conformal_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source split-conformal quality gate at alpha = 9/10
+    (profiling.py::conformal_threshold) over document length as the
+    nonconformity score: the exact finite-sample k = ceil(0.9·(n+1))
+    order statistic, with empirical coverage reported."""
+    from ingestion_scripts_spark.operators import profiling as PR
+
+    docs = _t(spark, sf_dir, "documents")
+    out = PR.conformal_threshold(
+        docs, "source", F.col("n_chars"), "doc_id", alpha_num=9, alpha_den=10
+    )
+    return out.select(
+        F.col("g").alias("source"), "n", "k", "threshold", "coverage"
+    ).orderBy("source")
+
+
+SQL_CONFORMAL_GATE = """
+WITH base AS (
+  SELECT source AS g, CAST(n_chars AS BIGINT) AS s, doc_id AS id
+  FROM documents),
+ranked AS (
+  SELECT g, s,
+         row_number() OVER (PARTITION BY g ORDER BY s ASC, id ASC) AS rn
+  FROM base),
+kd AS (
+  SELECT g, CAST(count(*) AS BIGINT) AS n,
+         CAST((9 * (count(*) + 1) + 9) // 10 AS BIGINT) AS k
+  FROM base GROUP BY g),
+thr AS (
+  SELECT r.g, r.s AS threshold
+  FROM ranked r JOIN kd USING (g) WHERE r.rn = kd.k),
+cov AS (
+  SELECT b.g,
+         CAST(sum(CASE WHEN b.s <= t.threshold THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_covered
+  FROM base b JOIN thr t USING (g) GROUP BY b.g)
+SELECT kd.g AS source, kd.n, kd.k, thr.threshold,
+       CASE WHEN thr.threshold IS NOT NULL
+            THEN floor(cov.n_covered * 10000.0 / kd.n + 0.5) / 10000.0
+       END AS coverage
+FROM kd LEFT JOIN thr USING (g) LEFT JOIN cov USING (g)
+ORDER BY source
+"""
+
+
+__all__ = __all__ + ["q_conformal_gate", "SQL_CONFORMAL_GATE"]  # noqa: F405,PLE0605

@@ -346,3 +346,49 @@ def test_dedup_funnel_invariants(spark):
     docs = load_table(spark, sf, "documents")
     assert rows[0]["survivors"] == docs.count()
     assert rows[1]["survivors"] == docs.select("text").distinct().count()
+
+
+def test_pq_recall_exact_when_every_point_is_its_own_centroid(spark):
+    """PQ law: with m=1 and ksub = n distinct points, the deterministic
+    init (n smallest ids) makes every point its own centroid, ADC equals
+    the exact (rounded) distance, and recall MUST be 1.0 — isolates the
+    encode/ADC/top-k plumbing from quantization error."""
+    from ingestion_scripts_spark.operators.similarity import pq_recall
+
+    df = spark.createDataFrame(
+        [(i, [0.1 * i, 1.0 - 0.07 * i]) for i in range(12)],
+        "vec_id bigint, embedding array<double>",
+    )
+    out = pq_recall(
+        df, "vec_id", "embedding", m=1, ksub=12, iters=1, k=5, query_mod=12, dim=2
+    ).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r["query_id"], r["n_truth"], r["n_hit"], r["recall"]) == (0, 5, 5, 1.0)
+
+
+def test_conformal_threshold_exact_rank_and_guarantee(spark):
+    from ingestion_scripts_spark.operators.profiling import conformal_threshold
+
+    # n=9, alpha=9/10 -> k = ceil(0.9*10) = 9 -> threshold = 9th smallest
+    df = spark.createDataFrame(
+        [("g", s, i) for i, s in enumerate([5, 1, 9, 3, 7, 2, 8, 4, 6])],
+        "g string, s bigint, id bigint",
+    )
+    r = conformal_threshold(df, "g", F.col("s"), "id").collect()[0]
+    assert (r["n"], r["k"], r["threshold"]) == (9, 9, 9)
+    assert r["coverage"] == 1.0
+    # n=4 -> k = ceil(0.9*5) = 5 > n -> undefined, NULL not clamped
+    small = spark.createDataFrame(
+        [("g", s, i) for i, s in enumerate([1, 2, 3, 4])],
+        "g string, s bigint, id bigint",
+    )
+    r2 = conformal_threshold(small, "g", F.col("s"), "id").collect()[0]
+    assert (r2["k"], r2["threshold"], r2["coverage"]) == (5, None, None)
+    # empirical coverage >= alpha whenever defined (n=19 -> k=18)
+    big = spark.createDataFrame(
+        [("g", s, s) for s in range(1, 20)], "g string, s bigint, id bigint"
+    )
+    r3 = conformal_threshold(big, "g", F.col("s"), "id").collect()[0]
+    assert (r3["k"], r3["threshold"]) == (18, 18)
+    assert r3["coverage"] >= 0.9
