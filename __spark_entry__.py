@@ -312,6 +312,8 @@ _REGISTRY: list[tuple[str, Callable[[SparkSession, str], DataFrame], str | None]
     ("dedup_funnel", q_dedup_funnel, _sql_dedup_funnel()),
     ("pq_recall", q_pq_recall, _sql_pq_recall()),
     ("conformal_gate", q_conformal_gate, SQL_CONFORMAL_GATE),
+    ("isotonic_calibration", q_isotonic_calibration, _sql_isotonic_calibration()),
+    ("theil_sen_trend", q_theil_sen_trend, SQL_THEIL_SEN),
 ]
 
 # --- r6 driver-window rotation (ROADMAP.md rotation table) -----------------
@@ -347,7 +349,7 @@ _R6_WINDOW = [
 _R6_QUEUE = [
     "avg_precision_quality", "sq8_recall", "ndcg_quality", "zipf_slope",
     "max_coverage", "source_unique_vocab", "ppr_coorder", "dedup_funnel",
-    "pq_recall", "conformal_gate",
+    "pq_recall", "conformal_gate", "isotonic_calibration", "theil_sen_trend",
 ]
 _BY_NAME = {t[0]: t for t in _REGISTRY}
 _REGISTRY = (

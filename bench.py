@@ -251,6 +251,8 @@ HEADLINE = [
     "dedup_funnel",
     "pq_recall",
     "conformal_gate",
+    "isotonic_calibration",
+    "theil_sen_trend",
 ]
 
 #: deliberate shadows: oracle-exact twins of faster default kernels, kept

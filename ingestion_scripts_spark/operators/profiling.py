@@ -653,3 +653,144 @@ def conformal_threshold(
             ).alias("coverage"),
         )
     )
+
+
+def isotonic_bins(
+    df: DataFrame,
+    score_micro: Column,
+    label: Column,
+    n_bins: int = 10,
+) -> DataFrame:
+    """Isotonic calibration of a binned classifier score (the remedy the
+    ``calibration_bins`` audit calls for): the weighted least-squares
+    monotone fit of the per-bin positive rate, via the EXACT minimax
+    characterization iso_i = max_{j<=i} min_{k>=i} wmean(pos, j..k)
+    (Robertson-Wright-Dykstra) instead of the sequential PAVA sweep —
+    on n_bins rows the O(n³) minimax is trivial, embarrassingly
+    parallel, and needs no order-dependent pooling loop, so both
+    engines compute the identical unique solution from prefix sums.
+
+    Everything up to the final rounding is exact: per-bin counts are
+    one corpus-keyed aggregate (the ONLY pass over data — all later
+    frames hold <= n_bins(n_bins+1)/2 rows), span means are
+    (cy_k - cy_{j-1})·1e6 / (cn_k - cn_{j-1}) evaluated identically
+    from identical integers, and iso_u = floor(minimax + 0.5).
+
+    Returns (bin, n, pos_rate_u, iso_u) with iso_u non-decreasing —
+    the law tests pin monotonicity, identity on already-monotone
+    input, violator pooling to the weighted mean, and weighted-mass
+    preservation.
+    """
+    s = score_micro.cast("bigint")
+    binned = df.select(s.alias("__s"), label.cast("int").alias("__y")).select(
+        F.least(F.expr(f"(__s * {n_bins}) div 1000000"), F.lit(n_bins - 1))
+        .cast("bigint")
+        .alias("bin"),
+        "__y",
+    )
+    bins = binned.groupBy("bin").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("__y").cast("bigint").alias("sy"),
+    )
+    w = Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, 0)
+    wl = Window.orderBy("bin")
+    # single-partition window over <= n_bins rows — the pareto_frontier
+    # pattern: the corpus was already reduced by the keyed agg above.
+    # The pre-span prefix is the PREVIOUS PRESENT bin's cumulative (lag),
+    # NOT bin-1: empty bins leave gaps in the id sequence, and a bin-1
+    # join silently coalesces a missing neighbor to zero — caught by the
+    # mass-preservation LAW test, invisible to the differential (both
+    # engines shared the bug: the kcore lesson again).
+    pre = bins.select(
+        "bin",
+        F.sum("n").over(w).cast("bigint").alias("cn"),
+        F.sum("sy").over(w).cast("bigint").alias("cy"),
+    ).select(
+        "bin",
+        "cn",
+        "cy",
+        F.coalesce(F.lag("cn").over(wl), F.lit(0)).cast("bigint").alias("pcn"),
+        F.coalesce(F.lag("cy").over(wl), F.lit(0)).cast("bigint").alias("pcy"),
+    )
+    j, k = pre.alias("j"), pre.alias("k")
+    spans = j.join(k, F.col("k.bin") >= F.col("j.bin")).select(
+        F.col("j.bin").alias("sj"),
+        F.col("k.bin").alias("sk"),
+        (
+            (F.col("k.cy") - F.col("j.pcy"))
+            * 1000000.0
+            / (F.col("k.cn") - F.col("j.pcn"))
+        ).alias("a"),
+    )
+    mij = (
+        bins.select("bin")
+        .join(spans, (F.col("sj") <= F.col("bin")) & (F.col("sk") >= F.col("bin")))
+        .groupBy("bin", "sj")
+        .agg(F.min("a").alias("m"))
+    )
+    iso = mij.groupBy("bin").agg(
+        F.floor(F.max("m") + 0.5).cast("bigint").alias("iso_u")
+    )
+    return (
+        bins.join(iso, "bin")
+        .select(
+            "bin",
+            "n",
+            F.expr("(sy * 1000000) div n").cast("bigint").alias("pos_rate_u"),
+            "iso_u",
+        )
+    )
+
+
+def theil_sen_slope(
+    df: DataFrame,
+    group_col: str,
+    x: Column,
+    y_micro: Column,
+) -> DataFrame:
+    """Per-group Theil-Sen trend: the LOWER MEDIAN of all pairwise slopes
+    (y_j - y_i) div (x_j - x_i), in the SAME micro-units as ``y_micro``
+    per unit x (y arrives micro-scaled, so the quotient already carries
+    1e-6 resolution — no further scaling) — the robust complement to the OLS
+    trend (``q_user_trend_slope``): one wild day moves an OLS slope
+    arbitrarily; Theil-Sen tolerates ~29% outliers (breakdown point),
+    which is what per-user engagement series actually contain (refund
+    spikes, bot bursts).
+
+    Exactness: per-pair slope = truncating integer division of exact
+    int64s (Spark ``div`` and DuckDB ``//`` both truncate toward zero —
+    verified on negative operands), so every candidate is an exact
+    integer; the lower median (rank ceil(m/2)) is
+    an order statistic with (slope, x_i, x_j) tiebreak — deterministic
+    on both engines, no averaging of middle pairs (which would
+    reintroduce a float).
+
+    Scale shape: the pair join is WITHIN group (x_i < x_j after
+    per-group daily pre-aggregation), so candidate volume is bounded by
+    per-key history length squared — per-user series are days, not
+    events; the shuffle is keyed on group twice (pair build, order
+    stat). Groups with < 2 distinct x are excluded (undefined).
+    """
+    pts = df.select(
+        F.col(group_col).alias("g"),
+        x.cast("bigint").alias("x"),
+        y_micro.cast("bigint").alias("y"),
+    )
+    a, b = pts.alias("a"), pts.alias("b")
+    pairs = a.join(
+        b, (F.col("a.g") == F.col("b.g")) & (F.col("a.x") < F.col("b.x"))
+    ).select(
+        F.col("a.g").alias("g"),
+        F.col("a.x").alias("xi"),
+        F.col("b.x").alias("xj"),
+        F.expr("(b.y - a.y) div (b.x - a.x)").cast("bigint").alias("sl"),
+    )
+    w = Window.partitionBy("g").orderBy("sl", "xi", "xj")
+    ranked = pairs.withColumn("rn", F.row_number().over(w))
+    m = pairs.groupBy("g").agg(F.count(F.lit(1)).cast("bigint").alias("m"))
+    # lower median rank = ceil(m / 2) = (m + 1) div 2
+    return (
+        ranked.join(F.broadcast(m), "g")
+        .filter(F.col("rn") == F.expr("(m + 1) div 2"))
+        .select("g", "m", F.col("sl").alias("slope_u"))
+    )

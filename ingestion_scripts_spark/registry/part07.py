@@ -547,3 +547,118 @@ ORDER BY source
 
 
 __all__ = __all__ + ["q_conformal_gate", "SQL_CONFORMAL_GATE"]  # noqa: F405,PLE0605
+
+
+def q_isotonic_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Isotonic (monotone least-squares) calibration of the same binned
+    quality score calibration_bins audits
+    (profiling.py::isotonic_bins): the exact minimax solution from one
+    corpus aggregate + O(n_bins³) tiny-frame arithmetic."""
+    from ingestion_scripts_spark.operators import profiling as PR
+
+    docs = _t(spark, sf_dir, "documents")
+    wc = F.size(X.tokenize_ws(X.clean_text(F.col("text")))).cast("bigint")
+    score_u = F.least(
+        F.lit(1_000_000).cast("bigint"), (wc * F.lit(12500)).cast("bigint")
+    )
+    base = docs.select(
+        score_u.alias("__score_u"), (F.col("n_chars") >= 250).alias("__lab")
+    )
+    return PR.isotonic_bins(base, F.col("__score_u"), F.col("__lab")).orderBy("bin")
+
+
+def _sql_isotonic_calibration(n_bins: int = 10) -> str:
+    toks = O.sql_tokenize_ws(O.sql_clean_text("text"))
+    return f"""
+WITH base AS (
+  SELECT least(1000000, CAST(len({toks}) AS BIGINT) * 12500) AS s,
+         CASE WHEN n_chars >= 250 THEN 1 ELSE 0 END AS y
+  FROM documents),
+bins AS (
+  SELECT least((s * {n_bins}) // 1000000, {n_bins - 1}) AS bin,
+         CAST(count(*) AS BIGINT) AS n, CAST(sum(y) AS BIGINT) AS sy
+  FROM base GROUP BY 1),
+pre AS (
+  SELECT bin, cn, cy,
+         coalesce(lag(cn) OVER (ORDER BY bin), 0) AS pcn,
+         coalesce(lag(cy) OVER (ORDER BY bin), 0) AS pcy
+  FROM (SELECT bin,
+               CAST(sum(n) OVER (ORDER BY bin) AS BIGINT) AS cn,
+               CAST(sum(sy) OVER (ORDER BY bin) AS BIGINT) AS cy
+        FROM bins)),
+spans AS (
+  -- previous PRESENT bin via lag, not bin-1: empty bins leave id gaps
+  SELECT j.bin AS sj, k.bin AS sk,
+         (k.cy - j.pcy) * 1000000.0 / (k.cn - j.pcn) AS a
+  FROM pre j JOIN pre k ON k.bin >= j.bin),
+mij AS (
+  SELECT b.bin, s.sj, min(s.a) AS m
+  FROM bins b JOIN spans s ON s.sj <= b.bin AND s.sk >= b.bin
+  GROUP BY 1, 2),
+iso AS (
+  SELECT bin, CAST(floor(max(m) + 0.5) AS BIGINT) AS iso_u
+  FROM mij GROUP BY 1)
+SELECT b.bin, b.n, (b.sy * 1000000) // b.n AS pos_rate_u, iso.iso_u
+FROM bins b JOIN iso USING (bin)
+ORDER BY bin
+"""
+
+
+__all__ = __all__ + [  # noqa: F405,PLE0605
+    "q_isotonic_calibration",
+    "_sql_isotonic_calibration",
+]
+
+
+def q_theil_sen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user Theil-Sen engagement trend over daily value
+    (profiling.py::theil_sen_slope) — the robust (29% breakdown)
+    complement to the OLS `user_trend_slope` on the identical daily
+    pre-aggregate; a refund spike or bot burst that swings the OLS
+    slope leaves the pairwise median untouched."""
+    from ingestion_scripts_spark.operators import profiling as PR
+
+    ev = _t(spark, sf_dir, "events")
+    daily = ev.groupBy("user_id", F.date_trunc("day", "ts").alias("day")).agg(
+        F.sum(F.floor(F.col("value") * 1000000.0 + 0.5).cast("bigint")).alias("y")
+    )
+    d = daily.select(
+        "user_id",
+        F.datediff(F.col("day").cast("date"), F.lit("2024-01-01").cast("date"))
+        .cast("bigint")
+        .alias("x"),
+        "y",
+    )
+    out = PR.theil_sen_slope(d, "user_id", F.col("x"), F.col("y"))
+    return out.select(F.col("g").alias("user_id"), "m", "slope_u").orderBy(
+        "user_id"
+    )
+
+
+SQL_THEIL_SEN = """
+WITH daily AS (
+  SELECT user_id, date_trunc('day', ts) AS day,
+         CAST(sum(CAST(floor(value * 1000000.0 + 0.5) AS BIGINT)) AS BIGINT)
+           AS y
+  FROM events GROUP BY 1, 2),
+d AS (
+  SELECT user_id,
+         CAST(date_diff('day', DATE '2024-01-01', day::DATE) AS BIGINT) AS x,
+         y
+  FROM daily),
+pairs AS (
+  SELECT a.user_id AS g, a.x AS xi, b.x AS xj,
+         CAST((b.y - a.y) // (b.x - a.x) AS BIGINT) AS sl
+  FROM d a JOIN d b ON a.user_id = b.user_id AND a.x < b.x),
+ranked AS (
+  SELECT g, sl,
+         row_number() OVER (PARTITION BY g ORDER BY sl, xi, xj) AS rn,
+         count(*) OVER (PARTITION BY g) AS m
+  FROM pairs)
+SELECT g AS user_id, CAST(m AS BIGINT) AS m, sl AS slope_u
+FROM ranked WHERE rn = (m + 1) // 2
+ORDER BY user_id
+"""
+
+
+__all__ = __all__ + ["q_theil_sen_trend", "SQL_THEIL_SEN"]  # noqa: F405,PLE0605

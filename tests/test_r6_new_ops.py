@@ -392,3 +392,70 @@ def test_conformal_threshold_exact_rank_and_guarantee(spark):
     r3 = conformal_threshold(big, "g", F.col("s"), "id").collect()[0]
     assert (r3["k"], r3["threshold"]) == (18, 18)
     assert r3["coverage"] >= 0.9
+
+
+def test_isotonic_bins_laws(spark):
+    from ingestion_scripts_spark.operators.profiling import isotonic_bins
+
+    def fit(rows):
+        # rows: (score_u, y)
+        df = spark.createDataFrame(rows, "s bigint, y boolean")
+        return {
+            r["bin"]: (r["n"], r["pos_rate_u"], r["iso_u"])
+            for r in isotonic_bins(df, F.col("s"), F.col("y")).collect()
+        }
+
+    # already-monotone input is a fixed point: iso == pos_rate per bin
+    mono = [(50_000, False)] * 4 + [(150_000, True), (150_000, False)] + [
+        (250_000, True)
+    ] * 3
+    out = fit(mono)
+    assert all(iso == pos for _, pos, iso in out.values())
+
+    # a single violator pair pools to the weighted mean:
+    # bin0 rate 0.8 (4/5), bin1 rate 0.2 (1/5) -> both 0.5
+    viol = [(50_000, True)] * 4 + [(50_000, False)] + [(150_000, True)] + [
+        (150_000, False)
+    ] * 4
+    out = fit(viol)
+    assert out[0][2] == out[1][2] == 500_000
+
+    # monotone + mass-preserving on a mixed case
+    mixed = (
+        [(50_000, True)] * 3 + [(50_000, False)]
+        + [(150_000, False)] * 3 + [(150_000, True)]
+        + [(950_000, True)] * 2
+    )
+    out = fit(mixed)
+    isos = [out[b][2] for b in sorted(out)]
+    assert isos == sorted(isos)
+    mass_in = sum(n * pos for n, pos, _ in out.values())
+    mass_out = sum(n * iso for n, _, iso in out.values())
+    assert abs(mass_in - mass_out) <= 10 * len(out)  # rounding only
+
+
+def test_theil_sen_robust_to_outlier_and_exact_median(spark):
+    from ingestion_scripts_spark.operators.profiling import theil_sen_slope
+
+    # clean line y = 2x (micro): all pairwise slopes = 2e6
+    clean = [("u", x, 2_000_000 * x) for x in range(1, 6)]
+    df = spark.createDataFrame(clean, "g string, x bigint, y bigint")
+    r = theil_sen_slope(df, "g", F.col("x"), F.col("y")).collect()[0]
+    assert (r["m"], r["slope_u"]) == (10, 2_000_000)
+
+    # one wild outlier (y5 = 100x the line): the pairwise MEDIAN stays on
+    # the clean slope while an OLS fit would be dragged far upward
+    wild = clean[:-1] + [("u", 5, 1_000_000_000)]
+    df2 = spark.createDataFrame(wild, "g string, x bigint, y bigint")
+    r2 = theil_sen_slope(df2, "g", F.col("x"), F.col("y")).collect()[0]
+    assert r2["slope_u"] == 2_000_000
+
+    # negative slope: trunc-div semantics identical on both engines
+    neg = [("u", x, -3_000_000 * x + 1) for x in range(1, 4)]
+    df3 = spark.createDataFrame(neg, "g string, x bigint, y bigint")
+    r3 = theil_sen_slope(df3, "g", F.col("x"), F.col("y")).collect()[0]
+    assert r3["slope_u"] == -3_000_000
+
+    # single-point groups are excluded (undefined)
+    one = spark.createDataFrame([("v", 1, 5)], "g string, x bigint, y bigint")
+    assert theil_sen_slope(one, "g", F.col("x"), F.col("y")).count() == 0
