@@ -316,46 +316,41 @@ _REGISTRY: list[tuple[str, Callable[[SparkSession, str], DataFrame], str | None]
     ("theil_sen_trend", q_theil_sen_trend, SQL_THEIL_SEN),
 ]
 
-# --- r6 driver-window rotation (ROADMAP.md rotation table) -----------------
-# The driver certifies positions 1-50 each round. r6 window = the FINAL 48
-# never-driver-green queries (the 40 queued at r5 positions 51-90 plus the 8
-# r5-session additions) + 2 oldest-certified r1 anchors, which starts the
-# steady-state round-robin re-validation the ROADMAP plans for r7+. Expressed
-# as an explicit block shift over the declaration order above so the
-# declaration text stays stable; tests/test_entry_contract.py pins the
-# resulting window verbatim.
-_R6_WINDOW = [
-    "semdedup", "cms_heavy_hitters", "doc_chunks", "gopher_rules",
-    "priority_sample", "domain_caps", "orc_source", "unigram_ppl",
-    "bpe_merges", "bpe_tokenize", "ivf_trained_topk", "hist_quantiles",
-    "dataset_split", "char_entropy", "min_price_supplier", "column_profile",
-    "bigram_backoff_ppl", "ann_recall", "zorder_layout", "observed_ingest",
-    "skew_report", "dataset_card", "session_funnel", "langid_confusion",
-    "cross_split_contamination", "first_touch_attribution",
-    "partitioned_sink", "dedup_best_survivor", "boilerplate_segments",
-    "daily_gapfill", "interval_join_hot_hours", "bucketed_join_revenue",
-    "winsorized_lengths", "snapshot_diff", "weekly_growth",
-    "top_customer_by_nation", "custom_feed_source", "stream_custom_source",
-    "dq_checks", "sessionize_udtf", "fellegi_sunter_scores", "cohens_kappa",
-    "calibration_bins", "hits_scores", "kneser_ney_ppl", "dp_count_laplace",
-    "rate_limit_replay", "stream_token_bucket",
-    # r6-session additions (never-green debt outranks re-certification
-    # anchors while any exists — the rotation law in
-    # tests/test_entry_contract.py): two in the window, two queued next
-    "kcore_parts", "kcenter_coreset",
-]
-#: never-driver-green overflow, queued contiguously at positions 51-52 so
-#: the r7 rotation is a pure block shift
-_R6_QUEUE = [
+# --- r7 driver-window rotation (ROADMAP.md rotation table) -----------------
+# The driver certifies positions 1-50 each round. CORRECTNESS_r06 landed
+# 50/50, so r7 is the FIRST steady-state rotation: window = the 12 remaining
+# never-driver-green (the r6-session queue, positions 51-62 last round — a
+# pure block shift) + 38 re-certification anchors, oldest driver evidence
+# first (3 queries whose last green is r1, then 35 r2 anchors in declaration
+# order). Queries ADDED during r7 displace the youngest anchors in this
+# window (debt outranks re-certification — the pinned rotation law), so new
+# work is driver-certified the same round it lands. Expressed as an explicit
+# block shift over the declaration order above so the declaration text stays
+# stable; tests/test_entry_contract.py pins the resulting window verbatim.
+_R7_WINDOW = [
+    # never-driver-green debt (r6 additions), window-start
     "avg_precision_quality", "sq8_recall", "ndcg_quality", "zipf_slope",
     "max_coverage", "source_unique_vocab", "ppr_coorder", "dedup_funnel",
     "pq_recall", "conformal_gate", "isotonic_calibration", "theil_sen_trend",
+    # re-certification anchors: last green r1
+    "hourly_windows", "stream_hourly_windows", "stream_sessionize",
+    # re-certification anchors: last green r2
+    "top_orders", "region_revenue", "antijoin_new_users",
+    "dead_letter_routing", "semi_join_urgent", "cust_order_dist",
+    "rollup_revenue", "distinct_users", "asof_clicks",
+    "purchase_error_funnel", "small_quantity_revenue", "in_subquery_parts",
+    "value_percentiles", "pivot_weekday", "running_user_value",
+    "clicked_never_purchased", "late_ship_priority", "parts_never_discounted",
+    "user_value_quartiles", "clean_text", "hashtags", "stopword_filter",
+    "bigram_pairs", "parse_rfc822", "parse_struct_time", "parse_simple",
+    "parse_zoned", "exact_dedup", "segment_dedup", "ngram_jaccard",
+    "simhash", "fingerprint", "winnow_fingerprints", "salted_distinct_users",
+    "skew_join_revenue",
 ]
 _BY_NAME = {t[0]: t for t in _REGISTRY}
 _REGISTRY = (
-    [_BY_NAME[n] for n in _R6_WINDOW]
-    + [_BY_NAME[n] for n in _R6_QUEUE]
-    + [t for t in _REGISTRY if t[0] not in set(_R6_WINDOW) | set(_R6_QUEUE)]
+    [_BY_NAME[n] for n in _R7_WINDOW]
+    + [t for t in _REGISTRY if t[0] not in set(_R7_WINDOW)]
 )
 
 
