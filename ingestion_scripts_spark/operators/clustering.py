@@ -255,14 +255,18 @@ def kcenter_greedy(
     downstream sampler that quotas around them sees every mode of the
     corpus (where uniform sampling oversamples dense regions).
 
-    Spark shape: the quantized working set is localCheckpoint-ed once;
-    every iteration is ONE narrow map (distance to the newest center
-    folded into a running ``least``) + a top-1 TakeOrdered — no shuffle
-    at all, no driver state beyond the k selected vectors (k x dim
-    literals, same footprint as the k-means loop above). At 100 TB this
-    is k scans, each embarrassingly parallel; the expression holds ALL
-    selected centers as literals (k·dim constants — trivial for the
-    k <= 64 this stage uses).
+    Spark shape: the working set carries a RUNNING ``dmin`` column —
+    each round folds only the distance to the NEWEST center with
+    ``least(dmin, d_new)`` and localCheckpoints (the engine's lineage
+    rule: the round frame is read twice — top-1 probe + next update —
+    so without truncation the plan would double per round, the
+    hits_scores 225 s class). Total work is O(k·n) single-center
+    distance evaluations (vs O(k²·n) when every round re-embeds ALL
+    picked centers as a k-deep ``least`` chain), expression depth and
+    codegen size are CONSTANT in k, and each round is ONE narrow map +
+    a top-1 TakeOrdered — no shuffle at all. At 100 TB this is k
+    embarrassingly parallel scans; driver state is one center vector
+    per round (dim literals).
 
     Cross-engine determinism: components snap to exact int64 micro-units
     BEFORE any arithmetic, squared L2 distances are exact BIGINT sums
@@ -285,28 +289,35 @@ def kcenter_greedy(
     )
     pts = spread(pts).localCheckpoint()
 
+    def dist_to(center_vec: list[int]):
+        arr = F.array(*[F.lit(int(x)).cast("bigint") for x in center_vec])
+        return F.aggregate(
+            F.zip_with(F.col("v"), arr, lambda a, b: (a - b) * (a - b)),
+            F.lit(0).cast("bigint"),
+            lambda acc, x: acc + x,
+        )
+
     seed = pts.orderBy("pid").limit(1).collect()[0]
     picked: list[tuple[int, int, int]] = [(1, seed["pid"], 0)]
-    vecs: list[list[int]] = [list(seed["v"])]
+
+    # running min-distance-to-picked-set; identical to re-minimizing over
+    # every picked center each round (min folds associatively), so picks
+    # and radii are bit-identical to the unrolled form the oracle states
+    work = pts.select(
+        "pid", "v", dist_to(list(seed["v"])).alias("dmin")
+    ).localCheckpoint()
 
     for rank in range(2, k + 1):
-        dmin = None
-        for cv in vecs:
-            arr = F.array(*[F.lit(int(x)).cast("bigint") for x in cv])
-            d = F.aggregate(
-                F.zip_with(F.col("v"), arr, lambda a, b: (a - b) * (a - b)),
-                F.lit(0).cast("bigint"),
-                lambda acc, x: acc + x,
-            )
-            dmin = d if dmin is None else F.least(dmin, d)
         far = (
-            pts.select("pid", "v", dmin.alias("dmin"))
-            .orderBy(F.desc("dmin"), F.asc("pid"))
-            .limit(1)
-            .collect()[0]
+            work.orderBy(F.desc("dmin"), F.asc("pid")).limit(1).collect()[0]
         )
         picked.append((rank, far["pid"], int(far["dmin"])))
-        vecs.append(list(far["v"]))
+        if rank < k:
+            work = work.select(
+                "pid",
+                "v",
+                F.least(F.col("dmin"), dist_to(list(far["v"]))).alias("dmin"),
+            ).localCheckpoint()
 
     spark = df.sparkSession
     return spark.createDataFrame(

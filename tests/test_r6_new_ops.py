@@ -89,6 +89,46 @@ def test_kcenter_radii_nonincreasing_on_real_vectors(spark):
     assert len({r["center_id"] for r in out}) == 5  # never re-picks
 
 
+def test_kcenter_k40_constant_codegen_matches_python(spark):
+    """r6 VERDICT item 4 gate: the running-dmin form must hold at k far
+    beyond coreset sizes — the retired form embedded ALL picked centers as
+    an O(k)-deep least-chain of literal arrays (a codegen bomb at k=40+).
+    Pinned against an independent pure-Python greedy on a 60-point corpus;
+    wrong-dmin-carry bugs (stale dmin, missing least-fold) cannot match 40
+    exact picks+radii in a row."""
+    import random
+
+    rng = random.Random(7)
+    rows = [
+        (i, [rng.uniform(-1, 1), rng.uniform(-1, 1), rng.uniform(-1, 1)])
+        for i in range(1, 61)
+    ]
+    df = spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
+
+    # independent reference: same micro-unit quantization, plain greedy
+    import math
+
+    q = {i: [math.floor(x * 1e6 + 0.5) for x in v] for i, v in rows}
+    picked = [min(q)]
+    dmin = {
+        i: sum((a - b) * (a - b) for a, b in zip(v, q[picked[0]]))
+        for i, v in q.items()
+    }
+    expect = [(1, picked[0], 0)]
+    for rank in range(2, 41):
+        far = max(dmin, key=lambda i: (dmin[i], -i))
+        expect.append((rank, far, dmin[far]))
+        newest = q[far]
+        for i, v in q.items():
+            d = sum((a - b) * (a - b) for a, b in zip(v, newest))
+            if d < dmin[i]:
+                dmin[i] = d
+
+    out = kcenter_greedy(df, "embedding", "vec_id", k=40).orderBy("rank").collect()
+    got = [(r["rank"], r["center_id"], r["picked_dist_sq"]) for r in out]
+    assert got == expect
+
+
 # --------------------------------------------------------------------------
 # average precision
 # --------------------------------------------------------------------------
