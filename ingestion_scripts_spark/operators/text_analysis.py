@@ -494,18 +494,24 @@ def max_coverage_select(df, id_col: str, tokens_col: str, k: int = 5):
     standard "maximize vocabulary per token budget" selector for seed /
     eval corpora.
 
-    Spark shape mirrors the k-means/k-center driver loop: the distinct-
-    token working set is localCheckpoint-ed once; each round is ONE
-    narrow map (gain = |tokens \\ covered| with the covered vocabulary
-    embedded as an array literal — a broadcast by construction) + a
-    top-1 TakeOrdered, no shuffle. Driver state is the covered
-    vocabulary of the PICKED docs only, bounded by k * max-doc-tokens,
-    never corpus-sized.
+    Spark shape mirrors the k-center running-dmin loop: the working set
+    carries RESIDUAL (not-yet-covered) tokens; each round picks the doc
+    with the largest residual (one narrow map + top-1 TakeOrdered, no
+    shuffle), then subtracts only the NEWEST pick's residual tokens from
+    every row via a broadcast 1-row frame + ``array_except`` and
+    localCheckpoints (the round frame is read twice — probe + update —
+    the engine's lineage rule). Plan size is therefore CONSTANT in k and
+    in the covered-vocabulary size: no ``~isin(picked_ids)`` literal
+    list, no O(k·|covered|) embedded array (the retired form was a
+    plan-size bomb at k=500); the newest pick's tokens travel as DATA,
+    not literals. Driver state is one pick's residual per round, bounded
+    by max-doc-tokens, never corpus-sized.
 
     Determinism: gains are exact integers; ties break to the smallest
-    id; picked docs are excluded explicitly (after covering, their gain
-    is 0 and the id-asc tiebreak could otherwise re-pick them). The
-    DuckDB oracle unrolls the identical k rounds.
+    id; picked docs are excluded by an id filter folded into each
+    round's checkpointed frame (after covering, their gain is 0 and the
+    id-asc tiebreak could otherwise re-pick them). The DuckDB oracle
+    unrolls the identical k rounds.
 
     Returns (rank, doc_id, gain) — gain = tokens newly covered at pick
     time, a non-increasing sequence (submodularity, pinned by the law
@@ -515,27 +521,17 @@ def max_coverage_select(df, id_col: str, tokens_col: str, k: int = 5):
 
     from .similarity import spread
 
-    base = df.select(
+    spark = df.sparkSession
+    work = df.select(
         F.col(id_col).alias("pid"),
         F.array_distinct(F.col(tokens_col)).alias("t"),
     )
-    base = spread(base).localCheckpoint()
+    work = spread(work).localCheckpoint()
 
     picked: list[tuple[int, int, int]] = []
-    covered: set[str] = set()
-    picked_ids: list = []
     for rank in range(1, k + 1):
-        cov_arr = F.array(*[F.lit(x) for x in sorted(covered)])
-        gain = (
-            F.size(F.array_except(F.col("t"), cov_arr))
-            if covered
-            else F.size(F.col("t"))
-        )
-        cand = base
-        if picked_ids:
-            cand = cand.filter(~F.col("pid").isin(picked_ids))
         top = (
-            cand.select("pid", "t", gain.alias("gain"))
+            work.select("pid", "t", F.size("t").alias("gain"))
             .orderBy(F.desc("gain"), F.asc("pid"))
             .limit(1)
             .collect()
@@ -544,9 +540,19 @@ def max_coverage_select(df, id_col: str, tokens_col: str, k: int = 5):
             break
         row = top[0]
         picked.append((rank, row["pid"], int(row["gain"])))
-        picked_ids.append(row["pid"])
-        covered.update(row["t"])
-    spark = df.sparkSession
+        if rank < k:
+            # the pick's RESIDUAL tokens are exactly the newly covered
+            # vocabulary (earlier picks' tokens are already subtracted),
+            # so one array_except per round keeps every row's t equal to
+            # tokens-minus-all-covered — same sets as re-subtracting the
+            # full covered vocabulary each round
+            cov = spark.createDataFrame([(list(row["t"]),)], "cov array<string>")
+            work = (
+                work.filter(F.col("pid") != F.lit(row["pid"]))
+                .crossJoin(F.broadcast(cov))
+                .select("pid", F.array_except("t", "cov").alias("t"))
+                .localCheckpoint()
+            )
     return spark.createDataFrame(picked, "rank bigint, doc_id bigint, gain bigint")
 
 

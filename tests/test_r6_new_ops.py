@@ -326,6 +326,37 @@ def test_max_coverage_gains_nonincreasing_and_ids_distinct(spark):
     assert len({r["doc_id"] for r in out}) == len(out)
 
 
+def test_max_coverage_k10_matches_python_residual_carry(spark):
+    """r6 VERDICT item 5 gate: the running-residual form (broadcast
+    newest-pick subtraction, plan constant in k) must equal the plain
+    greedy that re-subtracts the FULL covered set every round — a stale
+    or double-subtracted residual cannot match 10 exact picks+gains on a
+    corpus engineered with heavy token overlap between rounds."""
+    import random
+
+    rng = random.Random(11)
+    vocab = [f"w{i:02d}" for i in range(40)]
+    rows = [
+        (i, sorted(rng.sample(vocab, rng.randint(3, 15))))
+        for i in range(1, 31)
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, t array<string>")
+
+    covered: set[str] = set()
+    remaining = dict(rows)
+    expect = []
+    for rank in range(1, 11):
+        gains = {i: len(set(t) - covered) for i, t in remaining.items()}
+        best = min(gains, key=lambda i: (-gains[i], i))
+        expect.append((rank, best, gains[best]))
+        covered |= set(remaining.pop(best))
+
+    from ingestion_scripts_spark.operators.text_analysis import max_coverage_select
+
+    out = max_coverage_select(df, "doc_id", "t", k=10).orderBy("rank").collect()
+    assert [(r["rank"], r["doc_id"], r["gain"]) for r in out] == expect
+
+
 def test_source_unique_vocab_hand_case(spark):
     from ingestion_scripts_spark.operators.text_analysis import source_unique_vocab
 
