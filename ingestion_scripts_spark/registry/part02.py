@@ -1213,7 +1213,17 @@ def q_stream_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     batch, because eviction runs with the PREVIOUS batch's watermark
     (same lagged-watermark algebra stream_late_drop encodes). The oracle
     is the plain batch LEFT JOIN — equality proves the null-side emission
-    is exactly the unmatched set, with no duplicates from replay."""
+    is exactly the unmatched set, with no duplicates from replay.
+
+    Latency model (why this is the slowest bench entry at ~10-13 s): wall
+    time here is micro-batch COUNT x per-trigger overhead — six file
+    triggers (3 per side with maxFilesPerTrigger=1), each paying stream
+    planning, state-store commit, and checkpoint-directory fsync, plus
+    the sentinel/empty batches that exist only to advance the watermark
+    and flush evicted state. Data-plane work at this SF is milliseconds;
+    the number scales with trigger count, not rows, and stays flat as the
+    corpus grows (a 100 TB run amortizes the same fixed trigger cost over
+    arbitrarily large batches)."""
     import glob
     import os
     import tempfile

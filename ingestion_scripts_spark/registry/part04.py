@@ -1908,7 +1908,14 @@ def q_stream_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     chain it replaces) and verification recomputes shingles for candidate
     index docs only. LSH candidates are per-pair (signatures don't depend on
     the candidate set), so the final kept set equals the unrolled batch
-    law the oracle computes from ONE full-corpus pair table."""
+    law the oracle computes from ONE full-corpus pair table.
+
+    Latency model (~8-11 s at bench SF): wall time is micro-batch count x
+    per-trigger overhead — three file triggers, each paying stream
+    planning, a parquet index re-read, a write, and checkpoint fsync.
+    Data-plane MinHash work at this SF is a small fraction; the total
+    scales with trigger count, not rows, so at production batch sizes the
+    fixed per-trigger cost amortizes away."""
     import glob
     import os
     import tempfile
