@@ -33,7 +33,7 @@ from ingestion_scripts_spark.operators import keywords as K
 from ingestion_scripts_spark.operators import similarity as SIM
 from ingestion_scripts_spark.operators import text_analysis as TA
 
-from ingestion_scripts_spark.registry.part07 import *  # noqa: E402,F401,F403
+from ingestion_scripts_spark.registry.part08 import *  # noqa: E402,F401,F403
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -314,6 +314,15 @@ _REGISTRY: list[tuple[str, Callable[[SparkSession, str], DataFrame], str | None]
     ("conformal_gate", q_conformal_gate, SQL_CONFORMAL_GATE),
     ("isotonic_calibration", q_isotonic_calibration, _sql_isotonic_calibration()),
     ("theil_sen_trend", q_theil_sen_trend, SQL_THEIL_SEN),
+    # --- r7 additions ---
+    ("kmv_distinct", q_kmv_distinct, _sql_kmv_distinct()),
+    ("wasserstein_drift", q_wasserstein_drift, SQL_WASSERSTEIN_DRIFT),
+    ("kendall_tau_daily", q_kendall_tau_daily, SQL_KENDALL_TAU),
+    ("mrr_quality", q_mrr_quality, SQL_MRR_QUALITY),
+    ("link_prediction", q_link_prediction, SQL_LINK_PREDICTION),
+    ("acf_daily", q_acf_daily, SQL_ACF_DAILY),
+    ("l_diversity", q_l_diversity, SQL_L_DIVERSITY),
+    ("ahash_image_neardup", q_ahash_image_neardup, SQL_AHASH_NEARDUP),
 ]
 
 # --- r7 driver-window rotation (ROADMAP.md rotation table) -----------------
@@ -332,6 +341,11 @@ _R7_WINDOW = [
     "avg_precision_quality", "sq8_recall", "ndcg_quality", "zipf_slope",
     "max_coverage", "source_unique_vocab", "ppr_coorder", "dedup_funnel",
     "pq_recall", "conformal_gate", "isotonic_calibration", "theil_sen_trend",
+    # never-driver-green debt (r7-session additions — debt outranks
+    # re-certification anchors, so each batch displaces the youngest
+    # anchors from the tail of this list)
+    "kmv_distinct", "wasserstein_drift", "kendall_tau_daily", "mrr_quality",
+    "link_prediction", "acf_daily", "l_diversity", "ahash_image_neardup",
     # re-certification anchors: last green r1
     "hourly_windows", "stream_hourly_windows", "stream_sessionize",
     # re-certification anchors: last green r2
@@ -343,9 +357,7 @@ _R7_WINDOW = [
     "clicked_never_purchased", "late_ship_priority", "parts_never_discounted",
     "user_value_quartiles", "clean_text", "hashtags", "stopword_filter",
     "bigram_pairs", "parse_rfc822", "parse_struct_time", "parse_simple",
-    "parse_zoned", "exact_dedup", "segment_dedup", "ngram_jaccard",
-    "simhash", "fingerprint", "winnow_fingerprints", "salted_distinct_users",
-    "skew_join_revenue",
+    "parse_zoned",
 ]
 _BY_NAME = {t[0]: t for t in _REGISTRY}
 _REGISTRY = (

@@ -253,6 +253,14 @@ HEADLINE = [
     "conformal_gate",
     "isotonic_calibration",
     "theil_sen_trend",
+    "kmv_distinct",
+    "wasserstein_drift",
+    "kendall_tau_daily",
+    "mrr_quality",
+    "link_prediction",
+    "acf_daily",
+    "l_diversity",
+    "ahash_image_neardup",
 ]
 
 #: deliberate shadows: oracle-exact twins of faster default kernels, kept

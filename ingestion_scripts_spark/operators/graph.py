@@ -434,3 +434,174 @@ def personalized_pagerank_int(
         F.col("r").alias("ppr_u"),
         (F.col("r") / F.lit(float(_ONE))).alias("ppr"),
     )
+
+
+def link_prediction_scores(
+    edges: DataFrame,
+    a_col: str = "a",
+    b_col: str = "b",
+    max_degree: int = 500,
+) -> DataFrame:
+    """Link-prediction scores for every NON-edge 2-hop pair: common
+    neighbors, Jaccard of neighbor sets, and Adamic-Adar — the classic
+    triad (Liben-Nowell & Kleinberg 2003) behind "you may also like" /
+    graph-completion candidates; on the part co-order graph it surfaces
+    parts that are never bought together yet share buying contexts.
+
+    ``edges``: undirected simple graph, one row per edge with a < b.
+    Returns (u, w, common, jaccard_micro, aa_micro) for candidate pairs
+    (u < w, not an existing edge, >= 1 common neighbor).
+
+    Exactness: common and degrees are exact counts;
+    ``jaccard_micro = (1e6 * common) div (deg_u + deg_w - common)`` is a
+    truncating integer division (both engines truncate); Adamic-Adar's
+    per-intermediary 1/ln(deg_z) is snapped to micro-units IMMEDIATELY
+    (floor(1e6/ln + 0.5)) so the per-pair sum is an exact BIGINT —
+    partition-order independent (the importance_weights idiom; libm ulp
+    risk confined to the snap, the house-accepted precedent).
+
+    Scale shape: candidates come from the wedge join through each
+    intermediary z, so volume is sum_z deg(z)^2. Hub intermediaries are
+    EXCLUDED above ``max_degree`` — the standard mitigation, and
+    semantically principled: a hub contributes ~0 Adamic-Adar weight
+    (1/ln(deg) -> 0) and no discriminative signal, while costing
+    deg^2 candidates. The cap makes the blowup impossible by
+    construction instead of hoping the degree distribution is kind; the
+    oracle applies the identical cap so results stay differential.
+    """
+    e = edges.select(
+        F.col(a_col).cast("bigint").alias("a"),
+        F.col(b_col).cast("bigint").alias("b"),
+    )
+    nbr = e.select(F.col("a").alias("u"), F.col("b").alias("z")).union(
+        e.select(F.col("b").alias("u"), F.col("a").alias("z"))
+    )
+    deg = nbr.groupBy("u").agg(F.count(F.lit(1)).cast("bigint").alias("deg"))
+    zdeg = deg.select(F.col("u").alias("z"), F.col("deg").alias("zdeg"))
+    # deg(z) >= 2: a degree-1 intermediary cannot form a wedge anyway, and
+    # excluding it up front keeps 1/ln(deg) away from ln(1) = 0
+    nbr_ok = nbr.join(zdeg, "z").filter(
+        (F.col("zdeg") >= 2) & (F.col("zdeg") <= max_degree)
+    )
+    # 1/ln(deg_z) in micro-units, snapped once per intermediary
+    aa_w = F.floor(1000000.0 / F.log(F.col("zdeg").cast("double")) + 0.5).cast(
+        "bigint"
+    )
+    nbr_w = nbr_ok.select("u", "z", aa_w.alias("aw"))
+    l, r = nbr_w.alias("l"), nbr_w.alias("r")
+    wedges = l.join(
+        r, (F.col("l.z") == F.col("r.z")) & (F.col("l.u") < F.col("r.u"))
+    ).select(
+        F.col("l.u").alias("u"),
+        F.col("r.u").alias("w"),
+        F.col("l.aw").alias("aw"),
+    )
+    scored = wedges.groupBy("u", "w").agg(
+        F.count(F.lit(1)).cast("bigint").alias("common"),
+        F.sum("aw").cast("bigint").alias("aa_micro"),
+    )
+    # drop existing edges (u < w matches the canonical edge orientation)
+    cand = scored.join(
+        e, (scored["u"] == e["a"]) & (scored["w"] == e["b"]), "left_anti"
+    )
+    du = deg.select(F.col("u"), F.col("deg").alias("du"))
+    dw = deg.select(F.col("u").alias("w"), F.col("deg").alias("dw"))
+    return (
+        cand.join(du, "u")
+        .join(dw, "w")
+        .select(
+            "u",
+            "w",
+            "common",
+            F.expr("(1000000 * common) div (du + dw - common)")
+            .cast("bigint")
+            .alias("jaccard_micro"),
+            "aa_micro",
+        )
+    )
+
+
+def modularity(
+    edges: DataFrame,
+    labels: DataFrame,
+    a_col: str = "a",
+    b_col: str = "b",
+    node_col: str = "node",
+    label_col: str = "label",
+) -> DataFrame:
+    """Newman modularity Q of a node partition over an undirected simple
+    graph (edges a < b, unweighted) — the single number that says whether
+    a community assignment beats random chance, the standard quality
+    gauge for the label-propagation / community queries.
+
+    Exactness: Q = (1/(4m^2)) * sum_c (4m*in_c - deg_c^2) — the numerator
+    is an exact BIGINT over exact edge/degree counts (nodes missing from
+    ``labels`` become singleton communities via their own id, so the
+    partition is total and sum_c deg_c = 2m holds); ONE float divide at
+    the end. Returns a single row
+    (m, n_communities, q_num, modularity).
+
+    Scale shape: two keyed aggregations (within-community edge counts,
+    per-community degree sums) over edges joined to a broadcast-or-
+    shuffled label map — no iteration, no driver state.
+    """
+    e = edges.select(
+        F.col(a_col).cast("bigint").alias("a"),
+        F.col(b_col).cast("bigint").alias("b"),
+    )
+    lab = labels.select(
+        F.col(node_col).cast("bigint").alias("node"),
+        F.col(label_col).cast("bigint").alias("lab"),
+    )
+    nodes = (
+        e.select(F.col("a").alias("node"))
+        .union(e.select(F.col("b").alias("node")))
+        .distinct()
+    )
+    full = nodes.join(lab, "node", "left").select(
+        "node", F.coalesce("lab", F.col("node")).alias("lab")
+    )
+    la = full.select(F.col("node").alias("a"), F.col("lab").alias("la"))
+    lb = full.select(F.col("node").alias("b"), F.col("lab").alias("lb"))
+    tagged = e.join(la, "a").join(lb, "b")
+    m_row = e.agg(F.count(F.lit(1)).cast("bigint").alias("m"))
+    in_c = (
+        tagged.filter(F.col("la") == F.col("lb"))
+        .groupBy(F.col("la").alias("lab"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("in_c"))
+    )
+    deg = (
+        full.join(
+            e.select(F.col("a").alias("node"))
+            .union(e.select(F.col("b").alias("node")))
+            .groupBy("node")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("d")),
+            "node",
+        )
+        .groupBy("lab")
+        .agg(F.sum("d").cast("bigint").alias("deg_c"))
+    )
+    per_c = deg.join(in_c, "lab", "left").select(
+        "lab",
+        F.coalesce("in_c", F.lit(0)).cast("bigint").alias("in_c"),
+        "deg_c",
+    )
+    agg = per_c.crossJoin(F.broadcast(m_row)).agg(
+        F.max("m").alias("m"),
+        F.count(F.lit(1)).cast("bigint").alias("n_communities"),
+        F.sum(
+            F.lit(4) * F.col("m") * F.col("in_c") - F.col("deg_c") * F.col("deg_c")
+        )
+        .cast("bigint")
+        .alias("q_num"),
+    )
+    return agg.select(
+        "m",
+        "n_communities",
+        "q_num",
+        F.round(
+            F.col("q_num").cast("double")
+            / (F.lit(4.0) * F.col("m").cast("double") * F.col("m").cast("double")),
+            6,
+        ).alias("modularity"),
+    )

@@ -234,3 +234,110 @@ def audio_energy_windows(
             )
 
     return df.select(id_col, payload_col).mapInPandas(run, out_schema)
+
+
+def ahash_bands(
+    df: DataFrame,
+    payload_col: str = "payload",
+    id_col: str = "media_id",
+    bytes_per_partition: int = 128 << 20,
+) -> DataFrame:
+    """64-pixel average-hash (aHash) of a binary payload, returned as four
+    16-bit band integers — the perceptual-dedup leg of the multimodal
+    surface: identical plumbing to production image near-dup (decode →
+    8x8 grayscale → threshold at the mean → 64-bit hash → banded hamming
+    join), with the DECODE stand-in being the documented deterministic
+    fake (the base64 byte stream of the payload, cycled to 64 samples) so
+    the DuckDB oracle can recompute every pixel with ``ascii()`` and the
+    whole Arrow round-trip is value-checked. Real deployments swap the
+    pixel source for a PIL/libvips 8x8 resize; everything downstream —
+    bit packing, banding, hamming verify — is unchanged.
+
+    Bit law: pixel j (1-based) sets bit (15 - (j-1) % 16) of band
+    (j-1) div 16 iff 64 * p_j > sum(p) — strict, integer-exact, no
+    division. Four 16-bit bands instead of one 64-bit word so a hamming
+    radius <= 3 candidate MUST share one exact band (pigeonhole over 4
+    bands), making candidate generation an equi-join, never all-pairs.
+
+    Empty payloads yield NULL bands (no pixels to threshold).
+    """
+    out_schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType()),
+            T.StructField("b0", T.LongType()),
+            T.StructField("b1", T.LongType()),
+            T.StructField("b2", T.LongType()),
+            T.StructField("b3", T.LongType()),
+        ]
+    )
+
+    def run(batches: Iterator) -> Iterator:
+        import base64
+
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for mid, payload in zip(pdf[id_col], pdf[payload_col]):
+                s = base64.b64encode(bytes(payload)).decode("ascii")
+                if not s:
+                    rows.append((mid, None, None, None, None))
+                    continue
+                s64 = (s * (64 // len(s) + 1))[:64]
+                px = [ord(c) for c in s64]
+                tot = sum(px)
+                bits = [1 if 64 * p > tot else 0 for p in px]
+                bands = [
+                    sum(
+                        bit << (15 - j)
+                        for j, bit in enumerate(bits[i * 16 : (i + 1) * 16])
+                    )
+                    for i in range(4)
+                ]
+                rows.append((mid, *bands))
+            yield pd.DataFrame(
+                rows, columns=["media_id", "b0", "b1", "b2", "b3"]
+            )
+
+    return df.select(F.col(id_col), F.col(payload_col)).mapInPandas(
+        run, out_schema
+    )
+
+
+def ahash_near_dup_pairs(hashes: DataFrame, max_hamming: int = 3) -> DataFrame:
+    """Near-dup pairs from ``ahash_bands`` output: candidates share at
+    least one exact 16-bit band (guaranteed complete for hamming <=
+    3 by pigeonhole over 4 bands), verified with exact bit_count(xor)
+    hamming. Returns (id_a, id_b, hamming), id_a < id_b."""
+    bands = hashes.select(
+        "media_id",
+        "b0",
+        "b1",
+        "b2",
+        "b3",
+        F.posexplode(F.array("b0", "b1", "b2", "b3")).alias("band_no", "bv"),
+    ).filter(F.col("bv").isNotNull())
+    l, r = bands.alias("l"), bands.alias("r")
+    cand = (
+        l.join(
+            r,
+            (F.col("l.band_no") == F.col("r.band_no"))
+            & (F.col("l.bv") == F.col("r.bv"))
+            & (F.col("l.media_id") < F.col("r.media_id")),
+        )
+        .select(
+            F.col("l.media_id").alias("id_a"),
+            F.col("r.media_id").alias("id_b"),
+            (
+                F.bit_count(F.expr("l.b0").bitwiseXOR(F.expr("r.b0")))
+                + F.bit_count(F.expr("l.b1").bitwiseXOR(F.expr("r.b1")))
+                + F.bit_count(F.expr("l.b2").bitwiseXOR(F.expr("r.b2")))
+                + F.bit_count(F.expr("l.b3").bitwiseXOR(F.expr("r.b3")))
+            )
+            .cast("bigint")
+            .alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .distinct()
+    )
+    return cand

@@ -794,3 +794,384 @@ def theil_sen_slope(
         .filter(F.col("rn") == F.expr("(m + 1) div 2"))
         .select("g", "m", F.col("sl").alias("slope_u"))
     )
+
+
+def wasserstein_1d(
+    df: DataFrame,
+    group_col: str,
+    value_micro: Column,
+    is_a: Column,
+) -> DataFrame:
+    """Per-group 1-D Wasserstein-1 (earth mover's) distance between the
+    ``is_a`` rows (sample A) and the rest (sample B) — the magnitude-aware
+    complement to ``ks_statistic``: KS reports the single worst CDF gap
+    (shape shift), W1 integrates |F_A - F_B| over the whole support, so a
+    small-but-everywhere drift (e.g. a +2% price rescale) that barely moves
+    the max gap still moves the mass. The standard distribution-drift pair
+    a feature-monitoring stack reports together.
+
+    Exact arithmetic: with values in integer micro-units, W1 =
+    (1/(na*nb)) * sum over adjacent distinct values of
+    |ca*nb - cb*na| * (v_next - v), where ca/cb are cumulative counts —
+    every term is an exact BIGINT product (cross-multiplied CDFs, same
+    idiom as ``ks_statistic``), one float divide at the end.
+    ``w1_num`` is the exact integer numerator in micro-value units.
+
+    Scale shape: one keyed shuffle (cumulative window over the group),
+    a lead() for the gap — no pair join, O(n log n) per group.
+    """
+    base = df.select(
+        F.col(group_col),
+        value_micro.cast("bigint").alias("__vm"),
+        F.when(is_a, F.lit(1)).otherwise(F.lit(0)).alias("__a"),
+    )
+    w = (
+        Window.partitionBy(group_col)
+        .orderBy("__vm")
+        .rangeBetween(Window.unboundedPreceding, 0)
+    )
+    cum = (
+        base.withColumn("ca", F.sum("__a").over(w))
+        .withColumn("cb", F.sum(1 - F.col("__a")).over(w))
+        .groupBy(group_col, "__vm")
+        .agg(F.max("ca").alias("ca"), F.max("cb").alias("cb"))
+    )
+    lead_w = Window.partitionBy(group_col).orderBy("__vm")
+    gaps = cum.withColumn("nxt", F.lead("__vm").over(lead_w)).filter(
+        F.col("nxt").isNotNull()
+    )
+    tot = base.groupBy(group_col).agg(
+        F.sum("__a").cast("bigint").alias("n_a"),
+        F.sum(1 - F.col("__a")).cast("bigint").alias("n_b"),
+    )
+    num = (
+        gaps.join(F.broadcast(tot), group_col)
+        .groupBy(group_col, "n_a", "n_b")
+        .agg(
+            F.sum(
+                F.abs(F.col("ca") * F.col("n_b") - F.col("cb") * F.col("n_a"))
+                * (F.col("nxt") - F.col("__vm"))
+            )
+            .cast("bigint")
+            .alias("w1_num")
+        )
+    )
+    return num.select(
+        group_col,
+        "n_a",
+        "n_b",
+        "w1_num",
+        F.round(
+            F.col("w1_num").cast("double")
+            / (F.col("n_a") * F.col("n_b")).cast("double")
+            / 1000000.0,
+            6,
+        ).alias("w1"),
+    )
+
+
+def kendall_tau(
+    df: DataFrame,
+    group_col: str,
+    x: Column,
+    y: Column,
+) -> DataFrame:
+    """Per-group Kendall tau-b rank correlation: concordant minus
+    discordant pairs over the geometric mean of tie-corrected pair counts
+    — the third leg of the correlation family (Pearson ``stats_corr``:
+    linear; Spearman: monotone via ranks; Kendall: pairwise order
+    agreement, the most robust to outliers and the one with a direct
+    probabilistic reading P(concordant) - P(discordant)).
+
+    Exactness: C, D, and the tie counts are exact BIGINT pair counts from
+    an x_i < x_j self-join (ties in x handled by the tie terms — pairs
+    with equal x contribute to t_x only, counted separately so the
+    i<j-on-x join can't miss them); tau_b's single sqrt+divide happens
+    once at the end, rounded to 6 dp. Pair volume is within-group
+    squared, the theil_sen bound — use on pre-aggregated series, not raw
+    events.
+
+    Returns (g, n, concordant, discordant, tau_b).
+    """
+    pts = df.select(
+        F.col(group_col).alias("g"),
+        x.cast("bigint").alias("x"),
+        y.cast("bigint").alias("y"),
+    )
+    a, b = pts.alias("a"), pts.alias("b")
+    # all unordered pairs exactly once: order by (x, y) lexicographically
+    # with a strict <, plus equal-(x,y) pairs counted combinatorially below
+    pairs = a.join(
+        b,
+        (F.col("a.g") == F.col("b.g"))
+        & (
+            (F.col("a.x") < F.col("b.x"))
+            | ((F.col("a.x") == F.col("b.x")) & (F.col("a.y") < F.col("b.y")))
+        ),
+    ).select(
+        F.col("a.g").alias("g"),
+        (F.col("a.x") < F.col("b.x")).cast("int").alias("dx"),
+        F.when(F.col("b.y") > F.col("a.y"), 1)
+        .when(F.col("b.y") < F.col("a.y"), -1)
+        .otherwise(0)
+        .alias("sy"),
+    )
+    counts = pairs.groupBy("g").agg(
+        F.sum(((F.col("dx") == 1) & (F.col("sy") == 1)).cast("bigint")).alias("c"),
+        F.sum(((F.col("dx") == 1) & (F.col("sy") == -1)).cast("bigint")).alias("d"),
+        F.sum(((F.col("dx") == 1) & (F.col("sy") == 0)).cast("bigint")).alias("ty_only"),
+        F.sum((F.col("dx") == 0).cast("bigint")).alias("tx_only_strict_y"),
+    )
+    # duplicate (x,y) points: neither the strict join above nor the tie
+    # terms see them — count them once combinatorially
+    dup = (
+        pts.groupBy("g", "x", "y")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("k"))
+        .groupBy("g")
+        .agg(F.sum(F.expr("(k * (k - 1)) div 2")).cast("bigint").alias("txy"))
+    )
+    n = pts.groupBy("g").agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    out = counts.join(dup, "g").join(F.broadcast(n), "g")
+    n0 = F.expr("(n * (n - 1)) div 2").cast("bigint")
+    # pairs tied in x: strict-y ties-in-x + duplicate points; same for y
+    tx = F.col("tx_only_strict_y") + F.col("txy")
+    ty = F.col("ty_only") + F.col("txy")
+    den = F.sqrt((n0 - tx).cast("double") * (n0 - ty).cast("double"))
+    return out.select(
+        "g",
+        "n",
+        F.col("c").alias("concordant"),
+        F.col("d").alias("discordant"),
+        F.when(
+            (n0 - tx > 0) & (n0 - ty > 0),
+            F.round((F.col("c") - F.col("d")).cast("double") / den, 6),
+        ).alias("tau_b"),
+    )
+
+
+def mean_reciprocal_rank(
+    df: DataFrame,
+    group_col: str,
+    score: Column,
+    label: Column,
+    id_col: str,
+) -> DataFrame:
+    """Per-group Mean Reciprocal Rank — here "mean" over groups is left to
+    the caller; this returns each group's reciprocal rank of the FIRST
+    relevant item under the score ranking (the navigational-search eval:
+    "how deep is the first hit?"), completing the ranking-eval family
+    (ROC-AUC: balanced binary; AP: imbalanced binary; nDCG: graded;
+    MRR: first-hit).
+
+    Exactness: rr_micro = 1000000 div rank — an exact truncating integer
+    division on both engines; groups with no relevant item return rank
+    NULL and rr_micro 0 (the standard MRR convention: a query with no hit
+    contributes zero, not undefined — unlike nDCG's 0/0 case).
+    """
+    ranked = df.select(
+        F.col(group_col).alias("g"),
+        score.cast("bigint").alias("s"),
+        label.cast("int").alias("rel"),
+        F.col(id_col).alias("id"),
+    ).withColumn(
+        "rank",
+        F.row_number().over(
+            Window.partitionBy("g").orderBy(F.desc("s"), F.asc("id"))
+        ),
+    )
+    first = ranked.filter(F.col("rel") == 1).groupBy("g").agg(
+        F.min("rank").cast("bigint").alias("first_rank")
+    )
+    groups = ranked.groupBy("g").agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    return groups.join(first, "g", "left").select(
+        "g",
+        "n",
+        F.col("first_rank"),
+        F.coalesce(
+            F.expr("1000000 div first_rank"), F.lit(0).cast("bigint")
+        ).alias("rr_micro"),
+    )
+
+
+def autocorrelation(
+    df: DataFrame,
+    x: Column,
+    y: Column,
+    max_lag: int = 7,
+) -> DataFrame:
+    """Autocorrelation function of a single regularly-indexed series at
+    lags 1..max_lag: r_k = sum_t (y_t - m)(y_{t+k} - m) / sum_t (y_t - m)^2
+    — the seasonality/memory profile of a pipeline's daily volume (a
+    weekly ingest cadence shows as a spike at lag 7; a white-noise series
+    shows none), feeding anomaly baselines and forecast sanity checks.
+
+    Exactness: means never materialize as floats — both sums are computed
+    N-scaled: num_k = sum (N*y_t - S)(N*y_{t+k} - S) and
+    den = sum (N*y_t - S)^2 where S = sum y. The products can exceed
+    int64 for long/large series, so accumulation is DECIMAL(38,0)
+    (Spark) / HUGEINT (DuckDB oracle) — exact integers, order-independent
+    (the covariance_matrix idiom). One float divide per lag at the end.
+    ``x`` must be the series index (gaps allowed: lag k pairs are matched
+    on x_j - x_i = k exactly, not row adjacency).
+    """
+    pts = df.select(x.cast("bigint").alias("x"), y.cast("bigint").alias("y"))
+    stats = pts.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("y").cast("bigint").alias("s"),
+    )
+    centered = pts.crossJoin(F.broadcast(stats)).select(
+        "x",
+        "n",
+        # cast BEFORE the multiply: bigint*bigint can overflow int64 for
+        # long/large series; decimal(38,0) arithmetic is exact
+        (
+            F.col("y").cast("decimal(38,0)") * F.col("n") - F.col("s")
+        ).cast("decimal(38,0)").alias("c"),
+    )
+    den = centered.agg(
+        F.sum(F.col("c") * F.col("c")).cast("decimal(38,0)").alias("den"),
+        F.max("n").alias("n"),
+    )
+    a, b = centered.alias("a"), centered.alias("b")
+    # ONE range join covers every lag; group by the x-distance. The series
+    # is a pre-aggregated daily index (thousands of rows), so the join is
+    # a broadcast-scale range probe, not a shuffle problem.
+    nums = (
+        a.join(
+            b,
+            (F.col("b.x") - F.col("a.x") >= 1)
+            & (F.col("b.x") - F.col("a.x") <= max_lag),
+        )
+        .groupBy((F.col("b.x") - F.col("a.x")).cast("bigint").alias("lag"))
+        .agg(
+            F.sum(F.expr("a.c * b.c")).cast("decimal(38,0)").alias("num"),
+            F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+        )
+    )
+    return nums.crossJoin(F.broadcast(den)).select(
+        "lag",
+        "n_pairs",
+        F.when(
+            F.col("den") > 0,
+            F.round(
+                F.col("num").cast("double") / F.col("den").cast("double"), 6
+            ),
+        ).alias("acf"),
+    )
+
+
+def seasonal_decompose_daily(
+    df: DataFrame,
+    x: Column,
+    y: Column,
+    period: int = 7,
+) -> DataFrame:
+    """Division-free STL-lite decomposition of a daily series into trend /
+    seasonal / residual — the classical moving-average decomposition
+    (trend = centered (period)-day MA, seasonal = per-phase mean of the
+    detrended series), the sanity layer under anomaly alerts: a "spike"
+    that is pure weekday seasonality should page nobody.
+
+    Exactness: NO component ever divides early — the detrended series is
+    kept PERIOD-SCALED: detrended_s = period*y - sum_window(y) (exact
+    BIGINT); the seasonal term is the truncating integer division of the
+    per-phase sum by its count (both engines truncate); residual_s =
+    detrended_s - seasonal_s. Consumers divide by ``period`` once at
+    read time if they want natural units.
+
+    Gap-safe: the window is RANGE-based on the integer index, so a day
+    missing from the input cannot silently shift the window to non-
+    adjacent days; rows whose centered window is incomplete (edges, gaps)
+    carry NULL trend and are excluded from the seasonal fit.
+
+    Returns (x, y, trend_sum, phase, detrended_s, seasonal_s, residual_s).
+    """
+    half = period // 2
+    pts = df.select(x.cast("bigint").alias("x"), y.cast("bigint").alias("y"))
+    w = Window.orderBy("x").rangeBetween(-half, half)
+    t = pts.withColumn("win_n", F.count(F.lit(1)).over(w)).withColumn(
+        "trend_sum",
+        F.when(F.col("win_n") == period, F.sum("y").over(w)).cast("bigint"),
+    )
+    det = t.withColumn(
+        "detrended_s",
+        F.when(
+            F.col("trend_sum").isNotNull(),
+            F.lit(period) * F.col("y") - F.col("trend_sum"),
+        ).cast("bigint"),
+    ).withColumn("phase", (F.col("x") % period).cast("bigint"))
+    seas = (
+        det.filter(F.col("detrended_s").isNotNull())
+        .groupBy("phase")
+        .agg(
+            F.sum("detrended_s").cast("bigint").alias("ssum"),
+            F.count(F.lit(1)).cast("bigint").alias("scnt"),
+        )
+        .select("phase", F.expr("ssum div scnt").cast("bigint").alias("seasonal_s"))
+    )
+    return (
+        det.join(F.broadcast(seas), "phase", "left")
+        .select(
+            "x",
+            "y",
+            "trend_sum",
+            "phase",
+            "detrended_s",
+            F.when(F.col("detrended_s").isNotNull(), F.col("seasonal_s"))
+            .cast("bigint")
+            .alias("seasonal_s"),
+            F.when(
+                F.col("detrended_s").isNotNull(),
+                F.col("detrended_s") - F.col("seasonal_s"),
+            )
+            .cast("bigint")
+            .alias("residual_s"),
+        )
+    )
+
+
+def fano_factor(
+    df: DataFrame,
+    group_col: str,
+    y: Column,
+) -> DataFrame:
+    """Per-group Fano factor (variance-to-mean ratio) of a count series —
+    the burstiness index: 1 for Poisson arrivals, >> 1 for bursty bots /
+    batch replays, < 1 for rate-limited (sub-Poisson) traffic. The
+    distributional complement to bot_burst_users' threshold rule.
+
+    Division-free core: var = sum((N*y - S)^2) / N^3 and mean = S/N, so
+    var/mean = sum((N*y - S)^2) / (N^2 * S) — numerator and denominator
+    are exact BIGINTs (counts are small; N*y bounded by group volume),
+    ONE float divide at the end. Groups with S = 0 are NULL (undefined),
+    not 0.
+    """
+    pts = df.select(F.col(group_col).alias("g"), y.cast("bigint").alias("y"))
+    tot = pts.groupBy("g").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("y").cast("bigint").alias("s"),
+    )
+    num = (
+        pts.join(F.broadcast(tot), "g")
+        .select(
+            "g",
+            ((F.col("y") * F.col("n") - F.col("s"))
+             * (F.col("y") * F.col("n") - F.col("s"))).alias("sq"),
+        )
+        .groupBy("g")
+        .agg(F.sum("sq").cast("bigint").alias("var_num"))
+    )
+    return num.join(tot, "g").select(
+        "g",
+        "n",
+        "s",
+        "var_num",
+        F.when(
+            F.col("s") > 0,
+            F.round(
+                F.col("var_num").cast("double")
+                / (F.col("n") * F.col("n") * F.col("s")).cast("double"),
+                6,
+            ),
+        ).alias("fano"),
+    )

@@ -222,3 +222,92 @@ def sql_hll_count_distinct(
     same literal alpha). ``value_expr`` must already be VARCHAR."""
     regs = sql_hll_registers(table_expr, group_col, value_expr, b)
     return sql_hll_estimate(f"({regs})", group_col, b, out_col)
+
+
+# ---------------------------------------------------------------------------
+# KMV (k-minimum-values / bottom-k) distinct sketch
+# ---------------------------------------------------------------------------
+
+#: hash64 is 15 hex digits of md5 = 60 uniform bits in [0, 2^60)
+KMV_SPACE = 1 << 60
+
+
+def kmv_sketch(df: DataFrame, group_col: str, value, k: int = 64) -> DataFrame:
+    """Per-group KMV (k-minimum-values, a.k.a. bottom-k / theta) sketch:
+    the k smallest distinct md5-derived hashes of ``value`` — the
+    order-statistics alternative to HLL (Bar-Yossef et al. 2002; the
+    DataSketches theta family). Same mergeability story as
+    ``hll_registers``: the sketch of a UNION of groups is the k smallest
+    of the union of the groups' sketches, so rollups never rescan data —
+    and unlike HLL, KMV supports set intersection estimates directly.
+
+    Returns (g, h) rows — at most k per group, exact integers.
+    """
+    hashed = df.select(
+        F.col(group_col).alias("g"), hash64(value).alias("h")
+    ).distinct()
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("g").orderBy("h")
+    return (
+        hashed.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select("g", "h")
+    )
+
+
+def kmv_estimate(sketch: DataFrame, k: int = 64) -> DataFrame:
+    """Distinct-count estimate from a KMV sketch: if the group holds fewer
+    than k hashes the count is EXACT (= m); otherwise est =
+    floor((k-1) * 2^60 / h_k) where h_k is the k-th smallest hash — the
+    standard unbiased KMV estimator. The single float multiply+divide is
+    over exactly-representable operands ((k-1)*2^60 has a <=7-bit
+    mantissa) and both engines round the BIGINT h_k to double identically
+    (IEEE nearest), so the floor is cross-engine exact.
+    """
+    agg = sketch.groupBy("g").agg(
+        F.count(F.lit(1)).cast("bigint").alias("m"),
+        F.max("h").cast("bigint").alias("kth"),
+    )
+    return agg.select(
+        "g",
+        "m",
+        F.when(F.col("m") < k, F.col("m"))
+        .otherwise(
+            F.floor(
+                F.lit(float((k - 1) * KMV_SPACE))
+                / F.col("kth").cast("double")
+            ).cast("bigint")
+        )
+        .alias("est"),
+        F.when(F.col("m") < k, F.lit(None).cast("bigint"))
+        .otherwise(F.col("kth"))
+        .alias("kth_hash"),
+    )
+
+
+def sql_kmv_sketch(
+    table_expr: str, group_col: str, value_expr: str, k: int = 64
+) -> str:
+    """DuckDB twin of ``kmv_sketch`` (same md5 hash, same bottom-k)."""
+    from ..oracle import sql_hash64
+
+    h = sql_hash64(value_expr)
+    return f"""
+SELECT g, h FROM (
+  SELECT g, h, row_number() OVER (PARTITION BY g ORDER BY h) AS rn
+  FROM (SELECT DISTINCT {group_col} AS g, {h} AS h FROM {table_expr}))
+WHERE rn <= {k}"""
+
+
+def sql_kmv_estimate(sketch_expr: str, k: int = 64) -> str:
+    """DuckDB twin of ``kmv_estimate`` over a (g, h) sketch relation."""
+    lit = repr(float((k - 1) * KMV_SPACE))
+    return f"""
+SELECT g, m,
+       CASE WHEN m < {k} THEN m
+            ELSE CAST(floor({lit} / CAST(kth AS DOUBLE)) AS BIGINT) END
+         AS est,
+       CASE WHEN m < {k} THEN NULL ELSE kth END AS kth_hash
+FROM (SELECT g, CAST(count(*) AS BIGINT) AS m, CAST(max(h) AS BIGINT) AS kth
+      FROM {sketch_expr} GROUP BY g)"""

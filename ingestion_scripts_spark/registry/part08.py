@@ -1,0 +1,505 @@
+"""Registry implementation, part 08 — r7 additions: KMV distinct sketch,
+Wasserstein drift, Kendall tau-b, MRR, link prediction, exact ACF,
+l-diversity, and multimodal aHash near-dup. Chained after part07: explicit
+head imports, ``import *`` from the previous part, and a cumulative
+``__all__`` so the front door's single ``import *`` sees everything."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ingestion_scripts_spark.caching import persist_tracked
+from ingestion_scripts_spark.registry import part07 as _prev  # noqa: F401
+from ingestion_scripts_spark.registry.part07 import *  # noqa: F401,F403
+
+
+# ---------------------------------------------------------------------------
+# KMV (bottom-k) distinct sketch + merge
+# ---------------------------------------------------------------------------
+
+def q_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event_type distinct-user estimates from KMV bottom-64 sketches
+    (operators/sketches.py::kmv_sketch) PLUS a '__all__' row whose sketch
+    is built by MERGING the per-group sketches (bottom-64 of their union)
+    — never rescanning the data, the property that lets a sketch
+    warehouse serve any rollup. Groups with < k distinct users report the
+    EXACT count (est = m, kth_hash NULL); estimator arithmetic is one
+    float divide over exactly-representable operands."""
+    from ingestion_scripts_spark.operators import sketches as SK
+
+    ev = _t(spark, sf_dir, "events")
+    sk = SK.kmv_sketch(ev, "event_type", F.col("user_id").cast("string"), k=64)
+    sk = persist_tracked(sk)  # consumed twice: per-group rows + the merge
+    w = Window.orderBy("h")
+    merged = (
+        sk.select("h")
+        .distinct()
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 64)
+        .select(F.lit("__all__").alias("g"), "h")
+    )
+    out = SK.kmv_estimate(sk.unionByName(merged), k=64)
+    return out.orderBy("g")
+
+
+def _sql_kmv_distinct() -> str:
+    from ingestion_scripts_spark.operators.sketches import (
+        sql_kmv_estimate,
+        sql_kmv_sketch,
+    )
+
+    sk = sql_kmv_sketch("events", "event_type", "CAST(user_id AS VARCHAR)", 64)
+    est = sql_kmv_estimate("u", 64)
+    return f"""
+WITH sk AS ({sk}),
+merged AS (
+  SELECT '__all__' AS g, h FROM (
+    SELECT h, row_number() OVER (ORDER BY h) AS rn
+    FROM (SELECT DISTINCT h FROM sk))
+  WHERE rn <= 64),
+u AS (SELECT * FROM sk UNION ALL SELECT * FROM merged)
+{est}
+ORDER BY g"""
+
+
+__all__ = list(_prev.__all__) + [  # noqa: PLE0605
+    "q_kmv_distinct", "_sql_kmv_distinct",
+]
+
+
+# ---------------------------------------------------------------------------
+# Wasserstein-1 drift
+# ---------------------------------------------------------------------------
+
+def q_wasserstein_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event_type Wasserstein-1 distance between the even- and
+    odd-event_id halves of the value distribution — the magnitude-aware
+    companion to ks_drift over the IDENTICAL slices (KS: worst single CDF
+    gap; W1: integrated |F_A - F_B|, which a small-everywhere rescale
+    moves even when the max gap barely changes). Exact BIGINT numerator
+    (cross-multiplied CDWs x support gaps), one divide at the end
+    (operators/profiling.py::wasserstein_1d)."""
+    from ingestion_scripts_spark.operators import profiling as PR
+
+    ev = _t(spark, sf_dir, "events")
+    out = PR.wasserstein_1d(
+        ev,
+        "event_type",
+        PR.snap_units(F.col("value"), 1000000),
+        F.col("event_id") % 2 == 0,
+    )
+    return out.orderBy("event_type")
+
+
+SQL_WASSERSTEIN_DRIFT = """
+WITH base AS (
+  SELECT event_type,
+         CAST(floor(value * 1000000 + 0.5) AS BIGINT) AS vm,
+         CASE WHEN event_id % 2 = 0 THEN 1 ELSE 0 END AS a
+  FROM events),
+cum AS (
+  SELECT event_type, vm,
+         max(ca) AS ca, max(cb) AS cb
+  FROM (
+    SELECT event_type, vm,
+           sum(a) OVER (PARTITION BY event_type ORDER BY vm
+                        RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ca,
+           sum(1 - a) OVER (PARTITION BY event_type ORDER BY vm
+                        RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cb
+    FROM base)
+  GROUP BY event_type, vm),
+gaps AS (
+  SELECT event_type, vm, ca, cb,
+         lead(vm) OVER (PARTITION BY event_type ORDER BY vm) AS nxt
+  FROM cum),
+tot AS (
+  SELECT event_type, CAST(sum(a) AS BIGINT) AS n_a,
+         CAST(sum(1 - a) AS BIGINT) AS n_b
+  FROM base GROUP BY event_type)
+SELECT g.event_type, t.n_a, t.n_b,
+       CAST(sum(abs(g.ca * t.n_b - g.cb * t.n_a) * (g.nxt - g.vm)) AS BIGINT)
+         AS w1_num,
+       round(CAST(sum(abs(g.ca * t.n_b - g.cb * t.n_a) * (g.nxt - g.vm))
+                  AS DOUBLE)
+             / CAST(t.n_a * t.n_b AS DOUBLE) / 1000000.0, 6) AS w1
+FROM gaps g JOIN tot t USING (event_type)
+WHERE g.nxt IS NOT NULL
+GROUP BY g.event_type, t.n_a, t.n_b
+ORDER BY event_type
+"""
+
+
+__all__ = __all__ + ["q_wasserstein_drift", "SQL_WASSERSTEIN_DRIFT"]  # noqa: F405,PLE0605
+
+
+# ---------------------------------------------------------------------------
+# Kendall tau-b
+# ---------------------------------------------------------------------------
+
+def q_kendall_tau_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user Kendall tau-b between day index and daily event count —
+    the third correlation leg (Pearson stats_corr: linear; Spearman:
+    monotone ranks; Kendall: pairwise order agreement with the direct
+    P(concordant) - P(discordant) reading) on the same daily pre-aggregate
+    family as theil_sen_trend. Concordant/discordant/tie counts are exact
+    BIGINT pair counts; one sqrt+divide at the end
+    (operators/profiling.py::kendall_tau). Users whose series has no
+    lexicographically distinguishable pair (< 2 points or all-identical)
+    are excluded — tau is undefined there."""
+    from ingestion_scripts_spark.operators import profiling as PR
+
+    ev = _t(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "user_id", F.date_trunc("day", "ts").alias("day")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("y"))
+    d = daily.select(
+        "user_id",
+        F.datediff(F.col("day").cast("date"), F.lit("2024-01-01").cast("date"))
+        .cast("bigint")
+        .alias("x"),
+        "y",
+    )
+    out = PR.kendall_tau(d, "user_id", F.col("x"), F.col("y"))
+    return out.select(
+        F.col("g").alias("user_id"), "n", "concordant", "discordant", "tau_b"
+    ).orderBy("user_id")
+
+
+SQL_KENDALL_TAU = """
+WITH daily AS (
+  SELECT user_id AS g,
+         CAST(date_diff('day', DATE '2024-01-01',
+                        CAST(date_trunc('day', ts) AS DATE)) AS BIGINT) AS x,
+         CAST(count(*) AS BIGINT) AS y
+  FROM events GROUP BY user_id, date_trunc('day', ts)),
+pairs AS (
+  SELECT a.g,
+         CASE WHEN a.x < b.x THEN 1 ELSE 0 END AS dx,
+         CASE WHEN b.y > a.y THEN 1 WHEN b.y < a.y THEN -1 ELSE 0 END AS sy
+  FROM daily a JOIN daily b
+    ON a.g = b.g AND (a.x < b.x OR (a.x = b.x AND a.y < b.y))),
+counts AS (
+  SELECT g,
+         CAST(sum(CASE WHEN dx = 1 AND sy = 1 THEN 1 ELSE 0 END) AS BIGINT) AS c,
+         CAST(sum(CASE WHEN dx = 1 AND sy = -1 THEN 1 ELSE 0 END) AS BIGINT) AS d,
+         CAST(sum(CASE WHEN dx = 1 AND sy = 0 THEN 1 ELSE 0 END) AS BIGINT) AS ty_only,
+         CAST(sum(CASE WHEN dx = 0 THEN 1 ELSE 0 END) AS BIGINT) AS tx_only
+  FROM pairs GROUP BY g),
+dup AS (
+  SELECT g, CAST(sum((k * (k - 1)) // 2) AS BIGINT) AS txy
+  FROM (SELECT g, x, y, count(*) AS k FROM daily GROUP BY 1, 2, 3)
+  GROUP BY g),
+nn AS (SELECT g, CAST(count(*) AS BIGINT) AS n FROM daily GROUP BY g)
+SELECT c.g AS user_id, nn.n, c.c AS concordant, c.d AS discordant,
+       CASE WHEN ((nn.n * (nn.n - 1)) // 2 - (c.tx_only + dup.txy)) > 0
+             AND ((nn.n * (nn.n - 1)) // 2 - (c.ty_only + dup.txy)) > 0
+            THEN round(CAST(c.c - c.d AS DOUBLE)
+                 / sqrt(CAST((nn.n * (nn.n - 1)) // 2 - (c.tx_only + dup.txy)
+                             AS DOUBLE)
+                      * CAST((nn.n * (nn.n - 1)) // 2 - (c.ty_only + dup.txy)
+                             AS DOUBLE)), 6)
+       END AS tau_b
+FROM counts c JOIN dup USING (g) JOIN nn USING (g)
+ORDER BY user_id
+"""
+
+
+__all__ = __all__ + ["q_kendall_tau_daily", "SQL_KENDALL_TAU"]  # noqa: F405,PLE0605
+
+
+# ---------------------------------------------------------------------------
+# Mean reciprocal rank
+# ---------------------------------------------------------------------------
+
+def q_mrr_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source reciprocal rank of the first English document under the
+    n_chars ranking — the first-hit leg of the ranking-eval family
+    (ROC-AUC / AP / nDCG / MRR), on the same scored/labelled input as
+    ndcg_quality. rr_micro = 1000000 div first_rank (exact truncating
+    division both engines); a source with no relevant doc contributes 0,
+    the standard MRR convention (operators/profiling.py::
+    mean_reciprocal_rank)."""
+    from ingestion_scripts_spark.operators import profiling as PR
+
+    docs = _t(spark, sf_dir, "documents")
+    out = PR.mean_reciprocal_rank(
+        docs,
+        "source",
+        F.col("n_chars"),
+        (F.col("lang") == "en").cast("int"),
+        "doc_id",
+    )
+    return out.select(
+        F.col("g").alias("source"), "n", "first_rank", "rr_micro"
+    ).orderBy("source")
+
+
+SQL_MRR_QUALITY = """
+WITH ranked AS (
+  SELECT source AS g,
+         CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS rel,
+         row_number() OVER (PARTITION BY source
+                            ORDER BY CAST(n_chars AS BIGINT) DESC, doc_id ASC)
+           AS rnk
+  FROM documents),
+first AS (
+  SELECT g, CAST(min(rnk) AS BIGINT) AS first_rank
+  FROM ranked WHERE rel = 1 GROUP BY g),
+grp AS (SELECT g, CAST(count(*) AS BIGINT) AS n FROM ranked GROUP BY g)
+SELECT grp.g AS source, grp.n, first.first_rank,
+       CAST(coalesce(1000000 // first.first_rank, 0) AS BIGINT) AS rr_micro
+FROM grp LEFT JOIN first USING (g)
+ORDER BY source
+"""
+
+
+__all__ = __all__ + ["q_mrr_quality", "SQL_MRR_QUALITY"]  # noqa: F405,PLE0605
+
+
+# ---------------------------------------------------------------------------
+# link prediction on the part co-order graph
+# ---------------------------------------------------------------------------
+
+def q_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-100 predicted links on the part co-order graph (same edge set
+    as triangle_cooccurrence: co-ordered in >= 2 orders): common
+    neighbors, Jaccard, and Adamic-Adar for every non-edge 2-hop pair
+    (operators/graph.py::link_prediction_scores) — "parts that share
+    buying contexts but are never bought together", the
+    graph-completion candidate list. Hub intermediaries above degree 500
+    are excluded by construction (both engines), bounding wedge volume."""
+    from ingestion_scripts_spark.operators import graph as G
+
+    li = _t(spark, sf_dir, "lineitem")
+    b = li.select(
+        F.col("l_orderkey").alias("bk"), F.col("l_partkey").alias("it")
+    ).distinct()
+    x, y = b.alias("x"), b.alias("y")
+    edges = (
+        x.join(y, (F.col("x.bk") == F.col("y.bk")) & (F.col("x.it") < F.col("y.it")))
+        .groupBy(F.col("x.it").alias("a"), F.col("y.it").alias("b"))
+        .agg(F.count(F.lit(1)).alias("w"))
+        .filter(F.col("w") >= 2)
+        .select("a", "b")
+    )
+    out = G.link_prediction_scores(edges, "a", "b", max_degree=500)
+    return out.orderBy(F.desc("aa_micro"), "u", "w").limit(100)
+
+
+SQL_LINK_PREDICTION = """
+WITH bsk AS (SELECT DISTINCT l_orderkey AS bk, l_partkey AS it FROM lineitem),
+e AS (
+  SELECT x.it AS a, y.it AS b
+  FROM bsk x JOIN bsk y ON x.bk = y.bk AND x.it < y.it
+  GROUP BY 1, 2 HAVING count(*) >= 2),
+nbr AS (SELECT a AS u, b AS z FROM e UNION ALL SELECT b AS u, a AS z FROM e),
+deg AS (SELECT u, CAST(count(*) AS BIGINT) AS deg FROM nbr GROUP BY u),
+nbrw AS (
+  SELECT n.u, n.z,
+         CAST(floor(1000000.0 / ln(CAST(d.deg AS DOUBLE)) + 0.5) AS BIGINT)
+           AS aw
+  FROM nbr n JOIN deg d ON d.u = n.z
+  WHERE d.deg BETWEEN 2 AND 500),
+wedges AS (
+  SELECT l.u AS u, r.u AS w, l.aw
+  FROM nbrw l JOIN nbrw r ON l.z = r.z AND l.u < r.u),
+scored AS (
+  SELECT u, w, CAST(count(*) AS BIGINT) AS common,
+         CAST(sum(aw) AS BIGINT) AS aa_micro
+  FROM wedges GROUP BY u, w),
+cand AS (
+  SELECT s.* FROM scored s
+  LEFT JOIN e ON e.a = s.u AND e.b = s.w
+  WHERE e.a IS NULL)
+SELECT c.u, c.w, c.common,
+       CAST((1000000 * c.common) // (du.deg + dw.deg - c.common) AS BIGINT)
+         AS jaccard_micro,
+       c.aa_micro
+FROM cand c JOIN deg du ON du.u = c.u JOIN deg dw ON dw.u = c.w
+ORDER BY c.aa_micro DESC, c.u, c.w
+LIMIT 100
+"""
+
+
+__all__ = __all__ + ["q_link_prediction", "SQL_LINK_PREDICTION"]  # noqa: F405,PLE0605
+
+
+# ---------------------------------------------------------------------------
+# exact autocorrelation of the daily revenue series
+# ---------------------------------------------------------------------------
+
+def q_acf_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Autocorrelation (lags 1..7) of daily revenue — the seasonality /
+    memory profile of pipeline volume (weekly cadence shows at lag 7;
+    white noise shows nothing), feeding anomaly baselines. Revenue snaps
+    to exact cents PER ROW (one IEEE multiply chain, identical both
+    engines) before the daily sum; centering is N-scaled so no mean ever
+    materializes as a float; products accumulate in DECIMAL(38,0) /
+    HUGEINT (operators/profiling.py::autocorrelation)."""
+    from ingestion_scripts_spark.operators import profiling as PR
+
+    li = _t(spark, sf_dir, "lineitem")
+    daily = li.groupBy(
+        F.datediff(
+            F.col("l_shipdate").cast("date"), F.lit("1992-01-01").cast("date")
+        )
+        .cast("bigint")
+        .alias("x")
+    ).agg(
+        F.sum(
+            F.floor(
+                F.col("l_extendedprice")
+                * (F.lit(1.0) - F.col("l_discount"))
+                * F.lit(100.0)
+                + F.lit(0.5)
+            ).cast("bigint")
+        )
+        .cast("bigint")
+        .alias("y")
+    )
+    return PR.autocorrelation(daily, F.col("x"), F.col("y"), max_lag=7).orderBy(
+        "lag"
+    )
+
+
+SQL_ACF_DAILY = """
+WITH daily AS (
+  SELECT CAST(date_diff('day', DATE '1992-01-01', CAST(l_shipdate AS DATE))
+              AS BIGINT) AS x,
+         CAST(sum(CAST(floor(l_extendedprice * (1.0 - l_discount) * 100.0
+                             + 0.5) AS BIGINT)) AS BIGINT) AS y
+  FROM lineitem GROUP BY 1),
+stats AS (SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(y) AS BIGINT) AS s
+          FROM daily),
+centered AS (
+  SELECT x, CAST(CAST(y AS HUGEINT) * n - s AS HUGEINT) AS c
+  FROM daily, stats),
+den AS (SELECT sum(c * c) AS den FROM centered),
+nums AS (
+  SELECT CAST(b.x - a.x AS BIGINT) AS lag,
+         sum(a.c * b.c) AS num,
+         CAST(count(*) AS BIGINT) AS n_pairs
+  FROM centered a JOIN centered b ON b.x - a.x BETWEEN 1 AND 7
+  GROUP BY 1)
+SELECT lag, n_pairs,
+       CASE WHEN den.den > 0
+            THEN round(CAST(num AS DOUBLE) / CAST(den.den AS DOUBLE), 6)
+       END AS acf
+FROM nums, den
+ORDER BY lag
+"""
+
+
+__all__ = __all__ + ["q_acf_daily", "SQL_ACF_DAILY"]  # noqa: F405,PLE0605
+
+
+# ---------------------------------------------------------------------------
+# l-diversity privacy audit
+# ---------------------------------------------------------------------------
+
+def q_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """l-diversity audit — the attribute-disclosure complement to
+    k_anonymity_audit: a quasi-identifier class can be k-anonymous yet
+    leak its SENSITIVE attribute when every member shares one value
+    (Machanavajjhala et al. 2007). Classes are (day, user-cohort)
+    quasi-identifier groups; the sensitive attribute is event_type;
+    classes with < 3 distinct sensitive values are flagged."""
+    ev = _t(spark, sf_dir, "events")
+    cls = ev.groupBy(
+        F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd").alias("day"),
+        (F.col("user_id") % 50).cast("bigint").alias("cohort"),
+    ).agg(F.countDistinct("event_type").cast("bigint").alias("l_distinct"))
+    return cls.select(
+        "day",
+        "cohort",
+        "l_distinct",
+        (F.col("l_distinct") < 3).cast("int").alias("at_risk"),
+    ).orderBy("day", "cohort")
+
+
+SQL_L_DIVERSITY = """
+SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+       CAST(user_id % 50 AS BIGINT) AS cohort,
+       CAST(count(DISTINCT event_type) AS BIGINT) AS l_distinct,
+       CASE WHEN count(DISTINCT event_type) < 3 THEN 1 ELSE 0 END AS at_risk
+FROM events
+GROUP BY 1, 2
+ORDER BY day, cohort
+"""
+
+
+__all__ = __all__ + ["q_l_diversity", "SQL_L_DIVERSITY"]  # noqa: F405,PLE0605
+
+
+# ---------------------------------------------------------------------------
+# multimodal aHash near-dup
+# ---------------------------------------------------------------------------
+
+def q_ahash_image_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual-hash near-dup over binary media payloads: 64-pixel
+    average hash through Arrow mapInPandas (the production image-dedup
+    shape: decode -> 8x8 -> threshold-at-mean -> banded hamming join),
+    with the documented deterministic stand-in decode (base64 byte
+    stream) so the oracle recomputes every pixel with ascii() and the
+    whole pipeline — bit packing, 4x16-bit banding, pigeonhole candidate
+    join, bit_count(xor) verify at hamming <= 3 — is value-checked
+    (operators/multimodal.py::ahash_bands / ahash_near_dup_pairs)."""
+    from ingestion_scripts_spark.operators.multimodal import (
+        ahash_bands,
+        ahash_near_dup_pairs,
+        text_to_media,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    media = text_to_media(docs)
+    hashes = ahash_bands(media)
+    return ahash_near_dup_pairs(hashes, max_hamming=3).orderBy("id_a", "id_b")
+
+
+SQL_AHASH_NEARDUP = """
+WITH b AS (
+  SELECT doc_id AS media_id, to_base64(encode(text)) AS s FROM documents),
+p AS (
+  SELECT media_id,
+         substr(repeat(s, CAST(64 // length(s) AS INT) + 1), 1, 64) AS s64
+  FROM b WHERE length(s) > 0),
+px AS (
+  SELECT media_id,
+         list_transform(range(1, 65),
+                        j -> ascii(substr(s64, CAST(j AS INT), 1))) AS px
+  FROM p),
+t AS (SELECT media_id, px, list_sum(px) AS tot FROM px),
+bands AS (
+  SELECT media_id,
+    CAST(list_sum(list_transform(range(1, 17), j -> CASE
+      WHEN 64 * px[CAST(j AS INT)] > tot
+      THEN (CAST(1 AS BIGINT) << (16 - CAST(j AS INT))) ELSE 0 END))
+      AS BIGINT) AS b0,
+    CAST(list_sum(list_transform(range(1, 17), j -> CASE
+      WHEN 64 * px[CAST(16 + j AS INT)] > tot
+      THEN (CAST(1 AS BIGINT) << (16 - CAST(j AS INT))) ELSE 0 END))
+      AS BIGINT) AS b1,
+    CAST(list_sum(list_transform(range(1, 17), j -> CASE
+      WHEN 64 * px[CAST(32 + j AS INT)] > tot
+      THEN (CAST(1 AS BIGINT) << (16 - CAST(j AS INT))) ELSE 0 END))
+      AS BIGINT) AS b2,
+    CAST(list_sum(list_transform(range(1, 17), j -> CASE
+      WHEN 64 * px[CAST(48 + j AS INT)] > tot
+      THEN (CAST(1 AS BIGINT) << (16 - CAST(j AS INT))) ELSE 0 END))
+      AS BIGINT) AS b3
+  FROM t)
+SELECT a.media_id AS id_a, b.media_id AS id_b,
+       CAST(bit_count(xor(a.b0, b.b0)) + bit_count(xor(a.b1, b.b1))
+          + bit_count(xor(a.b2, b.b2)) + bit_count(xor(a.b3, b.b3))
+          AS BIGINT) AS hamming
+FROM bands a JOIN bands b
+  ON a.media_id < b.media_id
+ AND (a.b0 = b.b0 OR a.b1 = b.b1 OR a.b2 = b.b2 OR a.b3 = b.b3)
+WHERE bit_count(xor(a.b0, b.b0)) + bit_count(xor(a.b1, b.b1))
+    + bit_count(xor(a.b2, b.b2)) + bit_count(xor(a.b3, b.b3)) <= 3
+ORDER BY id_a, id_b
+"""
+
+
+__all__ = __all__ + ["q_ahash_image_neardup", "SQL_AHASH_NEARDUP"]  # noqa: F405,PLE0605

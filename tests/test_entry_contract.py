@@ -64,6 +64,8 @@ R7_WINDOW = [
     "avg_precision_quality", "sq8_recall", "ndcg_quality", "zipf_slope",
     "max_coverage", "source_unique_vocab", "ppr_coorder", "dedup_funnel",
     "pq_recall", "conformal_gate", "isotonic_calibration", "theil_sen_trend",
+    "kmv_distinct", "wasserstein_drift", "kendall_tau_daily", "mrr_quality",
+    "link_prediction", "acf_daily", "l_diversity", "ahash_image_neardup",
     "hourly_windows", "stream_hourly_windows", "stream_sessionize",
     "top_orders", "region_revenue", "antijoin_new_users",
     "dead_letter_routing", "semi_join_urgent", "cust_order_dist",
@@ -73,9 +75,7 @@ R7_WINDOW = [
     "clicked_never_purchased", "late_ship_priority", "parts_never_discounted",
     "user_value_quartiles", "clean_text", "hashtags", "stopword_filter",
     "bigram_pairs", "parse_rfc822", "parse_struct_time", "parse_simple",
-    "parse_zoned", "exact_dedup", "segment_dedup", "ngram_jaccard",
-    "simhash", "fingerprint", "winnow_fingerprints", "salted_distinct_users",
-    "skew_join_revenue",
+    "parse_zoned",
 ]
 
 

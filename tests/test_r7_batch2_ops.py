@@ -1,0 +1,160 @@
+"""Law tests for the r7 batch-2 kernels (seasonal decomposition, Fano
+factor, modularity) — independent pure-Python references and hand-derived
+expectations, never the oracle formula."""
+
+import random
+
+from pyspark.sql import functions as F
+
+from ingestion_scripts_spark.operators.graph import modularity
+from ingestion_scripts_spark.operators.profiling import (
+    fano_factor,
+    seasonal_decompose_daily,
+)
+
+
+# --------------------------------------------------------------------------
+# seasonal decomposition
+# --------------------------------------------------------------------------
+
+def test_seasonal_decompose_recovers_planted_weekly_pattern(spark):
+    """On a pure trend+seasonal series (no noise) the decomposition must
+    recover the planted seasonal offsets exactly (in period-scaled units)
+    and leave zero residual away from edges."""
+    period = 7
+    season = [0, 70, -35, 14, -14, 28, -63]  # sums to 0, multiples of 7
+    ys = [1000 + season[i % 7] for i in range(35)]
+    df = spark.createDataFrame(
+        [(i, y) for i, y in enumerate(ys)], "x long, y long"
+    )
+    out = {
+        r["x"]: r
+        for r in seasonal_decompose_daily(
+            df, F.col("x"), F.col("y"), period
+        ).collect()
+    }
+    assert len(out) == 35
+    for i in range(35):
+        r = out[i]
+        if i < 3 or i >= 32:  # incomplete centered window
+            assert r["trend_sum"] is None and r["residual_s"] is None
+        else:
+            # flat trend: the 7-day window sum is exactly 7*1000 + 0
+            assert r["trend_sum"] == 7000
+            assert r["detrended_s"] == 7 * season[i % 7]
+            assert r["seasonal_s"] == 7 * season[i % 7]
+            assert r["residual_s"] == 0
+
+
+def test_seasonal_decompose_gap_voids_window(spark):
+    # days 0..9 with day 5 missing: every window overlapping the gap has
+    # win_n < 7 -> NULL trend; nothing silently uses non-adjacent days
+    xs = [x for x in range(10) if x != 5]
+    df = spark.createDataFrame([(x, 100) for x in xs], "x long, y long")
+    out = {r["x"]: r for r in seasonal_decompose_daily(df, F.col("x"), F.col("y"), 7).collect()}
+    assert all(out[x]["trend_sum"] is None for x in xs)
+
+
+def test_seasonal_decompose_python_reference_with_noise(spark):
+    rng = random.Random(21)
+    ys = [500 + 40 * ((i * 3) % 7) + rng.randint(-9, 9) for i in range(40)]
+    period, half = 7, 3
+    df = spark.createDataFrame(
+        [(i, y) for i, y in enumerate(ys)], "x long, y long"
+    )
+    out = {r["x"]: r for r in seasonal_decompose_daily(df, F.col("x"), F.col("y"), period).collect()}
+
+    # independent reference
+    trend = {
+        i: sum(ys[i - half : i + half + 1])
+        for i in range(half, len(ys) - half)
+    }
+    det = {i: period * ys[i] - trend[i] for i in trend}
+    seas = {}
+    for ph in range(period):
+        vals = [d for i, d in det.items() if i % period == ph]
+        if vals:
+            s = sum(vals)
+            seas[ph] = s // len(vals) if s >= 0 else -((-s) // len(vals))
+            # python // floors; Spark div truncates toward zero
+            q = int(s / len(vals))  # trunc
+            seas[ph] = q
+    for i in range(len(ys)):
+        if i in trend:
+            assert out[i]["trend_sum"] == trend[i]
+            assert out[i]["detrended_s"] == det[i]
+            assert out[i]["seasonal_s"] == seas[i % period]
+            assert out[i]["residual_s"] == det[i] - seas[i % period]
+        else:
+            assert out[i]["trend_sum"] is None
+
+
+# --------------------------------------------------------------------------
+# Fano factor
+# --------------------------------------------------------------------------
+
+def test_fano_factor_matches_python_and_classifies(spark):
+    rows = (
+        [("const", v) for v in [5, 5, 5, 5]]          # fano 0
+        + [("bursty", v) for v in [0, 0, 0, 40]]       # fano >> 1
+        + [("zero", v) for v in [0, 0, 0]]             # undefined
+    )
+    df = spark.createDataFrame(rows, "g string, y long")
+    out = {r["g"]: r for r in fano_factor(df, "g", F.col("y")).collect()}
+    assert out["const"]["fano"] == 0.0
+    assert out["zero"]["fano"] is None
+
+    ys = [0, 0, 0, 40]
+    n, s = len(ys), sum(ys)
+    var_num = sum((y * n - s) ** 2 for y in ys)
+    assert out["bursty"]["var_num"] == var_num
+    expect = var_num / (n * n * s)  # == var/mean
+    assert abs(out["bursty"]["fano"] - round(expect, 6)) < 1e-9
+    # cross-check against the textbook definition
+    m = s / n
+    var = sum((y - m) ** 2 for y in ys) / n
+    assert abs(expect - var / m) < 1e-9
+
+
+# --------------------------------------------------------------------------
+# modularity
+# --------------------------------------------------------------------------
+
+def _e(spark, pairs):
+    return spark.createDataFrame(pairs, "a long, b long")
+
+
+def _l(spark, pairs):
+    return spark.createDataFrame(pairs, "node long, label long")
+
+
+def test_modularity_two_cliques_hand_value(spark):
+    # two triangles joined by one bridge edge; the natural partition
+    edges = [(1, 2), (1, 3), (2, 3), (4, 5), (4, 6), (5, 6), (3, 4)]
+    labels = [(1, 1), (2, 1), (3, 1), (4, 4), (5, 4), (6, 4)]
+    out = modularity(_e(spark, edges), _l(spark, labels)).collect()[0]
+    m = 7
+    # community 1: in=3, deg=2+2+3=7 ; community 4: same by symmetry
+    q_num = 2 * (4 * m * 3 - 7 * 7)
+    assert (out["m"], out["n_communities"], out["q_num"]) == (7, 2, q_num)
+    assert out["modularity"] == round(q_num / (4 * m * m), 6)
+
+
+def test_modularity_single_community_is_zero(spark):
+    # the whole graph in one community: Q = (4m*m - (2m)^2) / 4m^2 = 0
+    edges = [(1, 2), (2, 3), (3, 4), (1, 4)]
+    labels = [(n, 1) for n in (1, 2, 3, 4)]
+    out = modularity(_e(spark, edges), _l(spark, labels)).collect()[0]
+    assert out["q_num"] == 0 and out["modularity"] == 0.0
+
+
+def test_modularity_unlabeled_nodes_become_singletons(spark):
+    # labels cover only node 1; partition must still be total, and
+    # sum_c deg_c must equal 2m for q_num to be well-formed
+    edges = [(1, 2), (2, 3)]
+    out = modularity(_e(spark, edges), _l(spark, [(1, 1)])).collect()[0]
+    m = 2
+    # communities: {1}, {2}, {3}: in_c all 0; degs 1, 2, 1
+    q_num = -(1 + 4 + 1)
+    assert (out["n_communities"], out["q_num"]) == (3, q_num)
+    assert out["modularity"] == round(q_num / (4 * m * m), 6)
