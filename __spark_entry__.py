@@ -323,6 +323,10 @@ _REGISTRY: list[tuple[str, Callable[[SparkSession, str], DataFrame], str | None]
     ("acf_daily", q_acf_daily, SQL_ACF_DAILY),
     ("l_diversity", q_l_diversity, SQL_L_DIVERSITY),
     ("ahash_image_neardup", q_ahash_image_neardup, SQL_AHASH_NEARDUP),
+    ("seasonal_revenue", q_seasonal_revenue, SQL_SEASONAL_REVENUE),
+    ("community_modularity", q_community_modularity, SQL_COMMUNITY_MODULARITY),
+    ("loo_quality_delta", q_loo_quality_delta, SQL_LOO_QUALITY),
+    ("fano_burstiness", q_fano_burstiness, SQL_FANO_BURSTINESS),
 ]
 
 # --- r7 driver-window rotation (ROADMAP.md rotation table) -----------------
@@ -346,6 +350,8 @@ _R7_WINDOW = [
     # anchors from the tail of this list)
     "kmv_distinct", "wasserstein_drift", "kendall_tau_daily", "mrr_quality",
     "link_prediction", "acf_daily", "l_diversity", "ahash_image_neardup",
+    "seasonal_revenue", "community_modularity", "loo_quality_delta",
+    "fano_burstiness",
     # re-certification anchors: last green r1
     "hourly_windows", "stream_hourly_windows", "stream_sessionize",
     # re-certification anchors: last green r2
@@ -356,8 +362,7 @@ _R7_WINDOW = [
     "value_percentiles", "pivot_weekday", "running_user_value",
     "clicked_never_purchased", "late_ship_priority", "parts_never_discounted",
     "user_value_quartiles", "clean_text", "hashtags", "stopword_filter",
-    "bigram_pairs", "parse_rfc822", "parse_struct_time", "parse_simple",
-    "parse_zoned",
+    "bigram_pairs",
 ]
 _BY_NAME = {t[0]: t for t in _REGISTRY}
 _REGISTRY = (

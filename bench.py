@@ -261,6 +261,10 @@ HEADLINE = [
     "acf_daily",
     "l_diversity",
     "ahash_image_neardup",
+    "seasonal_revenue",
+    "community_modularity",
+    "loo_quality_delta",
+    "fano_burstiness",
 ]
 
 #: deliberate shadows: oracle-exact twins of faster default kernels, kept

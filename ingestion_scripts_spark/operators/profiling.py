@@ -1014,19 +1014,29 @@ def autocorrelation(
     ``x`` must be the series index (gaps allowed: lag k pairs are matched
     on x_j - x_i = k exactly, not row adjacency).
     """
-    pts = df.select(x.cast("bigint").alias("x"), y.cast("bigint").alias("y"))
+    from ingestion_scripts_spark.caching import persist_tracked
+
+    # the per-index series is tiny (days, not facts) but referenced by
+    # stats + both sides of the lag join + the denominator — without a
+    # persist the FACT table upstream is re-scanned five times (measured
+    # in the physical plan); with it, once.
+    pts = persist_tracked(
+        df.select(x.cast("bigint").alias("x"), y.cast("bigint").alias("y"))
+    )
     stats = pts.agg(
         F.count(F.lit(1)).cast("bigint").alias("n"),
         F.sum("y").cast("bigint").alias("s"),
     )
-    centered = pts.crossJoin(F.broadcast(stats)).select(
-        "x",
-        "n",
-        # cast BEFORE the multiply: bigint*bigint can overflow int64 for
-        # long/large series; decimal(38,0) arithmetic is exact
-        (
-            F.col("y").cast("decimal(38,0)") * F.col("n") - F.col("s")
-        ).cast("decimal(38,0)").alias("c"),
+    centered = persist_tracked(
+        pts.crossJoin(F.broadcast(stats)).select(
+            "x",
+            "n",
+            # cast BEFORE the multiply: bigint*bigint can overflow int64
+            # for long/large series; decimal(38,0) arithmetic is exact
+            (
+                F.col("y").cast("decimal(38,0)") * F.col("n") - F.col("s")
+            ).cast("decimal(38,0)").alias("c"),
+        )
     )
     den = centered.agg(
         F.sum(F.col("c") * F.col("c")).cast("decimal(38,0)").alias("den"),

@@ -503,3 +503,315 @@ ORDER BY id_a, id_b
 
 
 __all__ = __all__ + ["q_ahash_image_neardup", "SQL_AHASH_NEARDUP"]  # noqa: F405,PLE0605
+
+
+# ---------------------------------------------------------------------------
+# seasonal decomposition of daily revenue
+# ---------------------------------------------------------------------------
+
+def q_seasonal_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STL-lite decomposition of daily revenue into trend / weekly
+    seasonal / residual (operators/profiling.py::seasonal_decompose_daily)
+    — the sanity layer under anomaly alerts (a weekday-shaped "spike"
+    should page nobody), on the same exact-cents daily series as
+    acf_daily. All components are division-free period-scaled BIGINTs;
+    edge/gap days carry NULL trend by construction."""
+    from ingestion_scripts_spark.operators import profiling as PR
+
+    li = _t(spark, sf_dir, "lineitem")
+    daily = li.groupBy(
+        F.datediff(
+            F.col("l_shipdate").cast("date"), F.lit("1992-01-01").cast("date")
+        )
+        .cast("bigint")
+        .alias("x")
+    ).agg(
+        F.sum(
+            F.floor(
+                F.col("l_extendedprice")
+                * (F.lit(1.0) - F.col("l_discount"))
+                * F.lit(100.0)
+                + F.lit(0.5)
+            ).cast("bigint")
+        )
+        .cast("bigint")
+        .alias("y")
+    )
+    out = PR.seasonal_decompose_daily(daily, F.col("x"), F.col("y"), period=7)
+    return out.orderBy("x")
+
+
+SQL_SEASONAL_REVENUE = """
+WITH daily AS (
+  SELECT CAST(date_diff('day', DATE '1992-01-01', CAST(l_shipdate AS DATE))
+              AS BIGINT) AS x,
+         CAST(sum(CAST(floor(l_extendedprice * (1.0 - l_discount) * 100.0
+                             + 0.5) AS BIGINT)) AS BIGINT) AS y
+  FROM lineitem GROUP BY 1),
+t AS (
+  SELECT x, y,
+         count(*) OVER w AS win_n,
+         sum(y) OVER w AS wsum
+  FROM daily
+  WINDOW w AS (ORDER BY x RANGE BETWEEN 3 PRECEDING AND 3 FOLLOWING)),
+det AS (
+  SELECT x, y,
+         CASE WHEN win_n = 7 THEN CAST(wsum AS BIGINT) END AS trend_sum,
+         CAST(x % 7 AS BIGINT) AS phase,
+         CASE WHEN win_n = 7 THEN CAST(7 * y - wsum AS BIGINT) END
+           AS detrended_s
+  FROM t),
+seas AS (
+  SELECT phase,
+         CAST(sum(detrended_s) // count(*) AS BIGINT) AS seasonal_s
+  FROM det WHERE detrended_s IS NOT NULL GROUP BY phase)
+SELECT d.x, d.y, d.trend_sum, d.phase, d.detrended_s,
+       CASE WHEN d.detrended_s IS NOT NULL THEN s.seasonal_s END
+         AS seasonal_s,
+       CASE WHEN d.detrended_s IS NOT NULL
+            THEN d.detrended_s - s.seasonal_s END AS residual_s
+FROM det d LEFT JOIN seas s USING (phase)
+ORDER BY x
+"""
+
+
+__all__ = __all__ + ["q_seasonal_revenue", "SQL_SEASONAL_REVENUE"]  # noqa: F405,PLE0605
+
+
+# ---------------------------------------------------------------------------
+# community modularity
+# ---------------------------------------------------------------------------
+
+def q_community_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Newman modularity of the label-propagation communities on the part
+    co-order graph (operators/graph.py::modularity over the IDENTICAL
+    2-round seeded spread as label_spread_communities) — the one-number
+    quality gauge of the community assignment; random partitions score
+    ~0, real structure scores positive. Exact BIGINT numerator
+    sum_c(4m*in_c - deg_c^2); unlabeled nodes become singletons so the
+    partition is total; one divide at the end."""
+    from ingestion_scripts_spark.operators import graph as G
+
+    li = _t(spark, sf_dir, "lineitem")
+    b = li.select(
+        F.col("l_orderkey").alias("bk"), F.col("l_partkey").alias("it")
+    ).distinct()
+    x, y = b.alias("x"), b.alias("y")
+    e = (
+        x.join(y, (F.col("x.bk") == F.col("y.bk")) & (F.col("x.it") < F.col("y.it")))
+        .groupBy(F.col("x.it").alias("a"), F.col("y.it").alias("b"))
+        .agg(F.count(F.lit(1)).alias("w"))
+        .filter(F.col("w") >= 2)
+    )
+    e = persist_tracked(e)
+    esym = e.select("a", "b", "w").union(
+        e.select(F.col("b").alias("a"), F.col("a").alias("b"), "w")
+    )
+    seeds = (
+        esym.select(F.col("a").alias("node"))
+        .distinct()
+        .where(F.col("node") % 97 == 0)
+        .select("node", F.col("node").alias("label"))
+    )
+
+    def spread(labels: DataFrame) -> DataFrame:
+        votes = (
+            esym.join(labels, esym["b"] == labels["node"])
+            .groupBy(F.col("a").alias("node"), "label")
+            .agg(F.sum("w").alias("votes"))
+        )
+        w_rank = Window.partitionBy("node").orderBy(
+            F.desc("votes"), F.asc("label")
+        )
+        winner = (
+            votes.withColumn("rn", F.row_number().over(w_rank))
+            .where(F.col("rn") == 1)
+            .select("node", "label")
+        )
+        return winner.join(
+            seeds.select("node"), "node", "left_anti"
+        ).unionByName(seeds)
+
+    labels = spread(spread(seeds))
+    return G.modularity(e.select("a", "b"), labels)
+
+
+SQL_COMMUNITY_MODULARITY = """
+WITH bsk AS (SELECT DISTINCT l_orderkey AS bk, l_partkey AS it FROM lineitem),
+e AS (
+  SELECT x.it AS a, y.it AS b, count(*) AS w
+  FROM bsk x JOIN bsk y ON x.bk = y.bk AND x.it < y.it
+  GROUP BY 1, 2 HAVING count(*) >= 2),
+esym AS (SELECT a, b, w FROM e UNION ALL SELECT b, a, w FROM e),
+seeds AS (
+  SELECT node, node AS label
+  FROM (SELECT DISTINCT a AS node FROM esym) WHERE node % 97 = 0),
+r1v AS (
+  SELECT es.a AS node, s.label, CAST(sum(es.w) AS BIGINT) AS votes
+  FROM esym es JOIN seeds s ON es.b = s.node GROUP BY 1, 2),
+r1w AS (
+  SELECT node, label FROM (
+    SELECT node, label,
+           row_number() OVER (PARTITION BY node
+                              ORDER BY votes DESC, label ASC) AS rn
+    FROM r1v) WHERE rn = 1),
+r1 AS (
+  SELECT node, label FROM r1w WHERE node NOT IN (SELECT node FROM seeds)
+  UNION ALL SELECT node, label FROM seeds),
+r2v AS (
+  SELECT es.a AS node, l.label, CAST(sum(es.w) AS BIGINT) AS votes
+  FROM esym es JOIN r1 l ON es.b = l.node GROUP BY 1, 2),
+r2w AS (
+  SELECT node, label FROM (
+    SELECT node, label,
+           row_number() OVER (PARTITION BY node
+                              ORDER BY votes DESC, label ASC) AS rn
+    FROM r2v) WHERE rn = 1),
+r2 AS (
+  SELECT node, label FROM r2w WHERE node NOT IN (SELECT node FROM seeds)
+  UNION ALL SELECT node, label FROM seeds),
+nodes AS (SELECT DISTINCT a AS node FROM esym),
+full_l AS (
+  SELECT n.node, coalesce(r2.label, n.node) AS lab
+  FROM nodes n LEFT JOIN r2 ON r2.node = n.node),
+m_row AS (SELECT CAST(count(*) AS BIGINT) AS m FROM e),
+tagged AS (
+  SELECT la.lab AS la, lb.lab AS lb
+  FROM e JOIN full_l la ON la.node = e.a JOIN full_l lb ON lb.node = e.b),
+in_c AS (
+  SELECT la AS lab, CAST(count(*) AS BIGINT) AS in_c
+  FROM tagged WHERE la = lb GROUP BY 1),
+deg AS (
+  SELECT f.lab, CAST(sum(d.d) AS BIGINT) AS deg_c
+  FROM full_l f JOIN (
+    SELECT node, CAST(count(*) AS BIGINT) AS d FROM (
+      SELECT a AS node FROM e UNION ALL SELECT b AS node FROM e)
+    GROUP BY 1) d ON d.node = f.node
+  GROUP BY 1),
+per_c AS (
+  SELECT deg.lab, coalesce(in_c.in_c, 0) AS in_c, deg.deg_c
+  FROM deg LEFT JOIN in_c USING (lab)),
+agg AS (
+  SELECT max(m_row.m) AS m,
+         CAST(count(*) AS BIGINT) AS n_communities,
+         CAST(sum(4 * m_row.m * per_c.in_c - per_c.deg_c * per_c.deg_c)
+              AS BIGINT) AS q_num
+  FROM per_c, m_row)
+SELECT m, n_communities, q_num,
+       round(CAST(q_num AS DOUBLE) / (4.0 * CAST(m AS DOUBLE) * CAST(m AS DOUBLE)), 6)
+         AS modularity
+FROM agg
+"""
+
+
+__all__ = __all__ + ["q_community_modularity", "SQL_COMMUNITY_MODULARITY"]  # noqa: F405,PLE0605
+
+
+# ---------------------------------------------------------------------------
+# leave-one-source-out quality valuation
+# ---------------------------------------------------------------------------
+
+def q_loo_quality_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leave-one-source-out data valuation on mean document length: for
+    each source, the corpus mean n_chars WITHOUT that source vs with it —
+    the quality-weighted complement to source_unique_vocab's lexical
+    valuation (a source can add unique vocabulary AND drag mean quality
+    down). ONE pass: per-source (n, s) aggregates + a broadcast corpus
+    total; means are truncating integer micro-divisions
+    (floor-consistent on both engines), delta_micro > 0 means removing
+    the source RAISES mean quality (the source is below average)."""
+    docs = _t(spark, sf_dir, "documents")
+    per = docs.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_i"),
+        F.sum(F.col("n_chars").cast("bigint")).cast("bigint").alias("s_i"),
+    )
+    tot = docs.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(F.col("n_chars").cast("bigint")).cast("bigint").alias("s"),
+    )
+    out = per.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "n_i",
+        "s_i",
+        F.expr("(s * 1000000) div n").cast("bigint").alias("full_mean_micro"),
+        F.expr("((s - s_i) * 1000000) div (n - n_i)")
+        .cast("bigint")
+        .alias("loo_mean_micro"),
+        (
+            F.expr("((s - s_i) * 1000000) div (n - n_i)")
+            - F.expr("(s * 1000000) div n")
+        )
+        .cast("bigint")
+        .alias("delta_micro"),
+    )
+    return out.orderBy("source")
+
+
+SQL_LOO_QUALITY = """
+WITH per AS (
+  SELECT source, CAST(count(*) AS BIGINT) AS n_i,
+         CAST(sum(CAST(n_chars AS BIGINT)) AS BIGINT) AS s_i
+  FROM documents GROUP BY source),
+tot AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(CAST(n_chars AS BIGINT)) AS BIGINT) AS s
+  FROM documents)
+SELECT per.source, per.n_i, per.s_i,
+       CAST((tot.s * 1000000) // tot.n AS BIGINT) AS full_mean_micro,
+       CAST(((tot.s - per.s_i) * 1000000) // (tot.n - per.n_i) AS BIGINT)
+         AS loo_mean_micro,
+       CAST(((tot.s - per.s_i) * 1000000) // (tot.n - per.n_i)
+            - (tot.s * 1000000) // tot.n AS BIGINT) AS delta_micro
+FROM per, tot
+ORDER BY source
+"""
+
+
+__all__ = __all__ + ["q_loo_quality_delta", "SQL_LOO_QUALITY"]  # noqa: F405,PLE0605
+
+
+# ---------------------------------------------------------------------------
+# Fano-factor burstiness
+# ---------------------------------------------------------------------------
+
+def q_fano_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user Fano factor (variance/mean) of the daily event-count
+    series — the burstiness index (1 = Poisson, >> 1 = bot bursts /
+    batch replays, < 1 = rate-limited), the distributional complement to
+    bot_burst_users' threshold rule. Exact BIGINT numerator and
+    denominator, one divide (operators/profiling.py::fano_factor)."""
+    from ingestion_scripts_spark.operators import profiling as PR
+
+    ev = _t(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "user_id", F.date_trunc("day", "ts").alias("day")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("y"))
+    out = PR.fano_factor(daily, "user_id", F.col("y"))
+    return out.select(
+        F.col("g").alias("user_id"), "n", "s", "var_num", "fano"
+    ).orderBy("user_id")
+
+
+SQL_FANO_BURSTINESS = """
+WITH daily AS (
+  SELECT user_id AS g, CAST(count(*) AS BIGINT) AS y
+  FROM events GROUP BY user_id, date_trunc('day', ts)),
+tot AS (
+  SELECT g, CAST(count(*) AS BIGINT) AS n, CAST(sum(y) AS BIGINT) AS s
+  FROM daily GROUP BY g),
+num AS (
+  SELECT d.g,
+         CAST(sum((d.y * t.n - t.s) * (d.y * t.n - t.s)) AS BIGINT)
+           AS var_num
+  FROM daily d JOIN tot t USING (g) GROUP BY d.g)
+SELECT t.g AS user_id, t.n, t.s, num.var_num,
+       CASE WHEN t.s > 0
+            THEN round(CAST(num.var_num AS DOUBLE)
+                       / CAST(t.n * t.n * t.s AS DOUBLE), 6)
+       END AS fano
+FROM num JOIN tot t USING (g)
+ORDER BY user_id
+"""
+
+
+__all__ = __all__ + ["q_fano_burstiness", "SQL_FANO_BURSTINESS"]  # noqa: F405,PLE0605

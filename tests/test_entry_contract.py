@@ -66,6 +66,8 @@ R7_WINDOW = [
     "pq_recall", "conformal_gate", "isotonic_calibration", "theil_sen_trend",
     "kmv_distinct", "wasserstein_drift", "kendall_tau_daily", "mrr_quality",
     "link_prediction", "acf_daily", "l_diversity", "ahash_image_neardup",
+    "seasonal_revenue", "community_modularity", "loo_quality_delta",
+    "fano_burstiness",
     "hourly_windows", "stream_hourly_windows", "stream_sessionize",
     "top_orders", "region_revenue", "antijoin_new_users",
     "dead_letter_routing", "semi_join_urgent", "cust_order_dist",
@@ -74,8 +76,7 @@ R7_WINDOW = [
     "value_percentiles", "pivot_weekday", "running_user_value",
     "clicked_never_purchased", "late_ship_priority", "parts_never_discounted",
     "user_value_quartiles", "clean_text", "hashtags", "stopword_filter",
-    "bigram_pairs", "parse_rfc822", "parse_struct_time", "parse_simple",
-    "parse_zoned",
+    "bigram_pairs",
 ]
 
 

@@ -221,3 +221,32 @@ def test_sq8_and_ndcg_plans_broadcast_and_shuffle_once(spark):
     # Exchange for ranking (the group key), not shuffle per window
     p2 = plan(E.queries()["ndcg_quality"](spark, SF))
     assert "CartesianProduct" not in p2
+
+
+def test_r7_batch_queries_plan_clean(spark):
+    # the r7 join-bearing queries must not plan an unbroadcast cartesian
+    # (link prediction's wedge join, ahash's band join, kendall/W1 pair
+    # machinery, modularity's label joins)
+    qs = E.queries()
+    for name in [
+        "link_prediction",
+        "ahash_image_neardup",
+        "kendall_tau_daily",
+        "wasserstein_drift",
+        "community_modularity",
+        "kmv_distinct",
+        "seasonal_revenue",
+        "fano_burstiness",
+    ]:
+        p = plan(qs[name](spark, SF))
+        assert "CartesianProduct" not in p, name
+
+
+def test_acf_scans_facts_once(spark):
+    # the daily series is referenced by stats + both lag-join sides + the
+    # denominator; without the kernel's persist the FACT table would be
+    # re-scanned 5x (measured). With it: exactly one parquet scan, no
+    # unbroadcast cartesian, and one range join covers all 7 lags.
+    p = plan(E.queries()["acf_daily"](spark, SF))
+    assert "CartesianProduct" not in p
+    assert p.count("lineitem.parquet") <= 1, p

@@ -158,3 +158,50 @@ def test_modularity_unlabeled_nodes_become_singletons(spark):
     q_num = -(1 + 4 + 1)
     assert (out["n_communities"], out["q_num"]) == (3, q_num)
     assert out["modularity"] == round(q_num / (4 * m * m), 6)
+
+
+# --------------------------------------------------------------------------
+# registry-level laws (independent pandas references on real testdata)
+# --------------------------------------------------------------------------
+
+def test_loo_quality_delta_matches_pandas(spark):
+    import pandas as pd
+
+    import __spark_entry__ as E
+
+    sf = "/root/testdata/sf0.001"
+    out = {r["source"]: r for r in E.queries()["loo_quality_delta"](spark, sf).collect()}
+    pdf = pd.read_parquet(f"{sf}/documents.parquet")[["source", "n_chars"]]
+    N, S = len(pdf), int(pdf["n_chars"].sum())
+    for src, grp in pdf.groupby("source"):
+        n_i, s_i = len(grp), int(grp["n_chars"].sum())
+        r = out[src]
+        assert (r["n_i"], r["s_i"]) == (n_i, s_i)
+        assert r["full_mean_micro"] == (S * 1_000_000) // N
+        assert r["loo_mean_micro"] == ((S - s_i) * 1_000_000) // (N - n_i)
+        # sign law: removing a below-average source raises the mean
+        below_avg = s_i * N < S * n_i
+        assert (r["delta_micro"] > 0) == below_avg or r["delta_micro"] == 0
+
+
+def test_l_diversity_matches_pandas(spark):
+    import pandas as pd
+
+    import __spark_entry__ as E
+
+    sf = "/root/testdata/sf0.001"
+    out = E.queries()["l_diversity"](spark, sf).toPandas()
+    pdf = pd.read_parquet(f"{sf}/events.parquet")[["ts", "user_id", "event_type"]]
+    pdf["day"] = pd.to_datetime(pdf["ts"]).dt.strftime("%Y-%m-%d")
+    pdf["cohort"] = pdf["user_id"] % 50
+    ref = (
+        pdf.groupby(["day", "cohort"])["event_type"]
+        .nunique()
+        .reset_index(name="l_distinct")
+        .sort_values(["day", "cohort"])
+        .reset_index(drop=True)
+    )
+    got = out[["day", "cohort", "l_distinct"]].reset_index(drop=True)
+    assert len(got) == len(ref)
+    assert (got["l_distinct"].to_numpy() == ref["l_distinct"].to_numpy()).all()
+    assert ((out["l_distinct"] < 3).astype(int).to_numpy() == out["at_risk"].to_numpy()).all()
