@@ -327,6 +327,10 @@ _REGISTRY: list[tuple[str, Callable[[SparkSession, str], DataFrame], str | None]
     ("community_modularity", q_community_modularity, SQL_COMMUNITY_MODULARITY),
     ("loo_quality_delta", q_loo_quality_delta, SQL_LOO_QUALITY),
     ("fano_burstiness", q_fano_burstiness, SQL_FANO_BURSTINESS),
+    ("kmv_set_overlap", q_kmv_click_purchase_overlap, _sql_kmv_click_purchase()),
+    ("brier_score", q_brier_score, _sql_brier_score()),
+    ("pinball_loss_sources", q_pinball_loss_sources, SQL_PINBALL_SOURCES),
+    ("hard_negatives", q_hard_negatives, SQL_HARD_NEGATIVES),
 ]
 
 # --- r7 driver-window rotation (ROADMAP.md rotation table) -----------------
@@ -352,6 +356,8 @@ _R7_WINDOW = [
     "link_prediction", "acf_daily", "l_diversity", "ahash_image_neardup",
     "seasonal_revenue", "community_modularity", "loo_quality_delta",
     "fano_burstiness",
+    "kmv_set_overlap", "brier_score", "pinball_loss_sources",
+    "hard_negatives",
     # re-certification anchors: last green r1
     "hourly_windows", "stream_hourly_windows", "stream_sessionize",
     # re-certification anchors: last green r2
@@ -361,8 +367,7 @@ _R7_WINDOW = [
     "purchase_error_funnel", "small_quantity_revenue", "in_subquery_parts",
     "value_percentiles", "pivot_weekday", "running_user_value",
     "clicked_never_purchased", "late_ship_priority", "parts_never_discounted",
-    "user_value_quartiles", "clean_text", "hashtags", "stopword_filter",
-    "bigram_pairs",
+    "user_value_quartiles",
 ]
 _BY_NAME = {t[0]: t for t in _REGISTRY}
 _REGISTRY = (

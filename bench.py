@@ -265,6 +265,10 @@ HEADLINE = [
     "community_modularity",
     "loo_quality_delta",
     "fano_burstiness",
+    "kmv_set_overlap",
+    "brier_score",
+    "pinball_loss_sources",
+    "hard_negatives",
 ]
 
 #: deliberate shadows: oracle-exact twins of faster default kernels, kept

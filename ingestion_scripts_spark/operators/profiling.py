@@ -1185,3 +1185,138 @@ def fano_factor(
             ),
         ).alias("fano"),
     )
+
+
+def brier_decomposition(
+    df: DataFrame,
+    score_u: Column,
+    label: Column,
+    n_bins: int = 10,
+) -> DataFrame:
+    """Murphy decomposition of the Brier score — BRIER = RELIABILITY -
+    RESOLUTION + UNCERTAINTY — for a [0,1] probability score held in
+    integer micro-units: the one-row summary behind calibration_bins'
+    per-bin diagram (REL: how far bin means sit from bin outcomes; RES:
+    how much the bins separate outcomes; UNC: base-rate variance, the
+    unbeatable floor).
+
+    Exactness: brier_num = sum((s - y*1e6)^2) and the per-bin reliability
+    numerators (Sp_b - So_b*1e6)^2 div n_b are exact BIGINTs (truncating
+    division, both engines); UNC = So*(N-So) exact; each reported float
+    is ONE divide of exact integers rounded to 6 dp, and RESOLUTION is
+    DERIVED from the identity (res = rel - brier + unc) so the
+    decomposition reconciles bit-for-bit by construction.
+
+    Scale shape: one pass over the facts (map-side-combinable aggregate
+    keyed by bin), then arithmetic over <= n_bins rows.
+    """
+    base = df.select(
+        score_u.cast("bigint").alias("s"),
+        label.cast("int").cast("bigint").alias("y"),
+    )
+    binned = base.select(
+        "s",
+        "y",
+        F.least(
+            F.expr(f"(s * {n_bins}) div 1000000"), F.lit(n_bins - 1)
+        ).cast("bigint").alias("bin"),
+    )
+    per_bin = binned.groupBy("bin").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_b"),
+        F.sum("s").cast("bigint").alias("sp"),
+        F.sum("y").cast("bigint").alias("so"),
+        F.sum(
+            (F.col("s") - F.col("y") * F.lit(1_000_000))
+            * (F.col("s") - F.col("y") * F.lit(1_000_000))
+        )
+        .cast("bigint")
+        .alias("brier_num_b"),
+    )
+    agg = per_bin.agg(
+        F.sum("n_b").cast("bigint").alias("n"),
+        F.sum("so").cast("bigint").alias("so"),
+        F.sum("brier_num_b").cast("bigint").alias("brier_num"),
+        F.sum(
+            F.expr(
+                "((sp - so * 1000000) * (sp - so * 1000000)) div n_b"
+            )
+        )
+        .cast("bigint")
+        .alias("rel_num"),
+    )
+    brier = F.col("brier_num").cast("double") / (
+        F.col("n").cast("double") * 1e12
+    )
+    rel = F.col("rel_num").cast("double") / (F.col("n").cast("double") * 1e12)
+    unc = (F.col("so") * (F.col("n") - F.col("so"))).cast("double") / (
+        F.col("n").cast("double") * F.col("n").cast("double")
+    )
+    return agg.select(
+        "n",
+        "so",
+        "brier_num",
+        "rel_num",
+        F.round(brier, 6).alias("brier"),
+        F.round(rel, 6).alias("reliability"),
+        F.round(rel - brier + unc, 6).alias("resolution"),
+        F.round(unc, 6).alias("uncertainty"),
+    )
+
+
+def pinball_loss(
+    df: DataFrame,
+    group_col: str,
+    y: Column,
+    q_num: int = 9,
+    q_den: int = 10,
+) -> DataFrame:
+    """Per-group pinball (quantile) loss of the group's own q-quantile
+    order statistic as a constant predictor — the eval that makes a
+    quantile claim FALSIFIABLE: the q-th order statistic minimizes
+    pinball loss, so any cheaper "quantile" (sampled, sketched,
+    interpolated) can be scored against this floor in the same units.
+
+    Exactness: yhat is the rank-ceil(q*n) order statistic (deterministic,
+    no interpolation — the robust_zscore precedent); the loss sum is
+    q_den-scaled so every contribution is an exact BIGINT:
+    q_den * pinball = q_num*(y - yhat) for y >= yhat else
+    (q_den - q_num)*(yhat - y). One float divide for the mean.
+
+    Returns (g, n, yhat, loss_sum_scaled, mean_loss).
+    """
+    pts = df.select(F.col(group_col).alias("g"), y.cast("bigint").alias("y"))
+    w = Window.partitionBy("g").orderBy("y")
+    ranked = pts.withColumn("rn", F.row_number().over(w))
+    n = pts.groupBy("g").agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    yhat = (
+        ranked.join(F.broadcast(n), "g")
+        .filter(F.col("rn") == F.expr(f"({q_num} * n + {q_den} - 1) div {q_den}"))
+        .select("g", F.col("y").alias("yhat"))
+    )
+    scored = pts.join(F.broadcast(yhat), "g").select(
+        "g",
+        F.when(
+            F.col("y") >= F.col("yhat"),
+            F.lit(q_num) * (F.col("y") - F.col("yhat")),
+        )
+        .otherwise(F.lit(q_den - q_num) * (F.col("yhat") - F.col("y")))
+        .alias("contrib"),
+    )
+    out = scored.groupBy("g").agg(
+        F.sum("contrib").cast("bigint").alias("loss_sum_scaled")
+    )
+    return (
+        out.join(yhat, "g")
+        .join(n, "g")
+        .select(
+            "g",
+            "n",
+            "yhat",
+            "loss_sum_scaled",
+            F.round(
+                F.col("loss_sum_scaled").cast("double")
+                / (F.col("n").cast("double") * float(q_den)),
+                6,
+            ).alias("mean_loss"),
+        )
+    )

@@ -840,3 +840,44 @@ def pq_recall(
             F.floor(F.col("n_hit") * 1000000.0 / F.col("n_truth") + 0.5) / 1000000.0
         ).alias("recall"),
     )
+
+
+def hard_negatives(
+    queries: DataFrame,
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    max_sim: float = 0.9,
+    k: int = 3,
+) -> DataFrame:
+    """Hard-negative mining for embedding/reranker training: per query,
+    the top-k most similar corpus vectors that are NOT near-duplicates
+    (cosine < ``max_sim``) — the pairs that teach a model the decision
+    boundary (an easy random negative is nearly information-free; a
+    near-duplicate "negative" is label noise). Same exact-cosine idiom as
+    ``cosine_topk`` (6-dp round BEFORE both the threshold test and the
+    ranking, ties to match_id asc), so the exclusion boundary and ranks
+    are cross-engine exact.
+
+    Scale shape: identical to cosine_topk (broadcast query block x
+    corpus scan); at production scale the corpus side is the IVF/LSH
+    candidate set rather than the full table — the threshold filter and
+    ranking are unchanged.
+    """
+    q = _normed(queries, "query_id", id_col, vec_col, "qv")
+    c = _normed(spread(corpus), "match_id", id_col, vec_col, "cv")
+    scored = (
+        F.broadcast(q)
+        .crossJoin(c)
+        .filter(F.col("query_id") != F.col("match_id"))
+        .select(
+            "query_id",
+            "match_id",
+            F.round(dot(F.col("qv"), F.col("cv")), 6).alias("sim"),
+        )
+        .filter(F.col("sim") < F.lit(max_sim))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("match_id"))
+    return scored.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= k
+    )

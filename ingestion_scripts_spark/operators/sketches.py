@@ -311,3 +311,91 @@ SELECT g, m,
        CASE WHEN m < {k} THEN NULL ELSE kth END AS kth_hash
 FROM (SELECT g, CAST(count(*) AS BIGINT) AS m, CAST(max(h) AS BIGINT) AS kth
       FROM {sketch_expr} GROUP BY g)"""
+
+
+def kmv_intersect(sk_a: DataFrame, sk_b: DataFrame, k: int = 64) -> DataFrame:
+    """Jaccard / intersection estimation from two KMV sketches — the theta
+    trick HLL cannot do (HLL unions are exact but intersections need
+    inclusion-exclusion, whose error explodes for small overlaps): take
+    the bottom-k of the sketch UNION; the fraction of those hashes
+    present in BOTH input sketches is an unbiased Jaccard estimate, and
+    intersection = jaccard x union-size estimate.
+
+    Exactness: membership counts are exact joins over exact hashes;
+    jaccard_micro = (matches * 1e6) div m_union is a truncating integer
+    division; when the union holds fewer than k distinct hashes
+    EVERYTHING is exact (the sketches are the full hash sets). Returns
+    one row (m_union, matches, jaccard_micro, union_est, inter_est).
+    """
+    from pyspark.sql import Window
+
+    a = sk_a.select("h").distinct()
+    b = sk_b.select("h").distinct()
+    u = a.unionByName(b).distinct()
+    w = Window.orderBy("h")
+    uk = (
+        u.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select("h")
+    )
+    flagged = uk.join(
+        a.select("h", F.lit(1).alias("ina")), "h", "left"
+    ).join(b.select("h", F.lit(1).alias("inb")), "h", "left")
+    agg = flagged.agg(
+        F.count(F.lit(1)).cast("bigint").alias("m_union"),
+        F.sum(((F.col("ina") == 1) & (F.col("inb") == 1)).cast("int"))
+        .cast("bigint")
+        .alias("matches"),
+        F.max("h").cast("bigint").alias("kth"),
+    )
+    union_est = F.when(F.col("m_union") < k, F.col("m_union")).otherwise(
+        F.floor(
+            F.lit(float((k - 1) * KMV_SPACE)) / F.col("kth").cast("double")
+        ).cast("bigint")
+    )
+    # inter_est via INTEGER division on both engines: a double->bigint
+    # cast truncates on Spark but rounds on DuckDB (the
+    # recursive_front_door portability gotcha)
+    return agg.select(
+        "m_union",
+        "matches",
+        F.expr("(matches * 1000000) div m_union").cast("bigint").alias(
+            "jaccard_micro"
+        ),
+        union_est.alias("union_est"),
+    ).select(
+        "m_union",
+        "matches",
+        "jaccard_micro",
+        "union_est",
+        F.expr("(matches * union_est) div m_union").cast("bigint").alias(
+            "inter_est"
+        ),
+    )
+
+
+def sql_kmv_intersect(sk_a_expr: str, sk_b_expr: str, k: int = 64) -> str:
+    """DuckDB twin of ``kmv_intersect`` over two (g, h) sketch relations."""
+    lit = repr(float((k - 1) * KMV_SPACE))
+    return f"""
+WITH a AS (SELECT DISTINCT h FROM {sk_a_expr}),
+b AS (SELECT DISTINCT h FROM {sk_b_expr}),
+u AS (SELECT DISTINCT h FROM (SELECT h FROM a UNION ALL SELECT h FROM b)),
+uk AS (
+  SELECT h FROM (
+    SELECT h, row_number() OVER (ORDER BY h) AS rn FROM u) WHERE rn <= {k}),
+agg AS (
+  SELECT CAST(count(*) AS BIGINT) AS m_union,
+         CAST(sum(CASE WHEN a.h IS NOT NULL AND b.h IS NOT NULL
+                       THEN 1 ELSE 0 END) AS BIGINT) AS matches,
+         CAST(max(uk.h) AS BIGINT) AS kth
+  FROM uk LEFT JOIN a ON a.h = uk.h LEFT JOIN b ON b.h = uk.h)
+SELECT m_union, matches,
+       CAST((matches * 1000000) // m_union AS BIGINT) AS jaccard_micro,
+       CASE WHEN m_union < {k} THEN m_union
+            ELSE CAST(floor({lit} / CAST(kth AS DOUBLE)) AS BIGINT) END
+         AS union_est,
+       CAST((matches * (CASE WHEN m_union < {k} THEN m_union
+            ELSE CAST(floor({lit} / CAST(kth AS DOUBLE)) AS BIGINT) END))
+            // m_union AS BIGINT) AS inter_est
+FROM agg"""

@@ -9,7 +9,10 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ingestion_scripts_spark import oracle as O
 from ingestion_scripts_spark.caching import persist_tracked
+from ingestion_scripts_spark.functions import text as X
+from ingestion_scripts_spark.operators import similarity as SIM
 from ingestion_scripts_spark.registry import part07 as _prev  # noqa: F401
 from ingestion_scripts_spark.registry.part07 import *  # noqa: F401,F403
 
@@ -815,3 +818,206 @@ ORDER BY user_id
 
 
 __all__ = __all__ + ["q_fano_burstiness", "SQL_FANO_BURSTINESS"]  # noqa: F405,PLE0605
+
+
+# ---------------------------------------------------------------------------
+# KMV sketch intersection (theta-sketch set algebra)
+# ---------------------------------------------------------------------------
+
+def q_kmv_click_purchase_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jaccard / intersection estimate of the click-user and
+    purchase-user sets from their KMV sketches ALONE
+    (operators/sketches.py::kmv_intersect) — the set-algebra leg of the
+    sketch family (HLL unions are exact but intersections need
+    inclusion-exclusion, whose error explodes for small overlaps; the
+    theta/KMV trick estimates overlap directly from the bottom-k of the
+    union). Exact when the union is smaller than k."""
+    from ingestion_scripts_spark.operators import sketches as SK
+
+    ev = _t(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click")
+    buys = ev.filter(F.col("event_type") == "purchase")
+    sk_a = SK.kmv_sketch(clicks, "event_type", F.col("user_id").cast("string"), k=64)
+    sk_b = SK.kmv_sketch(buys, "event_type", F.col("user_id").cast("string"), k=64)
+    return SK.kmv_intersect(sk_a, sk_b, k=64)
+
+
+def _sql_kmv_click_purchase() -> str:
+    from ingestion_scripts_spark.operators.sketches import (
+        sql_kmv_intersect,
+        sql_kmv_sketch,
+    )
+
+    a = sql_kmv_sketch(
+        "(SELECT * FROM events WHERE event_type = 'click')",
+        "event_type", "CAST(user_id AS VARCHAR)", 64,
+    )
+    b = sql_kmv_sketch(
+        "(SELECT * FROM events WHERE event_type = 'purchase')",
+        "event_type", "CAST(user_id AS VARCHAR)", 64,
+    )
+    return sql_kmv_intersect(f"({a})", f"({b})", 64)
+
+
+__all__ = __all__ + [  # noqa: F405,PLE0605
+    "q_kmv_click_purchase_overlap", "_sql_kmv_click_purchase",
+]
+
+
+# ---------------------------------------------------------------------------
+# Brier decomposition
+# ---------------------------------------------------------------------------
+
+def q_brier_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Murphy decomposition (brier = reliability - resolution +
+    uncertainty) of the SAME score/label pair calibration_bins diagrams
+    (score = min(1, wc/80) micro-units; label = n_chars >= 250) — the
+    one-row scorecard whose identity-derived resolution reconciles with
+    the per-bin diagram bit-for-bit
+    (operators/profiling.py::brier_decomposition)."""
+    from ingestion_scripts_spark.operators import profiling as PR
+
+    docs = _t(spark, sf_dir, "documents")
+    wc = F.size(X.tokenize_ws(X.clean_text(F.col("text")))).cast("bigint")
+    score_u = F.least(
+        F.lit(1_000_000).cast("bigint"), (wc * F.lit(12500)).cast("bigint")
+    )
+    return PR.brier_decomposition(
+        docs.select(score_u.alias("s"), (F.col("n_chars") >= 250).alias("y")),
+        F.col("s"),
+        F.col("y"),
+        n_bins=10,
+    )
+
+
+def _sql_brier_score() -> str:
+    toks = O.sql_tokenize_ws(O.sql_clean_text("text"))
+    return f"""
+WITH base AS (
+  SELECT least(1000000, len({toks}) * 12500)::BIGINT AS s,
+         CASE WHEN n_chars >= 250 THEN 1 ELSE 0 END AS y
+  FROM documents),
+binned AS (
+  SELECT s, y, least((s * 10) // 1000000, 9)::BIGINT AS bin FROM base),
+per_bin AS (
+  SELECT bin, CAST(count(*) AS BIGINT) AS n_b,
+         CAST(sum(s) AS BIGINT) AS sp, CAST(sum(y) AS BIGINT) AS so,
+         CAST(sum((s - y * 1000000) * (s - y * 1000000)) AS BIGINT)
+           AS brier_num_b
+  FROM binned GROUP BY bin),
+agg AS (
+  SELECT CAST(sum(n_b) AS BIGINT) AS n, CAST(sum(so) AS BIGINT) AS so,
+         CAST(sum(brier_num_b) AS BIGINT) AS brier_num,
+         CAST(sum(((sp - so * 1000000) * (sp - so * 1000000)) // n_b)
+              AS BIGINT) AS rel_num
+  FROM per_bin)
+SELECT n, so, brier_num, rel_num,
+       round(CAST(brier_num AS DOUBLE) / (CAST(n AS DOUBLE) * 1e12), 6)
+         AS brier,
+       round(CAST(rel_num AS DOUBLE) / (CAST(n AS DOUBLE) * 1e12), 6)
+         AS reliability,
+       round(CAST(rel_num AS DOUBLE) / (CAST(n AS DOUBLE) * 1e12)
+             - CAST(brier_num AS DOUBLE) / (CAST(n AS DOUBLE) * 1e12)
+             + CAST(so * (n - so) AS DOUBLE)
+               / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)), 6) AS resolution,
+       round(CAST(so * (n - so) AS DOUBLE)
+             / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)), 6) AS uncertainty
+FROM agg"""
+
+
+__all__ = __all__ + ["q_brier_score", "_sql_brier_score"]  # noqa: F405,PLE0605
+
+
+# ---------------------------------------------------------------------------
+# pinball (quantile) loss
+# ---------------------------------------------------------------------------
+
+def q_pinball_loss_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source pinball loss of the source's own 0.9-quantile of
+    n_chars as a constant predictor
+    (operators/profiling.py::pinball_loss) — the falsifiable form of a
+    quantile claim: the order statistic minimizes this loss, so any
+    sketched/sampled quantile can be scored against the floor in the
+    same units."""
+    from ingestion_scripts_spark.operators import profiling as PR
+
+    docs = _t(spark, sf_dir, "documents")
+    out = PR.pinball_loss(docs, "source", F.col("n_chars"), q_num=9, q_den=10)
+    return out.select(
+        F.col("g").alias("source"), "n", "yhat", "loss_sum_scaled", "mean_loss"
+    ).orderBy("source")
+
+
+SQL_PINBALL_SOURCES = """
+WITH pts AS (
+  SELECT source AS g, CAST(n_chars AS BIGINT) AS y FROM documents),
+ranked AS (
+  SELECT g, y, row_number() OVER (PARTITION BY g ORDER BY y) AS rn,
+         count(*) OVER (PARTITION BY g) AS n
+  FROM pts),
+yhat AS (
+  SELECT g, CAST(n AS BIGINT) AS n, y AS yhat
+  FROM ranked WHERE rn = (9 * n + 9) // 10),
+scored AS (
+  SELECT p.g,
+         CASE WHEN p.y >= h.yhat THEN 9 * (p.y - h.yhat)
+              ELSE 1 * (h.yhat - p.y) END AS contrib
+  FROM pts p JOIN yhat h USING (g))
+SELECT h.g AS source, h.n, h.yhat,
+       CAST(sum(s.contrib) AS BIGINT) AS loss_sum_scaled,
+       round(CAST(sum(s.contrib) AS DOUBLE) / (CAST(h.n AS DOUBLE) * 10.0), 6)
+         AS mean_loss
+FROM scored s JOIN yhat h USING (g)
+GROUP BY h.g, h.n, h.yhat
+ORDER BY source
+"""
+
+
+__all__ = __all__ + ["q_pinball_loss_sources", "SQL_PINBALL_SOURCES"]  # noqa: F405,PLE0605
+
+
+# ---------------------------------------------------------------------------
+# hard-negative mining
+# ---------------------------------------------------------------------------
+
+def q_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining over the embeddings table: per sampled query,
+    the top-3 most-similar vectors BELOW the near-dup boundary
+    (cosine < 0.9) — the contrastive-training pair list (random
+    negatives are information-free; near-dup "negatives" are label
+    noise). Same exact-cosine idiom as embedding_topk; the threshold and
+    ranks are cross-engine exact (operators/similarity.py::
+    hard_negatives)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 50 == 0)
+    return SIM.hard_negatives(queries, emb, max_sim=0.9, k=3).orderBy(
+        "query_id", "rank"
+    )
+
+
+_SQL_HN_NORM = (
+    "sqrt(list_sum(list_transform(range(1, len({0}) + 1), i -> {0}[i] * {0}[i])))"
+).format
+
+SQL_HARD_NEGATIVES = f"""
+WITH q0 AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS v
+            FROM embeddings WHERE vec_id % 50 = 0),
+q AS (SELECT query_id, list_transform(v, x -> x / {_SQL_HN_NORM('v')}) AS qv
+      FROM q0),
+c0 AS (SELECT vec_id AS match_id, embedding::DOUBLE[] AS v FROM embeddings),
+c AS (SELECT match_id, list_transform(v, x -> x / {_SQL_HN_NORM('v')}) AS cv
+      FROM c0),
+scored AS (
+  SELECT query_id, match_id, round({O.sql_dot('qv', 'cv', 'len(qv)')}, 6) AS sim
+  FROM q, c WHERE query_id <> match_id),
+ranked AS (
+  SELECT query_id, match_id, sim,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY sim DESC, match_id ASC) AS rank
+  FROM scored WHERE sim < 0.9)
+SELECT query_id, match_id, sim, rank FROM ranked WHERE rank <= 3
+ORDER BY query_id, rank
+"""
+
+
+__all__ = __all__ + ["q_hard_negatives", "SQL_HARD_NEGATIVES"]  # noqa: F405,PLE0605

@@ -68,6 +68,8 @@ R7_WINDOW = [
     "link_prediction", "acf_daily", "l_diversity", "ahash_image_neardup",
     "seasonal_revenue", "community_modularity", "loo_quality_delta",
     "fano_burstiness",
+    "kmv_set_overlap", "brier_score", "pinball_loss_sources",
+    "hard_negatives",
     "hourly_windows", "stream_hourly_windows", "stream_sessionize",
     "top_orders", "region_revenue", "antijoin_new_users",
     "dead_letter_routing", "semi_join_urgent", "cust_order_dist",
@@ -75,8 +77,7 @@ R7_WINDOW = [
     "purchase_error_funnel", "small_quantity_revenue", "in_subquery_parts",
     "value_percentiles", "pivot_weekday", "running_user_value",
     "clicked_never_purchased", "late_ship_priority", "parts_never_discounted",
-    "user_value_quartiles", "clean_text", "hashtags", "stopword_filter",
-    "bigram_pairs",
+    "user_value_quartiles",
 ]
 
 

@@ -205,3 +205,124 @@ def test_l_diversity_matches_pandas(spark):
     assert len(got) == len(ref)
     assert (got["l_distinct"].to_numpy() == ref["l_distinct"].to_numpy()).all()
     assert ((out["l_distinct"] < 3).astype(int).to_numpy() == out["at_risk"].to_numpy()).all()
+
+
+# --------------------------------------------------------------------------
+# batch 3: KMV intersection, Brier decomposition, pinball loss, hard negs
+# --------------------------------------------------------------------------
+
+def test_kmv_intersect_exact_below_k(spark):
+    """When the union has < k distinct hashes the sketches ARE the hash
+    sets, so every output must be exact set algebra."""
+    from ingestion_scripts_spark.operators.sketches import (
+        kmv_intersect,
+        kmv_sketch,
+    )
+
+    rows_a = [("a", f"u{i}") for i in range(30)]          # u0..u29
+    rows_b = [("b", f"u{i}") for i in range(20, 50)]       # u20..u49
+    df = spark.createDataFrame(rows_a + rows_b, "g string, v string")
+    sa = kmv_sketch(df.filter(F.col("g") == "a"), "g", F.col("v"), k=64)
+    sb = kmv_sketch(df.filter(F.col("g") == "b"), "g", F.col("v"), k=64)
+    out = kmv_intersect(sa, sb, k=64).collect()[0]
+    # |A|=30, |B|=30, |A ∪ B|=50, |A ∩ B|=10
+    assert (out["m_union"], out["matches"]) == (50, 10)
+    assert out["jaccard_micro"] == (10 * 1_000_000) // 50
+    assert (out["union_est"], out["inter_est"]) == (50, 10)
+
+
+def test_kmv_intersect_estimates_track_truth_above_k(spark):
+    from ingestion_scripts_spark.operators.sketches import (
+        kmv_intersect,
+        kmv_sketch,
+    )
+
+    rows_a = [("a", f"u{i}") for i in range(3000)]
+    rows_b = [("b", f"u{i}") for i in range(1500, 4500)]
+    df = spark.createDataFrame(rows_a + rows_b, "g string, v string")
+    sa = kmv_sketch(df.filter(F.col("g") == "a"), "g", F.col("v"), k=64)
+    sb = kmv_sketch(df.filter(F.col("g") == "b"), "g", F.col("v"), k=64)
+    out = kmv_intersect(sa, sb, k=64).collect()[0]
+    # truth: union 4500, intersection 1500, jaccard 1/3
+    assert 0.5 * 4500 < out["union_est"] < 1.6 * 4500
+    assert 0.10 < out["jaccard_micro"] / 1e6 < 0.65  # ~1/sqrt(64) noise
+    assert 0 < out["inter_est"] < 2 * 1500 + 500
+
+
+def test_brier_decomposition_identity_and_hand_case(spark):
+    from ingestion_scripts_spark.operators.profiling import brier_decomposition
+
+    # two bins: bin0 = p 0.1 with outcomes (0,0,1); bin9 = p 0.9 with (1,1)
+    rows = [(100_000, 0), (100_000, 0), (100_000, 1), (900_000, 1), (900_000, 1)]
+    df = spark.createDataFrame(rows, "s long, y int")
+    out = brier_decomposition(df, F.col("s"), F.col("y") == 1, 10).collect()[0]
+    n = 5
+    brier_num = 2 * 100_000**2 + (100_000 - 1_000_000) ** 2 + 2 * (900_000 - 1_000_000) ** 2
+    assert out["brier_num"] == brier_num
+    # bin0: Sp=300000, So=1 -> (300000-1000000)^2 div 3 ; bin9: Sp=1800000,
+    # So=2 -> (1800000-2000000)^2 div 2
+    rel_num = (300_000 - 1_000_000) ** 2 // 3 + (1_800_000 - 2_000_000) ** 2 // 2
+    assert out["rel_num"] == rel_num
+    assert out["brier"] == round(brier_num / (n * 1e12), 6)
+    # identity holds by construction: res - rel + brier == unc
+    unc = out["so"] * (n - out["so"]) / n**2
+    assert abs((out["resolution"] - out["reliability"] + out["brier"]) - round(unc, 6)) < 2e-6
+
+
+def test_brier_perfect_and_worst_predictors(spark):
+    from ingestion_scripts_spark.operators.profiling import brier_decomposition
+
+    perfect = [(1_000_000, 1)] * 3 + [(0, 0)] * 3
+    df = spark.createDataFrame(perfect, "s long, y int")
+    out = brier_decomposition(df, F.col("s"), F.col("y") == 1, 10).collect()[0]
+    assert out["brier"] == 0.0 and out["reliability"] == 0.0
+    assert out["resolution"] == out["uncertainty"] == 0.25
+
+    worst = [(0, 1)] * 2 + [(1_000_000, 0)] * 2
+    df = spark.createDataFrame(worst, "s long, y int")
+    out = brier_decomposition(df, F.col("s"), F.col("y") == 1, 10).collect()[0]
+    assert out["brier"] == 1.0
+
+
+def test_pinball_loss_order_statistic_is_minimizer(spark):
+    """The defining property: the rank-ceil(q*n) order statistic minimizes
+    pinball loss — perturbing the predictor by ±1 must not reduce the
+    scaled loss sum (checked in pure Python against the kernel's yhat)."""
+    import random
+
+    from ingestion_scripts_spark.operators.profiling import pinball_loss
+
+    rng = random.Random(17)
+    ys = [rng.randint(0, 1000) for _ in range(41)]
+    df = spark.createDataFrame([("g", y) for y in ys], "g string, y long")
+    out = pinball_loss(df, "g", F.col("y"), q_num=9, q_den=10).collect()[0]
+
+    def loss(yhat):
+        return sum(9 * (y - yhat) if y >= yhat else (yhat - y) for y in ys)
+
+    assert out["yhat"] == sorted(ys)[(9 * 41 + 9) // 10 - 1]
+    assert out["loss_sum_scaled"] == loss(out["yhat"])
+    assert loss(out["yhat"]) <= loss(out["yhat"] + 1)
+    assert loss(out["yhat"]) <= loss(out["yhat"] - 1)
+    assert out["mean_loss"] == round(out["loss_sum_scaled"] / (41 * 10.0), 6)
+
+
+def test_hard_negatives_excludes_near_dups_and_ranks(spark):
+    from ingestion_scripts_spark.operators.similarity import hard_negatives
+
+    # query q; an exact duplicate (sim 1.0, must be excluded); a close
+    # vector (sim ~0.94, excluded); a moderate one (~0.7, rank 1); an
+    # orthogonal one (0.0, rank 2)
+    rows = [
+        (0, [1.0, 0.0, 0.0]),
+        (1, [1.0, 0.0, 0.0]),          # exact dup
+        (2, [0.94, 0.34, 0.0]),        # sim ~0.94
+        (3, [0.7, 0.714, 0.0]),        # sim ~0.70
+        (4, [0.0, 0.0, 1.0]),          # sim 0
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    q = df.filter(F.col("vec_id") == 0)
+    out = hard_negatives(q, df, max_sim=0.9, k=3).orderBy("rank").collect()
+    assert [r["match_id"] for r in out] == [3, 4]
+    assert all(r["sim"] < 0.9 for r in out)
+    assert out[0]["sim"] > 0.69
