@@ -331,6 +331,10 @@ _REGISTRY: list[tuple[str, Callable[[SparkSession, str], DataFrame], str | None]
     ("brier_score", q_brier_score, _sql_brier_score()),
     ("pinball_loss_sources", q_pinball_loss_sources, SQL_PINBALL_SOURCES),
     ("hard_negatives", q_hard_negatives, SQL_HARD_NEGATIVES),
+    ("novelty_decay", q_novelty_decay, SQL_NOVELTY_DECAY),
+    ("gini_concentration", q_gini_concentration, SQL_GINI),
+    ("negative_sampling_table", q_negative_sampling_table, _sql_negative_sampling()),
+    ("stream_kmv_distinct", q_stream_kmv_distinct, _sql_stream_kmv()),
 ]
 
 # --- r7 driver-window rotation (ROADMAP.md rotation table) -----------------
@@ -358,6 +362,8 @@ _R7_WINDOW = [
     "fano_burstiness",
     "kmv_set_overlap", "brier_score", "pinball_loss_sources",
     "hard_negatives",
+    "novelty_decay", "gini_concentration", "negative_sampling_table",
+    "stream_kmv_distinct",
     # re-certification anchors: last green r1
     "hourly_windows", "stream_hourly_windows", "stream_sessionize",
     # re-certification anchors: last green r2
@@ -366,8 +372,6 @@ _R7_WINDOW = [
     "rollup_revenue", "distinct_users", "asof_clicks",
     "purchase_error_funnel", "small_quantity_revenue", "in_subquery_parts",
     "value_percentiles", "pivot_weekday", "running_user_value",
-    "clicked_never_purchased", "late_ship_priority", "parts_never_discounted",
-    "user_value_quartiles",
 ]
 _BY_NAME = {t[0]: t for t in _REGISTRY}
 _REGISTRY = (

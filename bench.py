@@ -269,6 +269,9 @@ HEADLINE = [
     "brier_score",
     "pinball_loss_sources",
     "hard_negatives",
+    "novelty_decay",
+    "gini_concentration",
+    "negative_sampling_table",
 ]
 
 #: deliberate shadows: oracle-exact twins of faster default kernels, kept
@@ -299,6 +302,7 @@ STREAMING = [
     "stream_scd_merge",
     "stream_quota_admission",
     "stream_token_bucket",
+    "stream_kmv_distinct",
 ]
 
 

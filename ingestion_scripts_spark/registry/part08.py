@@ -1021,3 +1021,286 @@ ORDER BY query_id, rank
 
 
 __all__ = __all__ + ["q_hard_negatives", "SQL_HARD_NEGATIVES"]  # noqa: F405,PLE0605
+
+
+# ---------------------------------------------------------------------------
+# novelty decay across arrival order
+# ---------------------------------------------------------------------------
+
+def q_novelty_decay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-novelty decay across arrival buckets (doc_id div 50 as the
+    arrival index): per bucket, the fraction of documents whose TEXT has
+    never been seen in any earlier bucket or earlier in the same bucket
+    — the curve a continuously-ingesting pipeline watches to decide when
+    a source is mined out (novelty -> 0 long before volume does). A doc
+    is novel iff it IS its text's first occurrence (min doc_id per
+    text), so one keyed aggregate + one join answer every bucket at
+    once; rates are truncating integer micro-divisions."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    first = docs.groupBy("text").agg(F.min("doc_id").alias("first_id"))
+    tagged = docs.join(first, "text").select(
+        (F.col("doc_id") / 50).cast("bigint").alias("bucket"),
+        (F.col("doc_id") == F.col("first_id")).cast("int").alias("novel"),
+    )
+    out = tagged.groupBy("bucket").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("novel").cast("bigint").alias("novel"),
+    )
+    return out.select(
+        "bucket",
+        "n",
+        "novel",
+        F.expr("(novel * 1000000) div n").cast("bigint").alias("novelty_micro"),
+    ).orderBy("bucket")
+
+
+SQL_NOVELTY_DECAY = """
+WITH first AS (SELECT text, min(doc_id) AS first_id FROM documents GROUP BY text),
+tagged AS (
+  SELECT CAST(d.doc_id // 50 AS BIGINT) AS bucket,
+         CASE WHEN d.doc_id = f.first_id THEN 1 ELSE 0 END AS novel
+  FROM documents d JOIN first f USING (text))
+SELECT bucket, CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(novel) AS BIGINT) AS novel,
+       CAST((sum(novel) * 1000000) // count(*) AS BIGINT) AS novelty_micro
+FROM tagged GROUP BY bucket ORDER BY bucket
+"""
+
+
+__all__ = __all__ + ["q_novelty_decay", "SQL_NOVELTY_DECAY"]  # noqa: F405,PLE0605
+
+
+# ---------------------------------------------------------------------------
+# Gini concentration
+# ---------------------------------------------------------------------------
+
+def q_gini_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini coefficient of per-customer order value within each nation —
+    the dataset-card concentration metric (is a nation's revenue 5
+    whales or a broad base? the data analog: is a source 5 power
+    authors?). Exact integer numerator via the sorted-prefix identity
+    G = (2*sum(i*y_i) - (n+1)*S) / (n*S) with y in exact cents and i a
+    deterministic (value, custkey) rank; one float divide, 6 dp."""
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    nat = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    per_cust = (
+        orders.groupBy(F.col("o_custkey").alias("c_custkey"))
+        .agg(
+            F.sum(
+                F.floor(F.col("o_totalprice") * F.lit(100.0) + F.lit(0.5)).cast(
+                    "bigint"
+                )
+            )
+            .cast("bigint")
+            .alias("y")
+        )
+        .join(cust, "c_custkey")
+        .join(F.broadcast(nat), cust["c_nationkey"] == nat["n_nationkey"])
+        .select("n_name", "c_custkey", "y")
+    )
+    w = Window.partitionBy("n_name").orderBy("y", "c_custkey")
+    ranked = per_cust.withColumn("i", F.row_number().over(w).cast("bigint"))
+    agg = ranked.groupBy("n_name").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("y").cast("bigint").alias("s"),
+        F.sum(F.col("i") * F.col("y")).cast("bigint").alias("iy"),
+    )
+    return agg.select(
+        F.col("n_name").alias("nation"),
+        "n",
+        "s",
+        (F.lit(2) * F.col("iy") - (F.col("n") + 1) * F.col("s"))
+        .cast("bigint")
+        .alias("g_num"),
+        F.round(
+            (F.lit(2) * F.col("iy") - (F.col("n") + 1) * F.col("s")).cast("double")
+            / (F.col("n") * F.col("s")).cast("double"),
+            6,
+        ).alias("gini"),
+    ).orderBy("nation")
+
+
+SQL_GINI = """
+WITH per_cust AS (
+  SELECT n.n_name,
+         o.o_custkey AS c_custkey,
+         CAST(sum(CAST(floor(o.o_totalprice * 100.0 + 0.5) AS BIGINT))
+              AS BIGINT) AS y
+  FROM orders o
+  JOIN customer c ON c.c_custkey = o.o_custkey
+  JOIN nation n ON n.n_nationkey = c.c_nationkey
+  GROUP BY 1, 2),
+ranked AS (
+  SELECT n_name, y,
+         CAST(row_number() OVER (PARTITION BY n_name ORDER BY y, c_custkey)
+              AS BIGINT) AS i
+  FROM per_cust),
+agg AS (
+  SELECT n_name, CAST(count(*) AS BIGINT) AS n, CAST(sum(y) AS BIGINT) AS s,
+         CAST(sum(i * y) AS BIGINT) AS iy
+  FROM ranked GROUP BY n_name)
+SELECT n_name AS nation, n, s,
+       CAST(2 * iy - (n + 1) * s AS BIGINT) AS g_num,
+       round(CAST(2 * iy - (n + 1) * s AS DOUBLE) / CAST(n * s AS DOUBLE), 6)
+         AS gini
+FROM agg ORDER BY nation
+"""
+
+
+__all__ = __all__ + ["q_gini_concentration", "SQL_GINI"]  # noqa: F405,PLE0605
+
+
+# ---------------------------------------------------------------------------
+# negative-sampling table
+# ---------------------------------------------------------------------------
+
+def q_negative_sampling_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """word2vec-style negative-sampling table over the corpus unigram
+    counts: weight ∝ f^0.75 (the smoothing that keeps frequent tokens
+    from dominating draws), micro-snapped immediately so the cumulative
+    ranges — the alias-table intervals a sampler binary-searches — are
+    exact BIGINT prefix sums over a deterministic (weight desc, token)
+    order. Top-200 rows. pow's last-ulp risk is confined to the snap
+    (the mutual_information precedent); the prefix sums are integer."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(
+        F.explode(X.tokenize_ws(F.lower(X.clean_text(F.col("text"))))).alias("t")
+    )
+    freq = toks.groupBy("t").agg(F.count(F.lit(1)).cast("bigint").alias("f"))
+    wgt = freq.select(
+        "t",
+        "f",
+        F.floor(
+            F.pow(F.col("f").cast("double"), F.lit(0.75)) * F.lit(1_000_000.0)
+            + F.lit(0.5)
+        )
+        .cast("bigint")
+        .alias("w_micro"),
+    )
+    w = Window.orderBy(F.desc("w_micro"), F.asc("t"))
+    ranked = wgt.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= 200
+    )
+    cum = Window.orderBy(F.desc("w_micro"), F.asc("t")).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    return ranked.select(
+        "rank", "t", "f", "w_micro", F.sum("w_micro").over(cum).cast("bigint").alias("cum_w")
+    ).orderBy("rank")
+
+
+def _sql_negative_sampling() -> str:
+    toks = O.sql_tokenize_ws(O.sql_clean_text("lower(text)"))
+    return f"""
+WITH toks AS (SELECT unnest({toks}) AS t FROM documents),
+freq AS (SELECT t, CAST(count(*) AS BIGINT) AS f FROM toks GROUP BY t),
+wgt AS (
+  SELECT t, f,
+         CAST(floor(pow(CAST(f AS DOUBLE), 0.75) * 1000000.0 + 0.5) AS BIGINT)
+           AS w_micro
+  FROM freq),
+ranked AS (
+  SELECT t, f, w_micro,
+         CAST(row_number() OVER (ORDER BY w_micro DESC, t ASC) AS BIGINT)
+           AS rank,
+         CAST(sum(w_micro) OVER (ORDER BY w_micro DESC, t ASC
+                                 ROWS BETWEEN UNBOUNDED PRECEDING AND
+                                 CURRENT ROW) AS BIGINT) AS cum_w
+  FROM wgt)
+SELECT rank, t, f, w_micro, cum_w FROM ranked WHERE rank <= 200
+ORDER BY rank
+"""
+
+
+__all__ = __all__ + [  # noqa: F405,PLE0605
+    "q_negative_sampling_table", "_sql_negative_sampling",
+]
+
+
+# ---------------------------------------------------------------------------
+# streaming KMV distinct
+# ---------------------------------------------------------------------------
+
+def q_stream_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming distinct-count sketching: events replay as three
+    deterministic micro-batches (event_id % 3); a ``foreachBatch``
+    handler maintains the per-event_type KMV bottom-64 state in a
+    parquet state dir (read previous state, union the batch's hashes,
+    keep the k smallest — the sketch merge that needs no rescan). The
+    oracle is the BATCH sketch over all events at once: KMV state is a
+    pure min-set, ORDER-INDEPENDENT, so the streaming result must be
+    bit-identical to the batch result — the strongest possible
+    streaming/batch consistency law, and the 18th executed Structured
+    Streaming query."""
+    import glob
+    import os
+    import time
+    import uuid
+
+    from ingestion_scripts_spark.operators import sketches as SK
+
+    ev = _t(spark, sf_dir, "events").select("event_id", "event_type", "user_id")
+    src = _scratch(prefix="kmvstream_src_")
+    for i in range(3):
+        ev.filter(F.col("event_id") % 3 == i).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(f"{src}/b{i}")
+    now = time.time()
+    for i in range(3):
+        for p in glob.glob(f"{src}/b{i}/*.parquet"):
+            os.utime(p, (now - 300 + 50 * i, now - 300 + 50 * i))
+    state_dir = _scratch(prefix="kmvstream_state_") + "/state"
+
+    def handle(batch_df: DataFrame, _bid: int) -> None:
+        sp = batch_df.sparkSession
+        sk = SK.kmv_sketch(
+            batch_df, "event_type", F.col("user_id").cast("string"), k=64
+        )
+        try:
+            prev = sp.read.parquet(state_dir)
+            merged = prev.unionByName(sk.select("g", "h")).distinct()
+        except Exception:
+            merged = sk.select("g", "h").distinct()
+        w = Window.partitionBy("g").orderBy("h")
+        topk = (
+            merged.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= 64)
+            .select("g", "h")
+        )
+        # rewrite-whole-state per batch: state is <= 64 rows per group
+        topk.coalesce(1).write.mode("overwrite").parquet(state_dir + "_next")
+        nxt = sp.read.parquet(state_dir + "_next")
+        nxt.coalesce(1).write.mode("overwrite").parquet(state_dir)
+
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .option("recursiveFileLookup", "true")
+        .parquet(src)
+    )
+    q = (
+        stream.writeStream.foreachBatch(handle)
+        .option("checkpointLocation", _scratch(prefix="ckpt_kmv_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    final = spark.read.parquet(state_dir)
+    return SK.kmv_estimate(final, k=64).orderBy("g")
+
+
+def _sql_stream_kmv() -> str:
+    from ingestion_scripts_spark.operators.sketches import (
+        sql_kmv_estimate,
+        sql_kmv_sketch,
+    )
+
+    sk = sql_kmv_sketch("events", "event_type", "CAST(user_id AS VARCHAR)", 64)
+    est = sql_kmv_estimate(f"({sk})", 64)
+    return f"{est}\nORDER BY g"
+
+
+__all__ = __all__ + [  # noqa: F405,PLE0605
+    "q_stream_kmv_distinct", "_sql_stream_kmv",
+]

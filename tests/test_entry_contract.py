@@ -70,14 +70,14 @@ R7_WINDOW = [
     "fano_burstiness",
     "kmv_set_overlap", "brier_score", "pinball_loss_sources",
     "hard_negatives",
+    "novelty_decay", "gini_concentration", "negative_sampling_table",
+    "stream_kmv_distinct",
     "hourly_windows", "stream_hourly_windows", "stream_sessionize",
     "top_orders", "region_revenue", "antijoin_new_users",
     "dead_letter_routing", "semi_join_urgent", "cust_order_dist",
     "rollup_revenue", "distinct_users", "asof_clicks",
     "purchase_error_funnel", "small_quantity_revenue", "in_subquery_parts",
     "value_percentiles", "pivot_weekday", "running_user_value",
-    "clicked_never_purchased", "late_ship_priority", "parts_never_discounted",
-    "user_value_quartiles",
 ]
 
 

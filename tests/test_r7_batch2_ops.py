@@ -326,3 +326,100 @@ def test_hard_negatives_excludes_near_dups_and_ranks(spark):
     assert [r["match_id"] for r in out] == [3, 4]
     assert all(r["sim"] < 0.9 for r in out)
     assert out[0]["sim"] > 0.69
+
+
+# --------------------------------------------------------------------------
+# batch 4: novelty decay, Gini, negative sampling, streaming KMV
+# --------------------------------------------------------------------------
+
+def test_novelty_decay_matches_pandas(spark):
+    import pandas as pd
+
+    import __spark_entry__ as E
+
+    sf = "/root/testdata/sf0.001"
+    out = E.queries()["novelty_decay"](spark, sf).toPandas()
+    pdf = pd.read_parquet(f"{sf}/documents.parquet")[["doc_id", "text"]]
+    first = pdf.groupby("text")["doc_id"].min().rename("first_id")
+    pdf = pdf.join(first, on="text")
+    pdf["bucket"] = pdf["doc_id"] // 50
+    pdf["novel"] = (pdf["doc_id"] == pdf["first_id"]).astype(int)
+    ref = pdf.groupby("bucket").agg(n=("novel", "size"), novel=("novel", "sum"))
+    for _, r in out.iterrows():
+        e = ref.loc[r["bucket"]]
+        assert (r["n"], r["novel"]) == (e["n"], e["novel"])
+        assert r["novelty_micro"] == (e["novel"] * 1_000_000) // e["n"]
+    # first bucket is always fully novel at its first occurrence rows;
+    # total novel == number of distinct texts
+    assert out["novel"].sum() == pdf["text"].nunique()
+
+
+def test_gini_textbook_reference_and_bounds(spark):
+    import random
+
+    from ingestion_scripts_spark.operators import profiling  # noqa: F401
+
+    # evaluate the identity itself in pure python on random data, then the
+    # degenerate cases through the registered query's formula shape
+    rng = random.Random(31)
+    ys = sorted(rng.randint(1, 10_000) for _ in range(200))
+    n, s = len(ys), sum(ys)
+    g_num = 2 * sum((i + 1) * y for i, y in enumerate(ys)) - (n + 1) * s
+    gini = g_num / (n * s)
+    # textbook mean-absolute-difference form: G = sum|yi-yj| / (2 n^2 mu)
+    mad = sum(abs(a - b) for a in ys for b in ys)
+    assert abs(gini - mad / (2 * n * n * (s / n))) < 1e-9
+    assert 0.0 <= gini < 1.0
+
+    # all-equal values -> G == 0 through the same integer identity
+    ys = [7] * 10
+    n, s = 10, 70
+    assert 2 * sum((i + 1) * 7 for i in range(10)) - 11 * 70 == 0
+
+
+def test_negative_sampling_table_matches_python(spark):
+    import math
+
+    import __spark_entry__ as E
+
+    sf = "/root/testdata/sf0.001"
+    out = E.queries()["negative_sampling_table"](spark, sf).toPandas()
+    # weights reproduce floor(f^0.75 * 1e6 + 0.5); ranges partition [0, total)
+    for _, r in out.iterrows():
+        assert r["w_micro"] == math.floor(r["f"] ** 0.75 * 1e6 + 0.5)
+    assert (out["w_micro"] > 0).all()
+    # cumulative ranges are strictly increasing and consistent
+    cums = out["cum_w"].tolist()
+    ws = out["w_micro"].tolist()
+    assert cums[0] == ws[0]
+    for i in range(1, len(cums)):
+        assert cums[i] == cums[i - 1] + ws[i]
+    # smoothing flattens: weight ratios are milder than frequency ratios
+    f0, fl = out["f"].iloc[0], out["f"].iloc[-1]
+    if f0 > fl:
+        assert out["w_micro"].iloc[0] / out["w_micro"].iloc[-1] < f0 / fl
+
+
+def test_stream_kmv_equals_batch_kmv_bit_for_bit(spark):
+    """THE law this operator exists for: KMV state is a pure min-set, so
+    the 3-micro-batch streaming maintenance must produce the exact same
+    sketch (and therefore estimates) as one batch pass — streaming/batch
+    consistency with zero tolerance."""
+    import __spark_entry__ as E
+    from ingestion_scripts_spark.operators import sketches as SK
+    from ingestion_scripts_spark.sources.readers import load_table
+
+    sf = "/root/testdata/sf0.001"
+    streamed = {
+        r["g"]: (r["m"], r["est"], r["kth_hash"])
+        for r in E.queries()["stream_kmv_distinct"](spark, sf).collect()
+    }
+    ev = load_table(spark, sf, "events")
+    batch = {
+        r["g"]: (r["m"], r["est"], r["kth_hash"])
+        for r in SK.kmv_estimate(
+            SK.kmv_sketch(ev, "event_type", F.col("user_id").cast("string"), 64),
+            64,
+        ).collect()
+    }
+    assert streamed == batch and len(batch) >= 3
