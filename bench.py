@@ -505,6 +505,14 @@ def main() -> None:
                 "streaming_total": detail["streaming_total"],
                 "tainted": tainted,
                 "serial_ref_sec": detail["serial_ref_sec"],
+                # host speed vs the committed idle calibration: divide the
+                # headline total by this to normalize round-over-round
+                # comparisons for sub-gate host slowdown (e.g. 1.24 here
+                # explained a +17% identical-set total with zero code
+                # change on the second r7 run)
+                "host_speed_ratio": round(
+                    detail["serial_ref_sec"] / _PROBE_IDLE_CALIB_SEC, 3
+                ),
                 "probe_worker_med": [
                     p["attempts"][-1]["worker_med"] for p in probes
                 ],
