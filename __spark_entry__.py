@@ -335,6 +335,9 @@ _REGISTRY: list[tuple[str, Callable[[SparkSession, str], DataFrame], str | None]
     ("gini_concentration", q_gini_concentration, SQL_GINI),
     ("negative_sampling_table", q_negative_sampling_table, _sql_negative_sampling()),
     ("stream_kmv_distinct", q_stream_kmv_distinct, _sql_stream_kmv()),
+    ("rbo_vocab_stability", q_rbo_vocab_stability, _sql_rbo_vocab()),
+    ("decile_lift", q_decile_lift, _sql_decile_lift()),
+    ("entropy_rate_transitions", q_entropy_rate_transitions, SQL_ENTROPY_RATE),
 ]
 
 # --- r7 driver-window rotation (ROADMAP.md rotation table) -----------------
@@ -364,6 +367,7 @@ _R7_WINDOW = [
     "hard_negatives",
     "novelty_decay", "gini_concentration", "negative_sampling_table",
     "stream_kmv_distinct",
+    "rbo_vocab_stability", "decile_lift", "entropy_rate_transitions",
     # re-certification anchors: last green r1
     "hourly_windows", "stream_hourly_windows", "stream_sessionize",
     # re-certification anchors: last green r2
@@ -371,7 +375,6 @@ _R7_WINDOW = [
     "dead_letter_routing", "semi_join_urgent", "cust_order_dist",
     "rollup_revenue", "distinct_users", "asof_clicks",
     "purchase_error_funnel", "small_quantity_revenue", "in_subquery_parts",
-    "value_percentiles", "pivot_weekday", "running_user_value",
 ]
 _BY_NAME = {t[0]: t for t in _REGISTRY}
 _REGISTRY = (

@@ -272,6 +272,9 @@ HEADLINE = [
     "novelty_decay",
     "gini_concentration",
     "negative_sampling_table",
+    "rbo_vocab_stability",
+    "decile_lift",
+    "entropy_rate_transitions",
 ]
 
 #: deliberate shadows: oracle-exact twins of faster default kernels, kept

@@ -1320,3 +1320,107 @@ def pinball_loss(
             ).alias("mean_loss"),
         )
     )
+
+
+def decile_lift(
+    df: DataFrame,
+    score: Column,
+    label: Column,
+    id_col: str,
+    n_buckets: int = 10,
+) -> DataFrame:
+    """Cumulative gains / lift table for a ranking score — the
+    campaign-targeting eval ("the top 20% of the ranking captures X% of
+    the positives, lift L vs random"): the population-decile companion to
+    ROC-AUC (threshold-free) and calibration_bins (value-binned).
+
+    Exactness: deciles come from the deterministic (score desc, id) row
+    rank — decile = ((rn-1) * n_buckets) div n, so bucket sizes are exact
+    and engine-stable even with massive score ties; cumulative counts are
+    window sums; lift_micro = (cum_pos * n * 1e6) div (cum_n * total_pos)
+    is one truncating integer division. Rows: one per decile.
+    """
+    base = df.select(
+        score.cast("bigint").alias("s"),
+        label.cast("int").cast("bigint").alias("y"),
+        F.col(id_col).alias("id"),
+    )
+    w = Window.orderBy(F.desc("s"), F.asc("id"))
+    ranked = base.withColumn("rn", F.row_number().over(w).cast("bigint"))
+    tot = base.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("y").cast("bigint").alias("p"),
+    )
+    bucketed = ranked.crossJoin(F.broadcast(tot)).select(
+        F.expr(f"((rn - 1) * {n_buckets}) div n").cast("bigint").alias("decile"),
+        "y",
+        "n",
+        "p",
+    )
+    per = bucketed.groupBy("decile", "n", "p").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_d"),
+        F.sum("y").cast("bigint").alias("pos_d"),
+    )
+    cw = Window.orderBy("decile").rowsBetween(Window.unboundedPreceding, 0)
+    cum = per.withColumn("cum_n", F.sum("n_d").over(cw).cast("bigint")).withColumn(
+        "cum_pos", F.sum("pos_d").over(cw).cast("bigint")
+    )
+    return cum.select(
+        "decile",
+        "n_d",
+        "pos_d",
+        "cum_n",
+        "cum_pos",
+        F.when(
+            F.col("p") > 0,
+            F.expr("(cum_pos * n * 1000000) div (cum_n * p)"),
+        )
+        .cast("bigint")
+        .alias("lift_micro"),
+    ).orderBy("decile")
+
+
+def conditional_entropy(
+    df: DataFrame,
+    prev_col: str,
+    next_col: str,
+) -> DataFrame:
+    """Per-state conditional entropy H(next | prev = u) of a transition
+    table, in nano-nats — the predictability profile of event sequences
+    (a state whose successors are near-uniform is where sessions lose
+    structure; the entropy-rate companion to the Markov transition
+    matrix and the sequence analog of char_entropy).
+
+    Exactness: per-cell contribution -(n_uv/n_u) * ln(n_uv/n_u) is the
+    mutual_information snap idiom — identical IEEE sequence over exact
+    BIGINTs on both engines, snapped to nano-units immediately, so each
+    state's total is an order-independent integer SUM. Also returns the
+    state's weight for the corpus entropy rate
+    sum_u (n_u/N) * H(next|u), which the caller can form exactly from
+    (h_nano, n_u, N).
+    """
+    cells = df.groupBy(prev_col, next_col).agg(
+        F.count(F.lit(1)).cast("bigint").alias("nuv")
+    )
+    from ingestion_scripts_spark.caching import persist_tracked
+
+    cells = persist_tracked(cells)
+    nu = cells.groupBy(prev_col).agg(F.sum("nuv").cast("bigint").alias("nu"))
+    contrib = cells.join(nu, prev_col).withColumn(
+        "h_nano_uv",
+        F.floor(
+            -(F.col("nuv").cast("double") / F.col("nu").cast("double"))
+            * F.log(F.col("nuv").cast("double") / F.col("nu").cast("double"))
+            * F.lit(1e9)
+            + F.lit(0.5)
+        ).cast("bigint"),
+    )
+    return (
+        contrib.groupBy(prev_col)
+        .agg(
+            F.max("nu").cast("bigint").alias("n_u"),
+            F.count(F.lit(1)).cast("bigint").alias("n_successors"),
+            F.sum("h_nano_uv").cast("bigint").alias("h_nano"),
+        )
+        .orderBy(prev_col)
+    )

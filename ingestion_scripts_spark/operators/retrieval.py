@@ -196,3 +196,65 @@ def token_budget_take(
         .filter(F.col("cum_before") < budget)
         .drop("__h")
     )
+
+
+def rbo_weights_pico(depth: int = 50, p: float = 0.9) -> list[int]:
+    """Frozen RBO weight table: W_d = (1-p) * p^(d-1) scaled to 1e12
+    (pico-units), computed ONCE driver-side and embedded as literals in
+    both engines' plans — the ndcg_discounts_micro idiom: pow/exp live in
+    libm, whose last-ulp behavior differs across engines, so neither
+    engine evaluates a power at query time."""
+    out = []
+    x = 1.0 - p
+    for _ in range(depth):
+        out.append(int(x * 1e12 + 0.5))
+        x *= p
+    return out
+
+
+def rbo_overlap(rank_a, rank_b, depth: int = 50, p: float = 0.9):
+    """Rank-Biased Overlap (Webber et al. 2010) between two top-``depth``
+    rankings — the top-weighted similarity of two lists that plain
+    set-Jaccard flattens: disagreement at rank 2 matters more than at
+    rank 48. The standard "did my vocabulary / retrieval ranking move?"
+    eval between corpus snapshots or index builds.
+
+    Inputs: DataFrames (key, rank) with rank 1..depth (deterministically
+    tie-broken upstream). Exact integer law: overlap_d (agreement size at
+    each depth) is an exact count; the RBO sum uses the frozen pico
+    weight table with per-depth truncating division
+    sum_d (W_d * overlap_d) div d — engine- and partition-exact. (The
+    div-per-term truncation under-counts < 50e-12 per depth vs the real
+    RBO; documented, deterministic.)
+
+    Returns one row (depth, n_common, rbo_pico, rbo).
+    """
+    from pyspark.sql import functions as F
+
+    a = rank_a.select(F.col("key"), F.col("rank").alias("ra"))
+    b = rank_b.select(F.col("key"), F.col("rank").alias("rb"))
+    both = a.join(b, "key").select(
+        F.greatest("ra", "rb").cast("bigint").alias("maxr")
+    )
+    spark = rank_a.sparkSession
+    w = rbo_weights_pico(depth, p)
+    depths = spark.range(1, depth + 1).select(F.col("id").cast("bigint").alias("d"))
+    overlap = (
+        depths.join(both, both["maxr"] <= depths["d"], "left")
+        .groupBy("d")
+        .agg(F.count("maxr").cast("bigint").alias("overlap_d"))
+    )
+    w_sql = "array(" + ",".join(f"{int(x)}L" for x in w) + ")"
+    terms = overlap.select(
+        "d",
+        "overlap_d",
+        F.expr(f"(element_at({w_sql}, CAST(d AS INT)) * overlap_d) div d")
+        .cast("bigint")
+        .alias("term_pico"),
+    )
+    return terms.agg(
+        F.lit(depth).cast("bigint").alias("depth"),
+        F.max(F.when(F.col("d") == depth, F.col("overlap_d"))).cast("bigint").alias("n_common"),
+        F.sum("term_pico").cast("bigint").alias("rbo_pico"),
+        F.round(F.sum("term_pico").cast("double") / 1e12, 6).alias("rbo"),
+    )

@@ -1304,3 +1304,202 @@ def _sql_stream_kmv() -> str:
 __all__ = __all__ + [  # noqa: F405,PLE0605
     "q_stream_kmv_distinct", "_sql_stream_kmv",
 ]
+
+
+# ---------------------------------------------------------------------------
+# rank-biased overlap: vocabulary stability between corpus halves
+# ---------------------------------------------------------------------------
+
+def q_rbo_vocab_stability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rank-Biased Overlap (p=0.9, depth 50) between the token-frequency
+    rankings of the even- and odd-doc_id corpus halves
+    (operators/retrieval.py::rbo_overlap) — the top-weighted "did the
+    vocabulary ranking move?" eval that set-Jaccard flattens: rank-2
+    disagreement outweighs rank-48. Weights are a FROZEN pico-unit table
+    (no query-time powers — the ndcg discount idiom); overlap counts and
+    the per-depth truncating divisions are exact integers."""
+    from ingestion_scripts_spark.operators import retrieval as R
+
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.explode(X.tokenize_ws(F.lower(X.clean_text(F.col("text"))))).alias("t"),
+    )
+
+    def ranking(parity: int):
+        freq = (
+            toks.filter(F.col("doc_id") % 2 == parity)
+            .groupBy("t")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("f"))
+        )
+        w = Window.orderBy(F.desc("f"), F.asc("t"))
+        return (
+            freq.withColumn("rank", F.row_number().over(w).cast("bigint"))
+            .filter(F.col("rank") <= 50)
+            .select(F.col("t").alias("key"), "rank")
+        )
+
+    return R.rbo_overlap(ranking(0), ranking(1), depth=50, p=0.9)
+
+
+def _sql_rbo_vocab() -> str:
+    from ingestion_scripts_spark.operators.retrieval import rbo_weights_pico
+
+    toks = O.sql_tokenize_ws(O.sql_clean_text("lower(text)"))
+    w = rbo_weights_pico(50, 0.9)
+    wlist = ", ".join(str(int(x)) for x in w)
+    return f"""
+WITH toks AS (
+  SELECT doc_id, unnest({toks}) AS t FROM documents),
+ra AS (
+  SELECT t AS key, CAST(row_number() OVER (ORDER BY count(*) DESC, t ASC)
+         AS BIGINT) AS ra
+  FROM toks WHERE doc_id % 2 = 0 GROUP BY t),
+rb AS (
+  SELECT t AS key, CAST(row_number() OVER (ORDER BY count(*) DESC, t ASC)
+         AS BIGINT) AS rb
+  FROM toks WHERE doc_id % 2 = 1 GROUP BY t),
+common50 AS (
+  SELECT greatest(ra.ra, rb.rb) AS maxr
+  FROM ra JOIN rb USING (key) WHERE ra.ra <= 50 AND rb.rb <= 50),
+depths AS (SELECT CAST(t.d AS BIGINT) AS d FROM unnest(range(1, 51)) AS t(d)),
+overlap AS (
+  SELECT d, CAST(count(b.maxr) AS BIGINT) AS overlap_d
+  FROM depths LEFT JOIN common50 b ON b.maxr <= depths.d
+  GROUP BY d),
+warr AS (SELECT [{wlist}] AS w),
+terms AS (
+  SELECT o.d, o.overlap_d,
+         CAST((warr.w[CAST(o.d AS INT)] * o.overlap_d) // o.d AS BIGINT)
+           AS term_pico
+  FROM overlap o, warr)
+SELECT CAST(50 AS BIGINT) AS depth,
+       CAST(max(CASE WHEN d = 50 THEN overlap_d END) AS BIGINT) AS n_common,
+       CAST(sum(term_pico) AS BIGINT) AS rbo_pico,
+       round(CAST(sum(term_pico) AS DOUBLE) / 1e12, 6) AS rbo
+FROM terms"""
+
+
+__all__ = __all__ + ["q_rbo_vocab_stability", "_sql_rbo_vocab"]  # noqa: F405,PLE0605
+
+
+# ---------------------------------------------------------------------------
+# decile lift / cumulative gains
+# ---------------------------------------------------------------------------
+
+def q_decile_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative gains / lift table of the wc-derived quality score
+    against the n_chars >= 250 label (same pair as calibration_bins /
+    brier_score) — "the top decile of the ranking captures X% of the
+    positives at lift L": population deciles from the deterministic
+    (score desc, doc_id) rank, exact integer lift
+    (operators/profiling.py::decile_lift)."""
+    from ingestion_scripts_spark.operators import profiling as PR
+
+    docs = _t(spark, sf_dir, "documents")
+    wc = F.size(X.tokenize_ws(X.clean_text(F.col("text")))).cast("bigint")
+    score_u = F.least(
+        F.lit(1_000_000).cast("bigint"), (wc * F.lit(12500)).cast("bigint")
+    )
+    return PR.decile_lift(
+        docs.select(
+            score_u.alias("s"), (F.col("n_chars") >= 250).alias("y"), "doc_id"
+        ),
+        F.col("s"),
+        F.col("y"),
+        "doc_id",
+        n_buckets=10,
+    )
+
+
+def _sql_decile_lift() -> str:
+    toks = O.sql_tokenize_ws(O.sql_clean_text("text"))
+    return f"""
+WITH base AS (
+  SELECT least(1000000, len({toks}) * 12500)::BIGINT AS s,
+         CASE WHEN n_chars >= 250 THEN 1 ELSE 0 END AS y,
+         doc_id AS id
+  FROM documents),
+tot AS (SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(y) AS BIGINT) AS p
+        FROM base),
+ranked AS (
+  SELECT y, CAST(row_number() OVER (ORDER BY s DESC, id ASC) AS BIGINT) AS rn
+  FROM base),
+bucketed AS (
+  SELECT CAST(((rn - 1) * 10) // tot.n AS BIGINT) AS decile, y, tot.n, tot.p
+  FROM ranked, tot),
+per AS (
+  SELECT decile, n, p, CAST(count(*) AS BIGINT) AS n_d,
+         CAST(sum(y) AS BIGINT) AS pos_d
+  FROM bucketed GROUP BY decile, n, p),
+cum AS (
+  SELECT decile, n_d, pos_d, n, p,
+         CAST(sum(n_d) OVER (ORDER BY decile ROWS BETWEEN UNBOUNDED
+              PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_n,
+         CAST(sum(pos_d) OVER (ORDER BY decile ROWS BETWEEN UNBOUNDED
+              PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_pos
+  FROM per)
+SELECT decile, n_d, pos_d, cum_n, cum_pos,
+       CASE WHEN p > 0
+            THEN CAST((cum_pos * n * 1000000) // (cum_n * p) AS BIGINT)
+       END AS lift_micro
+FROM cum ORDER BY decile"""
+
+
+__all__ = __all__ + ["q_decile_lift", "_sql_decile_lift"]  # noqa: F405,PLE0605
+
+
+# ---------------------------------------------------------------------------
+# conditional entropy of event transitions
+# ---------------------------------------------------------------------------
+
+def q_entropy_rate_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-state conditional entropy H(next | prev) of the event-type
+    transition process (consecutive events per user — the same edge
+    build as hits_scores / event_transitions), in exact nano-nats
+    (operators/profiling.py::conditional_entropy) — the predictability
+    profile: a state whose successors are near-uniform is where sessions
+    lose structure; the sequence-level complement to char_entropy and
+    the Markov transition matrix."""
+    from ingestion_scripts_spark.operators import profiling as PR
+
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    trans = (
+        ev.select("user_id", "ts", "event_id", "event_type")
+        .withColumn("prev", F.lag("event_type").over(w))
+        .filter(F.col("prev").isNotNull())
+        .select("prev", F.col("event_type").alias("nxt"))
+    )
+    return PR.conditional_entropy(trans, "prev", "nxt")
+
+
+SQL_ENTROPY_RATE = """
+WITH trans AS (
+  SELECT prev, event_type AS nxt FROM (
+    SELECT event_type,
+           lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+             AS prev
+    FROM events)
+  WHERE prev IS NOT NULL),
+cells AS (
+  SELECT prev, nxt, CAST(count(*) AS BIGINT) AS nuv
+  FROM trans GROUP BY prev, nxt),
+nu AS (SELECT prev, CAST(sum(nuv) AS BIGINT) AS nu FROM cells GROUP BY prev),
+contrib AS (
+  SELECT c.prev, n.nu,
+         CAST(floor(-(CAST(c.nuv AS DOUBLE) / CAST(n.nu AS DOUBLE))
+                    * ln(CAST(c.nuv AS DOUBLE) / CAST(n.nu AS DOUBLE))
+                    * 1e9 + 0.5) AS BIGINT) AS h_nano_uv
+  FROM cells c JOIN nu n USING (prev))
+SELECT prev, CAST(max(nu) AS BIGINT) AS n_u,
+       CAST(count(*) AS BIGINT) AS n_successors,
+       CAST(sum(h_nano_uv) AS BIGINT) AS h_nano
+FROM contrib GROUP BY prev
+ORDER BY prev
+"""
+
+
+__all__ = __all__ + [  # noqa: F405,PLE0605
+    "q_entropy_rate_transitions", "SQL_ENTROPY_RATE",
+]

@@ -72,12 +72,12 @@ R7_WINDOW = [
     "hard_negatives",
     "novelty_decay", "gini_concentration", "negative_sampling_table",
     "stream_kmv_distinct",
+    "rbo_vocab_stability", "decile_lift", "entropy_rate_transitions",
     "hourly_windows", "stream_hourly_windows", "stream_sessionize",
     "top_orders", "region_revenue", "antijoin_new_users",
     "dead_letter_routing", "semi_join_urgent", "cust_order_dist",
     "rollup_revenue", "distinct_users", "asof_clicks",
     "purchase_error_funnel", "small_quantity_revenue", "in_subquery_parts",
-    "value_percentiles", "pivot_weekday", "running_user_value",
 ]
 
 

@@ -423,3 +423,102 @@ def test_stream_kmv_equals_batch_kmv_bit_for_bit(spark):
         ).collect()
     }
     assert streamed == batch and len(batch) >= 3
+
+
+# --------------------------------------------------------------------------
+# batch 5: RBO, decile lift, conditional entropy
+# --------------------------------------------------------------------------
+
+def _ranking_df(spark, keys):
+    return spark.createDataFrame(
+        [(k, i + 1) for i, k in enumerate(keys)], "key string, rank long"
+    )
+
+
+def test_rbo_identical_disjoint_and_python_reference(spark):
+    import random
+
+    from ingestion_scripts_spark.operators.retrieval import (
+        rbo_overlap,
+        rbo_weights_pico,
+    )
+
+    keys = [f"k{i}" for i in range(50)]
+    # identical rankings: overlap_d == d at every depth, so each term is
+    # exactly W_d and rbo_pico == sum(W) (== 1 - p^50 scaled)
+    out = rbo_overlap(_ranking_df(spark, keys), _ranking_df(spark, keys)).collect()[0]
+    w = rbo_weights_pico(50, 0.9)
+    assert out["rbo_pico"] == sum(w)
+    assert out["n_common"] == 50
+    assert abs(out["rbo"] - (1 - 0.9**50)) < 1e-4
+
+    # disjoint rankings: zero everywhere
+    other = [f"z{i}" for i in range(50)]
+    out = rbo_overlap(_ranking_df(spark, keys), _ranking_df(spark, other)).collect()[0]
+    assert (out["rbo_pico"], out["n_common"]) == (0, 0)
+
+    # random permutation vs independent python reference (same integer law)
+    rng = random.Random(23)
+    perm = keys[:]
+    rng.shuffle(perm)
+    out = rbo_overlap(_ranking_df(spark, keys), _ranking_df(spark, perm)).collect()[0]
+    pos_a = {k: i + 1 for i, k in enumerate(keys)}
+    pos_b = {k: i + 1 for i, k in enumerate(perm)}
+    expect = 0
+    for d in range(1, 51):
+        ov = sum(1 for k in keys if max(pos_a[k], pos_b[k]) <= d)
+        expect += (w[d - 1] * ov) // d
+    assert out["rbo_pico"] == expect
+
+
+def test_rbo_top_weighted_sensitivity(spark):
+    """Swapping ranks 1<->2 must hurt RBO more than swapping 49<->50 —
+    the property RBO exists for and set-overlap metrics lack."""
+    from ingestion_scripts_spark.operators.retrieval import rbo_overlap
+
+    keys = [f"k{i}" for i in range(50)]
+    top_swap = keys[:]
+    top_swap[0], top_swap[1] = top_swap[1], top_swap[0]
+    tail_swap = keys[:]
+    tail_swap[48], tail_swap[49] = tail_swap[49], tail_swap[48]
+    a = _ranking_df(spark, keys)
+    r_top = rbo_overlap(a, _ranking_df(spark, top_swap)).collect()[0]["rbo_pico"]
+    r_tail = rbo_overlap(a, _ranking_df(spark, tail_swap)).collect()[0]["rbo_pico"]
+    assert r_top < r_tail
+
+
+def test_decile_lift_hand_case_and_invariants(spark):
+    from ingestion_scripts_spark.operators.profiling import decile_lift
+
+    # 20 rows, scores descending = ids; positives = the top 4 scorers
+    rows = [(100 - i, 1 if i < 4 else 0, i) for i in range(20)]
+    df = spark.createDataFrame(rows, "s long, y int, id long")
+    out = decile_lift(df, F.col("s"), F.col("y"), "id", 10).collect()
+    assert [r["n_d"] for r in out] == [2] * 10  # exact equal buckets
+    assert out[0]["pos_d"] == 2 and out[1]["pos_d"] == 2
+    # top decile: cum 2/2 positives vs base 4/20 -> lift 5.0
+    assert out[0]["lift_micro"] == (2 * 20 * 1_000_000) // (2 * 4)
+    # the last row always reconciles to the global base rate: lift 1.0
+    assert out[-1]["cum_n"] == 20 and out[-1]["cum_pos"] == 4
+    assert out[-1]["lift_micro"] == 1_000_000
+    # cumulative counts are monotone
+    cn = [r["cum_n"] for r in out]
+    assert cn == sorted(cn)
+
+
+def test_conditional_entropy_uniform_and_deterministic(spark):
+    import math
+
+    from ingestion_scripts_spark.operators.profiling import conditional_entropy
+
+    rows = (
+        [("u", t) for t in ("a", "b", "c", "d")] * 3  # uniform over 4: ln 4
+        + [("v", "a")] * 7                            # deterministic: 0
+    )
+    df = spark.createDataFrame(rows, "prev string, nxt string")
+    out = {r["prev"]: r for r in conditional_entropy(df, "prev", "nxt").collect()}
+    assert out["v"]["h_nano"] == 0 and out["v"]["n_successors"] == 1
+    # each of the 4 terms snaps independently: term = floor(.25*ln4*1e9+.5)
+    term = math.floor(0.25 * math.log(4) * 1e9 + 0.5)
+    assert out["u"]["h_nano"] == 4 * term
+    assert out["u"]["n_u"] == 12
