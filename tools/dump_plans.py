@@ -105,6 +105,21 @@ COMMENT = {
         "groupBy/join pairs with localCheckpoint truncating lineage "
         "per round, and the final size join is keyed on entity_id."
     ),
+    "link_prediction": (
+        "Wedge join through shared intermediaries: the co-order edge "
+        "build is one equi-join + keyed aggregate; neighbor lists join "
+        "the degree table (hub cap pushed as a plain filter), the wedge "
+        "join is an equi-join on z (never a cartesian), and the "
+        "existing-edge exclusion is a left-anti join. AQE reuses the "
+        "identical neighbor-list exchanges on both wedge sides."
+    ),
+    "acf_daily": (
+        "Exact autocorrelation: the fact table is scanned ONCE (the "
+        "persisted per-day aggregate serves stats, both lag-join sides "
+        "and the denominator); 1-row stats ride broadcast nested loops; "
+        "ONE range join covers all 7 lags; DECIMAL(38,0) sums keep the "
+        "N-scaled products exact."
+    ),
 }
 
 
