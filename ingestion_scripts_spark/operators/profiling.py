@@ -844,9 +844,9 @@ def wasserstein_1d(
         F.sum("__a").cast("bigint").alias("n_a"),
         F.sum(1 - F.col("__a")).cast("bigint").alias("n_b"),
     )
-    num = (
+    gsum = (
         gaps.join(F.broadcast(tot), group_col)
-        .groupBy(group_col, "n_a", "n_b")
+        .groupBy(group_col)
         .agg(
             F.sum(
                 F.abs(F.col("ca") * F.col("n_b") - F.col("cb") * F.col("n_a"))
@@ -856,17 +856,24 @@ def wasserstein_1d(
             .alias("w1_num")
         )
     )
-    return num.select(
-        group_col,
-        "n_a",
-        "n_b",
-        "w1_num",
-        F.round(
-            F.col("w1_num").cast("double")
-            / (F.col("n_a") * F.col("n_b")).cast("double")
-            / 1000000.0,
-            6,
-        ).alias("w1"),
+    # LEFT join from totals: a group whose values are ALL identical has no
+    # support gaps at all — its distance is exactly 0, not a missing row
+    # (degenerate case found by the Hypothesis property test; the DuckDB
+    # twin shared the inner-join bug, so the differential was blind to it)
+    return (
+        tot.join(gsum, group_col, "left")
+        .select(
+            group_col,
+            "n_a",
+            "n_b",
+            F.coalesce("w1_num", F.lit(0)).cast("bigint").alias("w1_num"),
+            F.round(
+                F.coalesce("w1_num", F.lit(0)).cast("double")
+                / (F.col("n_a") * F.col("n_b")).cast("double")
+                / 1000000.0,
+                6,
+            ).alias("w1"),
+        )
     )
 
 

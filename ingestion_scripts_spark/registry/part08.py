@@ -119,16 +119,19 @@ gaps AS (
 tot AS (
   SELECT event_type, CAST(sum(a) AS BIGINT) AS n_a,
          CAST(sum(1 - a) AS BIGINT) AS n_b
-  FROM base GROUP BY event_type)
-SELECT g.event_type, t.n_a, t.n_b,
-       CAST(sum(abs(g.ca * t.n_b - g.cb * t.n_a) * (g.nxt - g.vm)) AS BIGINT)
-         AS w1_num,
-       round(CAST(sum(abs(g.ca * t.n_b - g.cb * t.n_a) * (g.nxt - g.vm))
-                  AS DOUBLE)
+  FROM base GROUP BY event_type),
+gsum AS (
+  SELECT g.event_type,
+         CAST(sum(abs(g.ca * t.n_b - g.cb * t.n_a) * (g.nxt - g.vm))
+              AS BIGINT) AS w1_num
+  FROM gaps g JOIN tot t USING (event_type)
+  WHERE g.nxt IS NOT NULL
+  GROUP BY g.event_type)
+SELECT t.event_type, t.n_a, t.n_b,
+       CAST(coalesce(gsum.w1_num, 0) AS BIGINT) AS w1_num,
+       round(CAST(coalesce(gsum.w1_num, 0) AS DOUBLE)
              / CAST(t.n_a * t.n_b AS DOUBLE) / 1000000.0, 6) AS w1
-FROM gaps g JOIN tot t USING (event_type)
-WHERE g.nxt IS NOT NULL
-GROUP BY g.event_type, t.n_a, t.n_b
+FROM tot t LEFT JOIN gsum USING (event_type)
 ORDER BY event_type
 """
 
