@@ -487,10 +487,25 @@ def main() -> None:
         "bench_runs": runs,
         "sf": sf,
     }
-    detail_path = os.path.join(
-        os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"
-    )
+    root = os.path.dirname(os.path.abspath(__file__))
+    detail_path = os.path.join(root, "BENCH_DETAIL.json")
     with open(detail_path, "w") as fh:
+        json.dump(detail, fh, indent=1, sort_keys=True)
+    # ADVICE r8: the rolling BENCH_DETAIL.json gets overwritten by the
+    # next run, stranding BENCH_r{N}.json's queries_detail pointer — so
+    # also snapshot per-round detail under the round number the driver
+    # will assign (1 + highest committed BENCH_r{N}); snapshots are
+    # committed alongside the round and never overwritten.
+    import glob as _glob
+    import re as _re
+
+    rounds = [
+        int(m.group(1))
+        for p in _glob.glob(os.path.join(root, "BENCH_r*.json"))
+        if (m := _re.search(r"BENCH_r(\d+)\.json$", p))
+    ]
+    snap = os.path.join(root, f"BENCH_DETAIL_r{max(rounds, default=0) + 1:02d}.json")
+    with open(snap, "w") as fh:
         json.dump(detail, fh, indent=1, sort_keys=True)
 
     # full per-query map first (any whole-stdout parser gets everything),
@@ -519,7 +534,7 @@ def main() -> None:
                 "probe_worker_med": [
                     p["attempts"][-1]["worker_med"] for p in probes
                 ],
-                "queries_detail": "BENCH_DETAIL.json",
+                "queries_detail": os.path.basename(snap),
                 "sf": sf,
             }
         )

@@ -1,0 +1,164 @@
+"""Distributed global ranking — dense total-order row numbers WITHOUT a
+single-partition sort.
+
+The naive global rank (``row_number() over (order by ...)`` with no
+partitioning) plans ``Exchange SinglePartition`` + one sorting task over
+the entire input — the first pattern that dies at 100 TB (Spark itself
+warns "Moving all data to a single partition"). This module provides the
+scale-safe equivalent, used by ``operators/profiling.py::decile_lift``
+and available to any future percentile / gains / top-fraction operator:
+
+1. ``repartitionByRange(num_partitions, *order_cols)`` — one narrow
+   shuffle; partition *i* holds a contiguous slice of the total order
+   (boundaries come from Spark's reservoir sample, which affects only
+   partition SIZES, never rank correctness).
+2. ``sortWithinPartitions(*order_cols)`` + ``localCheckpoint`` — each
+   slice is sorted independently (32–1000s of parallel sorts instead of
+   one), and the layout is pinned so the two downstream passes see the
+   identical partitioning (the lineage-stability rule that bit
+   ``hits_scores``; see ROADMAP r6).
+3. ``monotonically_increasing_id()`` — per Spark's documented contract
+   the upper 31 bits are the partition id and the lower 33 bits the
+   record position within the partition, so over the checkpointed sorted
+   layout ``mid & MASK`` IS the 0-based local rank and ``mid >> 33`` the
+   partition id — no window, no second shuffle.
+4. Per-partition counts (a tiny aggregate, ≤ num_partitions rows) →
+   cumulative offsets via a BOUNDED unpartitioned window → broadcast
+   join back. global rank = offset + local rank + 1.
+
+Exactness: identical to the single-partition ``row_number`` for any
+total order — ``order_cols`` MUST include a unique tiebreaker (an id
+column), otherwise ties straddling a range boundary would be ordered by
+partition, not deterministically. The law test
+(tests/test_global_rank.py) pins bit-equality against the naive window
+on adversarial tie data.
+
+Scale: one range shuffle of the projected columns + one ≤N-row
+aggregate + one broadcast hash join; every stage is parallel at any
+corpus size. Skewed keys are split by the unique tiebreaker (range
+boundaries are on the FULL sort key), so a single hot score value
+cannot produce a hot partition.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+#: lower 33 bits of monotonically_increasing_id = record number within
+#: the partition (Spark's documented bit layout).
+_MID_MASK = (1 << 33) - 1
+
+
+def global_rank(
+    df: DataFrame,
+    order_cols: list[Column],
+    rank_col: str = "rn",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """All columns of ``df`` plus ``rank_col``: the exact 1-based global
+    ``row_number`` under ``order_cols`` — distributed (no
+    single-partition WindowExec).
+
+    ``order_cols`` must define a TOTAL order (include a unique id as the
+    final tiebreaker). Fires one Spark job at build time (the
+    localCheckpoint that pins the range-partitioned layout) — the same
+    build-time-materialization class as kmeans/bpe training loops,
+    documented in tests/test_plan_hygiene.py::test_query_builders_are_lazy.
+    """
+    sc = df.sparkSession.sparkContext
+    nparts = int(num_partitions or sc.defaultParallelism or 32)
+    parts = (
+        df.repartitionByRange(nparts, *order_cols)
+        .sortWithinPartitions(*order_cols)
+        .localCheckpoint()
+    )
+    base = parts.withColumn("__mid", F.monotonically_increasing_id())
+    counts = base.groupBy(
+        F.shiftright(F.col("__mid"), 33).cast("bigint").alias("__pid")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("__cnt"))
+    # bounded unpartitioned window: ≤ num_partitions rows, post-aggregate
+    ow = Window.orderBy("__pid").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    offsets = counts.select(
+        "__pid",
+        F.coalesce(F.sum("__cnt").over(ow), F.lit(0))
+        .cast("bigint")
+        .alias("__off"),
+    )
+    out_cols = df.columns
+    return (
+        base.join(
+            F.broadcast(offsets),
+            F.shiftright(F.col("__mid"), 33).cast("bigint")
+            == F.col("__pid"),
+        )
+        .select(
+            *out_cols,
+            (
+                F.col("__off")
+                + F.col("__mid").bitwiseAND(F.lit(_MID_MASK))
+                + F.lit(1)
+            )
+            .cast("bigint")
+            .alias(rank_col),
+        )
+    )
+
+def order_statistics(
+    df: DataFrame,
+    value_col: str,
+    tiebreak_cols: list[str],
+    quantiles: list[tuple[int, int]],
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """EXACT order statistics of a corpus-sized column — the
+    ceil-rank (type-1) quantile value for each (q_num, q_den) — via
+    :func:`global_rank`, never a single-partition sort and never an
+    approximation (``approx_percentile`` trades exactness; this is the
+    audit-grade path: "the P99 is THIS row's value").
+
+    rank(q) = ceil(q·n) = (q_num·n + q_den − 1) div q_den, clamped to
+    ≥ 1; the result row is the unique row at that global rank under
+    (value asc, *tiebreak_cols asc). Returns one row per quantile:
+    (q_num, q_den, r, value) — all exact integers given an exact
+    integer ``value_col``.
+
+    Scale: one range shuffle (the rank) + a broadcast join of the
+    ≤ len(quantiles)-row rank table against the ranked corpus — the
+    filter on rn is a broadcast semi-probe, not a second sort.
+    """
+    order_cols = [F.asc(value_col)] + [F.asc(c) for c in tiebreak_cols]
+    ranked = global_rank(
+        df.select(value_col, *tiebreak_cols),
+        order_cols,
+        "rn",
+        num_partitions=num_partitions,
+    )
+    n1 = df.agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    qlit = F.array(
+        *[
+            F.struct(
+                F.lit(qn).cast("bigint").alias("q_num"),
+                F.lit(qd).cast("bigint").alias("q_den"),
+            )
+            for qn, qd in quantiles
+        ]
+    )
+    ranks = (
+        n1.select(F.explode(qlit).alias("q"), "n")
+        .select(
+            F.col("q.q_num").alias("q_num"),
+            F.col("q.q_den").alias("q_den"),
+            F.greatest(
+                F.lit(1).cast("bigint"),
+                F.expr("(q.q_num * n + q.q_den - 1) div q.q_den"),
+            ).alias("r"),
+        )
+    )
+    return (
+        ranked.join(F.broadcast(ranks), F.col("rn") == F.col("r"))
+        .select("q_num", "q_den", "r", F.col(value_col).alias("value"))
+        .orderBy("q_num", "q_den")
+    )

@@ -758,15 +758,20 @@ def q_bloom_dedup_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("dropped") == 1).cast("int") * (F.col("is_dup") == 0).cast("int"),
         )
     )
-    w_all = Window.partitionBy(F.lit(1))
-    return scored.select(
-        "doc_id",
-        "dropped",
-        "is_dup",
-        "false_positive",
-        F.sum("dropped").over(w_all).cast("bigint").alias("n_dropped"),
-        F.sum("false_positive").over(w_all).cast("bigint").alias("n_false_positives"),
-    ).orderBy("doc_id")
+    # corpus totals via 1-row aggregate + broadcast, NOT a constant-key
+    # window: partitionBy(lit(1)) folds to an unpartitioned window and
+    # plans Exchange SinglePartition over every document — the
+    # decile_lift scale-killer class, caught by the r9 plan-audit gate
+    scored = persist_tracked(scored)  # consumed twice: totals + rows
+    tot = scored.agg(
+        F.sum("dropped").cast("bigint").alias("n_dropped"),
+        F.sum("false_positive").cast("bigint").alias("n_false_positives"),
+    )
+    return (
+        scored.select("doc_id", "dropped", "is_dup", "false_positive")
+        .crossJoin(F.broadcast(tot))
+        .orderBy("doc_id")
+    )
 
 
 SQL_BLOOM_DEDUP_AUDIT = f"""

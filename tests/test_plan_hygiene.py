@@ -242,6 +242,31 @@ def test_r7_batch_queries_plan_clean(spark):
         assert "CartesianProduct" not in p, name
 
 
+def test_no_unbounded_global_window_anywhere(spark):
+    """VERDICT r7/r8 item 2: sweep EVERY registered batch query's
+    optimized plan and fail on any unpartitioned window whose input is
+    not post-aggregate bounded (plan_audit.unbounded_global_windows —
+    the rule that flagged decile_lift's corpus row_number and
+    bloom_dedup_audit's partitionBy(lit(1)) totals, both fixed in r9).
+    Streaming queries are excluded: their builders run real file-pump
+    jobs, and Spark already rejects unpartitioned windows on streams.
+    The red path (the gate actually fires on the naive shape) is pinned
+    in tests/test_global_rank.py::test_plan_audit_flags_the_naive_shape."""
+    from ingestion_scripts_spark.caching import release_caches
+    from ingestion_scripts_spark.plan_audit import unbounded_global_windows
+
+    qs = E.queries()
+    bad = {}
+    for name, fn in qs.items():
+        if name.startswith("stream_"):
+            continue
+        hits = unbounded_global_windows(fn(spark, SF))
+        if hits:
+            bad[name] = hits
+        release_caches()
+    assert not bad, bad
+
+
 def test_acf_scans_facts_once(spark):
     # the daily series is referenced by stats + both lag-join sides + the
     # denominator; without the kernel's persist the FACT table would be
