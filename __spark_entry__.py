@@ -33,7 +33,7 @@ from ingestion_scripts_spark.operators import keywords as K
 from ingestion_scripts_spark.operators import similarity as SIM
 from ingestion_scripts_spark.operators import text_analysis as TA
 
-from ingestion_scripts_spark.registry.part08 import *  # noqa: E402,F401,F403
+from ingestion_scripts_spark.registry.part09 import *  # noqa: E402,F401,F403
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -338,48 +338,57 @@ _REGISTRY: list[tuple[str, Callable[[SparkSession, str], DataFrame], str | None]
     ("rbo_vocab_stability", q_rbo_vocab_stability, _sql_rbo_vocab()),
     ("decile_lift", q_decile_lift, _sql_decile_lift()),
     ("entropy_rate_transitions", q_entropy_rate_transitions, SQL_ENTROPY_RATE),
+    # r9 additions (registry part09)
+    ("exact_global_quantiles", q_exact_global_quantiles,
+     SQL_EXACT_GLOBAL_QUANTILES),
+    ("mann_kendall_daily", q_mann_kendall_daily, SQL_MANN_KENDALL_DAILY),
+    ("degree_assortativity", q_degree_assortativity, SQL_DEGREE_ASSORTATIVITY),
+    ("fd_strength", q_fd_strength, SQL_FD_STRENGTH),
+    ("top_share_curve", q_top_share_curve, SQL_TOP_SHARE_CURVE),
+    ("weighted_median_parts", q_weighted_median_parts,
+     SQL_WEIGHTED_MEDIAN_PARTS),
+    ("market_concentration", q_market_concentration,
+     SQL_MARKET_CONCENTRATION),
+    ("forecast_mase", q_forecast_mase, SQL_FORECAST_MASE),
+    ("sample_apportionment", q_sample_apportionment,
+     SQL_SAMPLE_APPORTIONMENT),
+    ("vocab_richness", q_vocab_richness, _sql_vocab_richness()),
 ]
 
-# --- r7 driver-window rotation (ROADMAP.md rotation table) -----------------
-# The driver certifies positions 1-50 each round. CORRECTNESS_r06 landed
-# 50/50, so r7 is the FIRST steady-state rotation: window = the 12 remaining
-# never-driver-green (the r6-session queue, positions 51-62 last round — a
-# pure block shift) + 38 re-certification anchors, oldest driver evidence
-# first (3 queries whose last green is r1, then 35 r2 anchors in declaration
-# order). Queries ADDED during r7 displace the youngest anchors in this
-# window (debt outranks re-certification — the pinned rotation law), so new
-# work is driver-certified the same round it lands. Expressed as an explicit
-# block shift over the declaration order above so the declaration text stays
-# stable; tests/test_entry_contract.py pins the resulting window verbatim.
-_R7_WINDOW = [
-    # never-driver-green debt (r6 additions), window-start
-    "avg_precision_quality", "sq8_recall", "ndcg_quality", "zipf_slope",
-    "max_coverage", "source_unique_vocab", "ppr_coorder", "dedup_funnel",
-    "pq_recall", "conformal_gate", "isotonic_calibration", "theil_sen_trend",
-    # never-driver-green debt (r7-session additions — debt outranks
-    # re-certification anchors, so each batch displaces the youngest
-    # anchors from the tail of this list)
-    "kmv_distinct", "wasserstein_drift", "kendall_tau_daily", "mrr_quality",
-    "link_prediction", "acf_daily", "l_diversity", "ahash_image_neardup",
-    "seasonal_revenue", "community_modularity", "loo_quality_delta",
-    "fano_burstiness",
-    "kmv_set_overlap", "brier_score", "pinball_loss_sources",
-    "hard_negatives",
-    "novelty_decay", "gini_concentration", "negative_sampling_table",
-    "stream_kmv_distinct",
-    "rbo_vocab_stability", "decile_lift", "entropy_rate_transitions",
-    # re-certification anchors: last green r1
-    "hourly_windows", "stream_hourly_windows", "stream_sessionize",
-    # re-certification anchors: last green r2
-    "top_orders", "region_revenue", "antijoin_new_users",
-    "dead_letter_routing", "semi_join_urgent", "cust_order_dist",
-    "rollup_revenue", "distinct_users", "asof_clicks",
-    "purchase_error_funnel", "small_quantity_revenue", "in_subquery_parts",
+# --- r9 driver-window rotation (ROADMAP.md rotation table) -----------------
+# The driver certifies positions 1-50 each round. CORRECTNESS_r07 AND _r08
+# both landed 50/50 on the r7 window (r8 was a zero-commit round, so the
+# planned r8 rotation never shipped — VERDICT r8 item 3); cumulative debt
+# entering r9 is ZERO, so this window = the 10 r9-session additions
+# (debt-first law: new queries are never-driver-green) + 40
+# re-certification anchors with the OLDEST driver evidence — exactly the
+# displaced r2 block the r8 plan named (value_percentiles ... clean_text
+# ...), computed from the committed CORRECTNESS_r01-r08 artifacts
+# (max green round, declaration order as tiebreak). Queries ADDED later in
+# r9 displace the youngest anchors from the tail of this list.
+# tests/test_entry_contract.py pins the resulting window verbatim.
+_R9_WINDOW = [
+    # never-driver-green debt (r9 additions), window-start
+    "exact_global_quantiles", "mann_kendall_daily", "degree_assortativity",
+    "fd_strength", "top_share_curve", "weighted_median_parts",
+    "market_concentration", "forecast_mase", "sample_apportionment", "vocab_richness",
+    # re-certification anchors: last green r2, oldest-first
+    "value_percentiles", "pivot_weekday", "running_user_value",
+    "clicked_never_purchased", "late_ship_priority", "parts_never_discounted",
+    "user_value_quartiles", "clean_text", "hashtags", "stopword_filter",
+    "bigram_pairs", "parse_rfc822", "parse_struct_time", "parse_simple",
+    "parse_zoned", "exact_dedup", "segment_dedup", "ngram_jaccard",
+    "simhash", "fingerprint", "winnow_fingerprints", "salted_distinct_users",
+    "skew_join_revenue", "embedding_topk", "lsh_ann_topk", "ivf_ann_topk",
+    "ivf_ann_topk_mp", "embedding_near_dup_fold", "lang_id", "quality_score",
+    "quality_gate", "vocab_topn", "token_counts", "rss_pipeline",
+    "reddit_pipeline", "twitter_pipeline", "sentiment", "sessionize",
+    "session_window_native", "session_window_dynamic",
 ]
 _BY_NAME = {t[0]: t for t in _REGISTRY}
 _REGISTRY = (
-    [_BY_NAME[n] for n in _R7_WINDOW]
-    + [t for t in _REGISTRY if t[0] not in set(_R7_WINDOW)]
+    [_BY_NAME[n] for n in _R9_WINDOW]
+    + [t for t in _REGISTRY if t[0] not in set(_R9_WINDOW)]
 )
 
 

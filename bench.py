@@ -275,6 +275,17 @@ HEADLINE = [
     "rbo_vocab_stability",
     "decile_lift",
     "entropy_rate_transitions",
+    # r9 additions
+    "exact_global_quantiles",
+    "mann_kendall_daily",
+    "degree_assortativity",
+    "fd_strength",
+    "top_share_curve",
+    "weighted_median_parts",
+    "market_concentration",
+    "forecast_mase",
+    "sample_apportionment",
+    "vocab_richness",
 ]
 
 #: deliberate shadows: oracle-exact twins of faster default kernels, kept

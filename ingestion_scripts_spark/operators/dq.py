@@ -107,3 +107,48 @@ def expect_fk(
 def dq_report(checks: list[DataFrame]) -> DataFrame:
     """Union the single-row check reports into one small DataFrame."""
     return reduce(DataFrame.unionByName, checks)
+
+
+def fd_strength(
+    df: DataFrame, pairs: list[tuple[str, str]]
+) -> DataFrame:
+    """Approximate functional-dependency profile for candidate
+    ``determinant -> dependent`` column pairs — the schema-discovery /
+    data-quality primitive (TANE/FDEP's g3 error, computed exactly):
+    for each pair, the minimum number of rows that must be removed for
+    the FD to hold is n_rows − Σ_groups max-per-dependent count.
+
+    strength_ppm = (n_rows − violations)/n_rows in parts-per-million
+    (exact integer arithmetic, truncating div); 1_000_000 ⟺ the FD
+    holds exactly. Shape per pair: two cascaded aggregates — groupBy
+    (det, dep) count, then groupBy det keeping max + sum — both
+    map-side-combinable, never a row-level materialization; the per-pair
+    reports (one row each) union into one frame.
+    """
+    reports = []
+    for det, dep in pairs:
+        cells = df.groupBy(
+            F.col(det).alias("k"), F.col(dep).alias("d")
+        ).agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+        per_k = cells.groupBy("k").agg(
+            F.max("n").alias("keep_max"),
+            F.sum("n").alias("n_k"),
+            F.count(F.lit(1)).cast("bigint").alias("n_dep_values"),
+        )
+        reports.append(
+            per_k.agg(
+                F.lit(det).alias("determinant"),
+                F.lit(dep).alias("dependent"),
+                F.count(F.lit(1)).cast("bigint").alias("n_groups"),
+                F.sum("n_k").cast("bigint").alias("n_rows"),
+                (F.sum("n_k") - F.sum("keep_max")).cast("bigint").alias("violations"),
+                F.max("n_dep_values").cast("bigint").alias("max_dep_values"),
+                F.expr(
+                    "(sum(keep_max) * 1000000) div sum(n_k)"
+                ).cast("bigint").alias("strength_ppm"),
+            )
+        )
+    out = reports[0]
+    for r in reports[1:]:
+        out = out.unionByName(r)
+    return out

@@ -605,3 +605,64 @@ def modularity(
             6,
         ).alias("modularity"),
     )
+
+
+def degree_assortativity(
+    edges: DataFrame, a_col: str = "a", b_col: str = "b"
+) -> DataFrame:
+    """Degree assortativity coefficient r of an undirected simple graph
+    (Newman 2002, "Assortative mixing in networks"): the Pearson
+    correlation of endpoint degrees over the directed-edge multiset —
+    r > 0 means hubs attach to hubs (social nets), r < 0 hubs attach to
+    leaves (dependency / star topologies). The one-number "is this graph
+    hub-and-spoke?" probe that decides whether hub-capping (the
+    link_prediction max_degree guard) is load-bearing on a given corpus.
+
+    ``edges`` holds each undirected edge once with a_col < b_col (the
+    co-order convention shared with triangle_stats / link_prediction).
+
+    Shape: degrees = one groupBy over the symmetrized edge list; each
+    directed edge (u,v) then picks up (deg_u, deg_v) via two hash joins
+    on the node key, and ONE aggregate forms the exact BIGINT moments
+    (M = 2m, Σx, Σx², Σxy — x-marginal ≡ y-marginal by symmetry). Only
+    the final r is float: num = M·Σxy − (Σx)², den = M·Σx² − (Σx)²,
+    r_micro = floor(num/den·1e6 + 0.5) — both operands exact BIGINTs
+    cast to double identically on both engines. den = 0 (regular graph:
+    all degrees equal) → r_micro NULL.
+    """
+    sym = edges.select(
+        F.col(a_col).alias("u"), F.col(b_col).alias("v")
+    ).unionByName(
+        edges.select(F.col(b_col).alias("u"), F.col(a_col).alias("v"))
+    )
+    deg = sym.groupBy("u").agg(F.count(F.lit(1)).cast("bigint").alias("d"))
+    du = deg.select(F.col("u").alias("du_n"), F.col("d").alias("dx"))
+    dv = deg.select(F.col("u").alias("dv_n"), F.col("d").alias("dy"))
+    flat = (
+        sym.join(du, sym["u"] == du["du_n"])
+        .join(dv, sym["v"] == dv["dv_n"])
+        .select("dx", "dy")
+    )
+    mo = flat.agg(
+        F.count(F.lit(1)).cast("bigint").alias("m2"),
+        F.sum("dx").cast("bigint").alias("sx"),
+        F.sum(F.col("dx") * F.col("dx")).cast("bigint").alias("sxx"),
+        F.sum(F.col("dx") * F.col("dy")).cast("bigint").alias("sxy"),
+    )
+    return mo.select(
+        "m2",
+        "sx",
+        "sxx",
+        "sxy",
+        F.when(
+            F.col("m2") * F.col("sxx") - F.col("sx") * F.col("sx") > 0,
+            F.floor(
+                (F.col("m2") * F.col("sxy") - F.col("sx") * F.col("sx"))
+                .cast("double")
+                / (F.col("m2") * F.col("sxx") - F.col("sx") * F.col("sx"))
+                .cast("double")
+                * F.lit(1000000.0)
+                + F.lit(0.5)
+            ).cast("bigint"),
+        ).alias("r_micro"),
+    )

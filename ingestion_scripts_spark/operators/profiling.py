@@ -1440,6 +1440,7 @@ def conditional_entropy(
         .orderBy(prev_col)
     )
 
+
 def mann_kendall(
     df: DataFrame,
     t_col: str,
@@ -1515,4 +1516,159 @@ def mann_kendall(
             )
             .alias("z_micro"),
         )
+    )
+
+
+def weighted_median_by_key(
+    df: DataFrame,
+    key_col: str,
+    value_col: str,
+    weight_col: str,
+    tiebreak_cols: list[str],
+) -> DataFrame:
+    """Exact lower weighted median per key: the smallest value v in the
+    key's multiset whose cumulative weight (under value asc, tiebreak
+    asc order) reaches half the key's total weight — 2·cum ≥ W, the
+    integer form that needs no division. The robust "typical value"
+    when observations carry mass (revenue-weighted quantity, token
+    -weighted score): a 50%-mass outlier moves the weighted median
+    where the row median ignores it.
+
+    Exactness: weights must be exact non-negative integers; the
+    crossing test 2·cum ≥ W is pure BIGINT; ties on value are resolved
+    by taking min(value) over crossing rows (the crossing row's value —
+    cum is monotone along the order). Returns (key, w_total, median_v).
+
+    Scale: ONE partitioned window (partitionBy key) — uniform
+    parallelism when keys are high-cardinality (per-part, per-user);
+    for 3-key grades use a high-cardinality key or pre-aggregate. Then
+    one groupBy min — map-side combinable.
+    """
+    order = [F.asc("v")] + [F.asc(c) for c in tiebreak_cols]
+    w = (
+        Window.partitionBy("k")
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    wt = Window.partitionBy("k")
+    scored = df.select(
+        F.col(key_col).alias("k"),
+        F.col(value_col).cast("bigint").alias("v"),
+        F.col(weight_col).cast("bigint").alias("wgt"),
+        *[F.col(c) for c in tiebreak_cols],
+    ).select(
+        "k",
+        "v",
+        F.sum("wgt").over(w).cast("bigint").alias("cum"),
+        F.sum("wgt").over(wt).cast("bigint").alias("w_total"),
+    )
+    return (
+        scored.filter(F.lit(2) * F.col("cum") >= F.col("w_total"))
+        .groupBy("k")
+        .agg(
+            F.max("w_total").cast("bigint").alias("w_total"),
+            F.min("v").cast("bigint").alias("median_v"),
+        )
+        .orderBy("k")
+    )
+
+
+def market_concentration(
+    df: DataFrame,
+    market_col: str,
+    seller_col: str,
+    revenue_col: Column,
+    top_k: int = 4,
+) -> DataFrame:
+    """Per-market concentration: Herfindahl–Hirschman index and the
+    CR_k top-seller share — the auditor's "is this corpus dominated by
+    a few sources?" readout (applied to training data: share of tokens
+    per domain within a language bucket).
+
+    Exactness: revenue_col must be an exact integer scaled so that
+    Σr² · 1e6 fits BIGINT (the caller picks the unit — see the registry
+    query's k$-unit note). hhi_ppm = (Σ r_i² · 1e6) div (Σ r_i)²,
+    cr_ppm = (Σ top-k r_i · 1e6) div Σ r_i; both single truncating
+    divisions over exact integers. Returns
+    (market, n_sellers, r_total, hhi_ppm, cr_ppm).
+
+    Scale: seller revenue = one map-side-combinable groupBy; everything
+    after runs on the POST-AGGREGATE (market, seller) frame — dim-sized,
+    not corpus-sized — so the per-market ranking window is bounded and
+    the final per-market aggregate trivial.
+    """
+    per_seller = df.groupBy(
+        F.col(market_col).alias("mkt"), F.col(seller_col).alias("seller")
+    ).agg(revenue_col.cast("bigint").alias("r"))
+    w = Window.partitionBy("mkt").orderBy(F.desc("r"), F.asc("seller"))
+    ranked = per_seller.withColumn("pos", F.row_number().over(w))
+    return (
+        ranked.groupBy("mkt")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_sellers"),
+            F.sum("r").cast("bigint").alias("r_total"),
+            F.sum(F.col("r") * F.col("r")).cast("bigint").alias("r_sq_sum"),
+            F.sum(F.when(F.col("pos") <= top_k, F.col("r")).otherwise(F.lit(0)))
+            .cast("bigint")
+            .alias("top_r"),
+        )
+        .select(
+            F.col("mkt").alias("market"),
+            "n_sellers",
+            "r_total",
+            F.expr("(r_sq_sum * 1000000) div (r_total * r_total)")
+            .cast("bigint")
+            .alias("hhi_ppm"),
+            F.expr("(top_r * 1000000) div r_total")
+            .cast("bigint")
+            .alias("cr_ppm"),
+        )
+        .orderBy("market")
+    )
+
+
+def seasonal_naive_mase(
+    df: DataFrame,
+    t_col: str,
+    v_col: str,
+    season: int = 7,
+) -> DataFrame:
+    """Mean Absolute Scaled Error (Hyndman & Koehler 2006) of the
+    seasonal-naive forecast v̂_t = v_{t−season} against the one-step
+    naive in-sample scale mean|v_t − v_{t−1}| — the scale-free "does
+    this series even have weekly structure worth modeling?" backtest
+    (MASE < 1e6 micro ⟺ the seasonal forecast beats the naive walk).
+
+    Input: one row per time point at series grain (bounded post-agg
+    frame — days/hours). Lags are ROW lags on the (t_col asc) order, so
+    calendar gaps behave like the ACF/seasonal kernels. Exactness: both
+    error sums are exact BIGINTs; mase_micro =
+    (Σ|e_season| · (n−1) · 1e6) div ((n−season) · Σ|e_1|) is one
+    truncating integer division (NULL when the series is shorter than
+    season+1 or the naive scale is zero). Returns one row:
+    (n_points, sum_abs_e1, sum_abs_e7, mase_micro).
+    """
+    w = Window.orderBy(t_col)  # bounded: series grain, post-aggregate
+    lagged = df.select(
+        F.col(v_col).cast("bigint").alias("v"),
+        F.lag(F.col(v_col).cast("bigint"), 1).over(w).alias("v1"),
+        F.lag(F.col(v_col).cast("bigint"), season).over(w).alias("vs"),
+    )
+    return lagged.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_points"),
+        F.sum(F.abs(F.col("v") - F.col("v1"))).cast("bigint").alias("sum_abs_e1"),
+        F.sum(F.abs(F.col("v") - F.col("vs"))).cast("bigint").alias("sum_abs_es"),
+    ).select(
+        "n_points",
+        "sum_abs_e1",
+        "sum_abs_es",
+        F.when(
+            (F.col("n_points") > season) & (F.col("sum_abs_e1") > 0),
+            F.expr(
+                f"(((sum_abs_es * 1000000) div sum_abs_e1)"
+                f" * (n_points - 1)) div (n_points - {season})"
+            ),
+        )
+        .cast("bigint")
+        .alias("mase_micro"),
     )

@@ -106,6 +106,7 @@ def global_rank(
         )
     )
 
+
 def order_statistics(
     df: DataFrame,
     value_col: str,
@@ -161,4 +162,127 @@ def order_statistics(
         ranked.join(F.broadcast(ranks), F.col("rn") == F.col("r"))
         .select("q_num", "q_den", "r", F.col(value_col).alias("value"))
         .orderBy("q_num", "q_den")
+    )
+
+
+def top_share_curve(
+    df: DataFrame,
+    value_col: str,
+    tiebreak_cols: list[str],
+    fractions: list[tuple[int, int]],
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Concentration curve at fixed population fractions — "the top 1%
+    of rows by value carries X ppm of the total" — the corpus-level
+    companion to decile_lift (which buckets ALL deciles) and the exact
+    form of the Pareto-80/20 readout, via :func:`global_rank`: no
+    single-partition sort, no approximation.
+
+    For each (f_num, f_den): k = max(1, (f_num·n) div f_den) top rows
+    under (value desc, *tiebreak asc); share_ppm = (Σ top-k value · 1e6)
+    div (Σ all value) — exact integer arithmetic end to end (value_col
+    must be an exact non-negative integer). Returns one row per
+    fraction: (f_num, f_den, k, top_value, total_value, share_ppm).
+
+    Scale: one range shuffle for the rank; the ≤len(fractions)-row
+    threshold table broadcasts into an rn ≤ k nested-loop probe (3-row
+    build side), then one partial-aggregable groupBy. The total is a
+    1-row aggregate joined in by broadcast.
+    """
+    ranked = global_rank(
+        df.select(value_col, *tiebreak_cols),
+        [F.desc(value_col)] + [F.asc(c) for c in tiebreak_cols],
+        "rn",
+        num_partitions=num_partitions,
+    )
+    tot = df.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(value_col).cast("bigint").alias("total_value"),
+    )
+    flit = F.array(
+        *[
+            F.struct(
+                F.lit(fn).cast("bigint").alias("f_num"),
+                F.lit(fd).cast("bigint").alias("f_den"),
+            )
+            for fn, fd in fractions
+        ]
+    )
+    ks = tot.select(
+        F.explode(flit).alias("f"), "n", "total_value"
+    ).select(
+        F.col("f.f_num").alias("f_num"),
+        F.col("f.f_den").alias("f_den"),
+        F.greatest(
+            F.lit(1).cast("bigint"), F.expr("(f.f_num * n) div f.f_den")
+        ).alias("k"),
+        "total_value",
+    )
+    return (
+        ranked.join(F.broadcast(ks), F.col("rn") <= F.col("k"))
+        .groupBy("f_num", "f_den", "k", "total_value")
+        .agg(F.sum(value_col).cast("bigint").alias("top_value"))
+        .select(
+            "f_num",
+            "f_den",
+            "k",
+            "top_value",
+            "total_value",
+            F.expr("(top_value * 1000000) div total_value")
+            .cast("bigint")
+            .alias("share_ppm"),
+        )
+        .orderBy("f_num", "f_den")
+    )
+
+
+def largest_remainder_apportionment(
+    df: DataFrame,
+    key_col: str,
+    budget: int,
+) -> DataFrame:
+    """Hamilton / largest-remainder apportionment of an integer sample
+    budget across groups proportional to their counts — the exact "give
+    every domain its fair share of the 10k-example eval set" allocator
+    (quota-respecting: each group gets floor or ceil of its exact
+    proportional share, and Σ alloc == budget ALWAYS).
+
+    base_g = (cnt_g · B) div N; the R = B − Σ base leftover slots go to
+    the largest remainders (cnt_g·B mod N, desc; key asc tiebreak).
+    Exactness: pure BIGINT; the remainder ranking runs on the
+    POST-AGGREGATE per-group frame (bounded by group cardinality — the
+    gate-legal unpartitioned-window class). Returns
+    (key, cnt, base_alloc, extra, alloc).
+    """
+    per = df.groupBy(F.col(key_col).alias("k")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("cnt")
+    )
+    tot = per.agg(F.sum("cnt").cast("bigint").alias("n_total"))
+    scored = per.crossJoin(F.broadcast(tot)).select(
+        "k",
+        "cnt",
+        "n_total",
+        F.expr(f"(cnt * {budget}) div n_total").cast("bigint").alias("base_alloc"),
+        F.expr(f"(cnt * {budget}) % n_total").cast("bigint").alias("rem"),
+    )
+    leftover = scored.agg(
+        (F.lit(budget) - F.sum("base_alloc")).cast("bigint").alias("r_left")
+    )
+    w = Window.orderBy(F.desc("rem"), F.asc("k"))  # bounded: per-group frame
+    return (
+        scored.withColumn("pos", F.row_number().over(w).cast("bigint"))
+        .crossJoin(F.broadcast(leftover))
+        .select(
+            F.col("k").alias(key_col),
+            "cnt",
+            "base_alloc",
+            F.when(F.col("pos") <= F.col("r_left"), F.lit(1))
+            .otherwise(F.lit(0))
+            .cast("bigint")
+            .alias("extra"),
+        )
+        .withColumn(
+            "alloc", (F.col("base_alloc") + F.col("extra")).cast("bigint")
+        )
+        .orderBy(key_col)
     )

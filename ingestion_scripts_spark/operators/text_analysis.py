@@ -604,3 +604,57 @@ def source_unique_vocab(df, group_col: str, tokens_col: str):
             F.floor(F.col("unique_vocab") * 10000.0 / F.col("vocab") + 0.5) / 10000.0
         ).alias("unique_ratio"),
     )
+
+
+def species_richness(df, tokens_col: str):
+    """Good-Turing / Chao1 unseen-vocabulary estimation from the
+    frequency-of-frequencies profile — "how much NEW vocabulary would
+    more data of this kind add?" (the data-acquisition question for
+    tokenizer and corpus planning). Chao1 (Chao 1984):
+    V̂ = V + f1²/(2·f2) where f1/f2 = singleton/doubleton type counts;
+    Good-Turing coverage = 1 − f1/N is the probability mass of SEEN
+    types.
+
+    Exactness: the whole pipeline is exact BIGINT — term counts →
+    frequency-of-frequencies → one final row; chao1_extra =
+    f1² div (2·f2) and coverage_ppm = 1e6 − (f1·1e6 div N) are
+    truncating integer divisions (f2 = 0 ⟹ extra NULL, the standard
+    bias-corrected fallback is the caller's choice). Laws: V̂ ≥ V
+    always; an all-unique corpus has coverage 0.
+
+    Scale: two cascaded map-side-combinable aggregates (term counts are
+    Heaps-sublinear; freq-of-freqs is tiny) — the same shape as
+    vocab_topn without the ranking window.
+    """
+    from pyspark.sql import functions as F
+
+    terms = df.select(F.explode(F.col(tokens_col)).alias("term"))
+    tf = terms.groupBy("term").agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    fof = tf.groupBy("c").agg(F.count(F.lit(1)).cast("bigint").alias("types"))
+    return fof.agg(
+        F.sum("types").cast("bigint").alias("v_obs"),
+        F.sum(F.col("c") * F.col("types")).cast("bigint").alias("n_tokens"),
+        F.coalesce(
+            F.sum(F.when(F.col("c") == 1, F.col("types"))), F.lit(0)
+        )
+        .cast("bigint")
+        .alias("f1"),
+        F.coalesce(
+            F.sum(F.when(F.col("c") == 2, F.col("types"))), F.lit(0)
+        )
+        .cast("bigint")
+        .alias("f2"),
+    ).select(
+        "v_obs",
+        "n_tokens",
+        "f1",
+        "f2",
+        F.when(
+            F.col("f2") > 0, F.expr("v_obs + (f1 * f1) div (2 * f2)")
+        )
+        .cast("bigint")
+        .alias("chao1_est"),
+        F.expr("1000000 - (f1 * 1000000) div n_tokens")
+        .cast("bigint")
+        .alias("coverage_ppm"),
+    )

@@ -51,39 +51,38 @@ def test_catalog_register_testdata(spark):
 
 
 #: the driver certifies registry positions 1-50 each round; this is the
-#: deliberate r7 window (ROADMAP.md rotation table): the 12 r6-session
-#: additions (the only remaining never-driver-green queries after
-#: CORRECTNESS_r06 landed 50/50) + 38 re-certification anchors with the
-#: oldest driver evidence (3 last-green-r1, 35 last-green-r2). Queries added
-#: during r7 displace the youngest anchors here (debt outranks
+#: deliberate r9 window (ROADMAP.md rotation table): the 10 r9-session
+#: additions (never-driver-green debt, window-start) + 40
+#: re-certification anchors with the oldest driver evidence — the
+#: displaced r2 block named in the r8 rotation plan, ordered by (max
+#: green round across CORRECTNESS_r01-r08, declaration order). CORRECTNESS
+#: _r07 and _r08 both landed 50/50, so debt entering r9 was zero. Queries
+#: added later in r9 displace the youngest anchors here (debt outranks
 #: re-certification). r2's lesson:
 #: silent registry drift displaced fixed queries past position 50, so their
 #: fixes were never driver-certified — any change to this window must be a
 #: conscious edit of BOTH the registry and this pin.
-R7_WINDOW = [
-    "avg_precision_quality", "sq8_recall", "ndcg_quality", "zipf_slope",
-    "max_coverage", "source_unique_vocab", "ppr_coorder", "dedup_funnel",
-    "pq_recall", "conformal_gate", "isotonic_calibration", "theil_sen_trend",
-    "kmv_distinct", "wasserstein_drift", "kendall_tau_daily", "mrr_quality",
-    "link_prediction", "acf_daily", "l_diversity", "ahash_image_neardup",
-    "seasonal_revenue", "community_modularity", "loo_quality_delta",
-    "fano_burstiness",
-    "kmv_set_overlap", "brier_score", "pinball_loss_sources",
-    "hard_negatives",
-    "novelty_decay", "gini_concentration", "negative_sampling_table",
-    "stream_kmv_distinct",
-    "rbo_vocab_stability", "decile_lift", "entropy_rate_transitions",
-    "hourly_windows", "stream_hourly_windows", "stream_sessionize",
-    "top_orders", "region_revenue", "antijoin_new_users",
-    "dead_letter_routing", "semi_join_urgent", "cust_order_dist",
-    "rollup_revenue", "distinct_users", "asof_clicks",
-    "purchase_error_funnel", "small_quantity_revenue", "in_subquery_parts",
+R9_WINDOW = [
+    "exact_global_quantiles", "mann_kendall_daily", "degree_assortativity",
+    "fd_strength", "top_share_curve", "weighted_median_parts",
+    "market_concentration", "forecast_mase", "sample_apportionment", "vocab_richness",
+    "value_percentiles", "pivot_weekday", "running_user_value",
+    "clicked_never_purchased", "late_ship_priority", "parts_never_discounted",
+    "user_value_quartiles", "clean_text", "hashtags", "stopword_filter",
+    "bigram_pairs", "parse_rfc822", "parse_struct_time", "parse_simple",
+    "parse_zoned", "exact_dedup", "segment_dedup", "ngram_jaccard",
+    "simhash", "fingerprint", "winnow_fingerprints", "salted_distinct_users",
+    "skew_join_revenue", "embedding_topk", "lsh_ann_topk", "ivf_ann_topk",
+    "ivf_ann_topk_mp", "embedding_near_dup_fold", "lang_id", "quality_score",
+    "quality_gate", "vocab_topn", "token_counts", "rss_pipeline",
+    "reddit_pipeline", "twitter_pipeline", "sentiment", "sessionize",
+    "session_window_native", "session_window_dynamic",
 ]
 
 
 def test_driver_window_is_pinned():
     names = list(E.queries().keys())
-    assert names[:50] == R7_WINDOW
+    assert names[:50] == R9_WINDOW
 
 
 def test_rotation_retires_certification_debt():
