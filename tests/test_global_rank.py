@@ -111,3 +111,48 @@ def test_plan_audit_flags_the_naive_shape(spark):
         "c", F.sum("count").over(Window.orderBy("n_chars"))
     )
     assert unbounded_global_windows(cum) == []
+
+
+# --------------------------------------------------------- hypothesis laws
+
+def test_global_rank_hypothesis_vs_naive_window(spark):
+    """Property: for ARBITRARY multisets of scores (any tie structure,
+    any sign, any skew) and any partition count, global_rank is
+    bit-equal to the naive single-partition row_number. Hypothesis
+    drives the data; the naive window is Spark's own ground truth.
+    Hostile column names (the r9 weighted-median lesson): the frame
+    uses names that differ from every internal alias."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    @settings(
+        max_examples=12,
+        deadline=None,
+        suppress_health_check=[HealthCheck.too_slow],
+    )
+    @given(
+        scores=st.lists(
+            st.integers(min_value=-5, max_value=5), min_size=1, max_size=120
+        ),
+        nparts=st.sampled_from([1, 2, 3, 7, 16]),
+    )
+    def prop(scores, nparts):
+        rows = [(s, i) for i, s in enumerate(scores)]
+        df = spark.createDataFrame(rows, "the_score int, the_key int")
+        got = global_rank(
+            df,
+            [F.desc("the_score"), F.asc("the_key")],
+            "the_rank",
+            num_partitions=nparts,
+        )
+        naive = df.withColumn(
+            "the_rank",
+            F.row_number()
+            .over(Window.orderBy(F.desc("the_score"), F.asc("the_key")))
+            .cast("bigint"),
+        )
+        assert sorted(map(tuple, got.collect())) == sorted(
+            map(tuple, naive.collect())
+        )
+
+    prop()
