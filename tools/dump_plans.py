@@ -120,6 +120,24 @@ COMMENT = {
         "ONE range join covers all 7 lags; DECIMAL(38,0) sums keep the "
         "N-scaled products exact."
     ),
+    "decile_lift": (
+        "The distributed global rank (r9): NO Exchange SinglePartition "
+        "over the corpus — the scored rows range-repartition on "
+        "(score desc, id), each slice sorts independently behind the "
+        "checkpoint pin, local ranks come from monotonically_increasing_"
+        "id bit-arithmetic, and the per-partition offsets (a ≤32-row "
+        "aggregate) join back as a BroadcastHashJoin. The only remaining "
+        "global window is the cumulative sum over ≤10 post-aggregate "
+        "decile rows. Compare the retired shape: one Window node fed by "
+        "Exchange SinglePartition sorting every scored document in one "
+        "task."
+    ),
+    "exact_global_quantiles": (
+        "Order statistics on the same rank primitive: the ≤6-row "
+        "ceil-rank table (from a 1-row count) broadcasts against the "
+        "ranked corpus — a BroadcastHashJoin probe on rn, never a "
+        "second sort or a top-N heap over the full table."
+    ),
 }
 
 
