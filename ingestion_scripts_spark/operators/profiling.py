@@ -1362,8 +1362,9 @@ def decile_lift(
         F.col(id_col).alias("id"),
     )
     ranked = global_rank(base, [F.desc("s"), F.asc("id")], "rn")
-    tot = base.agg(
-        F.count(F.lit(1)).cast("bigint").alias("n"),
+    # totals off the rank's checkpoint (n ≡ max rn) — no second source scan
+    tot = ranked.agg(
+        F.max("rn").cast("bigint").alias("n"),
         F.sum("y").cast("bigint").alias("p"),
     )
     bucketed = ranked.crossJoin(F.broadcast(tot)).select(

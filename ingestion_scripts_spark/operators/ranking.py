@@ -137,7 +137,9 @@ def order_statistics(
         "rn",
         num_partitions=num_partitions,
     )
-    n1 = df.agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    # n = max(rn): read the total off the rank's own checkpoint instead
+    # of re-scanning the source (an extra corpus pass at 100 TB)
+    n1 = ranked.agg(F.max("rn").cast("bigint").alias("n"))
     qlit = F.array(
         *[
             F.struct(
@@ -195,8 +197,9 @@ def top_share_curve(
         "rn",
         num_partitions=num_partitions,
     )
-    tot = df.agg(
-        F.count(F.lit(1)).cast("bigint").alias("n"),
+    # totals off the rank's checkpoint (n ≡ max rn) — no second source scan
+    tot = ranked.agg(
+        F.max("rn").cast("bigint").alias("n"),
         F.sum(value_col).cast("bigint").alias("total_value"),
     )
     flit = F.array(
