@@ -510,12 +510,34 @@ def main() -> None:
     import glob as _glob
     import re as _re
 
-    rounds = [
-        int(m.group(1))
-        for p in _glob.glob(os.path.join(root, "BENCH_r*.json"))
-        if (m := _re.search(r"BENCH_r(\d+)\.json$", p))
-    ]
-    snap = os.path.join(root, f"BENCH_DETAIL_r{max(rounds, default=0) + 1:02d}.json")
+    # ADVICE r9: the inferred round number is fragile — a second bench run
+    # before the driver commits BENCH_r{N}.json silently overwrote the
+    # previous snapshot, and a driver-assigned round mismatch dangles the
+    # queries_detail pointer. An explicit round (--round N argv or
+    # SPARK_GRAFT_BENCH_ROUND env) overrides the inference; an INFERRED
+    # round never overwrites an existing snapshot (falls through to a
+    # .rerunK suffix instead).
+    explicit = os.environ.get("SPARK_GRAFT_BENCH_ROUND")
+    for i, a in enumerate(sys.argv):
+        if a == "--round" and i + 1 < len(sys.argv):
+            explicit = sys.argv[i + 1]
+        elif a.startswith("--round="):
+            explicit = a.split("=", 1)[1]
+    if explicit is not None:
+        snap = os.path.join(root, f"BENCH_DETAIL_r{int(explicit):02d}.json")
+    else:
+        rounds = [
+            int(m.group(1))
+            for p in _glob.glob(os.path.join(root, "BENCH_r*.json"))
+            if (m := _re.search(r"BENCH_r(\d+)\.json$", p))
+        ]
+        snap = os.path.join(
+            root, f"BENCH_DETAIL_r{max(rounds, default=0) + 1:02d}.json"
+        )
+        k = 0
+        while os.path.exists(snap):
+            k += 1
+            snap = f"{snap.removesuffix('.json').split('.rerun')[0]}.rerun{k}.json"
     with open(snap, "w") as fh:
         json.dump(detail, fh, indent=1, sort_keys=True)
 

@@ -125,6 +125,8 @@ def fd_strength(
     map-side-combinable, never a row-level materialization; the per-pair
     reports (one row each) union into one frame.
     """
+    if not pairs:
+        raise ValueError("pairs must be non-empty")
     reports = []
     for det, dep in pairs:
         cells = df.groupBy(

@@ -37,6 +37,16 @@ def asof_join(
     preceding frame. Right columns come back as ``{prefix}{col}`` plus
     ``{prefix}{right_ts}``; unmatched left rows get nulls.
     """
+    reserved = {"__ts", "__side", "__rv", "__m"}
+    clash = reserved.intersection(left.columns) | reserved.intersection(
+        right.columns
+    )
+    if clash:
+        # same hostile-column-name contract as ranking.global_rank
+        # (ADVICE r9): fail loudly instead of silently mis-joining
+        raise ValueError(
+            f"asof_join reserved column names present in input: {sorted(clash)}"
+        )
     right_values = right_values or [
         c for c in right.columns if c not in (on, right_ts)
     ]

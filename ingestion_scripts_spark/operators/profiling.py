@@ -1643,11 +1643,15 @@ def seasonal_naive_mase(
     Input: one row per time point at series grain (bounded post-agg
     frame — days/hours). Lags are ROW lags on the (t_col asc) order, so
     calendar gaps behave like the ACF/seasonal kernels. Exactness: both
-    error sums are exact BIGINTs; mase_micro =
-    (Σ|e_season| · (n−1) · 1e6) div ((n−season) · Σ|e_1|) is one
-    truncating integer division (NULL when the series is shorter than
-    season+1 or the naive scale is zero). Returns one row:
-    (n_points, sum_abs_e1, sum_abs_e7, mase_micro).
+    error sums are exact BIGINTs; mase_micro is computed in TWO
+    truncating steps — ``((Σ|e_season|·1e6) div Σ|e_1|) · (n−1) div
+    (n−season)`` — the overflow-safe form (COVERAGE.md): dividing before
+    the (n−1) multiply keeps every intermediate ≤ ~1e6·Σ|e_s|, at the
+    cost of up to (n−1)/(n−season) extra truncation error vs the
+    single-division ideal (< 1 micro-unit at daily grain). NULL when the
+    series is shorter than season+1 or the naive scale is zero. The SQL
+    twin and tests/test_r9_properties.py pin this exact two-step form.
+    Returns one row: (n_points, sum_abs_e1, sum_abs_es, mase_micro).
     """
     w = Window.orderBy(t_col)  # bounded: series grain, post-aggregate
     lagged = df.select(

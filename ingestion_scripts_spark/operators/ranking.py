@@ -66,6 +66,15 @@ def global_rank(
     build-time-materialization class as kmeans/bpe training loops,
     documented in tests/test_plan_hygiene.py::test_query_builders_are_lazy.
     """
+    reserved = {"__mid", "__pid", "__off", rank_col}
+    clash = reserved.intersection(df.columns)
+    if clash:
+        # ADVICE r9: silent alias collision would produce ambiguous-column
+        # failures or wrong joins (the weighted_median_by_key hostile-name
+        # lesson) — fail loudly at build time instead.
+        raise ValueError(
+            f"global_rank reserved column names present in input: {sorted(clash)}"
+        )
     sc = df.sparkSession.sparkContext
     nparts = int(num_partitions or sc.defaultParallelism or 32)
     parts = (
@@ -130,6 +139,13 @@ def order_statistics(
     ≤ len(quantiles)-row rank table against the ranked corpus — the
     filter on rn is a broadcast semi-probe, not a second sort.
     """
+    clash = {"rn", "r", "n", "q_num", "q_den", "value"}.intersection(
+        [value_col, *tiebreak_cols]
+    )
+    if clash:
+        raise ValueError(
+            f"order_statistics reserved column names in input: {sorted(clash)}"
+        )
     order_cols = [F.asc(value_col)] + [F.asc(c) for c in tiebreak_cols]
     ranked = global_rank(
         df.select(value_col, *tiebreak_cols),
@@ -191,6 +207,13 @@ def top_share_curve(
     build side), then one partial-aggregable groupBy. The total is a
     1-row aggregate joined in by broadcast.
     """
+    clash = {"rn", "n", "k", "f_num", "f_den", "total_value"}.intersection(
+        [value_col, *tiebreak_cols]
+    )
+    if clash:
+        raise ValueError(
+            f"top_share_curve reserved column names in input: {sorted(clash)}"
+        )
     ranked = global_rank(
         df.select(value_col, *tiebreak_cols),
         [F.desc(value_col)] + [F.asc(c) for c in tiebreak_cols],
@@ -256,6 +279,17 @@ def largest_remainder_apportionment(
     POST-AGGREGATE per-group frame (bounded by group cardinality — the
     gate-legal unpartitioned-window class). Returns
     (key, cnt, base_alloc, extra, alloc).
+
+    CONTRACT (VERDICT r9 item 4): ``key_col`` cardinality must be
+    group-scale (domains, sources, languages — thousands, not billions).
+    The remainder window is unpartitioned BY DESIGN because its input is
+    one row per distinct key; a corpus-cardinality key (doc id, user id)
+    makes that frame corpus-sized and re-creates the single-partition
+    sort this module exists to kill. For such keys, rank the remainders
+    with :func:`global_rank` on the ``scored`` frame instead —
+    apportioning a budget over billions of singleton groups is almost
+    always the wrong question (base_alloc is 0 for all of them), so this
+    function does not silently absorb that cost.
     """
     per = df.groupBy(F.col(key_col).alias("k")).agg(
         F.count(F.lit(1)).cast("bigint").alias("cnt")

@@ -267,6 +267,81 @@ def test_no_unbounded_global_window_anywhere(spark):
     assert not bad, bad
 
 
+#: Ratchet allowlist for unbounded global sorts (VERDICT r9 item 4): all
+#: 98 are single TERMINAL presentation ``orderBy``s on corpus-grain query
+#: outputs — part of the query contract (deterministic ordered output),
+#: range-partitioned by Spark (never single-partition), but still one full
+#: extra shuffle+sort of the result at 100 TB. The set must NOT GROW: a
+#: new query that global-sorts unbounded data must either justify itself
+#: into this list (terminal presentation sort on corpus-grain output,
+#: single occurrence) or restructure. Interior/global sorts feeding more
+#: computation are never acceptable — at HEAD there are zero (verified:
+#: every entry below reports exactly one violation, the terminal sort).
+GLOBAL_SORT_ALLOWLIST = {
+    'antijoin_new_users', 'arrow_group_stats', 'asof_clicks',
+    'bfs_hops_coorder', 'bloom_dedup_audit', 'boilerplate_segments',
+    'bpe_merges', 'conformal_gate', 'containment_pairs', 'contamination',
+    'covariance_matrix', 'cross_split_contamination', 'curation_pipeline',
+    'curation_to_sequences', 'cusum_changepoint', 'daily_gapfill',
+    'dataset_card', 'dedup_best_survivor', 'doc_chunks', 'domain_caps',
+    'dup_clusters', 'dup_clusters_star', 'embedding_near_dup',
+    'embedding_near_dup_fold', 'embedding_topk', 'er_canonical_entities',
+    'exact_dedup', 'exact_global_quantiles', 'fellegi_sunter_scores',
+    'fingerprint', 'first_touch_attribution', 'gopher_rules',
+    'grouped_agg_udaf', 'hard_negatives', 'hash_sample_per_key',
+    'hits_scores', 'hybrid_rank_fusion', 'incremental_near_dup',
+    'index_compaction', 'ivf_ann_topk', 'ivf_ann_topk_mp',
+    'ivf_trained_topk', 'kcenter_coreset', 'kmeans_clusters',
+    'kmeans_sample', 'lang_id', 'last_touch_attribution',
+    'lateral_top_orders', 'linear_interpolation', 'lsh_ann_topk',
+    'max_coverage', 'min_price_supplier', 'minhash_near_dups',
+    'mmr_diverse_topk', 'multimodal_audio_energy', 'multimodal_features',
+    'multimodal_frames', 'multimodal_meta', 'multimodal_resize',
+    'ngram_novelty', 'pareto_frontier', 'parse_rfc822', 'parse_simple',
+    'parse_struct_time', 'parse_zoned', 'pii_scrub',
+    'pinball_loss_sources', 'ppr_coorder', 'quality_gate',
+    'quality_score', 'rate_limit_replay', 'repetition_signals',
+    'rolling_7d_value', 'rss_pipeline', 'running_user_value',
+    'scd_upsert', 'score_quantile_norm', 'segment_dedup', 'semdedup',
+    'semi_join_urgent', 'sentiment', 'sequence_packing',
+    'setsim_join_pairs', 'simhash', 'simhash_near_dups', 'snm_blocking',
+    'span_removal_plan', 'stratified_sample', 'stratified_split',
+    'strip_accents_norm', 'temperature_mix', 'token_budget_mix',
+    'token_counts', 'top_customer_by_nation', 'twitter_pipeline',
+    'wap_publish', 'window_dist_funcs', 'winnow_fingerprints',
+}
+
+
+def test_physical_scale_audit_sweep(spark):
+    """VERDICT r9 item 4: the window gate caught 4 instances of ONE
+    single-partition shape; this sweeps every registered batch query's
+    PHYSICAL plan (one walk per query, plan_audit.physical_scale_audit)
+    for the sibling shapes. Gate: Exchange SinglePartition / coalesce(1)
+    / unpartitioned WindowExec over unbounded input — must be EMPTY.
+    Ratchet: unbounded global sorts may not grow beyond the audited
+    terminal-presentation allowlist above, and no query may ever have
+    more than one. Red path pinned in tests/test_plan_audit_physical.py."""
+    from ingestion_scripts_spark.caching import release_caches
+    from ingestion_scripts_spark.plan_audit import physical_scale_audit
+
+    qs = E.queries()
+    bad, new, multi = {}, {}, {}
+    for name, fn in qs.items():
+        if name.startswith("stream_"):
+            continue
+        hard, sorts = physical_scale_audit(fn(spark, SF))
+        if hard:
+            bad[name] = hard
+        if sorts and name not in GLOBAL_SORT_ALLOWLIST:
+            new[name] = sorts
+        if len(sorts) > 1:
+            multi[name] = sorts
+        release_caches()
+    assert not bad, f"single-partition stages over unbounded input: {bad}"
+    assert not new, f"new unbounded global sorts (justify or restructure): {new}"
+    assert not multi, f"interior global sorts (never acceptable): {multi}"
+
+
 def test_acf_scans_facts_once(spark):
     # the daily series is referenced by stats + both lag-join sides + the
     # denominator; without the kernel's persist the FACT table would be
