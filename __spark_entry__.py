@@ -33,7 +33,7 @@ from ingestion_scripts_spark.operators import keywords as K
 from ingestion_scripts_spark.operators import similarity as SIM
 from ingestion_scripts_spark.operators import text_analysis as TA
 
-from ingestion_scripts_spark.registry.part09 import *  # noqa: E402,F401,F403
+from ingestion_scripts_spark.registry.part10 import *  # noqa: E402,F401,F403
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -353,42 +353,53 @@ _REGISTRY: list[tuple[str, Callable[[SparkSession, str], DataFrame], str | None]
     ("sample_apportionment", q_sample_apportionment,
      SQL_SAMPLE_APPORTIONMENT),
     ("vocab_richness", q_vocab_richness, _sql_vocab_richness()),
+    # --- r10 additions (registry/part10.py) ---
+    ("gini_order_values", q_gini_order_values, SQL_GINI_ORDER_VALUES),
+    ("trimmed_price_mean", q_trimmed_price_mean, SQL_TRIMMED_PRICE_MEAN),
+    ("bootstrap_order_value_ci", q_bootstrap_order_value_ci,
+     _sql_bootstrap_order_value_ci()),
+    ("shuffle_mix_audit", q_shuffle_mix_audit, _sql_shuffle_mix_audit()),
+    ("coorder_transitivity", q_coorder_transitivity,
+     SQL_COORDER_TRANSITIVITY),
 ]
 
-# --- r9 driver-window rotation (ROADMAP.md rotation table) -----------------
-# The driver certifies positions 1-50 each round. CORRECTNESS_r07 AND _r08
-# both landed 50/50 on the r7 window (r8 was a zero-commit round, so the
-# planned r8 rotation never shipped — VERDICT r8 item 3); cumulative debt
-# entering r9 is ZERO, so this window = the 10 r9-session additions
-# (debt-first law: new queries are never-driver-green) + 40
-# re-certification anchors with the OLDEST driver evidence — exactly the
-# displaced r2 block the r8 plan named (value_percentiles ... clean_text
-# ...), computed from the committed CORRECTNESS_r01-r08 artifacts
-# (max green round, declaration order as tiebreak). Queries ADDED later in
-# r9 displace the youngest anchors from the tail of this list.
+# --- r10 driver-window rotation (ROADMAP.md rotation table) ----------------
+# The driver certifies positions 1-50 each round. CORRECTNESS_r09 landed
+# 50/50, so cumulative debt entering r10 is ZERO and the cumulative r1-r9
+# record covers all 293 pre-r10 queries. This window = the 5 r10-session
+# additions (debt-first law: new queries are never-driver-green) + 45
+# re-certification anchors with the OLDEST driver evidence — the 6 anchors
+# the r9 additions displaced (multimodal_*, stream_idempotent_sink,
+# stream_stateful_counts, stream_dedup_counts) and onward through the
+# last-green-r3 block, computed from the committed CORRECTNESS_r01-r09
+# artifacts (max green round, declaration order as tiebreak) exactly as
+# ROADMAP's "r10 rotation plan" specifies.
 # tests/test_entry_contract.py pins the resulting window verbatim.
-_R9_WINDOW = [
-    # never-driver-green debt (r9 additions), window-start
-    "exact_global_quantiles", "mann_kendall_daily", "degree_assortativity",
-    "fd_strength", "top_share_curve", "weighted_median_parts",
-    "market_concentration", "forecast_mase", "sample_apportionment", "vocab_richness",
-    # re-certification anchors: last green r2, oldest-first
-    "value_percentiles", "pivot_weekday", "running_user_value",
-    "clicked_never_purchased", "late_ship_priority", "parts_never_discounted",
-    "user_value_quartiles", "clean_text", "hashtags", "stopword_filter",
-    "bigram_pairs", "parse_rfc822", "parse_struct_time", "parse_simple",
-    "parse_zoned", "exact_dedup", "segment_dedup", "ngram_jaccard",
-    "simhash", "fingerprint", "winnow_fingerprints", "salted_distinct_users",
-    "skew_join_revenue", "embedding_topk", "lsh_ann_topk", "ivf_ann_topk",
-    "ivf_ann_topk_mp", "embedding_near_dup_fold", "lang_id", "quality_score",
-    "quality_gate", "vocab_topn", "token_counts", "rss_pipeline",
-    "reddit_pipeline", "twitter_pipeline", "sentiment", "sessionize",
-    "session_window_native", "session_window_dynamic",
+_R10_WINDOW = [
+    # never-driver-green debt (r10 additions), window-start
+    "gini_order_values", "trimmed_price_mean", "bootstrap_order_value_ci",
+    "shuffle_mix_audit", "coorder_transitivity",
+    # re-certification anchors: last green r3 (then r4), oldest-first
+    "multimodal_meta", "multimodal_features", "multimodal_frames",
+    "stream_idempotent_sink", "stream_stateful_counts", "stream_dedup_counts",
+    "stream_enriched_counts", "stream_late_drop", "stream_stream_join",
+    "stream_outer_join", "stream_wm_dedup", "stream_fanout_sinks",
+    "bloom_gate", "curation_pipeline", "curation_to_sequences",
+    "props_extract", "idle_rich_customers", "cumulative_users",
+    "rolling_7d_value", "incremental_ingest", "tfidf_top_terms",
+    "dup_clusters", "hll_distinct_users", "repetition_signals", "pii_scrub",
+    "contamination", "stratified_sample", "simhash_near_dups",
+    "sequence_packing", "kmeans_clusters", "kmeans_sample",
+    "importance_weights", "pmi_bigrams", "nation_profit", "scd_upsert",
+    "dup_span_fraction", "jsonl_source", "anomaly_zscore",
+    "retention_cohorts", "flagship_doc_keywords", "pricing_summary",
+    "minhash_near_dups", "embedding_near_dup", "variant_props",
+    "unpivot_part_metrics",
 ]
 _BY_NAME = {t[0]: t for t in _REGISTRY}
 _REGISTRY = (
-    [_BY_NAME[n] for n in _R9_WINDOW]
-    + [t for t in _REGISTRY if t[0] not in set(_R9_WINDOW)]
+    [_BY_NAME[n] for n in _R10_WINDOW]
+    + [t for t in _REGISTRY if t[0] not in set(_R10_WINDOW)]
 )
 
 

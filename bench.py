@@ -286,6 +286,12 @@ HEADLINE = [
     "forecast_mase",
     "sample_apportionment",
     "vocab_richness",
+    # r10 additions
+    "gini_order_values",
+    "trimmed_price_mean",
+    "bootstrap_order_value_ci",
+    "shuffle_mix_audit",
+    "coorder_transitivity",
 ]
 
 #: deliberate shadows: oracle-exact twins of faster default kernels, kept

@@ -666,3 +666,45 @@ def degree_assortativity(
             ).cast("bigint"),
         ).alias("r_micro"),
     )
+
+
+def transitivity(edges: DataFrame, a_col: str = "a", b_col: str = "b") -> DataFrame:
+    """GLOBAL clustering coefficient (transitivity) of an undirected
+    simple graph — C = 3·triangles / wedges, the one-number companion to
+    :func:`triangle_stats`' per-node coefficients and the standard
+    "is this co-occurrence graph clique-ish or star-ish?" readout
+    (Newman, "The structure and function of complex networks", 2003,
+    eq. 3.3).
+
+    Exactness: Σ_node triangles ≡ 3·T exactly (each triangle counted at
+    its three corners), wedges = Σ deg·(deg−1) div 2; both accumulate in
+    DECIMAL(38,0) (deg² sums exceed BIGINT on hub-heavy corpora);
+    transitivity_ppm = (3T·1e6) div W is one terminal exact ``div``.
+    Returns one row: (n_nodes, n_triangles, n_wedges, transitivity_ppm).
+
+    Scale: inherits triangle_stats' degree-oriented wedge join (total
+    wedge volume O(m^1.5), hub-safe); the closing aggregate is one
+    partial-aggregable pass over the per-node table.
+    """
+    d38 = "decimal(38,0)"
+    per_node = triangle_stats(edges, a_col, b_col)
+    return per_node.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_nodes"),
+        (F.sum(F.col("triangles").cast(d38)) / 3).cast("bigint").alias("n_triangles"),
+        F.sum(
+            (
+                F.col("degree").cast("decimal(19,0)")
+                * (F.col("degree").cast("decimal(19,0)") - 1)
+            )
+        )
+        .cast(d38)
+        .alias("__wedges2"),
+        F.sum(F.col("triangles").cast(d38)).cast(d38).alias("__tri3"),
+    ).select(
+        "n_nodes",
+        "n_triangles",
+        F.expr("__wedges2 div 2").cast("bigint").alias("n_wedges"),
+        F.expr("(__tri3 * 1000000) div (__wedges2 div 2)")
+        .cast("bigint")
+        .alias("transitivity_ppm"),
+    )

@@ -323,3 +323,203 @@ def largest_remainder_apportionment(
         )
         .orderBy(key_col)
     )
+
+
+def gini_coefficient(
+    df: DataFrame,
+    value_col: str,
+    tiebreak_cols: list[str],
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Exact Gini concentration index of a non-negative integer value
+    over the whole corpus — the canonical inequality number ("how
+    concentrated is revenue / token count / sample weight?"), computed
+    distributed via :func:`global_rank`, never a single-partition sort.
+
+    Formula (sorted ascending, rank i = 1..n):
+    G = (2·Σ i·x_i − (n+1)·Σ x) / (n·Σ x) — tie-break-invariant because
+    tied values contribute the same regardless of rank order within the
+    tie. Exactness: products and sums accumulate in DECIMAL(38,0)
+    (rank·value can exceed BIGINT at corpus scale: 1e11 rows × 1e7 cents
+    ≈ 1e18 per ROW); gini_ppm is one terminal DECIMAL ``div`` (exact
+    integral quotient, cross-checked against DuckDB HUGEINT ``//``).
+    Returns one row: (n, total, gini_ppm).
+
+    Scale: one range shuffle (the rank) + one partial-aggregable
+    terminal aggregate over the rank's own checkpoint.
+    """
+    clash = {"rn", "n", "total"}.intersection([value_col, *tiebreak_cols])
+    if clash:
+        raise ValueError(
+            f"gini_coefficient reserved column names in input: {sorted(clash)}"
+        )
+    ranked = global_rank(
+        df.select(value_col, *tiebreak_cols),
+        [F.asc(value_col)] + [F.asc(c) for c in tiebreak_cols],
+        "rn",
+        num_partitions=num_partitions,
+    )
+    d38 = "decimal(38,0)"
+    return ranked.agg(
+        F.max("rn").cast(d38).alias("__n"),
+        F.sum(F.col(value_col).cast(d38)).cast(d38).alias("__t"),
+        F.sum(F.col("rn").cast("decimal(19,0)") * F.col(value_col).cast("decimal(19,0)"))
+        .cast(d38)
+        .alias("__s"),
+    ).select(
+        F.col("__n").cast("bigint").alias("n"),
+        F.col("__t").cast("bigint").alias("total"),
+        F.expr(
+            "((2 * __s - (__n + 1) * __t) * 1000000) div (__n * __t)"
+        )
+        .cast("bigint")
+        .alias("gini_ppm"),
+    )
+
+
+def trimmed_mean(
+    df: DataFrame,
+    value_col: str,
+    tiebreak_cols: list[str],
+    trim_num: int = 1,
+    trim_den: int = 100,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Exact two-sided trimmed AND winsorized mean of a corpus-sized
+    integer column — the robust-mean pair every data-quality report
+    wants next to the plain mean (outlier-insensitive central tendency;
+    trim drops the tails, winsorize clamps them to the cut values).
+
+    k = (n·trim_num) div trim_den rows are dropped from EACH tail (by
+    exact global rank under (value, *tiebreaks)); the winsorized mean
+    replaces them with the exact order statistics x_(k+1) / x_(n−k).
+    All sums in DECIMAL(38,0); the two means are terminal exact ``div``s
+    in micro units. Returns one row:
+    (n, k_trim, lo_cut, hi_cut, trimmed_mean_micro, winsor_mean_micro).
+
+    Scale: ONE global_rank (one range shuffle); cuts and sums all come
+    off the rank's checkpoint — a 1-row broadcast n-table, a 2-row
+    boundary probe, one partial-aggregable filtered aggregate. No second
+    source scan, no single-partition stage.
+    """
+    clash = {"rn", "__k", "__n", "__lo", "__hi"}.intersection(
+        [value_col, *tiebreak_cols]
+    )
+    if clash:
+        raise ValueError(
+            f"trimmed_mean reserved column names in input: {sorted(clash)}"
+        )
+    ranked = global_rank(
+        df.select(value_col, *tiebreak_cols),
+        [F.asc(value_col)] + [F.asc(c) for c in tiebreak_cols],
+        "rn",
+        num_partitions=num_partitions,
+    )
+    nk = ranked.agg(F.max("rn").cast("bigint").alias("__n")).select(
+        "__n",
+        F.expr(f"(__n * {int(trim_num)}) div {int(trim_den)}")
+        .cast("bigint")
+        .alias("__k"),
+    )
+    cuts = (
+        ranked.join(
+            F.broadcast(nk),
+            (F.col("rn") == F.col("__k") + 1)
+            | (F.col("rn") == F.col("__n") - F.col("__k")),
+        )
+        .groupBy("__n", "__k")
+        .agg(
+            F.min(value_col).cast("bigint").alias("__lo"),
+            F.max(value_col).cast("bigint").alias("__hi"),
+        )
+    )
+    d38 = "decimal(38,0)"
+    body = (
+        ranked.join(
+            F.broadcast(cuts),
+            (F.col("rn") > F.col("__k")) & (F.col("rn") <= F.col("__n") - F.col("__k")),
+        )
+        .groupBy("__n", "__k", "__lo", "__hi")
+        .agg(F.sum(F.col(value_col).cast(d38)).cast(d38).alias("__body"))
+    )
+    return body.select(
+        F.col("__n").alias("n"),
+        F.col("__k").alias("k_trim"),
+        F.col("__lo").alias("lo_cut"),
+        F.col("__hi").alias("hi_cut"),
+        F.expr("(__body * 1000000) div (__n - 2 * __k)")
+        .cast("bigint")
+        .alias("trimmed_mean_micro"),
+        F.expr(
+            "((__body + CAST(__k AS DECIMAL(38,0)) * (__lo + __hi)) * 1000000)"
+            " div __n"
+        )
+        .cast("bigint")
+        .alias("winsor_mean_micro"),
+    )
+
+
+def interleave_audit(
+    df: DataFrame,
+    source_col: str,
+    order_cols: list[Column],
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Shuffle-quality audit of a training-data ORDER: under the given
+    total order (typically the pipeline's deterministic hash-shuffle
+    key), how clumped is each source? A well-interleaved dataset has
+    per-source run counts near its row count (mean run length → 1); a
+    sorted-by-source dataset has ONE run per source — the failure mode
+    that turns "shuffled" corpora into curriculum accidents.
+
+    Per source: n_rows, n_runs (maximal same-source runs under the
+    order), mean_run_micro = n_rows·1e6 div n_runs, adj_same = adjacent
+    pairs staying within the source. The global lag is the distributed
+    :func:`global_rank` + a self-equi-join on rn = prev rn + 1 — the
+    one-shuffle alternative to the banned unpartitioned ``lag`` window.
+    Max-run is deliberately NOT reported: it needs a corpus prefix-sum
+    (run ids); run COUNT and mean length carry the QA signal without
+    one.
+    """
+    clash = {"rn", "__prev", "n_rows", "n_runs"}.intersection(df.columns)
+    if clash:
+        raise ValueError(
+            f"interleave_audit reserved column names in input: {sorted(clash)}"
+        )
+    # caller pre-projects df to (source_col + whatever order_cols read):
+    # every retained column rides the range shuffle
+    ranked = global_rank(df, order_cols, "rn", num_partitions=num_partitions)
+    prev = ranked.select(
+        (F.col("rn") + 1).alias("rn"), F.col(source_col).alias("__prev")
+    )
+    lagged = ranked.join(prev, "rn", "left")
+    return (
+        lagged.groupBy(source_col)
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            F.sum(
+                F.when(
+                    F.col("__prev").isNull()
+                    | (F.col("__prev") != F.col(source_col)),
+                    1,
+                ).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_runs"),
+            F.sum(
+                F.when(F.col("__prev") == F.col(source_col), 1).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("adj_same"),
+        )
+        .select(
+            source_col,
+            "n_rows",
+            "n_runs",
+            F.expr("(n_rows * 1000000) div n_runs")
+            .cast("bigint")
+            .alias("mean_run_micro"),
+            "adj_same",
+        )
+        .orderBy(source_col)
+    )

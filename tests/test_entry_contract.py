@@ -51,38 +51,41 @@ def test_catalog_register_testdata(spark):
 
 
 #: the driver certifies registry positions 1-50 each round; this is the
-#: deliberate r9 window (ROADMAP.md rotation table): the 10 r9-session
-#: additions (never-driver-green debt, window-start) + 40
-#: re-certification anchors with the oldest driver evidence — the
-#: displaced r2 block named in the r8 rotation plan, ordered by (max
-#: green round across CORRECTNESS_r01-r08, declaration order). CORRECTNESS
-#: _r07 and _r08 both landed 50/50, so debt entering r9 was zero. Queries
-#: added later in r9 displace the youngest anchors here (debt outranks
-#: re-certification). r2's lesson:
+#: deliberate r10 window (ROADMAP.md "r10 rotation plan"): the 5
+#: r10-session additions (never-driver-green debt, window-start) + 45
+#: re-certification anchors with the oldest driver evidence — the 6
+#: anchors the r9 additions displaced, then the last-green-r3 block,
+#: ordered by (max green round across CORRECTNESS_r01-r09, declaration
+#: order). CORRECTNESS_r09 landed 50/50, so debt entering r10 was zero.
+#: Queries added later in r10 displace the youngest anchors here (debt
+#: outranks re-certification). r2's lesson:
 #: silent registry drift displaced fixed queries past position 50, so their
 #: fixes were never driver-certified — any change to this window must be a
 #: conscious edit of BOTH the registry and this pin.
-R9_WINDOW = [
-    "exact_global_quantiles", "mann_kendall_daily", "degree_assortativity",
-    "fd_strength", "top_share_curve", "weighted_median_parts",
-    "market_concentration", "forecast_mase", "sample_apportionment", "vocab_richness",
-    "value_percentiles", "pivot_weekday", "running_user_value",
-    "clicked_never_purchased", "late_ship_priority", "parts_never_discounted",
-    "user_value_quartiles", "clean_text", "hashtags", "stopword_filter",
-    "bigram_pairs", "parse_rfc822", "parse_struct_time", "parse_simple",
-    "parse_zoned", "exact_dedup", "segment_dedup", "ngram_jaccard",
-    "simhash", "fingerprint", "winnow_fingerprints", "salted_distinct_users",
-    "skew_join_revenue", "embedding_topk", "lsh_ann_topk", "ivf_ann_topk",
-    "ivf_ann_topk_mp", "embedding_near_dup_fold", "lang_id", "quality_score",
-    "quality_gate", "vocab_topn", "token_counts", "rss_pipeline",
-    "reddit_pipeline", "twitter_pipeline", "sentiment", "sessionize",
-    "session_window_native", "session_window_dynamic",
+R10_WINDOW = [
+    "gini_order_values", "trimmed_price_mean", "bootstrap_order_value_ci",
+    "shuffle_mix_audit", "coorder_transitivity",
+    "multimodal_meta", "multimodal_features", "multimodal_frames",
+    "stream_idempotent_sink", "stream_stateful_counts", "stream_dedup_counts",
+    "stream_enriched_counts", "stream_late_drop", "stream_stream_join",
+    "stream_outer_join", "stream_wm_dedup", "stream_fanout_sinks",
+    "bloom_gate", "curation_pipeline", "curation_to_sequences",
+    "props_extract", "idle_rich_customers", "cumulative_users",
+    "rolling_7d_value", "incremental_ingest", "tfidf_top_terms",
+    "dup_clusters", "hll_distinct_users", "repetition_signals", "pii_scrub",
+    "contamination", "stratified_sample", "simhash_near_dups",
+    "sequence_packing", "kmeans_clusters", "kmeans_sample",
+    "importance_weights", "pmi_bigrams", "nation_profit", "scd_upsert",
+    "dup_span_fraction", "jsonl_source", "anomaly_zscore",
+    "retention_cohorts", "flagship_doc_keywords", "pricing_summary",
+    "minhash_near_dups", "embedding_near_dup", "variant_props",
+    "unpivot_part_metrics",
 ]
 
 
 def test_driver_window_is_pinned():
     names = list(E.queries().keys())
-    assert names[:50] == R9_WINDOW
+    assert names[:50] == R10_WINDOW
 
 
 def test_rotation_retires_certification_debt():
