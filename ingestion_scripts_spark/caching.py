@@ -56,3 +56,33 @@ def release_caches() -> int:
 def live_count() -> int:
     """Number of currently tracked (not yet released) caches."""
     return len(_LIVE)
+
+
+def release_local_checkpoint(df: DataFrame) -> bool:
+    """Free the storage blocks behind a ``localCheckpoint()``-ed frame.
+
+    Iterative operators (alternating-star CC, BFS frontiers, HITS,
+    k-core peeling, k-means/coreset rounds) re-checkpoint per round;
+    ``localCheckpoint`` pins each round's blocks in the BlockManager and
+    driver-side GC releases them far too lazily through py4j finalizers
+    — measured: a 16M-edge alternating-star run OOMed an 8 GiB heap on
+    accumulated dead rounds (r10 scale probe). Calling this on the
+    PREVIOUS round after the next round's (eager) checkpoint has
+    materialized bounds live storage to one round.
+
+    DANGER: a localCheckpoint's blocks ARE its data (lineage is
+    truncated) — releasing a frame that still feeds a future action
+    makes that action FAIL LOUDLY with missing blocks (never silently
+    wrong). Only call on frames with no remaining consumers.
+
+    Returns True if blocks were found and released. Uses the analyzed
+    plan's ``LogicalRDD`` handle; quietly no-ops on anything else.
+    """
+    try:
+        plan = df._jdf.queryExecution().analyzed()
+        if plan.getClass().getSimpleName() != "LogicalRDD":
+            return False
+        plan.rdd().unpersist(False)
+        return True
+    except Exception:
+        return False

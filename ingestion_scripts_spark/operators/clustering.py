@@ -313,11 +313,17 @@ def kcenter_greedy(
         )
         picked.append((rank, far["pid"], int(far["dmin"])))
         if rank < k:
-            work = work.select(
+            new_work = work.select(
                 "pid",
                 "v",
                 F.least(F.col("dmin"), dist_to(list(far["v"]))).alias("dmin"),
             ).localCheckpoint()
+            # prior round's dmin checkpoint is dead once the new one
+            # materialized (r10 scale-probe OOM class; caching.py)
+            from ingestion_scripts_spark.caching import release_local_checkpoint
+
+            release_local_checkpoint(work)
+            work = new_work
 
     spark = df.sparkSession
     return spark.createDataFrame(

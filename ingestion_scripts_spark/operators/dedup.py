@@ -30,6 +30,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from ..caching import release_local_checkpoint
 from ..functions.text import hash64, let_, ngrams, tokenize_ws
 from .text_analysis import r4
 
@@ -751,6 +752,9 @@ def connected_components(
             .limit(1)
             .count()
         )
+        # prior round's label checkpoint is dead past the changed-check
+        # (round 1's labels frame is not a checkpoint; the helper no-ops)
+        release_local_checkpoint(labels)
         labels = new_labels
         if changed == 0:
             break
@@ -1009,6 +1013,11 @@ def connected_components_star(
         changed = new_cnt != prev_cnt or (
             new_und.exceptAll(edges).limit(1).count() > 0
         )
+        # the previous round's checkpoint has no consumers past the
+        # convergence check above — release its blocks NOW, or ~log(D)
+        # dead edge sets accumulate in the BlockManager (measured: OOM at
+        # 16M edges / 8 GiB heap, r10 scale probe; caching.py docstring)
+        release_local_checkpoint(edges)
         edges = new_und
         prev_cnt = new_cnt
         if not changed:

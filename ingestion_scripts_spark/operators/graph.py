@@ -21,6 +21,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ..caching import release_local_checkpoint
+
 #: 1.0 in micro-units
 _ONE = 1_000_000
 #: damping 0.85 as an exact integer rational
@@ -213,9 +215,16 @@ def bfs_hops(
         fresh = reached.join(labels.select("node"), "node", "left_anti").localCheckpoint()
         if fresh.isEmpty():
             break
-        labels = labels.union(
+        new_labels = labels.union(
             fresh.withColumn("hops", F.lit(h).cast("bigint"))
         ).localCheckpoint()
+        # old labels and the consumed frontier checkpoint are dead once
+        # the new round materialized (r10 scale-probe OOM class; round-1
+        # frontier is a lazy Project, the helper no-ops on it)
+        release_local_checkpoint(labels)
+        if frontier is not fresh:
+            release_local_checkpoint(frontier)
+        labels = new_labels
         frontier = fresh
     return labels
 
@@ -265,6 +274,12 @@ def hits_int(
     )
     hub = nodes.select("node", F.lit(1_000_000).cast("bigint").alias("h"))
     auth = None
+    # one-generation checkpoint lag: iteration i's a_all/h_all stay live
+    # while anything lazy still reads them (auth_i feeds h_raw_i; hub_i
+    # feeds a_raw_{i+1}); the generation BEFORE that is dead and released
+    # (r10 scale-probe OOM class). The final a_all/h_all back the returned
+    # auth/hub and are never released.
+    prev_a_all = prev_h_all = None
     for _ in range(iters):
         a_raw = (
             e.join(hub, e.src == hub.node)
@@ -276,6 +291,10 @@ def hits_int(
             "node", F.coalesce(F.col("ar"), F.lit(0)).cast("bigint").alias("ar")
         )
         a_all = a_all.localCheckpoint()
+        if prev_h_all is not None:
+            release_local_checkpoint(prev_h_all)  # hub_{i-1} fully consumed
+        if prev_a_all is not None:
+            release_local_checkpoint(prev_a_all)  # auth_{i-1} fully consumed
         amax = a_all.agg(F.max("ar").alias("__amax"))
         auth = a_all.crossJoin(F.broadcast(amax)).select(
             "node", F.expr("(ar * 1000000) div greatest(__amax, 1L)").cast("bigint").alias("a")
@@ -294,6 +313,7 @@ def hits_int(
         hub = h_all.crossJoin(F.broadcast(hmax)).select(
             "node", F.expr("(hr * 1000000) div greatest(__hmax, 1L)").cast("bigint").alias("h")
         )
+        prev_a_all, prev_h_all = a_all, h_all
     return hub.join(auth, "node").select(
         "node",
         F.col("h").alias("hub_u"),
@@ -344,6 +364,10 @@ def kcore_peel(
     ).localCheckpoint()
     alive = ed.select(F.col("a").alias("node")).distinct().localCheckpoint()
     deg = None
+    # two-generation checkpoint lag: the returned deg is LAZY over the
+    # previous round's alive, so only the generation before THAT is dead
+    # when a new round materializes (r10 scale-probe OOM class)
+    dead = None
     for _ in range(rounds):
         live = ed.join(
             alive.select(F.col("node").alias("a")), "a"
@@ -353,7 +377,11 @@ def kcore_peel(
             .agg(F.count(F.lit(1)).cast("bigint").alias("core_deg"))
             .select(F.col("a").alias("node"), "core_deg")
         )
-        alive = deg.filter(F.col("core_deg") >= k).select("node").localCheckpoint()
+        new_alive = deg.filter(F.col("core_deg") >= k).select("node").localCheckpoint()
+        if dead is not None:
+            release_local_checkpoint(dead)
+        dead = alive
+        alive = new_alive
     return deg.filter(F.col("core_deg") >= k)
 
 

@@ -557,12 +557,18 @@ def max_coverage_select(df, id_col: str, tokens_col: str, k: int = 5):
             # tokens-minus-all-covered — same sets as re-subtracting the
             # full covered vocabulary each round
             cov = spark.createDataFrame([(list(row["t"]),)], "cov array<string>")
-            work = (
+            new_work = (
                 work.filter(F.col("pid") != F.lit(row["pid"]))
                 .crossJoin(F.broadcast(cov))
                 .select("pid", F.array_except("t", "cov").alias("t"))
                 .localCheckpoint()
             )
+            # prior round's residual checkpoint is dead once the new one
+            # materialized (r10 scale-probe OOM class; caching.py)
+            from ingestion_scripts_spark.caching import release_local_checkpoint
+
+            release_local_checkpoint(work)
+            work = new_work
     return spark.createDataFrame(picked, "rank bigint, doc_id bigint, gain bigint")
 
 
