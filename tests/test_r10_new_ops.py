@@ -283,6 +283,31 @@ def test_transitivity_per_node_identity(spark):
     assert row.n_nodes == len(per)
 
 
+# ------------------------------------------------- checkpoint block release
+
+
+def test_iterative_cc_releases_round_checkpoints(spark):
+    """r10 scale-probe OOM class: per-round localCheckpoints must not
+    accumulate in the BlockManager. After a multi-round alternating-star
+    run, at most a constant handful of persistent RDDs may remain (the
+    final edges + all_nodes + whatever other suites left around) — one
+    per ROUND is the leak this pins."""
+    from pyspark.sql import functions as F
+
+    from ingestion_scripts_spark.operators.dedup import connected_components_star
+
+    jsc = spark.sparkContext._jsc.sc()
+    before = jsc.getPersistentRDDs().size()
+    # chain of 200: needs ~8 alternating-star rounds — enough to leak
+    edges = spark.range(200).select(
+        F.col("id").alias("id_a"), (F.col("id") + 1).alias("id_b")
+    )
+    out = connected_components_star(edges)
+    assert out.select(F.countDistinct("comp")).collect()[0][0] == 1
+    after = jsc.getPersistentRDDs().size()
+    assert after - before <= 3, (before, after)
+
+
 # ------------------------------------------------------------ plan hygiene
 
 
