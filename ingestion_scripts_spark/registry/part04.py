@@ -368,7 +368,7 @@ WITH ranked AS (
          rank() OVER (PARTITION BY event_type ORDER BY value) AS rx,
          rank() OVER (PARTITION BY event_type
                       ORDER BY json_extract(props,'$.k')::BIGINT) AS ry
-  FROM events WHERE value > 0),
+  FROM events),
 agg AS (
   SELECT event_type, CAST(count(*) AS BIGINT) AS n,
          CAST(sum(rx) AS BIGINT) AS sx, CAST(sum(ry) AS BIGINT) AS sy,
