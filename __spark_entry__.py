@@ -361,13 +361,14 @@ _REGISTRY: list[tuple[str, Callable[[SparkSession, str], DataFrame], str | None]
     ("shuffle_mix_audit", q_shuffle_mix_audit, _sql_shuffle_mix_audit()),
     ("coorder_transitivity", q_coorder_transitivity,
      SQL_COORDER_TRANSITIVITY),
+    ("mad_order_values", q_mad_order_values, SQL_MAD_ORDER_VALUES),
 ]
 
 # --- r10 driver-window rotation (ROADMAP.md rotation table) ----------------
 # The driver certifies positions 1-50 each round. CORRECTNESS_r09 landed
 # 50/50, so cumulative debt entering r10 is ZERO and the cumulative r1-r9
-# record covers all 293 pre-r10 queries. This window = the 5 r10-session
-# additions (debt-first law: new queries are never-driver-green) + 45
+# record covers all 293 pre-r10 queries. This window = the 6 r10-session
+# additions (debt-first law: new queries are never-driver-green) + 44
 # re-certification anchors with the OLDEST driver evidence — the 6 anchors
 # the r9 additions displaced (multimodal_*, stream_idempotent_sink,
 # stream_stateful_counts, stream_dedup_counts) and onward through the
@@ -378,7 +379,7 @@ _REGISTRY: list[tuple[str, Callable[[SparkSession, str], DataFrame], str | None]
 _R10_WINDOW = [
     # never-driver-green debt (r10 additions), window-start
     "gini_order_values", "trimmed_price_mean", "bootstrap_order_value_ci",
-    "shuffle_mix_audit", "coorder_transitivity",
+    "shuffle_mix_audit", "coorder_transitivity", "mad_order_values",
     # re-certification anchors: last green r3 (then r4), oldest-first
     "multimodal_meta", "multimodal_features", "multimodal_frames",
     "stream_idempotent_sink", "stream_stateful_counts", "stream_dedup_counts",
@@ -394,7 +395,6 @@ _R10_WINDOW = [
     "dup_span_fraction", "jsonl_source", "anomaly_zscore",
     "retention_cohorts", "flagship_doc_keywords", "pricing_summary",
     "minhash_near_dups", "embedding_near_dup", "variant_props",
-    "unpivot_part_metrics",
 ]
 _BY_NAME = {t[0]: t for t in _REGISTRY}
 _REGISTRY = (

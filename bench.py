@@ -292,6 +292,7 @@ HEADLINE = [
     "bootstrap_order_value_ci",
     "shuffle_mix_audit",
     "coorder_transitivity",
+    "mad_order_values",
 ]
 
 #: deliberate shadows: oracle-exact twins of faster default kernels, kept

@@ -523,3 +523,70 @@ def interleave_audit(
         )
         .orderBy(source_col)
     )
+
+
+def global_median_mad(
+    df: DataFrame,
+    value_col: str,
+    tiebreak_cols: list[str],
+    k_milli: int = 44478,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """EXACT corpus-level median, MAD, and robust-outlier count — the
+    global twin of the per-key ``profiling``-family robust z-score
+    (whose unpartitioned form the plan gate bans at corpus scale).
+    Demonstrates CHAINED global order statistics: the second rank runs
+    on a column DERIVED from the first's result (dev = |x − median|).
+
+    med = lower median (ceil-rank n/2) via :func:`order_statistics`;
+    mad = lower median of |x − med| via a second order_statistics over
+    the deviation frame; outliers = rows with
+    10000·dev > k_milli·mad (default k_milli = 44478 ≈ 3·1.4826·1e4,
+    the 3-sigma-equivalent MAD gate) — an exact integer comparison, no
+    float boundary. Returns one row:
+    (n, median, mad, n_outliers).
+
+    Scale: two range shuffles (one per rank) + two broadcast probes +
+    one partial-aggregable count — every stage parallel at any corpus
+    size; the 1-row median/mad tables broadcast into the corpus scans.
+    """
+    clash = {"dev", "value", "q_num", "q_den", "r", "rn", "n"}.intersection(
+        [value_col, *tiebreak_cols]
+    )
+    if clash:
+        raise ValueError(
+            f"global_median_mad reserved column names in input: {sorted(clash)}"
+        )
+    base = df.select(value_col, *tiebreak_cols)
+    med = (
+        order_statistics(base, value_col, tiebreak_cols, [(1, 2)],
+                         num_partitions=num_partitions)
+        .select(F.col("value").alias("__med"))
+    )
+    dev = base.crossJoin(F.broadcast(med)).select(
+        F.abs(F.col(value_col) - F.col("__med")).cast("bigint").alias("dev"),
+        *tiebreak_cols,
+        "__med",
+    )
+    mad = (
+        order_statistics(
+            dev.drop("__med"), "dev", tiebreak_cols, [(1, 2)],
+            num_partitions=num_partitions,
+        )
+        .select(F.col("value").alias("__mad"))
+    )
+    return (
+        dev.crossJoin(F.broadcast(mad))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.max("__med").cast("bigint").alias("median"),
+            F.max("__mad").cast("bigint").alias("mad"),
+            F.sum(
+                (
+                    F.col("dev") * 10000 > F.col("__mad") * F.lit(int(k_milli))
+                ).cast("int")
+            )
+            .cast("bigint")
+            .alias("n_outliers"),
+        )
+    )

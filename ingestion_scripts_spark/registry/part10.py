@@ -28,7 +28,14 @@ def q_gini_order_values(spark: SparkSession, sf_dir: str) -> DataFrame:
     all?"), via the distributed rank (operators/ranking.py::
     gini_coefficient, global_rank consumer #4): one range shuffle, sums
     in DECIMAL(38,0), one terminal exact div — never a single-partition
-    sort, never a float accumulation."""
+    sort, never a float accumulation.
+
+    NOT a duplicate of ``gini_concentration`` (part08): that one is
+    PER-NATION Gini over a keyed window whose partitions are bounded by
+    per-nation customer counts; this is the CORPUS-GLOBAL number that
+    keyed form cannot produce without the gate-banned unpartitioned
+    window — the same keyed-vs-global split as robust_zscore vs
+    mad_order_values and value_percentiles vs exact_global_quantiles."""
     from ingestion_scripts_spark.operators.ranking import gini_coefficient
 
     orders = _t(spark, sf_dir, "orders").select(  # noqa: F405
@@ -292,4 +299,61 @@ FROM deg d LEFT JOIN per_node t USING (node)"""
 
 __all__ = __all__ + [  # noqa: F405,PLE0605
     "q_coorder_transitivity", "SQL_COORDER_TRANSITIVITY",
+]
+
+
+# ---------------------------------------------------------------------------
+# exact corpus median / MAD / robust outlier count (chained global ranks)
+# ---------------------------------------------------------------------------
+
+def q_mad_order_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact corpus-level median, MAD and robust-outlier count of order
+    value in cents (operators/ranking.py::global_median_mad) — the
+    GLOBAL twin of the per-key robust z-score, and the engine's first
+    CHAINED global order statistic: the second distributed rank runs on
+    a column derived from the first's broadcast result
+    (dev = |cents − median|). Outlier gate 10000·dev > 44478·mad is an
+    exact integer comparison. Two range shuffles, two broadcast probes,
+    one terminal aggregate — no single-partition stage."""
+    from ingestion_scripts_spark.operators.ranking import global_median_mad
+
+    orders = _t(spark, sf_dir, "orders").select(  # noqa: F405
+        F.floor(F.col("o_totalprice") * F.lit(100.0) + F.lit(0.5))
+        .cast("bigint")
+        .alias("cents"),
+        "o_orderkey",
+    )
+    return global_median_mad(orders, "cents", ["o_orderkey"])
+
+
+SQL_MAD_ORDER_VALUES = """
+WITH base AS (
+  SELECT CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT) AS cents,
+         o_orderkey
+  FROM orders),
+v AS (
+  SELECT cents,
+         row_number() OVER (ORDER BY cents, o_orderkey) AS rn,
+         count(*) OVER () AS n
+  FROM base),
+med AS (SELECT max(CASE WHEN rn = (n + 1) // 2 THEN cents END) AS med FROM v),
+dev AS (
+  SELECT abs(base.cents - med.med) AS dev, base.o_orderkey, med.med
+  FROM base, med),
+d AS (
+  SELECT dev, med,
+         row_number() OVER (ORDER BY dev, o_orderkey) AS rn,
+         count(*) OVER () AS n
+  FROM dev),
+mad AS (SELECT max(CASE WHEN rn = (n + 1) // 2 THEN dev END) AS mad FROM d)
+SELECT CAST(count(*) AS BIGINT) AS n,
+       CAST(max(dev.med) AS BIGINT) AS median,
+       CAST(max(mad.mad) AS BIGINT) AS mad,
+       CAST(sum(CASE WHEN dev.dev * 10000 > mad.mad * 44478
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+FROM dev, mad"""
+
+
+__all__ = __all__ + [  # noqa: F405,PLE0605
+    "q_mad_order_values", "SQL_MAD_ORDER_VALUES",
 ]

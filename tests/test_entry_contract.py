@@ -51,8 +51,8 @@ def test_catalog_register_testdata(spark):
 
 
 #: the driver certifies registry positions 1-50 each round; this is the
-#: deliberate r10 window (ROADMAP.md "r10 rotation plan"): the 5
-#: r10-session additions (never-driver-green debt, window-start) + 45
+#: deliberate r10 window (ROADMAP.md "r10 rotation plan"): the 6
+#: r10-session additions (never-driver-green debt, window-start) + 44
 #: re-certification anchors with the oldest driver evidence — the 6
 #: anchors the r9 additions displaced, then the last-green-r3 block,
 #: ordered by (max green round across CORRECTNESS_r01-r09, declaration
@@ -64,7 +64,7 @@ def test_catalog_register_testdata(spark):
 #: conscious edit of BOTH the registry and this pin.
 R10_WINDOW = [
     "gini_order_values", "trimmed_price_mean", "bootstrap_order_value_ci",
-    "shuffle_mix_audit", "coorder_transitivity",
+    "shuffle_mix_audit", "coorder_transitivity", "mad_order_values",
     "multimodal_meta", "multimodal_features", "multimodal_frames",
     "stream_idempotent_sink", "stream_stateful_counts", "stream_dedup_counts",
     "stream_enriched_counts", "stream_late_drop", "stream_stream_join",
@@ -79,7 +79,6 @@ R10_WINDOW = [
     "dup_span_fraction", "jsonl_source", "anomaly_zscore",
     "retention_cohorts", "flagship_doc_keywords", "pricing_summary",
     "minhash_near_dups", "embedding_near_dup", "variant_props",
-    "unpivot_part_metrics",
 ]
 
 

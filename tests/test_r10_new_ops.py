@@ -283,6 +283,47 @@ def test_transitivity_per_node_identity(spark):
     assert row.n_nodes == len(per)
 
 
+# --------------------------------------------------------- global_median_mad
+
+
+def test_global_median_mad_matches_python(spark):
+    from ingestion_scripts_spark.operators.ranking import global_median_mad
+
+    rng = random.Random(29)
+    vals = [rng.randrange(0, 100_000) for _ in range(701)]
+    df = spark.createDataFrame(
+        [(v, i) for i, v in enumerate(vals)], "v long, id long"
+    )
+    row = global_median_mad(df, "v", ["id"], num_partitions=8).collect()[0]
+    xs = sorted(vals)
+    n = len(xs)
+    med = xs[(n + 1) // 2 - 1]
+    devs = sorted(abs(v - med) for v in vals)
+    mad = devs[(n + 1) // 2 - 1]
+    outliers = sum(1 for d in devs if d * 10000 > mad * 44478)
+    assert (row.n, row.median, row.mad, row.n_outliers) == (n, med, mad, outliers)
+
+
+def test_global_median_mad_constant_column(spark):
+    from ingestion_scripts_spark.operators.ranking import global_median_mad
+
+    df = spark.createDataFrame([(9, i) for i in range(50)], "v long, id long")
+    row = global_median_mad(df, "v", ["id"]).collect()[0]
+    assert (row.median, row.mad, row.n_outliers) == (9, 0, 0)
+
+
+def test_global_median_mad_single_outlier(spark):
+    from ingestion_scripts_spark.operators.ranking import global_median_mad
+
+    vals = [100] * 99 + [10_000_000]
+    df = spark.createDataFrame(
+        [(v, i) for i, v in enumerate(vals)], "v long, id long"
+    )
+    row = global_median_mad(df, "v", ["id"]).collect()[0]
+    # median and MAD ignore the outlier entirely; the gate flags just it
+    assert (row.median, row.mad, row.n_outliers) == (100, 0, 1)
+
+
 # ------------------------------------------------- checkpoint block release
 
 
