@@ -102,7 +102,14 @@ def test_wasserstein_property(spark, xs, ys):
     assert abs(got["w1"] - round(w1 / 1e6 * 1e6, 6) / 1) < 2e-6 or got[
         "w1_num"
     ] == num  # w1 is num/(na*nb)/1e6 — compare through the exact numerator
-    assert got["w1"] == round(num / (len(xs) * len(ys)) / 1e6, 6)
+    # half-up rounding (the engine's floor(x*1e6+0.5) idiom), NOT python
+    # round(): banker's rounding disagrees at exact .5 boundaries —
+    # Hypothesis found xs=[0], ys=[0,1] (w1 = 5e-7 -> engine 1e-6,
+    # python round 0.0) in r10
+    import math as _math
+
+    exact = num / (len(xs) * len(ys)) / 1e6
+    assert got["w1"] == _math.floor(exact * 1e6 + 0.5) / 1e6
 
 
 @settings(max_examples=8, deadline=None)
