@@ -195,5 +195,80 @@ def main() -> None:
         print(json.dumps(r), flush=True)
 
 
+
+
+def probe_gini_rank(spark: SparkSession, scale: float) -> dict:
+    from ingestion_scripts_spark.operators.ranking import gini_coefficient
+
+    sizes = [int(s * scale) for s in (2_000_000, 8_000_000, 32_000_000)]
+    walls = []
+    for n in sizes:
+        df = spark.range(n).select(
+            ((F.col("id") * 2654435761) % 1_000_000).alias("v"),
+            F.col("id").alias("pid"),
+        )
+        walls.append(_timed(lambda: gini_coefficient(df, "v", ["pid"])))
+        release_caches()
+    return {"probe": "gini_rank", "sizes": sizes, "walls": walls}
+
+
+def probe_median_mad(spark: SparkSession, scale: float) -> dict:
+    from ingestion_scripts_spark.operators.ranking import global_median_mad
+
+    sizes = [int(s * scale) for s in (2_000_000, 8_000_000, 32_000_000)]
+    walls = []
+    for n in sizes:
+        df = spark.range(n).select(
+            ((F.col("id") * 2654435761) % 1_000_000).alias("v"),
+            F.col("id").alias("pid"),
+        )
+        walls.append(_timed(lambda: global_median_mad(df, "v", ["pid"])))
+        release_caches()
+    return {"probe": "median_mad", "sizes": sizes, "walls": walls}
+
+
+def probe_bootstrap(spark: SparkSession, scale: float) -> dict:
+    from ingestion_scripts_spark.operators.bootstrap import poisson_bootstrap_ci
+
+    sizes = [int(s * scale) for s in (250_000, 1_000_000, 4_000_000)]
+    walls = []
+    for n in sizes:
+        df = spark.range(n).select(
+            F.col("id"), ((F.col("id") * 48271) % 100_000).alias("v")
+        )
+        walls.append(
+            _timed(lambda: poisson_bootstrap_ci(df, "v", "id", b_replicates=32))
+        )
+        release_caches()
+    return {"probe": "bootstrap", "sizes": sizes, "walls": walls}
+
+
+def probe_interleave(spark: SparkSession, scale: float) -> dict:
+    from ingestion_scripts_spark.operators.ranking import interleave_audit
+
+    sizes = [int(s * scale) for s in (2_000_000, 8_000_000, 32_000_000)]
+    walls = []
+    for n in sizes:
+        df = spark.range(n).select(
+            ((F.col("id") * 11400714819323198485) % 20).cast("string").alias("src"),
+            F.col("id").alias("pos"),
+        )
+        walls.append(
+            _timed(lambda: interleave_audit(df, "src", [F.asc("pos")]))
+        )
+        release_caches()
+    return {"probe": "interleave", "sizes": sizes, "walls": walls}
+
+
+PROBES.update(
+    {
+        "gini_rank": probe_gini_rank,
+        "median_mad": probe_median_mad,
+        "bootstrap": probe_bootstrap,
+        "interleave": probe_interleave,
+    }
+)
+
+
 if __name__ == "__main__":
     main()
