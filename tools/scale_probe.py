@@ -250,7 +250,7 @@ def probe_interleave(spark: SparkSession, scale: float) -> dict:
     walls = []
     for n in sizes:
         df = spark.range(n).select(
-            ((F.col("id") * 11400714819323198485) % 20).cast("string").alias("src"),
+            ((F.col("id") * 2654435761) % 20).cast("string").alias("src"),
             F.col("id").alias("pos"),
         )
         walls.append(
