@@ -80,6 +80,11 @@ def poisson_bootstrap_ci(
     when the input under-splits. Leave None on production-size inputs
     whose splits already exceed cores (no exchange at 100 TB).
     """
+    clash = {"b", "__x", "__w"}.intersection([id_col, value_col])
+    if clash:
+        raise ValueError(
+            f"poisson_bootstrap_ci reserved column names in input: {sorted(clash)}"
+        )
     b = int(b_replicates)
     if spread_partitions:
         df = df.repartition(int(spread_partitions))

@@ -707,7 +707,9 @@ def transitivity(edges: DataFrame, a_col: str = "a", b_col: str = "b") -> DataFr
     Exactness: Σ_node triangles ≡ 3·T exactly (each triangle counted at
     its three corners), wedges = Σ deg·(deg−1) div 2; both accumulate in
     DECIMAL(38,0) (deg² sums exceed BIGINT on hub-heavy corpora);
-    transitivity_ppm = (3T·1e6) div W is one terminal exact ``div``.
+    transitivity_ppm = (3T·1e6) div W is one terminal exact ``div``,
+    NULL when W = 0 (e.g. a perfect matching, every degree 1) — guarded
+    identically in the SQL twin so the engines agree on wedge-free input.
     Returns one row: (n_nodes, n_triangles, n_wedges, transitivity_ppm).
 
     Scale: inherits triangle_stats' degree-oriented wedge join (total
@@ -732,7 +734,10 @@ def transitivity(edges: DataFrame, a_col: str = "a", b_col: str = "b") -> DataFr
         "n_nodes",
         "n_triangles",
         F.expr("__wedges2 div 2").cast("bigint").alias("n_wedges"),
-        F.expr("(__tri3 * 1000000) div (__wedges2 div 2)")
+        F.expr(
+            "CASE WHEN __wedges2 = 0 THEN NULL"
+            " ELSE (__tri3 * 1000000) div (__wedges2 div 2) END"
+        )
         .cast("bigint")
         .alias("transitivity_ppm"),
     )

@@ -347,6 +347,13 @@ def gini_coefficient(
 
     Scale: one range shuffle (the rank) + one partial-aggregable
     terminal aggregate over the rank's own checkpoint.
+
+    Contract (degenerate input): requires a non-empty input. On an empty
+    frame this side returns one row with n = NULL (global aggregate over
+    zero rows) where a ``count(*)``-based SQL twin returns n = 0 — a
+    documented cross-engine divergence, same rationale as
+    :func:`trimmed_mean` (no eager build-time n check). Pinned by
+    ``tests/test_r11_advice.py::test_gini_degenerate_contract``.
     """
     clash = {"rn", "n", "total"}.intersection([value_col, *tiebreak_cols])
     if clash:
@@ -401,6 +408,15 @@ def trimmed_mean(
     off the rank's checkpoint — a 1-row broadcast n-table, a 2-row
     boundary probe, one partial-aggregable filtered aggregate. No second
     source scan, no single-partition stage.
+
+    Contract (degenerate input): requires n > 2k — i.e. a non-empty
+    input with at least one row surviving the two-sided trim. Outside
+    that, the groupBy collapses and THIS side returns ZERO rows, while a
+    scalar-aggregate SQL twin returns one row of NULLs — a deliberate,
+    documented cross-engine shape divergence (same contract style as
+    ``largest_remainder_apportionment``; checking n at build time would
+    force an eager job, breaking the lazy-builder rule). Pinned by
+    ``tests/test_r11_advice.py::test_trimmed_mean_degenerate_contract``.
     """
     clash = {"rn", "__k", "__n", "__lo", "__hi"}.intersection(
         [value_col, *tiebreak_cols]

@@ -291,8 +291,9 @@ per_node AS (
 SELECT CAST(count(*) AS BIGINT) AS n_nodes,
        CAST(sum(coalesce(t.triangles, 0)) // 3 AS BIGINT) AS n_triangles,
        CAST(sum(d.degree * (d.degree - 1)) // 2 AS BIGINT) AS n_wedges,
-       CAST((sum(coalesce(t.triangles, 0)) * 1000000)
-            // (sum(d.degree * (d.degree - 1)) // 2) AS BIGINT)
+       CAST(CASE WHEN sum(d.degree * (d.degree - 1)) = 0 THEN NULL
+            ELSE (sum(coalesce(t.triangles, 0)) * 1000000)
+                 // (sum(d.degree * (d.degree - 1)) // 2) END AS BIGINT)
          AS transitivity_ppm
 FROM deg d LEFT JOIN per_node t USING (node)"""
 

@@ -105,11 +105,12 @@ def test_wasserstein_property(spark, xs, ys):
     # half-up rounding (the engine's floor(x*1e6+0.5) idiom), NOT python
     # round(): banker's rounding disagrees at exact .5 boundaries —
     # Hypothesis found xs=[0], ys=[0,1] (w1 = 5e-7 -> engine 1e-6,
-    # python round 0.0) in r10
-    import math as _math
-
-    exact = num / (len(xs) * len(ys)) / 1e6
-    assert got["w1"] == _math.floor(exact * 1e6 + 0.5) / 1e6
+    # python round 0.0) in r10. Derived entirely in INTEGERS: the r10 fix
+    # itself went through two float divisions before the floor, which can
+    # double-round against the engine's exact arithmetic at .5 boundaries
+    # for large numerators (ADVICE r10).
+    na_nb = len(xs) * len(ys)
+    assert got["w1"] == ((2 * num + na_nb) // (2 * na_nb)) / 1e6
 
 
 @settings(max_examples=8, deadline=None)
