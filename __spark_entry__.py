@@ -33,7 +33,7 @@ from ingestion_scripts_spark.operators import keywords as K
 from ingestion_scripts_spark.operators import similarity as SIM
 from ingestion_scripts_spark.operators import text_analysis as TA
 
-from ingestion_scripts_spark.registry.part10 import *  # noqa: E402,F401,F403
+from ingestion_scripts_spark.registry.part11 import *  # noqa: E402,F401,F403
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -362,44 +362,50 @@ _REGISTRY: list[tuple[str, Callable[[SparkSession, str], DataFrame], str | None]
     ("coorder_transitivity", q_coorder_transitivity,
      SQL_COORDER_TRANSITIVITY),
     ("mad_order_values", q_mad_order_values, SQL_MAD_ORDER_VALUES),
+    # --- r11 additions (registry/part11.py) ---
+    ("longest_dup_span", q_longest_dup_span, SQL_LONGEST_DUP_SPAN),
+    ("domain_dedup_stats", q_domain_dedup_stats, SQL_DOMAIN_DEDUP_STATS),
+    ("incremental_value_stats", q_incremental_value_stats,
+     SQL_INCREMENTAL_VALUE_STATS),
 ]
 
-# --- r10 driver-window rotation (ROADMAP.md rotation table) ----------------
-# The driver certifies positions 1-50 each round. CORRECTNESS_r09 landed
-# 50/50, so cumulative debt entering r10 is ZERO and the cumulative r1-r9
-# record covers all 293 pre-r10 queries. This window = the 6 r10-session
-# additions (debt-first law: new queries are never-driver-green) + 44
-# re-certification anchors with the OLDEST driver evidence — the 6 anchors
-# the r9 additions displaced (multimodal_*, stream_idempotent_sink,
-# stream_stateful_counts, stream_dedup_counts) and onward through the
-# last-green-r3 block, computed from the committed CORRECTNESS_r01-r09
-# artifacts (max green round, declaration order as tiebreak) exactly as
-# ROADMAP's "r10 rotation plan" specifies.
+# --- r11 driver-window rotation (ROADMAP.md rotation table) ----------------
+# The driver certifies positions 1-50 each round. CORRECTNESS_r10 landed
+# 50/50, so cumulative debt entering r11 is ZERO and the r1-r10 record
+# covers all 299 pre-r11 queries. This window = the 3 r11-session
+# additions (debt-first law: new queries are never-driver-green) + 47
+# re-certification anchors with the OLDEST driver evidence, RECOMPUTED
+# from the committed CORRECTNESS_r01-r10 artifacts (max green round,
+# declaration order as tiebreak). Note r10-VERDICT wrong #2: ROADMAP's
+# r11 preview prose omitted `unpivot_part_metrics` (the single
+# oldest-evidence anchor, last green r4, position 0 of the computed
+# ordering) — the window here is the artifact computation, not the
+# preview, so it leads the anchors.
 # tests/test_entry_contract.py pins the resulting window verbatim.
-_R10_WINDOW = [
-    # never-driver-green debt (r10 additions), window-start
-    "gini_order_values", "trimmed_price_mean", "bootstrap_order_value_ci",
-    "shuffle_mix_audit", "coorder_transitivity", "mad_order_values",
-    # re-certification anchors: last green r3 (then r4), oldest-first
-    "multimodal_meta", "multimodal_features", "multimodal_frames",
-    "stream_idempotent_sink", "stream_stateful_counts", "stream_dedup_counts",
-    "stream_enriched_counts", "stream_late_drop", "stream_stream_join",
-    "stream_outer_join", "stream_wm_dedup", "stream_fanout_sinks",
-    "bloom_gate", "curation_pipeline", "curation_to_sequences",
-    "props_extract", "idle_rich_customers", "cumulative_users",
-    "rolling_7d_value", "incremental_ingest", "tfidf_top_terms",
-    "dup_clusters", "hll_distinct_users", "repetition_signals", "pii_scrub",
-    "contamination", "stratified_sample", "simhash_near_dups",
-    "sequence_packing", "kmeans_clusters", "kmeans_sample",
-    "importance_weights", "pmi_bigrams", "nation_profit", "scd_upsert",
-    "dup_span_fraction", "jsonl_source", "anomaly_zscore",
-    "retention_cohorts", "flagship_doc_keywords", "pricing_summary",
-    "minhash_near_dups", "embedding_near_dup", "variant_props",
+_R11_WINDOW = [
+    # never-driver-green debt (r11 additions), window-start
+    "longest_dup_span", "domain_dedup_stats", "incremental_value_stats",
+    # re-certification anchors: last green r4, oldest-first
+    "unpivot_part_metrics", "event_transitions", "safe_cast_ingest",
+    "url_canonicalize", "ewma_user_value", "strip_accents_norm",
+    "spearman_corr", "robust_zscore", "hash_sample_per_key", "cube_revenue",
+    "setsim_join_pairs", "interval_join_bucketed", "sparse_cosine_pairs",
+    "sliding_windows", "xml_source", "supplier_wait_fault",
+    "user_trend_slope", "custom_feed_sink", "set_ops_users",
+    "lateral_top_orders", "scd_point_in_time", "wap_publish",
+    "score_quantile_norm", "trigram_udtf_top", "schema_evolution",
+    "benford_profile", "bm25_topk", "phrase_search", "token_budget_mix",
+    "pagerank_transitions", "dedup_threshold_curve", "incremental_near_dup",
+    "embedding_profile", "dup_cluster_stats", "source_similarity",
+    "dedup_recall", "stream_incremental_dedup", "tokenizer_fertility",
+    "stratified_split", "heavy_hitter_recall", "path_motifs",
+    "sql_front_door", "linear_interpolation", "bloom_join_revenue",
+    "multimodal_resize", "last_touch_attribution", "embedding_outliers",
 ]
 _BY_NAME = {t[0]: t for t in _REGISTRY}
 _REGISTRY = (
-    [_BY_NAME[n] for n in _R10_WINDOW]
-    + [t for t in _REGISTRY if t[0] not in set(_R10_WINDOW)]
+    [_BY_NAME[n] for n in _R11_WINDOW]
+    + [t for t in _REGISTRY if t[0] not in set(_R11_WINDOW)]
 )
 
 

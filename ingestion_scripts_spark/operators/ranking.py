@@ -606,3 +606,72 @@ def global_median_mad(
             .alias("n_outliers"),
         )
     )
+
+
+def global_cumsum(
+    df: DataFrame,
+    order_cols: list[Column],
+    sum_col: str,
+    out_col: str = "cum",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """All columns of ``df`` plus ``out_col``: the exact INCLUSIVE
+    running sum of ``sum_col`` under the total order ``order_cols`` —
+    the prefix-sum sibling of :func:`global_rank`, and like it never an
+    ``Exchange SinglePartition`` (the naive
+    ``sum() over (order by ...)`` plans exactly that).
+
+    Shape: one range shuffle pins a contiguous slice of the total order
+    per partition (sorted + localCheckpoint, the layout-stability rule);
+    the within-slice running sum is a window partitioned by the slice id
+    (bounded per-partition state); slice TOTALS (≤ num_partitions rows)
+    go through the bounded-window offsets pass and broadcast back, so
+    cum = slice_offset + within_slice_running. Sums accumulate in
+    DECIMAL(38,0) (``sum_col`` must be an exact integer column);
+    ``out_col`` is returned as DECIMAL(38,0) — cast at the call site if
+    BIGINT is known to suffice.
+
+    ``order_cols`` must be a TOTAL order (unique tiebreaker), same
+    contract as global_rank. Fires one job at build (the checkpoint).
+    """
+    reserved = {"__mid", "__pid", "__run", "__tot", "__off", out_col}
+    clash = reserved.intersection(df.columns)
+    if clash:
+        raise ValueError(
+            f"global_cumsum reserved column names present in input: {sorted(clash)}"
+        )
+    sc = df.sparkSession.sparkContext
+    nparts = int(num_partitions or sc.defaultParallelism or 32)
+    d38 = "decimal(38,0)"
+    parts = (
+        df.repartitionByRange(nparts, *order_cols)
+        .sortWithinPartitions(*order_cols)
+        .localCheckpoint()
+    )
+    base = parts.withColumn("__mid", F.monotonically_increasing_id()).withColumn(
+        "__pid", F.shiftright(F.col("__mid"), 33).cast("bigint")
+    )
+    # within-slice inclusive running sum: partitioned window, state bounded
+    # by the slice (never the corpus-global unpartitioned form)
+    iw = (
+        Window.partitionBy("__pid")
+        .orderBy("__mid")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    run = base.withColumn("__run", F.sum(F.col(sum_col).cast(d38)).over(iw))
+    totals = base.groupBy("__pid").agg(
+        F.sum(F.col(sum_col).cast(d38)).cast(d38).alias("__tot")
+    )
+    # bounded unpartitioned window: ≤ num_partitions rows, post-aggregate
+    ow = Window.orderBy("__pid").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = totals.select(
+        "__pid",
+        F.coalesce(F.sum("__tot").over(ow), F.lit(0).cast(d38))
+        .cast(d38)
+        .alias("__off"),
+    )
+    out_cols = df.columns
+    return run.join(F.broadcast(offsets), "__pid").select(
+        *out_cols,
+        (F.col("__off") + F.col("__run")).cast(d38).alias(out_col),
+    )

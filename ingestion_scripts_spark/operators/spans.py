@@ -134,3 +134,120 @@ def span_removal_plan(
     return out.select(
         F.col("__id").alias(id_col), "n_tokens", "n_removed", "removed_ppm"
     )
+
+
+def shared_span_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 8,
+    max_docs_per_span: int = 8,
+) -> DataFrame:
+    """Candidate near-dup pairs (id1 < id2) sharing at least one exact
+    k-token span — the suffix-style candidate generator (distinct pairs
+    only; one row per pair regardless of how many spans they share).
+
+    ``max_docs_per_span`` is the standard frequency cap of banded
+    similarity joins (boilerplate spans shared by thousands of documents
+    would contribute O(docs²) pairs and say nothing about pairwise
+    duplication — the same prune as setjoin's prefix-frequency filter
+    and the n_docs cap in MinHash banding). Capped spans are DROPPED,
+    documented, not silent: the operator's contract is "pairs sharing a
+    RARE k-span", which is what substring-dedup triage wants.
+
+    Scale: span posting explode (narrow) → per-(span, doc) distinct →
+    span-keyed self-equi-join restricted to spans with
+    2..max_docs_per_span docs — never an all-pairs product.
+    """
+    occ = (
+        token_spans(docs, id_col, text_col, k)
+        .select(F.col(id_col).alias("__id"), "span")
+        .distinct()
+    )
+    freq = occ.groupBy("span").agg(F.countDistinct("__id").alias("__nd"))
+    rare = freq.where(
+        (F.col("__nd") >= 2) & (F.col("__nd") <= int(max_docs_per_span))
+    ).select("span")
+    a = occ.join(rare, "span").select("span", F.col("__id").alias("id1"))
+    b = occ.join(rare, "span").select("span", F.col("__id").alias("id2"))
+    return (
+        a.join(b, "span")
+        .where(F.col("id1") < F.col("id2"))
+        .select("id1", "id2")
+        .distinct()
+    )
+
+
+def longest_shared_span(
+    docs: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 8,
+) -> DataFrame:
+    """Per candidate pair, the length (in tokens) of the LONGEST shared
+    contiguous token run — exact substring-duplication profiling beyond
+    fixed n-grams, the "how much is copied?" number behind suffix-array
+    dedup (Lee et al. 2022) re-expressed relationally.
+
+    Identity used: a shared run of L ≥ k tokens appears as L−k+1
+    CONSECUTIVE matched k-span positions on a constant diagonal
+    (pos1 − pos2); so per (pair, diagonal) the classic gaps-and-islands
+    idiom (pos1 − row_number() is constant within a consecutive run)
+    turns the longest run of matched k-spans into the longest shared
+    span: lss = k − 1 + max_run. Pairs whose longest shared run is
+    SHORTER than k match no k-span at all and report lss_tokens = 0
+    (meaning "< k", not "exactly 0") — k is the operator's resolution
+    floor, documented, same convention as duplicate_spans' min length.
+
+    ``pairs`` carries (id1, id2); any candidate generator composes —
+    :func:`shared_span_pairs`, MinHash banding, or an external list.
+
+    Scale: span generation is restricted by semi-join to documents
+    actually appearing in ``pairs``; the span match is an equi-join on
+    (pair-side id, span); windows partition by (id1, id2, diag) —
+    bounded by document length, never corpus-wide.
+    """
+    ids = (
+        pairs.select(F.col("id1").alias("__id"))
+        .union(pairs.select(F.col("id2")))
+        .distinct()
+    )
+    occ = token_spans(
+        docs.join(
+            ids.withColumnRenamed("__id", id_col).hint("broadcast"),
+            id_col,
+            "left_semi",
+        ),
+        id_col,
+        text_col,
+        k,
+    )
+    o1 = occ.select(
+        F.col(id_col).alias("id1"), F.col("pos").alias("p1"), "span"
+    )
+    o2 = occ.select(
+        F.col(id_col).alias("id2"), F.col("pos").alias("p2"), "span"
+    )
+    matched = (
+        pairs.join(o1, "id1")
+        .join(o2, ["id2", "span"])
+        .select("id1", "id2", "p1", "p2", (F.col("p1") - F.col("p2")).alias("diag"))
+    )
+    w = Window.partitionBy("id1", "id2", "diag").orderBy("p1")
+    runs = (
+        matched.withColumn(
+            "island", F.col("p1") - F.row_number().over(w)
+        )
+        .groupBy("id1", "id2", "diag", "island")
+        .agg(F.count(F.lit(1)).alias("run"))
+        .groupBy("id1", "id2")
+        .agg((F.max("run") + F.lit(k - 1)).cast("bigint").alias("lss_tokens"))
+    )
+    return pairs.join(runs, ["id1", "id2"], "left").select(
+        "id1",
+        "id2",
+        F.coalesce(F.col("lss_tokens"), F.lit(0).cast("bigint")).alias(
+            "lss_tokens"
+        ),
+    )

@@ -51,40 +51,73 @@ def test_catalog_register_testdata(spark):
 
 
 #: the driver certifies registry positions 1-50 each round; this is the
-#: deliberate r10 window (ROADMAP.md "r10 rotation plan"): the 6
-#: r10-session additions (never-driver-green debt, window-start) + 44
-#: re-certification anchors with the oldest driver evidence — the 6
-#: anchors the r9 additions displaced, then the last-green-r3 block,
-#: ordered by (max green round across CORRECTNESS_r01-r09, declaration
-#: order). CORRECTNESS_r09 landed 50/50, so debt entering r10 was zero.
-#: Queries added later in r10 displace the youngest anchors here (debt
-#: outranks re-certification). r2's lesson:
-#: silent registry drift displaced fixed queries past position 50, so their
-#: fixes were never driver-certified — any change to this window must be a
-#: conscious edit of BOTH the registry and this pin.
-R10_WINDOW = [
-    "gini_order_values", "trimmed_price_mean", "bootstrap_order_value_ci",
-    "shuffle_mix_audit", "coorder_transitivity", "mad_order_values",
-    "multimodal_meta", "multimodal_features", "multimodal_frames",
-    "stream_idempotent_sink", "stream_stateful_counts", "stream_dedup_counts",
-    "stream_enriched_counts", "stream_late_drop", "stream_stream_join",
-    "stream_outer_join", "stream_wm_dedup", "stream_fanout_sinks",
-    "bloom_gate", "curation_pipeline", "curation_to_sequences",
-    "props_extract", "idle_rich_customers", "cumulative_users",
-    "rolling_7d_value", "incremental_ingest", "tfidf_top_terms",
-    "dup_clusters", "hll_distinct_users", "repetition_signals", "pii_scrub",
-    "contamination", "stratified_sample", "simhash_near_dups",
-    "sequence_packing", "kmeans_clusters", "kmeans_sample",
-    "importance_weights", "pmi_bigrams", "nation_profit", "scd_upsert",
-    "dup_span_fraction", "jsonl_source", "anomaly_zscore",
-    "retention_cohorts", "flagship_doc_keywords", "pricing_summary",
-    "minhash_near_dups", "embedding_near_dup", "variant_props",
+#: deliberate r11 window: the 3 r11-session additions (never-driver-green
+#: debt, window-start) + 47 re-certification anchors with the oldest
+#: driver evidence, RECOMPUTED from CORRECTNESS_r01-r10 (max green round,
+#: declaration order as tiebreak) — per r10-VERDICT wrong #2 the ROADMAP
+#: r11 preview prose was NOT trusted (it omitted `unpivot_part_metrics`,
+#: the single oldest-evidence anchor; it leads the anchors here).
+#: CORRECTNESS_r10 landed 50/50, so debt entering r11 was zero. Queries
+#: added later in r11 displace the youngest anchors here (debt outranks
+#: re-certification). r2's lesson: silent registry drift displaced fixed
+#: queries past position 50, so their fixes were never driver-certified —
+#: any change to this window must be a conscious edit of BOTH the
+#: registry and this pin.
+R11_WINDOW = [
+    "longest_dup_span", "domain_dedup_stats", "incremental_value_stats",
+    "unpivot_part_metrics", "event_transitions", "safe_cast_ingest",
+    "url_canonicalize", "ewma_user_value", "strip_accents_norm",
+    "spearman_corr", "robust_zscore", "hash_sample_per_key", "cube_revenue",
+    "setsim_join_pairs", "interval_join_bucketed", "sparse_cosine_pairs",
+    "sliding_windows", "xml_source", "supplier_wait_fault",
+    "user_trend_slope", "custom_feed_sink", "set_ops_users",
+    "lateral_top_orders", "scd_point_in_time", "wap_publish",
+    "score_quantile_norm", "trigram_udtf_top", "schema_evolution",
+    "benford_profile", "bm25_topk", "phrase_search", "token_budget_mix",
+    "pagerank_transitions", "dedup_threshold_curve", "incremental_near_dup",
+    "embedding_profile", "dup_cluster_stats", "source_similarity",
+    "dedup_recall", "stream_incremental_dedup", "tokenizer_fertility",
+    "stratified_split", "heavy_hitter_recall", "path_motifs",
+    "sql_front_door", "linear_interpolation", "bloom_join_revenue",
+    "multimodal_resize", "last_touch_attribution", "embedding_outliers",
 ]
 
 
 def test_driver_window_is_pinned():
     names = list(E.queries().keys())
-    assert names[:50] == R10_WINDOW
+    assert names[:50] == R11_WINDOW
+
+
+def test_window_anchors_recomputed_from_artifacts():
+    """The anchor block must equal the oldest-evidence ordering computed
+    from the committed CORRECTNESS artifacts — the machine form of the
+    rotation rule, so a wrong ROADMAP preview can never starve a query
+    again (r10-VERDICT wrong #2: `unpivot_part_metrics`)."""
+    import glob
+    import json
+    import os
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    green_round: dict[str, int] = {}
+    for path in sorted(glob.glob(os.path.join(root, "CORRECTNESS_r*.json"))):
+        rnd = int(os.path.basename(path).split("_r")[1].split(".")[0])
+        if rnd > 10:
+            continue  # the window was computed entering r11; later
+            # artifacts certify it but must not retro-change the pin
+        for name, rec in json.load(open(path)).items():
+            if (
+                rec.get("rows_match")
+                and rec.get("schema_match")
+                and rec.get("hash_match")
+            ):
+                green_round[name] = max(green_round.get(name, 0), rnd)
+    names = list(E.queries().keys())
+    n_new = sum(1 for n in names[:50] if n not in green_round)
+    anchors = sorted(
+        (n for n in names if n in green_round),
+        key=lambda n: (green_round[n], names.index(n)),
+    )
+    assert names[n_new:50] == anchors[: 50 - n_new]
 
 
 def test_rotation_retires_certification_debt():
