@@ -270,5 +270,223 @@ PROBES.update(
 )
 
 
+
+
+# --------------------------------------------------------------------------
+# r11 probes: the join-shaped heavies (VERDICT r10 item 4) + the three
+# r11 operators, same protocol — 3 geometric sizes, measured alpha.
+# Claims under test:
+# - setsim    O(candidates): PPJoin prefix filter — near-dup families of
+#             fixed size keep candidates linear in docs
+# - sparse_cosine  O(postings join): inverted-index dot products, never
+#             all-pairs; fixed family size -> ~linear
+# - dedup_funnel   chained stages (exact -> minhash -> segment): each
+#             stage keyed; the chain is the sum, still ~linear
+# - kcore     O(E) per peel round at fixed round count
+# - lss       span postings + diagonal islands on near-dup pairs: the
+#             frequency cap bounds pair fanout -> ~linear in docs
+# - histstats two global_cumsum passes over the DISTINCT-value histogram:
+#             sublinear in rows when the value domain saturates
+# - domain_dedup   one canonical-URL window + one keyed agg -> ~linear
+# --------------------------------------------------------------------------
+
+
+def _neardup_docs(spark: SparkSession, n: int, words: int = 12) -> DataFrame:
+    base = F.floor(F.col("id") / 2)
+    toks = [
+        F.concat(F.lit("w"), ((base * 20) + j).cast("string"))
+        for j in range(words - 1)
+    ]
+    toks.append(
+        F.concat(
+            F.lit("w"),
+            ((base * 20) + words - 1 + (F.col("id") % 2) * 7).cast("string"),
+        )
+    )
+    return spark.range(n).select(
+        F.col("id").alias("doc_id"), F.concat_ws(" ", *toks).alias("text")
+    )
+
+
+def probe_setsim(spark: SparkSession, scale: float) -> dict:
+    from ingestion_scripts_spark.functions.text import tokenize_ws
+    from ingestion_scripts_spark.operators.setjoin import setsim_join
+
+    sizes = [int(s * scale) for s in (100_000, 400_000, 1_600_000)]
+    walls = []
+    for n in sizes:
+        docs = _neardup_docs(spark, n).select(
+            "doc_id", F.array_distinct(tokenize_ws(F.col("text"))).alias("tk")
+        )
+        walls.append(_timed(lambda: setsim_join(docs, "doc_id", "tk", 4, 5)))
+        release_caches()
+    return {"probe": "setsim", "sizes": sizes, "walls": walls}
+
+
+def probe_sparse_cosine(spark: SparkSession, scale: float) -> dict:
+    from ingestion_scripts_spark.operators.dedup import shingles
+    from ingestion_scripts_spark.operators.similarity import sparse_cosine_pairs
+
+    sizes = [int(s * scale) for s in (50_000, 200_000, 800_000)]
+    walls = []
+    for n in sizes:
+        docs = _neardup_docs(spark, n).select(
+            "doc_id", shingles(F.col("text"), 3).alias("sh")
+        )
+        walls.append(
+            _timed(
+                lambda: sparse_cosine_pairs(docs, "doc_id", "sh",
+                                            min_cos_micro=500_000)
+            )
+        )
+        release_caches()
+    return {"probe": "sparse_cosine", "sizes": sizes, "walls": walls}
+
+
+def probe_dedup_funnel(spark: SparkSession, scale: float) -> dict:
+    from ingestion_scripts_spark.operators import dedup as D2
+
+    sizes = [int(s * scale) for s in (100_000, 400_000, 1_600_000)]
+    walls = []
+    for n in sizes:
+        docs = _neardup_docs(spark, n)
+
+        def chain(docs=docs):
+            surv1 = docs.groupBy(F.md5(F.col("text")).alias("__h")).agg(
+                F.min("doc_id").alias("doc_id")
+            )
+            d1 = docs.join(surv1.select("doc_id"), "doc_id")
+            pairs = D2.minhash_dedup_pairs(d1, "doc_id", "text", threshold=0.8)
+            removed2 = pairs.select(F.col("id_b").alias("doc_id")).distinct()
+            d2 = d1.join(removed2, "doc_id", "left_anti")
+            seg = D2.segment_dedup(d2, "doc_id", "text", seg_words=8, max_docs=1)
+            removed3 = seg.filter(
+                2 * F.col("n_kept") < F.col("n_seg")
+            ).select("doc_id")
+            return d2.join(removed3, "doc_id", "left_anti").agg(
+                F.count(F.lit(1)).alias("survivors")
+            )
+
+        walls.append(_timed(chain))
+        release_caches()
+    return {"probe": "dedup_funnel", "sizes": sizes, "walls": walls}
+
+
+def probe_kcore(spark: SparkSession, scale: float) -> dict:
+    from ingestion_scripts_spark.operators.graph import kcore_peel
+
+    sizes = [int(s * scale) for s in (2_000_000, 8_000_000, 32_000_000)]
+    walls = []
+    for n in sizes:
+        # chain edges + pseudo-random chords: a graph with a genuine 3-core
+        # kernel and a large peelable fringe, degree structure fixed in n
+        chain = spark.range(n // 2).select(
+            F.col("id").alias("u"), (F.col("id") + 1).alias("v")
+        )
+        chords = spark.range(n // 2).select(
+            F.col("id").alias("u"),
+            ((F.col("id") * 2654435761) % F.lit(n // 2)).alias("v"),
+        )
+        edges = chain.union(chords).filter(F.col("u") != F.col("v"))
+        walls.append(
+            _timed(
+                lambda: kcore_peel(edges, "u", "v", k=3, rounds=4).agg(
+                    F.count(F.lit(1)).alias("n")
+                )
+            )
+        )
+        release_caches()
+    return {"probe": "kcore", "sizes": sizes, "walls": walls}
+
+
+def probe_lss(spark: SparkSession, scale: float) -> dict:
+    from ingestion_scripts_spark.operators.spans import (
+        longest_shared_span,
+        shared_span_pairs,
+    )
+
+    sizes = [int(s * scale) for s in (100_000, 400_000, 1_600_000)]
+    walls = []
+    for n in sizes:
+        docs = _neardup_docs(spark, n, words=24)
+
+        def run(docs=docs):
+            pairs = shared_span_pairs(docs, k=8, max_docs_per_span=8)
+            return longest_shared_span(docs, pairs, k=8).agg(
+                F.count(F.lit(1)).alias("n"),
+                F.max("lss_tokens").alias("max_lss"),
+            )
+
+        walls.append(_timed(run))
+        release_caches()
+    return {"probe": "lss", "sizes": sizes, "walls": walls}
+
+
+def probe_histstats(spark: SparkSession, scale: float) -> dict:
+    from ingestion_scripts_spark.operators.histstats import (
+        median_mad_gini_from_counts,
+        value_counts,
+    )
+
+    sizes = [int(s * scale) for s in (2_000_000, 8_000_000, 32_000_000)]
+    walls = []
+    for n in sizes:
+        # 1M distinct cent values: the histogram saturates, so the stats
+        # pass cost should flatten while the counting pass stays linear
+        df = spark.range(n).select(
+            ((F.col("id") * 2654435761) % 1_000_000).alias("v")
+        )
+        walls.append(
+            _timed(
+                lambda: median_mad_gini_from_counts(value_counts(df, "v"), "v")
+            )
+        )
+        release_caches()
+    return {"probe": "histstats", "sizes": sizes, "walls": walls}
+
+
+def probe_domain_dedup(spark: SparkSession, scale: float) -> dict:
+    from ingestion_scripts_spark.operators.domains import domain_dedup_stats
+
+    sizes = [int(s * scale) for s in (2_000_000, 8_000_000, 32_000_000)]
+    walls = []
+    for n in sizes:
+        d = F.col("id")
+        url = F.concat(
+            F.lit("http://www.site"),
+            (d % 5000).cast("string"),
+            F.when(d % 4 == 0, F.lit(".co.uk")).otherwise(F.lit(".com")),
+            F.lit("/p/"),
+            (d % 200_000).cast("string"),
+            F.lit("?id="),
+            (d % 7).cast("string"),
+            F.when(d % 3 == 0, F.lit("&utm_s=x")).otherwise(F.lit("")),
+        )
+        docs = spark.range(n).select(
+            F.col("id").alias("doc_id"), url.alias("url"),
+            (d % 1000).alias("sz"),
+        )
+        walls.append(
+            _timed(
+                lambda: domain_dedup_stats(docs, "url", ["sz"], ["doc_id"], "sz")
+            )
+        )
+        release_caches()
+    return {"probe": "domain_dedup", "sizes": sizes, "walls": walls}
+
+
+PROBES.update(
+    {
+        "setsim": probe_setsim,
+        "sparse_cosine": probe_sparse_cosine,
+        "dedup_funnel": probe_dedup_funnel,
+        "kcore": probe_kcore,
+        "lss": probe_lss,
+        "histstats": probe_histstats,
+        "domain_dedup": probe_domain_dedup,
+    }
+)
+
+
 if __name__ == "__main__":
     main()
