@@ -293,6 +293,9 @@ HEADLINE = [
     "shuffle_mix_audit",
     "coorder_transitivity",
     "mad_order_values",
+    "longest_dup_span",
+    "domain_dedup_stats",
+    "incremental_value_stats",
 ]
 
 #: deliberate shadows: oracle-exact twins of faster default kernels, kept
