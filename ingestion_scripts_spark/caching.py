@@ -58,6 +58,30 @@ def live_count() -> int:
     return len(_LIVE)
 
 
+def iterative_checkpoint(df: DataFrame) -> DataFrame:
+    """``localCheckpoint`` at MEMORY_AND_DISK_SER — the storage level for
+    ROUND-TRANSIENT state in iterative loops (star-CC rounds, k-core
+    survivor sets, BFS frontiers, HITS scores).
+
+    Rationale (r11 deep-iteration probe, SCALING.md): the default
+    deserialized level stores row OBJECTS (~3-6x the on-wire bytes);
+    deep-chain star contraction holds two generations of a transiently
+    EXPANDED edge set, which blew a 16 GiB single-JVM heap at 32M edges
+    while the serialized footprint fits comfortably. Round state is
+    written once and read once (next round + convergence check), so the
+    per-round serialize/deserialize cost is one pass — measured ~neutral
+    wall at 8M edges against an OOM→finish upgrade at 32M. Hot
+    multi-consumer checkpoints (global_rank's sorted layout) deliberately
+    stay deserialized."""
+    from pyspark.storagelevel import StorageLevel
+
+    # PySpark naming: MEMORY_AND_DISK is the SERIALIZED level (the
+    # Scala deserialized default is MEMORY_AND_DISK_DESER)
+    return df.localCheckpoint(
+        eager=True, storageLevel=StorageLevel.MEMORY_AND_DISK
+    )
+
+
 def release_local_checkpoint(df: DataFrame) -> bool:
     """Free the storage blocks behind a ``localCheckpoint()``-ed frame.
 

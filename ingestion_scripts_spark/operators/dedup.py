@@ -30,7 +30,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-from ..caching import release_local_checkpoint
+from ..caching import iterative_checkpoint, release_local_checkpoint
 from ..functions.text import hash64, let_, ngrams, tokenize_ws
 from .text_analysis import r4
 
@@ -719,10 +719,9 @@ def connected_components(
     callers coalesce(component, id) when mapping a full table.
     """
     e = pairs.select(F.col(src).alias("a"), F.col(dst).alias("b"))
-    edges = (
+    edges = iterative_checkpoint(
         e.union(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
         .distinct()
-        .localCheckpoint()
     )
     labels = edges.select(F.col("a").alias("node")).distinct().select(
         "node", F.col("node").alias("comp")
@@ -743,8 +742,8 @@ def connected_components(
                     F.col("comp"), F.coalesce(F.col("nbr_comp"), F.col("comp"))
                 ).alias("comp"),
             )
-            .localCheckpoint()
         )
+        new_labels = iterative_checkpoint(new_labels)
         changed = (
             new_labels.alias("n")
             .join(labels.alias("o"), "node")
@@ -960,9 +959,11 @@ def connected_components_star(
         e.union(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
         .filter(F.col("a") != F.col("b"))
         .distinct()
-        .localCheckpoint()
     )
-    all_nodes = edges.select(F.col("a").alias("node")).distinct().localCheckpoint()
+    edges = iterative_checkpoint(edges)
+    all_nodes = iterative_checkpoint(
+        edges.select(F.col("a").alias("node")).distinct()
+    )
 
     prev_cnt = edges.count()
     converged = prev_cnt == 0
@@ -1000,9 +1001,11 @@ def connected_components_star(
             .union(m_small.select(F.col("a"), F.col("m").alias("b")))
         )
         new_edges = small.filter(F.col("a") != F.col("b")).distinct()
-        new_und = new_edges.union(
-            new_edges.select(F.col("b").alias("a"), F.col("a").alias("b"))
-        ).distinct().localCheckpoint()
+        new_und = iterative_checkpoint(
+            new_edges.union(
+                new_edges.select(F.col("b").alias("a"), F.col("a").alias("b"))
+            ).distinct()
+        )
 
         # Fixed-point convergence: stop when the round changed nothing.
         # Both sides are DISTINCT undirected edge sets, so set equality is

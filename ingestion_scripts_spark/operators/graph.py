@@ -21,7 +21,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ..caching import release_local_checkpoint
+from ..caching import iterative_checkpoint, release_local_checkpoint
 
 #: 1.0 in micro-units
 _ONE = 1_000_000
@@ -197,13 +197,12 @@ def bfs_hops(
         e.union(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
         .filter(F.col("a") != F.col("b"))
         .distinct()
-        .localCheckpoint()
     )
-    labels = (
+    esym = iterative_checkpoint(esym)
+    labels = iterative_checkpoint(
         sources.select(F.col(node_col).alias("node"))
         .distinct()
         .withColumn("hops", F.lit(0).cast("bigint"))
-        .localCheckpoint()
     )
     frontier = labels.select("node")
     for h in range(1, max_hops + 1):
@@ -212,12 +211,14 @@ def bfs_hops(
             .select(F.col("b").alias("node"))
             .distinct()
         )
-        fresh = reached.join(labels.select("node"), "node", "left_anti").localCheckpoint()
+        fresh = iterative_checkpoint(
+            reached.join(labels.select("node"), "node", "left_anti")
+        )
         if fresh.isEmpty():
             break
-        new_labels = labels.union(
-            fresh.withColumn("hops", F.lit(h).cast("bigint"))
-        ).localCheckpoint()
+        new_labels = iterative_checkpoint(
+            labels.union(fresh.withColumn("hops", F.lit(h).cast("bigint")))
+        )
         # old labels and the consumed frontier checkpoint are dead once
         # the new round materialized (r10 scale-probe OOM class; round-1
         # frontier is a lazy Project, the helper no-ops on it)
@@ -290,7 +291,7 @@ def hits_int(
         a_all = nodes.join(a_raw, "node", "left").select(
             "node", F.coalesce(F.col("ar"), F.lit(0)).cast("bigint").alias("ar")
         )
-        a_all = a_all.localCheckpoint()
+        a_all = iterative_checkpoint(a_all)
         if prev_h_all is not None:
             release_local_checkpoint(prev_h_all)  # hub_{i-1} fully consumed
         if prev_a_all is not None:
@@ -308,7 +309,7 @@ def hits_int(
         h_all = nodes.join(h_raw, "node", "left").select(
             "node", F.coalesce(F.col("hr"), F.lit(0)).cast("bigint").alias("hr")
         )
-        h_all = h_all.localCheckpoint()
+        h_all = iterative_checkpoint(h_all)
         hmax = h_all.agg(F.max("hr").alias("__hmax"))
         hub = h_all.crossJoin(F.broadcast(hmax)).select(
             "node", F.expr("(hr * 1000000) div greatest(__hmax, 1L)").cast("bigint").alias("h")
@@ -361,8 +362,11 @@ def kcore_peel(
     # the caller's upstream edge build (often itself a self-join)
     ed = e.union(
         e.select(F.col("b").alias("a"), F.col("a").alias("b"))
-    ).localCheckpoint()
-    alive = ed.select(F.col("a").alias("node")).distinct().localCheckpoint()
+    )
+    ed = iterative_checkpoint(ed)
+    alive = iterative_checkpoint(
+        ed.select(F.col("a").alias("node")).distinct()
+    )
     deg = None
     # two-generation checkpoint lag: the returned deg is LAZY over the
     # previous round's alive, so only the generation before THAT is dead
@@ -377,7 +381,9 @@ def kcore_peel(
             .agg(F.count(F.lit(1)).cast("bigint").alias("core_deg"))
             .select(F.col("a").alias("node"), "core_deg")
         )
-        new_alive = deg.filter(F.col("core_deg") >= k).select("node").localCheckpoint()
+        new_alive = iterative_checkpoint(
+            deg.filter(F.col("core_deg") >= k).select("node")
+        )
         if dead is not None:
             release_local_checkpoint(dead)
         dead = alive
