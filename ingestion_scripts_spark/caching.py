@@ -22,6 +22,8 @@ registry turns "wasteful forever" into "released per query".
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame
 from pyspark.storagelevel import StorageLevel
 
@@ -58,28 +60,66 @@ def live_count() -> int:
     return len(_LIVE)
 
 
-def iterative_checkpoint(df: DataFrame) -> DataFrame:
-    """``localCheckpoint`` at MEMORY_AND_DISK_SER — the storage level for
-    ROUND-TRANSIENT state in iterative loops (star-CC rounds, k-core
-    survivor sets, BFS frontiers, HITS scores).
+#: Plan-stat threshold (bytes) above which round-transient checkpoints
+#: switch to the serialized level. Catalyst's ``sizeInBytes`` estimate
+#: for the frame being checkpointed is compared against this; the
+#: deep-iteration regime that motivated serialization (SCALING.md r11:
+#: 32M-edge star CC, two generations of transiently expanded edges)
+#: estimates in the GiBs (the 32M-edge seed alone is ~1-2 GiB), while
+#: every registry query's round state sits in the KB-MB range. 256 MiB
+#: leaves two orders of magnitude of margin on both sides.
+ITER_SER_THRESHOLD_BYTES = 256 << 20
 
-    Rationale (r11 deep-iteration probe, SCALING.md): the default
-    deserialized level stores row OBJECTS (~3-6x the on-wire bytes);
-    deep-chain star contraction holds two generations of a transiently
-    EXPANDED edge set, which blew a 16 GiB single-JVM heap at 32M edges
-    while the serialized footprint fits comfortably. Round state is
-    written once and read once (next round + convergence check), so the
-    per-round serialize/deserialize cost is one pass — measured ~neutral
-    wall at 8M edges against an OOM→finish upgrade at 32M. Hot
-    multi-consumer checkpoints (global_rank's sorted layout) deliberately
-    stay deserialized."""
+
+def _iter_level_mode() -> str:
+    """'auto' (size-conditional, default), 'always', or 'never' —
+    probe override via ``SPARK_GRAFT_ITER_SER`` (tools/quiet_probe A/B
+    and tools/deep_cc_probe use it; production paths leave it unset)."""
+    return os.environ.get("SPARK_GRAFT_ITER_SER", "auto").lower()
+
+
+def iterative_checkpoint(df: DataFrame) -> DataFrame:
+    """``localCheckpoint`` for ROUND-TRANSIENT state in iterative loops
+    (star-CC rounds, k-core survivor sets, BFS frontiers, HITS scores),
+    at a SIZE-CONDITIONAL storage level: deserialized (the default
+    level) for small round state, serialized MEMORY_AND_DISK above
+    :data:`ITER_SER_THRESHOLD_BYTES` (Catalyst plan-stat estimate — no
+    job is run to decide).
+
+    Why conditional (r11→r12 adjudication, SCALING.md): the serialized
+    level stores on-wire bytes (~3-6x smaller than row objects), which
+    turned the 32M-edge deep-chain star-CC OOM at 16 GiB into a finish —
+    but the r11 at-HEAD bench rerun priced unconditional serialization
+    at +35-60% wall on the small iterative heavies (pq_recall,
+    dedup_funnel, ppr_coorder), far above the commit's ~9% small-run
+    claim, because each round pays a serialize+deserialize pass the
+    sub-GiB regime gets nothing for. The quiet-host median-of-5 table
+    in SCALING.md r12 carries the measured A/B; the threshold keeps the
+    deep-regime OOM fix while returning registry-scale loops to the
+    deserialized fast path. Hot multi-consumer checkpoints
+    (global_rank's sorted layout) stay deserialized unconditionally."""
     from pyspark.storagelevel import StorageLevel
 
+    mode = _iter_level_mode()
+    if mode == "always":
+        ser = True
+    elif mode == "never":
+        ser = False
+    else:
+        try:
+            est = int(
+                df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
+            )
+        except Exception:
+            est = ITER_SER_THRESHOLD_BYTES + 1  # unknown → safe (serialized)
+        ser = est > ITER_SER_THRESHOLD_BYTES
     # PySpark naming: MEMORY_AND_DISK is the SERIALIZED level (the
     # Scala deserialized default is MEMORY_AND_DISK_DESER)
-    return df.localCheckpoint(
-        eager=True, storageLevel=StorageLevel.MEMORY_AND_DISK
+    level = (
+        StorageLevel.MEMORY_AND_DISK if ser
+        else StorageLevel.MEMORY_AND_DISK_DESER
     )
+    return df.localCheckpoint(eager=True, storageLevel=level)
 
 
 def release_local_checkpoint(df: DataFrame) -> bool:

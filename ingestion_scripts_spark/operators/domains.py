@@ -1,7 +1,7 @@
 """Registrable-domain URL dedup — web-corpus curation at host granularity.
 
 Composes the URL canonicalization rules (lowercase host, drop fragment,
-strip ``utm_*`` tracking params, trim the trailing slash — the same
+strip ``utm_*`` tracking params, collapse trailing slashes — the same
 pinned rules as the ``url_canonicalize`` query) with a registrable-domain
 (eTLD+1) keyer and policy-ranked survivor dedup: one best capture per
 canonical URL, reported per registrable domain. This is the standard
@@ -64,11 +64,20 @@ def registrable_domain(host: Column) -> Column:
 
 def canonicalize_url(url: Column) -> tuple[Column, Column]:
     """(host, canonical_url): lowercase host, strip fragment, drop
-    ``utm_*`` params, trim trailing slash — all JVM-side (``parse_url``
-    + higher-order ``filter``), no Python in the hot path."""
-    host = F.lower(F.parse_url(url, F.lit("HOST")))
-    path = F.regexp_replace(F.parse_url(url, F.lit("PATH")), "/$", "")
-    q = F.coalesce(F.parse_url(url, F.lit("QUERY")), F.lit(""))
+    ``utm_*`` params, collapse trailing slashes — all JVM-side
+    (``try_parse_url`` + higher-order ``filter``), no Python in the hot
+    path.
+
+    ``try_parse_url``, not ``parse_url``: Spark 4's ``parse_url`` raises
+    INVALID_URL on ANY malformed URL, which would crash the whole job on
+    real crawl data (ADVICE r11). Malformed rows yield NULL host here;
+    :func:`domain_dedup` routes them out instead of failing. Trailing
+    ``/+$`` (not ``/$``): repeated trailing slashes collapse, so
+    ``/a//`` and ``/a/`` canonicalize identically — the pinned rule,
+    identical regex in the DuckDB twin (ADVICE r11)."""
+    host = F.lower(F.try_parse_url(url, F.lit("HOST")))
+    path = F.regexp_replace(F.try_parse_url(url, F.lit("PATH")), "/+$", "")
+    q = F.coalesce(F.try_parse_url(url, F.lit("QUERY")), F.lit(""))
     keep = F.array_join(
         F.filter(F.split(q, "&"), lambda x: ~x.startswith("utm_")), "&"
     )
@@ -79,6 +88,24 @@ def canonicalize_url(url: Column) -> tuple[Column, Column]:
         F.when(keep != "", F.concat(F.lit("?"), keep)).otherwise(F.lit("")),
     )
     return host, canon
+
+
+def _with_url_keys(df: DataFrame, url_col: str) -> DataFrame:
+    """``df`` plus (host, canon, domain), with malformed-URL rows
+    ROUTED OUT: ``try_parse_url`` yields NULL host for unparseable URLs
+    (and NULL/'' for schemeless strings), and crawl data always contains
+    junk — dropping them here keeps the dedup pass total instead of
+    crashing the job (ADVICE r11; Spark 4's ``parse_url`` raises
+    INVALID_URL). Callers wanting the rejects use
+    ``operators/sink.py::dead_letter_split`` on ``host IS NULL``
+    upstream."""
+    host, canon = canonicalize_url(F.col(url_col))
+    return (
+        df.withColumn("host", host)
+        .filter(F.col("host").isNotNull() & (F.col("host") != ""))
+        .withColumn("canon", canon)
+        .withColumn("domain", registrable_domain(F.col("host")))
+    )
 
 
 def domain_dedup(
@@ -96,10 +123,7 @@ def domain_dedup(
         raise ValueError(
             f"domain_dedup reserved column names in input: {sorted(clash)}"
         )
-    host, canon = canonicalize_url(F.col(url_col))
-    base = df.withColumn("host", host).withColumn("canon", canon).withColumn(
-        "domain", registrable_domain(F.col("host"))
-    )
+    base = _with_url_keys(df, url_col)
     w = Window.partitionBy("canon").orderBy(
         *[F.desc(c) for c in prefer_desc], *[F.asc(c) for c in tiebreak_asc]
     )
@@ -124,10 +148,7 @@ def domain_dedup_stats(
     Returns (domain, n_urls, n_canonical, dup_ppm, kept_size) ordered by
     domain. ``dup_ppm = (n_urls − n_canonical)·1e6 div n_urls``.
     """
-    host, canon = canonicalize_url(F.col(url_col))
-    base = df.withColumn("host", host).withColumn("canon", canon).withColumn(
-        "domain", registrable_domain(F.col("host"))
-    )
+    base = _with_url_keys(df, url_col)
     w = Window.partitionBy("canon").orderBy(
         *[F.desc(c) for c in prefer_desc], *[F.asc(c) for c in tiebreak_asc]
     )

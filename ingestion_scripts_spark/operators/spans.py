@@ -33,6 +33,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from ingestion_scripts_spark.caching import persist_tracked
 from ingestion_scripts_spark.functions.text import tokenize_ws
 
 
@@ -168,8 +169,14 @@ def shared_span_pairs(
     rare = freq.where(
         (F.col("__nd") >= 2) & (F.col("__nd") <= int(max_docs_per_span))
     ).select("span")
-    a = occ.join(rare, "span").select("span", F.col("__id").alias("id1"))
-    b = occ.join(rare, "span").select("span", F.col("__id").alias("id2"))
+    # The rare-span posting list feeds BOTH sides of the self-join; the
+    # span explode + distinct behind it is the dominant stage, and Spark
+    # does not guarantee exchange reuse across the two branches — persist
+    # the single frame so it is computed once (released per-query by the
+    # harness via release_caches; ADVICE r11).
+    rare_occ = persist_tracked(occ.join(rare, "span"))
+    a = rare_occ.select("span", F.col("__id").alias("id1"))
+    b = rare_occ.select("span", F.col("__id").alias("id2"))
     return (
         a.join(b, "span")
         .where(F.col("id1") < F.col("id2"))
@@ -251,3 +258,76 @@ def longest_shared_span(
             "lss_tokens"
         ),
     )
+
+
+def span_removal_apply(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 5,
+) -> DataFrame:
+    """The WRITE side of :func:`span_removal_plan` (suffix-span removal,
+    VERDICT r11 item 5): emit every document with its removable duplicate
+    -span token positions EXCISED — the rewrite step of exact-substring
+    dedup (Lee et al. 2022 §4: keep one occurrence, cut the rest),
+    whereas the plan only budgets it.
+
+    Same coverage rule as the plan, so plan and apply agree row-for-row:
+    the globally FIRST occurrence (min (doc_id, pos)) of each duplicated
+    k-span stays; every other occurrence marks its k positions removable;
+    a document's surviving tokens re-join with single spaces. The output
+    token stream is the LOWERCASED whitespace stream (the span alphabet)
+    — the conservation law ``len(tokenize(text_clean)) = n_tokens −
+    n_removed`` is exact and tested.
+
+    Returns (id, n_tokens, n_removed, text_clean) for EVERY document
+    (documents with nothing to cut pass through re-joined).
+
+    Scale shape: identical stages to the plan (span window partitioned
+    by span — corpus-wide only per span key; coverage distinct is
+    (doc, pos)-keyed) plus ONE extra per-doc stage: the removed-position
+    set collects into a per-document array (bounded by document length,
+    same bound every per-doc array op here already assumes) and a
+    filter-by-index HOF rebuilds the text JVM-side — no Python, no
+    shuffle beyond the one keyed aggregation.
+    """
+    toks = docs.select(
+        F.col(id_col).alias("__id"),
+        tokenize_ws(F.lower(F.col(text_col))).alias("__t"),
+    )
+    occ = token_spans(docs, id_col, text_col, k).withColumnRenamed(id_col, "__id")
+    w_span = Window.partitionBy("span").orderBy("__id", "pos")
+    dup_occ = (
+        occ.withColumn("rn", F.row_number().over(w_span))
+        .withColumn("n_occ", F.count(F.lit(1)).over(Window.partitionBy("span")))
+        .where((F.col("n_occ") >= 2) & (F.col("rn") >= 2))
+    )
+    covered = (
+        dup_occ.select(
+            "__id", F.explode(F.expr(f"sequence(pos, pos + {k - 1})")).alias("p")
+        )
+        .distinct()
+        .groupBy("__id")
+        .agg(F.array_sort(F.collect_list("p")).alias("__cov"))
+    )
+    out = (
+        toks.join(covered, "__id", "left")
+        .withColumn(
+            "__cov", F.coalesce("__cov", F.expr("CAST(array() AS ARRAY<BIGINT>)"))
+        )
+        .select(
+            "__id",
+            F.size("__t").cast("bigint").alias("n_tokens"),
+            F.size("__cov").cast("bigint").alias("n_removed"),
+            F.array_join(
+                F.expr(
+                    "transform(filter(transform(__t, (t, i) -> "
+                    "struct(t AS tok, i + 1 AS p)), "
+                    "s -> NOT array_contains(__cov, CAST(s.p AS BIGINT))), "
+                    "s -> s.tok)"
+                ),
+                " ",
+            ).alias("text_clean"),
+        )
+    )
+    return out.withColumnRenamed("__id", id_col)

@@ -162,9 +162,10 @@ FROM raw GROUP BY event_type ORDER BY event_type
 
 def q_url_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """URL canonicalization for web-corpus dedup: lowercase the host, strip
-    the fragment, drop ``utm_*`` tracking params, trim the trailing slash —
-    then count distinct canonical URLs per host. Built on the JVM-side
-    ``parse_url`` (no Python in the hot path); the URL column is
+    the fragment, drop ``utm_*`` tracking params, collapse trailing slashes
+    — then count distinct canonical URLs per host. Built on the JVM-side
+    ``try_parse_url`` (NULL, not INVALID_URL, on malformed input — no
+    Python in the hot path); the URL column is
     synthesized deterministically (messy case / params / fragments) so the
     DuckDB regexp oracle sees the same inputs."""
     doc = _t(spark, sf_dir, "documents").select("doc_id", "source")
@@ -187,9 +188,9 @@ def q_url_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(F.col("doc_id") % 2 == 0, F.lit("#frag")).otherwise(F.lit("")),
     )
     u = doc.withColumn("url", url)
-    host = F.lower(F.parse_url("url", F.lit("HOST")))
-    path = F.regexp_replace(F.parse_url("url", F.lit("PATH")), "/$", "")
-    q = F.coalesce(F.parse_url("url", F.lit("QUERY")), F.lit(""))
+    host = F.lower(F.try_parse_url("url", F.lit("HOST")))
+    path = F.regexp_replace(F.try_parse_url("url", F.lit("PATH")), "/+$", "")
+    q = F.coalesce(F.try_parse_url("url", F.lit("QUERY")), F.lit(""))
     keep = F.array_join(
         F.filter(F.split(q, "&"), lambda x: ~x.startswith("utm_")), "&"
     )
@@ -224,7 +225,7 @@ WITH u AS (
 parts AS (
   SELECT lower(regexp_extract(url, '^[A-Za-z]+://([^/?#]+)', 1)) AS host,
          regexp_replace(
-           regexp_extract(url, '^[A-Za-z]+://[^/?#]+([^?#]*)', 1), '/$', '')
+           regexp_extract(url, '^[A-Za-z]+://[^/?#]+([^?#]*)', 1), '/+$', '')
            AS path,
          regexp_extract(url, '\\?([^#]*)', 1) AS q
   FROM u),

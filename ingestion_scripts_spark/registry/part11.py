@@ -124,8 +124,8 @@ def _synth_url() -> F.Column:
 
 def q_domain_dedup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Registrable-domain URL dedup report (operators/domains.py): URLs
-    canonicalize (lower host / strip fragment / drop utm_* / trim
-    trailing slash), group under their eTLD+1 (pinned multi-label-suffix
+    canonicalize (lower host / strip fragment / drop utm_* / collapse
+    trailing slashes), group under their eTLD+1 (pinned multi-label-suffix
     set), and a policy-ranked survivor (longest capture, doc_id
     tiebreak) is kept per canonical URL. Per domain:
     (n_urls, n_canonical, dup_ppm, kept_size)."""
@@ -164,10 +164,11 @@ parts AS (
   SELECT doc_id, n_chars,
          lower(regexp_extract(url, '^[A-Za-z]+://([^/?#]+)', 1)) AS host,
          regexp_replace(
-           regexp_extract(url, '^[A-Za-z]+://[^/?#]+([^?#]*)', 1), '/$', '')
+           regexp_extract(url, '^[A-Za-z]+://[^/?#]+([^?#]*)', 1), '/+$', '')
            AS path,
          regexp_extract(url, '\\?([^#]*)', 1) AS q
-  FROM u),
+  FROM u
+  WHERE regexp_extract(url, '^[A-Za-z]+://([^/?#]+)', 1) <> ''),
 canon AS (
   SELECT doc_id, n_chars, host,
          'https://' || host || path

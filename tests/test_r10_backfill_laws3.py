@@ -247,7 +247,7 @@ def _canon_py(doc_id: int, source: str):
     hostpath = no_frag.split("?", 1)[0]
     host = hostpath.split("/", 1)[0].lower()
     path = "/" + hostpath.split("/", 1)[1] if "/" in hostpath else ""
-    path = path[:-1] if path.endswith("/") else path
+    path = path.rstrip("/")  # r12 pinned rule: collapse ALL trailing slashes
     q = no_frag.split("?", 1)[1] if "?" in no_frag else ""
     keep = "&".join(p for p in q.split("&") if p and not p.startswith("utm_"))
     return host, f"https://{host}{path}" + (f"?{keep}" if keep else "")

@@ -10,7 +10,7 @@ Pass criteria (printed as one JSON line):
 - peak_rdds - baseline_rdds <= 4: at any instant the loop may hold the
   symmetrized input, all_nodes, the current round's checkpoint and the
   next one mid-swap — the GENERATION-LAG bound; one-per-round growth is
-  the leak this pins (tests/test_r11_new_ops2.py carries the in-suite
+  the leak this pins (tests/test_r11_checkpoint_generation.py carries the in-suite
   generation-bounded twin on a small graph).
 
 Usage: python tools/deep_cc_probe.py [--edges N] [--chain L] [--heap 8g]
