@@ -296,6 +296,9 @@ HEADLINE = [
     "longest_dup_span",
     "domain_dedup_stats",
     "incremental_value_stats",
+    "snapshot_dedup_delta",
+    "span_removal_apply",
+    "calibration_drift",
 ]
 
 #: deliberate shadows: oracle-exact twins of faster default kernels, kept

@@ -1066,3 +1066,115 @@ def connected_components_star(
 #:   guard raises rather than returning partial labels, so a wrong guess
 #:   about diameter is an error, not silent corruption.
 components = connected_components_star
+
+
+def snapshot_band_delta(
+    base: DataFrame,
+    inserts: DataFrame,
+    delete_ids: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.8,
+    n_shingle: int = 3,
+    num_hashes: int = 16,
+    bands: int = 4,
+) -> DataFrame:
+    """Cross-snapshot incremental near-dup maintenance (VERDICT r11 item
+    5): the ivm.py maintained-view pattern applied to the MinHash band
+    tables — the streaming-corpus dedup a growing crawl needs when a new
+    snapshot both ADDS and RETIRES documents.
+
+    Inputs are the delta between snapshot1 (= ``base``) and snapshot2
+    (= base − deletes + inserts): ``inserts`` carries (id, text) rows
+    whose ids are NOT in base; ``delete_ids`` carries one column of base
+    ids leaving the corpus. Disjointness of insert/delete id sets is the
+    contract (an update is delete+insert of a NEW version id, the SCD
+    shape used everywhere else in this repo).
+
+    The maintained band table is per-row derived state, so maintenance
+    is pure set algebra — B' = (B ∖ bands(deletes)) ∪ bands(inserts) —
+    and the verified-pair DELTA is delta-driven on both sides:
+
+    * ``formed``    = verified pairs of snapshot2 with ≥1 inserted
+      endpoint: candidates from bands(inserts) ⋈ B' (insert-insert and
+      insert-survivor alike), Jaccard-verified on snapshot2 texts;
+    * ``dissolved`` = verified pairs of snapshot1 with ≥1 deleted
+      endpoint: candidates from bands(deletes) ⋈ B, verified on
+      snapshot1 texts.
+
+    Because insert ids are new and survivor texts are untouched, these
+    are EXACTLY pairs(snapshot2) ∖ pairs(snapshot1) and
+    pairs(snapshot1) ∖ pairs(snapshot2) — the full-recompute diff the
+    DuckDB oracle computes, without this side ever re-pairing the
+    surviving corpus against itself.
+
+    Returns (id1, id2, jaccard, status) with id1 < id2,
+    status ∈ {'formed', 'dissolved'}.
+
+    Scale shape: signatures are computed for base once per snapshot roll
+    (in production B persists as a table and only delta signatures are
+    computed); candidate generation is band-bucket equi-joins keyed by
+    (band, bucket) — delta-size × bucket-width, never corpus²; Jaccard
+    verification joins shingle sets only for candidate endpoints.
+    """
+    did = delete_ids.columns[0]
+    dels = delete_ids.select(F.col(did).alias(id_col)).distinct()
+
+    bb_base = banded_buckets(base, id_col, text_col, n_shingle, num_hashes, bands)
+    bb_ins = banded_buckets(inserts, id_col, text_col, n_shingle, num_hashes, bands)
+    bb_surv = bb_base.join(dels, id_col, "left_anti")
+    bb_maint = bb_surv.unionByName(bb_ins)  # B' — the maintained table
+
+    survivors = base.join(dels, id_col, "left_anti")
+    snap2 = survivors.select(id_col, text_col).unionByName(
+        inserts.select(id_col, text_col)
+    )
+
+    def _verified(cand: DataFrame, texts: DataFrame, status: str) -> DataFrame:
+        # restrict shingling to candidate ENDPOINTS before the verify
+        # join: candidates are delta-scaled, so this keeps the shuffled
+        # shingle-array volume delta-bounded instead of corpus-bounded
+        ends = (
+            cand.select(F.col("id1").alias(id_col))
+            .unionByName(cand.select(F.col("id2").alias(id_col)))
+            .distinct()
+        )
+        sh = texts.join(ends, id_col, "semi").select(
+            F.col(id_col).alias("__vid"),
+            shingles(F.col(text_col), n_shingle).alias("__sh"),
+        )
+        return (
+            cand.join(sh.select(F.col("__vid").alias("id1"),
+                                F.col("__sh").alias("__sh1")), "id1")
+            .join(sh.select(F.col("__vid").alias("id2"),
+                            F.col("__sh").alias("__sh2")), "id2")
+            .select(
+                "id1",
+                "id2",
+                F.round(jaccard(F.col("__sh1"), F.col("__sh2")), 6).alias(
+                    "jaccard"
+                ),
+            )
+            .filter(F.col("jaccard") >= threshold)
+            .withColumn("status", F.lit(status))
+        )
+
+    def _cand(delta_bb: DataFrame, table_bb: DataFrame) -> DataFrame:
+        return (
+            delta_bb.select(F.col(id_col).alias("__d"), "band", "bucket")
+            .join(
+                table_bb.select(F.col(id_col).alias("__o"), "band", "bucket"),
+                ["band", "bucket"],
+            )
+            .where(F.col("__d") != F.col("__o"))
+            .select(
+                F.least("__d", "__o").alias("id1"),
+                F.greatest("__d", "__o").alias("id2"),
+            )
+            .dropDuplicates(["id1", "id2"])
+        )
+
+    formed = _verified(_cand(bb_ins, bb_maint), snap2, "formed")
+    bb_del = bb_base.join(dels, id_col, "semi")
+    dissolved = _verified(_cand(bb_del, bb_base), base, "dissolved")
+    return formed.unionByName(dissolved)

@@ -1677,3 +1677,82 @@ def seasonal_naive_mase(
         .cast("bigint")
         .alias("mase_micro"),
     )
+
+
+def calibration_drift(
+    df: DataFrame,
+    bucket: Column,
+    score_micro: Column,
+    label: Column,
+    n_bins: int = 10,
+) -> DataFrame:
+    """Quality-classifier calibration DRIFT over time buckets (VERDICT
+    r11 item 5): :func:`calibration_bins` per bucket, each bucket's ECE,
+    and the reliability-curve distance to the corpus's FIRST bucket —
+    the audit that catches a quality/toxicity gate silently decalibrating
+    as the crawl mix shifts (the model is fixed; the data drifts under
+    it).
+
+    All arithmetic is exact-integer micro-units (integer div), so the
+    result is bit-identical across engines and partitionings:
+
+    * ``ece_u``  = Σ_bins n·|mean_score_u − pos_rate_u| div n (per bucket)
+    * ``drift_u`` = Σ shared bins |pos_rate_u(t,b) − pos_rate_u(t0,b)|
+      div n_bins_shared — mean absolute reliability shift vs the baseline
+      bucket t0 = min(bucket); bins present in only one bucket carry no
+      defensible comparison and are excluded but COUNTED
+      (``n_bins_shared``), so sparsity is visible, not silent.
+
+    Returns (bucket, n, ece_u, n_bins_shared, drift_u) ordered by bucket;
+    the baseline bucket reports drift_u = 0 against itself.
+
+    Scale shape: one keyed aggregation on (bucket, bin) — map-side
+    partial combine applies; the baseline reliability curve is an
+    n_bins-row frame broadcast into the comparison join; the final
+    per-bucket reduce is keyed on bucket. Nothing corpus-global beyond
+    the one n_bins-row broadcast.
+    """
+    s = score_micro.cast("bigint")
+    binned = df.select(
+        bucket.alias("bucket"), s.alias("__s"), label.cast("int").alias("__y")
+    ).select(
+        "bucket",
+        F.least(
+            F.expr(f"(__s * {n_bins}) div 1000000"), F.lit(n_bins - 1)
+        ).cast("bigint").alias("bin"),
+        "__s",
+        "__y",
+    )
+    per_bin = binned.groupBy("bucket", "bin").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("__s").cast("bigint").alias("ss"),
+        F.sum("__y").cast("bigint").alias("sy"),
+    ).select(
+        "bucket",
+        "bin",
+        "n",
+        F.expr("ss div n").cast("bigint").alias("mean_u"),
+        F.expr("(sy * 1000000) div n").cast("bigint").alias("pos_u"),
+    )
+    base_bucket = per_bin.select(F.min("bucket").alias("bucket"))
+    baseline = F.broadcast(
+        per_bin.join(base_bucket, "bucket").select(
+            "bin", F.col("pos_u").alias("pos0_u")
+        )
+    )
+    joined = per_bin.join(baseline, "bin", "left")
+    return (
+        joined.groupBy("bucket")
+        .agg(
+            F.sum("n").cast("bigint").alias("n"),
+            F.expr(
+                "CAST(sum(n * abs(mean_u - pos_u)) div sum(n) AS BIGINT)"
+            ).alias("ece_u"),
+            F.count("pos0_u").cast("bigint").alias("n_bins_shared"),
+            F.expr(
+                "CAST(coalesce(sum(abs(pos_u - pos0_u)), 0) "
+                "div greatest(count(pos0_u), 1) AS BIGINT)"
+            ).alias("drift_u"),
+        )
+        .orderBy("bucket")
+    )

@@ -51,41 +51,40 @@ def test_catalog_register_testdata(spark):
 
 
 #: the driver certifies registry positions 1-50 each round; this is the
-#: deliberate r11 window: the 3 r11-session additions (never-driver-green
+#: deliberate r12 window: the 3 r12-session additions (never-driver-green
 #: debt, window-start) + 47 re-certification anchors with the oldest
-#: driver evidence, RECOMPUTED from CORRECTNESS_r01-r10 (max green round,
-#: declaration order as tiebreak) — per r10-VERDICT wrong #2 the ROADMAP
-#: r11 preview prose was NOT trusted (it omitted `unpivot_part_metrics`,
-#: the single oldest-evidence anchor; it leads the anchors here).
-#: CORRECTNESS_r10 landed 50/50, so debt entering r11 was zero. Queries
-#: added later in r11 displace the youngest anchors here (debt outranks
-#: re-certification). r2's lesson: silent registry drift displaced fixed
-#: queries past position 50, so their fixes were never driver-certified —
-#: any change to this window must be a conscious edit of BOTH the
-#: registry and this pin.
-R11_WINDOW = [
-    "longest_dup_span", "domain_dedup_stats", "incremental_value_stats",
-    "unpivot_part_metrics", "event_transitions", "safe_cast_ingest",
-    "url_canonicalize", "ewma_user_value", "strip_accents_norm",
-    "spearman_corr", "robust_zscore", "hash_sample_per_key", "cube_revenue",
-    "setsim_join_pairs", "interval_join_bucketed", "sparse_cosine_pairs",
-    "sliding_windows", "xml_source", "supplier_wait_fault",
-    "user_trend_slope", "custom_feed_sink", "set_ops_users",
-    "lateral_top_orders", "scd_point_in_time", "wap_publish",
-    "score_quantile_norm", "trigram_udtf_top", "schema_evolution",
-    "benford_profile", "bm25_topk", "phrase_search", "token_budget_mix",
-    "pagerank_transitions", "dedup_threshold_curve", "incremental_near_dup",
-    "embedding_profile", "dup_cluster_stats", "source_similarity",
-    "dedup_recall", "stream_incremental_dedup", "tokenizer_fertility",
-    "stratified_split", "heavy_hitter_recall", "path_motifs",
-    "sql_front_door", "linear_interpolation", "bloom_join_revenue",
-    "multimodal_resize", "last_touch_attribution", "embedding_outliers",
+#: driver evidence, RECOMPUTED from CORRECTNESS_r01-r11 (max green round,
+#: declaration order as tiebreak) — the two last-green-r4 stragglers
+#: (ngram_novelty, rfm_segments — VERDICT r11 item 2) lead the anchors,
+#: then the last-green-r5 block. CORRECTNESS_r11 landed 50/50, so debt
+#: entering r12 was zero. r2's lesson: silent registry drift displaced
+#: fixed queries past position 50, so their fixes were never driver-
+#: certified — any change to this window must be a conscious edit of BOTH
+#: the registry and this pin.
+R12_WINDOW = [
+    "snapshot_dedup_delta", "span_removal_apply", "calibration_drift",
+    "ngram_novelty", "rfm_segments", "textrank_summary",
+    "sql_pipe_front_door", "stream_state_reader", "edit_distance_names",
+    "basket_pair_lift", "triangle_cooccurrence", "token_kl_drift",
+    "leakage_safe_split", "hybrid_rank_fusion", "output_file_plan",
+    "mmr_diverse_topk", "k_anonymity_audit", "jl_projection_recall",
+    "holt_trend_forecast", "covariance_matrix", "dup_clusters_star",
+    "containment_pairs", "stream_scd_merge", "recursive_front_door",
+    "duplicate_spans", "span_removal_plan", "pareto_frontier", "ks_drift",
+    "column_mutual_info", "incremental_agg_view", "snm_blocking",
+    "cusum_changepoint", "ht_sampling_error", "stream_quota_admission",
+    "er_canonical_entities", "bfs_hops_coorder", "psi_drift",
+    "chi2_independence", "multimodal_audio_energy", "bloom_dedup_audit",
+    "label_spread_communities", "join_size_estimate", "grouped_agg_udaf",
+    "arrow_group_stats", "roc_auc_quality", "bot_burst_users",
+    "index_compaction", "temperature_mix", "csv_source",
+    "corrupt_record_routing",
 ]
 
 
 def test_driver_window_is_pinned():
     names = list(E.queries().keys())
-    assert names[:50] == R11_WINDOW
+    assert names[:50] == R12_WINDOW
 
 
 def test_window_anchors_recomputed_from_artifacts():
@@ -101,8 +100,8 @@ def test_window_anchors_recomputed_from_artifacts():
     green_round: dict[str, int] = {}
     for path in sorted(glob.glob(os.path.join(root, "CORRECTNESS_r*.json"))):
         rnd = int(os.path.basename(path).split("_r")[1].split(".")[0])
-        if rnd > 10:
-            continue  # the window was computed entering r11; later
+        if rnd > 11:
+            continue  # the window was computed entering r12; later
             # artifacts certify it but must not retro-change the pin
         for name, rec in json.load(open(path)).items():
             if (

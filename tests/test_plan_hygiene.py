@@ -268,7 +268,8 @@ def test_no_unbounded_global_window_anywhere(spark):
 
 
 #: Ratchet allowlist for unbounded global sorts (VERDICT r9 item 4): all
-#: 98 are single TERMINAL presentation ``orderBy``s on corpus-grain query
+#: (98 at r9 + audited additions since) are single TERMINAL presentation
+#: ``orderBy``s on corpus-grain query
 #: outputs — part of the query contract (deterministic ordered output),
 #: range-partitioned by Spark (never single-partition), but still one full
 #: extra shuffle+sort of the result at 100 TB. The set must NOT GROW: a
@@ -298,6 +299,9 @@ GLOBAL_SORT_ALLOWLIST = {
     'mmr_diverse_topk', 'multimodal_audio_energy', 'multimodal_features',
     'multimodal_frames', 'multimodal_meta', 'multimodal_resize',
     'ngram_novelty', 'pareto_frontier', 'parse_rfc822', 'parse_simple',
+    # r12 additions: single terminal presentation sorts (pair-delta /
+    # per-document rewrite outputs — corpus-grain query contract)
+    'snapshot_dedup_delta', 'span_removal_apply',
     'parse_struct_time', 'parse_zoned', 'pii_scrub',
     'pinball_loss_sources', 'ppr_coorder', 'quality_gate',
     'quality_score', 'rate_limit_replay', 'repetition_signals',
