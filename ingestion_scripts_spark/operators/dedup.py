@@ -951,16 +951,14 @@ def connected_components_star(
     (node, comp) for every node appearing in ``pairs``, identical to
     ``connected_components`` output (differentially pinned in tests).
     """
+    from .graph import symmetrize_distinct
+
     e = pairs.select(
         F.col(src).cast("bigint").alias("a"), F.col(dst).cast("bigint").alias("b")
     )
-    # undirected, no self-loops, canonical direction not required
-    edges = (
-        e.union(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
-        .filter(F.col("a") != F.col("b"))
-        .distinct()
-    )
-    edges = iterative_checkpoint(edges)
+    # undirected, no self-loops: canonical-pair distinct + disjoint
+    # orientation union (E rows through the seed shuffle, not 2E)
+    edges = iterative_checkpoint(symmetrize_distinct(e))
     all_nodes = iterative_checkpoint(
         edges.select(F.col("a").alias("node")).distinct()
     )
@@ -986,9 +984,7 @@ def connected_components_star(
             .select(F.col("b").alias("a"), F.col("m").alias("b"))
             .filter(F.col("a") != F.col("b"))
         )
-        und_large = large.union(
-            large.select(F.col("b").alias("a"), F.col("a").alias("b"))
-        ).distinct()
+        und_large = symmetrize_distinct(large)
 
         # small-star: for each u, m = min(N<=(u) ∪ {u}); emit (v, m) for v in N(u), v <= u, plus (u, m)
         le = und_large.filter(F.col("b") <= F.col("a"))
@@ -1000,12 +996,7 @@ def connected_components_star(
             .select(F.col("b").alias("a"), F.col("m").alias("b"))
             .union(m_small.select(F.col("a"), F.col("m").alias("b")))
         )
-        new_edges = small.filter(F.col("a") != F.col("b")).distinct()
-        new_und = iterative_checkpoint(
-            new_edges.union(
-                new_edges.select(F.col("b").alias("a"), F.col("a").alias("b"))
-            ).distinct()
-        )
+        new_und = iterative_checkpoint(symmetrize_distinct(small))
 
         # Fixed-point convergence: stop when the round changed nothing.
         # Both sides are DISTINCT undirected edge sets, so set equality is

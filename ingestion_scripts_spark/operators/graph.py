@@ -168,6 +168,26 @@ def triangle_stats(edges: DataFrame, a_col: str = "a", b_col: str = "b") -> Data
     )
 
 
+def symmetrize_distinct(e: DataFrame) -> DataFrame:
+    """Distinct undirected edge set of (a, b) rows — both orientations
+    out, self-loops dropped — via CANONICAL-pair distinct: least/greatest
+    normalizes duplicates and orientations onto E canonical rows BEFORE
+    the hash-distinct, then the two orientations union back disjointly
+    (a<b vs a>b — no second distinct possible or needed). Exactly the
+    rows of union(e, swap(e)).filter(a != b).distinct(), but the heavy
+    shuffle sees E rows instead of 2E — the seed stage that bounded the
+    deep-iteration memory envelope (SCALING.md r11: 64M-edge seed
+    symmetrize-distinct OOMed a 16 GiB single-JVM heap at 2E rows)."""
+    canon = (
+        e.filter(F.col("a") != F.col("b"))
+        .select(F.least("a", "b").alias("a"), F.greatest("a", "b").alias("b"))
+        .distinct()
+    )
+    return canon.union(
+        canon.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    )
+
+
 def bfs_hops(
     edges: DataFrame,
     sources: DataFrame,
@@ -193,12 +213,7 @@ def bfs_hops(
     Returns (node, hops) with hops = exact minimal hop count <= max_hops.
     """
     e = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
-    esym = (
-        e.union(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
-        .filter(F.col("a") != F.col("b"))
-        .distinct()
-    )
-    esym = iterative_checkpoint(esym)
+    esym = iterative_checkpoint(symmetrize_distinct(e))
     labels = iterative_checkpoint(
         sources.select(F.col(node_col).alias("node"))
         .distinct()

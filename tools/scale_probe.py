@@ -475,6 +475,71 @@ def probe_domain_dedup(spark: SparkSession, scale: float) -> dict:
     return {"probe": "domain_dedup", "sizes": sizes, "walls": walls}
 
 
+
+
+def probe_snapshot_delta(spark: SparkSession, scale: float) -> dict:
+    from ingestion_scripts_spark.operators.dedup import snapshot_band_delta
+
+    sizes = [int(s * scale) for s in (50_000, 200_000, 800_000)]
+    walls = []
+    for n in sizes:
+        docs = _neardup_docs(spark, n)
+        base = docs.where(F.col("doc_id") % 5 != 0)
+        inserts = docs.where(F.col("doc_id") % 5 == 0)
+        dels = base.where(F.col("doc_id") % 7 == 0).select("doc_id")
+        walls.append(
+            _timed(
+                lambda: snapshot_band_delta(
+                    base, inserts, dels, threshold=0.5
+                )
+            )
+        )
+        release_caches()
+    return {"probe": "snapshot_delta", "sizes": sizes, "walls": walls}
+
+
+def probe_span_apply(spark: SparkSession, scale: float) -> dict:
+    from ingestion_scripts_spark.operators.spans import span_removal_apply
+
+    sizes = [int(s * scale) for s in (100_000, 400_000, 1_600_000)]
+    walls = []
+    for n in sizes:
+        docs = _neardup_docs(spark, n, words=24)
+        walls.append(
+            _timed(
+                lambda: span_removal_apply(docs, k=5).agg(
+                    F.sum("n_removed").alias("r"),
+                    F.sum(F.length("text_clean")).alias("c"),
+                )
+            )
+        )
+        release_caches()
+    return {"probe": "span_apply", "sizes": sizes, "walls": walls}
+
+
+def probe_calib_drift(spark: SparkSession, scale: float) -> dict:
+    from ingestion_scripts_spark.operators.profiling import calibration_drift
+
+    sizes = [int(s * scale) for s in (2_000_000, 8_000_000, 32_000_000)]
+    walls = []
+    for n in sizes:
+        d = F.col("id")
+        df = spark.range(n).select(
+            (d % 12).alias("b"),
+            ((d * 2654435761) % 1_000_000).alias("s"),
+            ((d * 40503) % 97 < 40).cast("int").alias("y"),
+        )
+        walls.append(
+            _timed(
+                lambda: calibration_drift(
+                    df, F.col("b"), F.col("s"), F.col("y")
+                )
+            )
+        )
+        release_caches()
+    return {"probe": "calib_drift", "sizes": sizes, "walls": walls}
+
+
 PROBES.update(
     {
         "setsim": probe_setsim,
@@ -484,6 +549,9 @@ PROBES.update(
         "lss": probe_lss,
         "histstats": probe_histstats,
         "domain_dedup": probe_domain_dedup,
+        "snapshot_delta": probe_snapshot_delta,
+        "span_apply": probe_span_apply,
+        "calib_drift": probe_calib_drift,
     }
 )
 
