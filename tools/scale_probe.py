@@ -47,6 +47,19 @@ def _timed(build) -> float:
     return round(time.perf_counter() - t0, 2)
 
 
+def _timed_collect(build) -> float:
+    """Like :func:`_timed` but the terminal action is ``collect()``:
+    ``count()`` lets Catalyst PRUNE the aggregate's value columns, and
+    for probes whose kernel sits entirely inside those values (e.g.
+    span_removal_apply's rebuild-text HOF behind a unique-key left
+    join), the pruned plan skips the work under test — measured 0.7 s
+    vs 15.8 s real at 400k docs. Only for probes whose result frame is
+    small (a global aggregate row)."""
+    t0 = time.perf_counter()
+    build().collect()
+    return round(time.perf_counter() - t0, 2)
+
+
 def probe_cc_star(spark: SparkSession, scale: float) -> dict:
     from ingestion_scripts_spark.operators.dedup import connected_components_star
 
@@ -506,7 +519,7 @@ def probe_span_apply(spark: SparkSession, scale: float) -> dict:
     for n in sizes:
         docs = _neardup_docs(spark, n, words=24)
         walls.append(
-            _timed(
+            _timed_collect(
                 lambda: span_removal_apply(docs, k=5).agg(
                     F.sum("n_removed").alias("r"),
                     F.sum(F.length("text_clean")).alias("c"),
@@ -530,7 +543,7 @@ def probe_calib_drift(spark: SparkSession, scale: float) -> dict:
             ((d * 40503) % 97 < 40).cast("int").alias("y"),
         )
         walls.append(
-            _timed(
+            _timed_collect(
                 lambda: calibration_drift(
                     df, F.col("b"), F.col("s"), F.col("y")
                 )
