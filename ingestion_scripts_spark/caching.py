@@ -22,10 +22,13 @@ registry turns "wasteful forever" into "released per query".
 
 from __future__ import annotations
 
+import logging
 import os
 
 from pyspark.sql import DataFrame
 from pyspark.storagelevel import StorageLevel
+
+_log = logging.getLogger(__name__)
 
 _LIVE: list[DataFrame] = []
 
@@ -78,6 +81,32 @@ def _iter_level_mode() -> str:
     return os.environ.get("SPARK_GRAFT_ITER_SER", "auto").lower()
 
 
+#: bounded ring of auto-mode decisions (plan-stat estimate bytes,
+#: serialized?) — ADVICE r12: Catalyst's ``sizeInBytes`` after the joins
+#: that build round state can be off by orders of magnitude, and a
+#: wrong-but-successful estimate is otherwise invisible (an overestimate
+#: silently re-taxes small round state; an underestimate on a genuinely
+#: large frame re-exposes the OOM). Every auto decision is recorded here
+#: AND debug-logged, so probes/tests can assert the regime a loop actually
+#: ran in instead of inferring it from wall time. ``None`` estimate =
+#: plan-stat unavailable (exception fallback, safe/serialized direction).
+ITER_DECISIONS: list[tuple[int | None, bool]] = []
+_ITER_DECISIONS_MAX = 256
+
+
+def _record_iter_decision(est: int | None, ser: bool) -> None:
+    ITER_DECISIONS.append((est, ser))
+    if len(ITER_DECISIONS) > _ITER_DECISIONS_MAX:
+        del ITER_DECISIONS[: -_ITER_DECISIONS_MAX]
+    _log.debug(
+        "iterative_checkpoint auto: plan-stat est=%s bytes (threshold %d) "
+        "-> %s",
+        est,
+        ITER_SER_THRESHOLD_BYTES,
+        "MEMORY_AND_DISK (serialized)" if ser else "MEMORY_AND_DISK_DESER",
+    )
+
+
 def iterative_checkpoint(df: DataFrame) -> DataFrame:
     """``localCheckpoint`` for ROUND-TRANSIENT state in iterative loops
     (star-CC rounds, k-core survivor sets, BFS frontiers, HITS scores),
@@ -111,8 +140,9 @@ def iterative_checkpoint(df: DataFrame) -> DataFrame:
                 df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
             )
         except Exception:
-            est = ITER_SER_THRESHOLD_BYTES + 1  # unknown → safe (serialized)
-        ser = est > ITER_SER_THRESHOLD_BYTES
+            est = None  # unknown → safe direction (serialized)
+        ser = est is None or est > ITER_SER_THRESHOLD_BYTES
+        _record_iter_decision(est, ser)
     # PySpark naming: MEMORY_AND_DISK is the SERIALIZED level (the
     # Scala deserialized default is MEMORY_AND_DISK_DESER)
     level = (

@@ -1723,16 +1723,25 @@ def calibration_drift(
         "__s",
         "__y",
     )
-    per_bin = binned.groupBy("bucket", "bin").agg(
-        F.count(F.lit(1)).cast("bigint").alias("n"),
-        F.sum("__s").cast("bigint").alias("ss"),
-        F.sum("__y").cast("bigint").alias("sy"),
-    ).select(
-        "bucket",
-        "bin",
-        "n",
-        F.expr("ss div n").cast("bigint").alias("mean_u"),
-        F.expr("(sy * 1000000) div n").cast("bigint").alias("pos_u"),
+    from ingestion_scripts_spark.caching import persist_tracked
+
+    # the per-(bucket, bin) aggregate feeds THREE consumers (base-bucket
+    # min, the broadcast baseline join, the final per-bucket agg); persist
+    # it so the corpus is scanned and aggregated exactly once instead of
+    # relying on ReuseExchange (ADVICE r12) — the frame itself is tiny
+    # (buckets x n_bins rows). Released per-query by the harness.
+    per_bin = persist_tracked(
+        binned.groupBy("bucket", "bin").agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum("__s").cast("bigint").alias("ss"),
+            F.sum("__y").cast("bigint").alias("sy"),
+        ).select(
+            "bucket",
+            "bin",
+            "n",
+            F.expr("ss div n").cast("bigint").alias("mean_u"),
+            F.expr("(sy * 1000000) div n").cast("bigint").alias("pos_u"),
+        )
     )
     base_bucket = per_bin.select(F.min("bucket").alias("bucket"))
     baseline = F.broadcast(

@@ -286,10 +286,11 @@ def span_removal_apply(
     Scale shape: identical stages to the plan (span window partitioned
     by span — corpus-wide only per span key; coverage distinct is
     (doc, pos)-keyed) plus ONE extra per-doc stage: the removed-position
-    set collects into a per-document array (bounded by document length,
-    same bound every per-doc array op here already assumes) and a
-    filter-by-index HOF rebuilds the text JVM-side — no Python, no
-    shuffle beyond the one keyed aggregation.
+    set collects into a SORTED per-document array (bounded by document
+    length, same bound every per-doc array op here already assumes) and a
+    gap-walking ``aggregate`` HOF rebuilds the text JVM-side in
+    O(n_tokens + n_removed) — no Python, no shuffle beyond the one keyed
+    aggregation, no per-token membership probe.
     """
     toks = docs.select(
         F.col(id_col).alias("__id"),
@@ -319,12 +320,28 @@ def span_removal_apply(
             "__id",
             F.size("__t").cast("bigint").alias("n_tokens"),
             F.size("__cov").cast("bigint").alias("n_removed"),
+            # O(n_tokens + n_removed) rebuild (ADVICE r12): ``__cov`` is a
+            # SORTED distinct position array, so walk its gaps once —
+            # aggregate carries (next-uncovered-position, kept-slices) and
+            # each step appends the token slice [nxt, c) strictly between
+            # covered positions; the finisher appends the tail. The old
+            # per-token ``NOT array_contains(__cov, p)`` filter was
+            # O(n_tokens x n_removed) per document — quadratic on long,
+            # heavily duplicated documents, the exact target of substring
+            # dedup. Slice copies total at most n_tokens kept tokens.
             F.array_join(
                 F.expr(
-                    "transform(filter(transform(__t, (t, i) -> "
-                    "struct(t AS tok, i + 1 AS p)), "
-                    "s -> NOT array_contains(__cov, CAST(s.p AS BIGINT))), "
-                    "s -> s.tok)"
+                    "aggregate(__cov, "
+                    "struct(CAST(1 AS BIGINT) AS nxt, "
+                    "CAST(array() AS ARRAY<STRING>) AS parts), "
+                    "(acc, c) -> struct("
+                    "c + CAST(1 AS BIGINT) AS nxt, "
+                    "IF(c > acc.nxt, "
+                    "concat(acc.parts, slice(__t, CAST(acc.nxt AS INT), "
+                    "CAST(c - acc.nxt AS INT))), acc.parts) AS parts), "
+                    "acc -> concat(acc.parts, "
+                    "slice(__t, CAST(acc.nxt AS INT), "
+                    "CAST(greatest(size(__t) - acc.nxt + 1, 0) AS INT))))"
                 ),
                 " ",
             ).alias("text_clean"),
