@@ -33,7 +33,7 @@ from ingestion_scripts_spark.operators import keywords as K
 from ingestion_scripts_spark.operators import similarity as SIM
 from ingestion_scripts_spark.operators import text_analysis as TA
 
-from ingestion_scripts_spark.registry.part12 import *  # noqa: E402,F401,F403
+from ingestion_scripts_spark.registry.part13 import *  # noqa: E402,F401,F403
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -371,46 +371,49 @@ _REGISTRY: list[tuple[str, Callable[[SparkSession, str], DataFrame], str | None]
     ("snapshot_dedup_delta", q_snapshot_dedup_delta, SQL_SNAPSHOT_DEDUP_DELTA),
     ("span_removal_apply", q_span_removal_apply, SQL_SPAN_REMOVAL_APPLY),
     ("calibration_drift", q_calibration_drift, SQL_CALIBRATION_DRIFT),
+    # --- r13 additions (registry/part13.py) ---
+    ("snapshot_band_roll", q_snapshot_band_roll, SQL_SNAPSHOT_BAND_ROLL),
+    ("band_skew_audit", q_band_skew_audit, SQL_BAND_SKEW_AUDIT),
+    ("stream_snapshot_roll", q_stream_snapshot_roll, SQL_STREAM_SNAPSHOT_ROLL),
 ]
 
-# --- r12 driver-window rotation (recomputed from CORRECTNESS_r01-r11) -----
-# The driver certifies positions 1-50 each round. CORRECTNESS_r11 landed
-# 50/50, so cumulative driver-green entering r12 is 302/302 and the only
-# debt is the 3 r12-session additions (never-driver-green by definition).
+# --- r13 driver-window rotation (recomputed from CORRECTNESS_r01-r12) -----
+# The driver certifies positions 1-50 each round. CORRECTNESS_r12 landed
+# 50/50, so cumulative driver-green entering r13 is 305/305 and the only
+# debt is the 3 r13-session additions (never-driver-green by definition).
 # Window = those 3 + the 47 re-certification anchors with the OLDEST
-# driver evidence, RECOMPUTED from the committed CORRECTNESS_r01-r11
+# driver evidence, RECOMPUTED from the committed CORRECTNESS_r01-r12
 # artifacts (max green round, declaration order as tiebreak) — never from
-# ROADMAP prose (r10-VERDICT wrong #2). That computation puts the two
-# last-green-r4 stragglers (ngram_novelty, rfm_segments) first, then the
-# last-green-r5 block. tests/test_entry_contract.py pins the resulting
-# window verbatim and re-derives it from the artifacts.
-_R12_WINDOW = [
-    # never-driver-green debt (r12 additions), window-start
-    "snapshot_dedup_delta", "span_removal_apply", "calibration_drift",
-    # re-certification anchors: the two last-green-r4 stragglers
-    # (ngram_novelty, rfm_segments — VERDICT r11 item 2), then the
-    # last-green-r5 block in declaration order
-    "ngram_novelty", "rfm_segments", "textrank_summary",
-    "sql_pipe_front_door", "stream_state_reader", "edit_distance_names",
-    "basket_pair_lift", "triangle_cooccurrence", "token_kl_drift",
-    "leakage_safe_split", "hybrid_rank_fusion", "output_file_plan",
-    "mmr_diverse_topk", "k_anonymity_audit", "jl_projection_recall",
-    "holt_trend_forecast", "covariance_matrix", "dup_clusters_star",
-    "containment_pairs", "stream_scd_merge", "recursive_front_door",
-    "duplicate_spans", "span_removal_plan", "pareto_frontier", "ks_drift",
-    "column_mutual_info", "incremental_agg_view", "snm_blocking",
-    "cusum_changepoint", "ht_sampling_error", "stream_quota_admission",
-    "er_canonical_entities", "bfs_hops_coorder", "psi_drift",
-    "chi2_independence", "multimodal_audio_energy", "bloom_dedup_audit",
-    "label_spread_communities", "join_size_estimate", "grouped_agg_udaf",
-    "arrow_group_stats", "roc_auc_quality", "bot_burst_users",
-    "index_compaction", "temperature_mix", "csv_source",
-    "corrupt_record_routing",
+# ROADMAP prose (r10-VERDICT wrong #2). That computation puts the five
+# last-green-r5 queries first (hll_merge_rollup, grouping_sets_revenue,
+# window_dist_funcs, lang_histograms, stats_corr — VERDICT r12 item 1),
+# then the first 42 of the last-green-r6 block in declaration order.
+# tests/test_entry_contract.py pins the resulting window verbatim and
+# re-derives it from the artifacts.
+_R13_WINDOW = [
+    # never-driver-green debt (r13 additions), window-start
+    "snapshot_band_roll", "band_skew_audit", "stream_snapshot_roll",
+    # re-certification anchors: the five last-green-r5 queries, then the
+    # last-green-r6 block in declaration order
+    "hll_merge_rollup", "grouping_sets_revenue", "window_dist_funcs",
+    "lang_histograms", "stats_corr",
+    "semdedup", "cms_heavy_hitters", "doc_chunks", "gopher_rules",
+    "priority_sample", "domain_caps", "orc_source", "unigram_ppl",
+    "bpe_merges", "bpe_tokenize", "ivf_trained_topk", "hist_quantiles",
+    "dataset_split", "char_entropy", "min_price_supplier", "column_profile",
+    "bigram_backoff_ppl", "ann_recall", "zorder_layout", "observed_ingest",
+    "skew_report", "dataset_card", "session_funnel", "langid_confusion",
+    "cross_split_contamination", "first_touch_attribution",
+    "partitioned_sink", "dedup_best_survivor", "boilerplate_segments",
+    "daily_gapfill", "interval_join_hot_hours", "bucketed_join_revenue",
+    "winsorized_lengths", "snapshot_diff", "weekly_growth",
+    "top_customer_by_nation", "custom_feed_source", "stream_custom_source",
+    "dq_checks", "sessionize_udtf", "fellegi_sunter_scores", "cohens_kappa",
 ]
 _BY_NAME = {t[0]: t for t in _REGISTRY}
 _REGISTRY = (
-    [_BY_NAME[n] for n in _R12_WINDOW]
-    + [t for t in _REGISTRY if t[0] not in set(_R12_WINDOW)]
+    [_BY_NAME[n] for n in _R13_WINDOW]
+    + [t for t in _REGISTRY if t[0] not in set(_R13_WINDOW)]
 )
 
 

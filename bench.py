@@ -299,6 +299,9 @@ HEADLINE = [
     "snapshot_dedup_delta",
     "span_removal_apply",
     "calibration_drift",
+    # r13 additions
+    "snapshot_band_roll",
+    "band_skew_audit",
 ]
 
 #: deliberate shadows: oracle-exact twins of faster default kernels, kept
@@ -330,6 +333,7 @@ STREAMING = [
     "stream_quota_admission",
     "stream_token_bucket",
     "stream_kmv_distinct",
+    "stream_snapshot_roll",
 ]
 
 

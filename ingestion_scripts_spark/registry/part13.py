@@ -1,0 +1,290 @@
+"""Registry implementation, part 13 — r13 additions (VERDICT r12 next-
+round items 2+3): the PERSISTED-band-table snapshot roll (the production
+contract ``snapshot_band_delta`` documented — the band table round-trips
+through parquet and only delta signatures are computed), the continuous-
+crawl STREAMING snapshot roll (``foreachBatch`` batches carrying inserts
+AND retirements, maintaining the band-table + doc-store state across
+triggers), and the band-table skew audit run before a roll. Chained
+after part12 in the established pattern."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ingestion_scripts_spark.registry import part12 as _prev  # noqa: F401
+from ingestion_scripts_spark.registry.part12 import *  # noqa: F401,F403
+
+
+# ---------------------------------------------------------------------------
+# persisted-band-table snapshot roll (production maintained-state contract)
+# ---------------------------------------------------------------------------
+
+def q_snapshot_band_roll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pair delta across a snapshot roll through the PERSISTED
+    band table (operators/dedup.py::snapshot_band_roll): snapshot1's band
+    table is WRITTEN TO PARQUET first (the state a prior roll would have
+    left) and read back — the roll never re-signs the corpus, it
+    minhashes the inserts only and point-looks-up candidate endpoints in
+    the doc store. Splits: snapshot1 = doc_id % 4 != 0; the roll deletes
+    its doc_id % 9 == 0 members and inserts the doc_id % 4 == 0 docs.
+    The oracle recomputes both snapshots' verified pair sets in full and
+    diffs them — same IVM law as ``snapshot_dedup_delta``, now certified
+    through the maintained-state path."""
+    from ingestion_scripts_spark.operators.dedup import (
+        banded_buckets,
+        snapshot_band_roll,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")  # noqa: F405
+    base = docs.filter(F.col("doc_id") % 4 != 0)
+    inserts = docs.filter(F.col("doc_id") % 4 == 0)
+    delete_ids = base.filter(F.col("doc_id") % 9 == 0).select("doc_id")
+
+    state = _scratch(prefix="bandroll_")  # noqa: F405
+    banded_buckets(base, "doc_id", "text").write.mode("overwrite").parquet(
+        f"{state}/bands_v1"
+    )
+    base_bands = spark.read.parquet(f"{state}/bands_v1")
+    _, delta = snapshot_band_roll(
+        base_bands, docs, inserts, delete_ids, "doc_id", "text", threshold=0.8
+    )
+    return delta.orderBy("status", "id1", "id2")
+
+
+SQL_SNAPSHOT_BAND_ROLL = f"""
+WITH sh AS (SELECT doc_id, {_SH} AS sh FROM documents),
+sig AS (SELECT doc_id, sh, {_SIG} AS sig FROM sh WHERE len(sh) > 0),
+banded AS (
+  SELECT doc_id, b AS band,
+         md5(array_to_string(list_transform(sig[b*4+1:b*4+4], x -> x::VARCHAR), ',')) AS bucket
+  FROM sig, unnest([0,1,2,3]) AS u(b)),
+p1 AS (
+  SELECT DISTINCT least(a.doc_id, b.doc_id) AS id1,
+                  greatest(a.doc_id, b.doc_id) AS id2
+  FROM banded a JOIN banded b ON a.band = b.band AND a.bucket = b.bucket
+  WHERE a.doc_id < b.doc_id
+    AND a.doc_id % 4 <> 0 AND b.doc_id % 4 <> 0),
+p2 AS (
+  SELECT DISTINCT least(a.doc_id, b.doc_id) AS id1,
+                  greatest(a.doc_id, b.doc_id) AS id2
+  FROM banded a JOIN banded b ON a.band = b.band AND a.bucket = b.bucket
+  WHERE a.doc_id < b.doc_id
+    AND (a.doc_id % 4 = 0 OR a.doc_id % 9 <> 0)
+    AND (b.doc_id % 4 = 0 OR b.doc_id % 9 <> 0)),
+v1 AS (
+  SELECT id1, id2,
+         round(len(list_intersect(a.sh, b.sh))::DOUBLE /
+               len(list_distinct(a.sh || b.sh)), 6) AS jaccard
+  FROM p1 JOIN sh a ON p1.id1 = a.doc_id JOIN sh b ON p1.id2 = b.doc_id
+  WHERE round(len(list_intersect(a.sh, b.sh))::DOUBLE /
+              len(list_distinct(a.sh || b.sh)), 6) >= 0.8),
+v2 AS (
+  SELECT id1, id2,
+         round(len(list_intersect(a.sh, b.sh))::DOUBLE /
+               len(list_distinct(a.sh || b.sh)), 6) AS jaccard
+  FROM p2 JOIN sh a ON p2.id1 = a.doc_id JOIN sh b ON p2.id2 = b.doc_id
+  WHERE round(len(list_intersect(a.sh, b.sh))::DOUBLE /
+              len(list_distinct(a.sh || b.sh)), 6) >= 0.8)
+SELECT v2.id1, v2.id2, v2.jaccard, 'formed' AS status
+FROM v2 LEFT JOIN v1 ON v2.id1 = v1.id1 AND v2.id2 = v1.id2
+WHERE v1.id1 IS NULL
+UNION ALL
+SELECT v1.id1, v1.id2, v1.jaccard, 'dissolved' AS status
+FROM v1 LEFT JOIN v2 ON v1.id1 = v2.id1 AND v1.id2 = v2.id2
+WHERE v2.id1 IS NULL
+ORDER BY status, id1, id2"""
+
+
+# ---------------------------------------------------------------------------
+# band-table skew audit (pre-roll maintenance check)
+# ---------------------------------------------------------------------------
+
+def q_band_skew_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew/health audit of the documents corpus's LSH band table
+    (operators/dedup.py::band_table_stats): per band — rows, distinct
+    buckets, max bucket width, and pair_mass = Σ w·(w−1)/2, the exact
+    in-bucket candidate-pair count a batch self-join over that band
+    would generate. The check run against the PERSISTED index before a
+    ``snapshot_band_roll``: hot buckets are where a roll's equi-join
+    goes quadratic."""
+    from ingestion_scripts_spark.operators.dedup import (
+        band_table_stats,
+        banded_buckets,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")  # noqa: F405
+    return band_table_stats(banded_buckets(docs, "doc_id", "text"))
+
+
+SQL_BAND_SKEW_AUDIT = f"""
+WITH sh AS (SELECT doc_id, {_SH} AS sh FROM documents),
+sig AS (SELECT doc_id, sh, {_SIG} AS sig FROM sh WHERE len(sh) > 0),
+banded AS (
+  SELECT doc_id, b AS band,
+         md5(array_to_string(list_transform(sig[b*4+1:b*4+4], x -> x::VARCHAR), ',')) AS bucket
+  FROM sig, unnest([0,1,2,3]) AS u(b)),
+width AS (
+  SELECT band, bucket, count(*)::BIGINT AS w
+  FROM banded GROUP BY band, bucket)
+SELECT band,
+       CAST(sum(w) AS BIGINT) AS n_rows,
+       count(*)::BIGINT AS n_buckets,
+       CAST(max(w) AS BIGINT) AS max_width,
+       CAST(sum(w * (w - 1) // 2) AS BIGINT) AS pair_mass
+FROM width GROUP BY band ORDER BY band"""
+
+
+# ---------------------------------------------------------------------------
+# streaming snapshot roll (continuous crawl: inserts + retirements)
+# ---------------------------------------------------------------------------
+
+def q_stream_snapshot_roll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The continuous-crawl shape (VERDICT r12 item 3): a REAL streaming
+    job whose micro-batches carry inserts AND retirements, maintaining
+    the kept band table + doc-store across triggers with
+    ``snapshot_band_roll`` and emitting each batch's formed/dissolved
+    verified pair delta. Three deterministic batches insert doc_id % 3
+    == b; batch b additionally retires current members with doc_id % 7
+    == b (batch 0 retires nothing — the corpus starts empty). State
+    round-trips through versioned parquet (bands_v{b}, corpus_v{b}) —
+    the ``stream_idempotent_sink`` replay pattern — so every trigger
+    reads the PERSISTED band table a prior trigger wrote; the corpus is
+    never re-signed.
+
+    The oracle computes each snapshot's verified pair set from one
+    full-corpus pair table restricted to the batch-b membership
+    predicate and diffs consecutive snapshots — the unrolled-batch law
+    (band buckets and texts are per-doc, so pairs(M_k) is the full pair
+    set restricted to M_k).
+
+    Latency model (~8-11 s at bench SF): wall is micro-batch count ×
+    fixed per-trigger overhead (stream planning, two parquet state
+    re-reads, three writes, checkpoint fsync). Delta-plane MinHash work
+    at this SF is milliseconds; total scales with trigger count, not
+    rows, and amortizes away at production batch sizes."""
+    import glob
+    import os
+    import time
+
+    from ingestion_scripts_spark.operators.dedup import snapshot_band_roll
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")  # noqa: F405
+    src = _scratch(prefix="roll_src_")  # noqa: F405
+    for i in range(3):
+        docs.filter(F.col("doc_id") % 3 == i).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(f"{src}/b{i}")
+    now = time.time()
+    for i in range(3):
+        for p in glob.glob(f"{src}/b{i}/*.parquet"):
+            os.utime(p, (now - 300 + 50 * i, now - 300 + 50 * i))
+    state = _scratch(prefix="roll_state_")  # noqa: F405
+    sink = _scratch(prefix="roll_sink_") + "/out"  # noqa: F405
+    ver = {"n": 0}
+
+    def handle(batch_df: DataFrame, _bid: int) -> None:
+        if batch_df.isEmpty():
+            return
+        step = ver["n"]
+        # content-derived batch id must equal the arrival counter: the
+        # oracle's membership algebra depends on arrival order (mtime-
+        # ordered source files, as in stream_incremental_dedup) — fail
+        # loudly if the trigger order ever deviates instead of emitting
+        # a wrong-but-plausible delta
+        b = batch_df.select(
+            F.min(F.col("doc_id") % 3).cast("int").alias("b")
+        ).collect()[0].b
+        assert b == step, f"batch arrival out of order: {b} != {step}"
+        if step == 0:
+            prev_bands = spark.createDataFrame(
+                [], "doc_id long, band int, bucket string"
+            )
+            prev_corpus = spark.createDataFrame([], "doc_id long, text string")
+        else:
+            prev_bands = spark.read.parquet(f"{state}/bands_v{step - 1}")
+            prev_corpus = spark.read.parquet(f"{state}/corpus_v{step - 1}")
+        retire = prev_corpus.filter(F.col("doc_id") % 7 == step).select("doc_id")
+        texts = prev_corpus.unionByName(batch_df)
+        new_bands, delta = snapshot_band_roll(
+            prev_bands, texts, batch_df, retire, "doc_id", "text", threshold=0.8
+        )
+        new_bands.write.mode("overwrite").parquet(f"{state}/bands_v{step}")
+        (
+            prev_corpus.join(retire, "doc_id", "left_anti")
+            .unionByName(batch_df)
+            .write.mode("overwrite")
+            .parquet(f"{state}/corpus_v{step}")
+        )
+        delta.withColumn("batch", F.lit(step).cast("int")).write.mode(
+            "append"
+        ).parquet(sink)
+        ver["n"] = step + 1
+
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .option("recursiveFileLookup", "true")
+        .parquet(src)
+    )
+    q = (
+        stream.writeStream.foreachBatch(handle)
+        .option("checkpointLocation", _scratch(prefix="ckpt_"))  # noqa: F405
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return (
+        spark.read.parquet(sink)
+        .select("batch", "id1", "id2", "jaccard", "status")
+        .orderBy("batch", "status", "id1", "id2")
+    )
+
+
+_M1 = "({a} % 3 = 0)"
+_M2 = "(({a} % 3 = 0 AND {a} % 7 <> 1) OR {a} % 3 = 1)"
+_M3 = f"((({_M2}) AND {{a}} % 7 <> 2) OR {{a}} % 3 = 2)"
+
+
+def _roll_delta_sql(batch: int, m_prev: str, m_next: str) -> str:
+    prev1, prev2 = m_prev.format(a="id1"), m_prev.format(a="id2")
+    next1, next2 = m_next.format(a="id1"), m_next.format(a="id2")
+    return f"""
+SELECT {batch} AS batch, id1, id2, jaccard, 'formed' AS status
+FROM pv WHERE ({next1} AND {next2}) AND NOT ({prev1} AND {prev2})
+UNION ALL
+SELECT {batch} AS batch, id1, id2, jaccard, 'dissolved' AS status
+FROM pv WHERE ({prev1} AND {prev2}) AND NOT ({next1} AND {next2})"""
+
+
+SQL_STREAM_SNAPSHOT_ROLL = f"""
+WITH sh AS (SELECT doc_id, {_SH} AS sh FROM documents),
+sig AS (SELECT doc_id, sh, {_SIG} AS sig FROM sh WHERE len(sh) > 0),
+banded AS (
+  SELECT doc_id, b AS band,
+         md5(array_to_string(list_transform(sig[b*4+1:b*4+4], x -> x::VARCHAR), ',')) AS bucket
+  FROM sig, unnest([0,1,2,3]) AS u(b)),
+cand AS (
+  SELECT DISTINCT l.doc_id AS id1, r.doc_id AS id2
+  FROM banded l JOIN banded r
+    ON l.band = r.band AND l.bucket = r.bucket AND l.doc_id < r.doc_id),
+pv AS (
+  SELECT id1, id2,
+         round(len(list_intersect(a.sh, b.sh))::DOUBLE /
+               len(list_distinct(a.sh || b.sh)), 6) AS jaccard
+  FROM cand JOIN sh a ON cand.id1 = a.doc_id JOIN sh b ON cand.id2 = b.doc_id
+  WHERE round(len(list_intersect(a.sh, b.sh))::DOUBLE /
+              len(list_distinct(a.sh || b.sh)), 6) >= 0.8)
+{_roll_delta_sql(0, "(FALSE)", _M1)}
+UNION ALL
+{_roll_delta_sql(1, _M1, _M2)}
+UNION ALL
+{_roll_delta_sql(2, _M2, _M3)}
+ORDER BY batch, status, id1, id2"""
+
+
+__all__ = list(_prev.__all__) + [  # noqa: PLE0605
+    "q_snapshot_band_roll", "SQL_SNAPSHOT_BAND_ROLL",
+    "q_band_skew_audit", "SQL_BAND_SKEW_AUDIT",
+    "q_stream_snapshot_roll", "SQL_STREAM_SNAPSHOT_ROLL",
+]

@@ -51,40 +51,39 @@ def test_catalog_register_testdata(spark):
 
 
 #: the driver certifies registry positions 1-50 each round; this is the
-#: deliberate r12 window: the 3 r12-session additions (never-driver-green
+#: deliberate r13 window: the 3 r13-session additions (never-driver-green
 #: debt, window-start) + 47 re-certification anchors with the oldest
-#: driver evidence, RECOMPUTED from CORRECTNESS_r01-r11 (max green round,
-#: declaration order as tiebreak) — the two last-green-r4 stragglers
-#: (ngram_novelty, rfm_segments — VERDICT r11 item 2) lead the anchors,
-#: then the last-green-r5 block. CORRECTNESS_r11 landed 50/50, so debt
-#: entering r12 was zero. r2's lesson: silent registry drift displaced
-#: fixed queries past position 50, so their fixes were never driver-
-#: certified — any change to this window must be a conscious edit of BOTH
-#: the registry and this pin.
-R12_WINDOW = [
-    "snapshot_dedup_delta", "span_removal_apply", "calibration_drift",
-    "ngram_novelty", "rfm_segments", "textrank_summary",
-    "sql_pipe_front_door", "stream_state_reader", "edit_distance_names",
-    "basket_pair_lift", "triangle_cooccurrence", "token_kl_drift",
-    "leakage_safe_split", "hybrid_rank_fusion", "output_file_plan",
-    "mmr_diverse_topk", "k_anonymity_audit", "jl_projection_recall",
-    "holt_trend_forecast", "covariance_matrix", "dup_clusters_star",
-    "containment_pairs", "stream_scd_merge", "recursive_front_door",
-    "duplicate_spans", "span_removal_plan", "pareto_frontier", "ks_drift",
-    "column_mutual_info", "incremental_agg_view", "snm_blocking",
-    "cusum_changepoint", "ht_sampling_error", "stream_quota_admission",
-    "er_canonical_entities", "bfs_hops_coorder", "psi_drift",
-    "chi2_independence", "multimodal_audio_energy", "bloom_dedup_audit",
-    "label_spread_communities", "join_size_estimate", "grouped_agg_udaf",
-    "arrow_group_stats", "roc_auc_quality", "bot_burst_users",
-    "index_compaction", "temperature_mix", "csv_source",
-    "corrupt_record_routing",
+#: driver evidence, RECOMPUTED from CORRECTNESS_r01-r12 (max green round,
+#: declaration order as tiebreak) — the five last-green-r5 queries
+#: (hll_merge_rollup, grouping_sets_revenue, window_dist_funcs,
+#: lang_histograms, stats_corr — VERDICT r12 item 1) lead the anchors,
+#: then the first 42 of the last-green-r6 block. CORRECTNESS_r12 landed
+#: 50/50, so debt entering r13 was zero. r2's lesson: silent registry
+#: drift displaced fixed queries past position 50, so their fixes were
+#: never driver-certified — any change to this window must be a conscious
+#: edit of BOTH the registry and this pin.
+R13_WINDOW = [
+    "snapshot_band_roll", "band_skew_audit", "stream_snapshot_roll",
+    "hll_merge_rollup", "grouping_sets_revenue", "window_dist_funcs",
+    "lang_histograms", "stats_corr", "semdedup", "cms_heavy_hitters",
+    "doc_chunks", "gopher_rules", "priority_sample", "domain_caps",
+    "orc_source", "unigram_ppl", "bpe_merges", "bpe_tokenize",
+    "ivf_trained_topk", "hist_quantiles", "dataset_split", "char_entropy",
+    "min_price_supplier", "column_profile", "bigram_backoff_ppl",
+    "ann_recall", "zorder_layout", "observed_ingest", "skew_report",
+    "dataset_card", "session_funnel", "langid_confusion",
+    "cross_split_contamination", "first_touch_attribution",
+    "partitioned_sink", "dedup_best_survivor", "boilerplate_segments",
+    "daily_gapfill", "interval_join_hot_hours", "bucketed_join_revenue",
+    "winsorized_lengths", "snapshot_diff", "weekly_growth",
+    "top_customer_by_nation", "custom_feed_source", "stream_custom_source",
+    "dq_checks", "sessionize_udtf", "fellegi_sunter_scores", "cohens_kappa",
 ]
 
 
 def test_driver_window_is_pinned():
     names = list(E.queries().keys())
-    assert names[:50] == R12_WINDOW
+    assert names[:50] == R13_WINDOW
 
 
 def test_window_anchors_recomputed_from_artifacts():
@@ -100,8 +99,8 @@ def test_window_anchors_recomputed_from_artifacts():
     green_round: dict[str, int] = {}
     for path in sorted(glob.glob(os.path.join(root, "CORRECTNESS_r*.json"))):
         rnd = int(os.path.basename(path).split("_r")[1].split(".")[0])
-        if rnd > 11:
-            continue  # the window was computed entering r12; later
+        if rnd > 12:
+            continue  # the window was computed entering r13; later
             # artifacts certify it but must not retro-change the pin
         for name, rec in json.load(open(path)).items():
             if (

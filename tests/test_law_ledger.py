@@ -97,7 +97,7 @@ def test_operator_citations_name_a_real_callee():
     qsrc = {}
     sources = [
         os.path.join(ROOT, f"ingestion_scripts_spark/registry/part{p:02d}.py")
-        for p in range(1, 13)
+        for p in range(1, 14)
     ] + [os.path.join(ROOT, "__spark_entry__.py")]
     for f in sources:
         src = open(f).read()

@@ -302,6 +302,8 @@ GLOBAL_SORT_ALLOWLIST = {
     # r12 additions: single terminal presentation sorts (pair-delta /
     # per-document rewrite outputs — corpus-grain query contract)
     'snapshot_dedup_delta', 'span_removal_apply',
+    # r13 addition: same pair-delta presentation sort, persisted-band path
+    'snapshot_band_roll',
     'parse_struct_time', 'parse_zoned', 'pii_scrub',
     'pinball_loss_sources', 'ppr_coorder', 'quality_gate',
     'quality_score', 'rate_limit_replay', 'repetition_signals',
