@@ -138,6 +138,17 @@ COMMENT = {
         "ranked corpus — a BroadcastHashJoin probe on rn, never a "
         "second sort or a top-N heap over the full table."
     ),
+    "snapshot_band_roll": (
+        "Maintained-state snapshot roll (r13): snapshot1's band table "
+        "enters as a PARQUET SCAN of (id, band, bucket) — no minhash/md5 "
+        "chain on the base side anywhere in the tree; the signature "
+        "pipeline (Generate + per-(doc,seed) aggregates) appears only "
+        "above the insert-side filter. Candidates are (band, bucket) "
+        "equi-joins; Jaccard verification's shingle build sits behind "
+        "left-semi joins on candidate endpoints, so text bytes are "
+        "point-lookups, never a corpus scan. Measured: ~3x faster than "
+        "the re-signing path at every probed size (SCALING.md r13)."
+    ),
 }
 
 

@@ -490,25 +490,72 @@ def probe_domain_dedup(spark: SparkSession, scale: float) -> dict:
 
 
 
+def _snapshot_split(spark: SparkSession, n: int):
+    docs = _neardup_docs(spark, n)
+    base = docs.where(F.col("doc_id") % 5 != 0)
+    inserts = docs.where(F.col("doc_id") % 5 == 0)
+    dels = base.where(F.col("doc_id") % 7 == 0).select("doc_id")
+    return docs, base, inserts, dels
+
+
 def probe_snapshot_delta(spark: SparkSession, scale: float) -> dict:
+    # 4-point row with a DISCARDED warm leg (VERDICT r12 item 6: the r12
+    # 3-point row's 50k point carried session JIT warmup, leaving the
+    # exponent ambiguous between 0.26 and 0.67); validate=False so the
+    # row prices the kernel, not the eager contract probes (the split
+    # here is disjoint by predicate)
     from ingestion_scripts_spark.operators.dedup import snapshot_band_delta
 
-    sizes = [int(s * scale) for s in (50_000, 200_000, 800_000)]
-    walls = []
-    for n in sizes:
-        docs = _neardup_docs(spark, n)
-        base = docs.where(F.col("doc_id") % 5 != 0)
-        inserts = docs.where(F.col("doc_id") % 5 == 0)
-        dels = base.where(F.col("doc_id") % 7 == 0).select("doc_id")
-        walls.append(
-            _timed(
-                lambda: snapshot_band_delta(
-                    base, inserts, dels, threshold=0.5
-                )
+    def run(n: int) -> float:
+        _, base, inserts, dels = _snapshot_split(spark, n)
+        w = _timed(
+            lambda: snapshot_band_delta(
+                base, inserts, dels, threshold=0.5, validate=False
             )
         )
         release_caches()
+        return w
+
+    run(int(10_000 * scale))  # warm leg, discarded
+    sizes = [int(s * scale) for s in (50_000, 200_000, 800_000, 3_200_000)]
+    walls = [run(n) for n in sizes]
     return {"probe": "snapshot_delta", "sizes": sizes, "walls": walls}
+
+
+def probe_band_roll(spark: SparkSession, scale: float) -> dict:
+    """The persisted-band-table path: snapshot1's band table is parquet
+    on disk (written outside the timed region — a prior roll's output),
+    so the timed roll never re-signs the corpus. The gap to
+    probe_snapshot_delta at the same size IS the base re-signing cost
+    the maintained-state contract removes."""
+    import shutil
+    import tempfile
+
+    from ingestion_scripts_spark.operators.dedup import (
+        banded_buckets,
+        snapshot_band_roll,
+    )
+
+    def run(n: int) -> float:
+        docs, base, inserts, dels = _snapshot_split(spark, n)
+        d = tempfile.mkdtemp(prefix="bandroll_probe_")
+        banded_buckets(base, "doc_id", "text").write.mode(
+            "overwrite"
+        ).parquet(f"{d}/bands")
+        bb = spark.read.parquet(f"{d}/bands")
+        w = _timed(
+            lambda: snapshot_band_roll(
+                bb, docs, inserts, dels, threshold=0.5, validate=False
+            )[1]
+        )
+        release_caches()
+        shutil.rmtree(d, ignore_errors=True)
+        return w
+
+    run(int(10_000 * scale))  # warm leg, discarded
+    sizes = [int(s * scale) for s in (50_000, 200_000, 800_000, 3_200_000)]
+    walls = [run(n) for n in sizes]
+    return {"probe": "band_roll", "sizes": sizes, "walls": walls}
 
 
 def probe_span_apply(spark: SparkSession, scale: float) -> dict:
@@ -563,6 +610,7 @@ PROBES.update(
         "histstats": probe_histstats,
         "domain_dedup": probe_domain_dedup,
         "snapshot_delta": probe_snapshot_delta,
+        "band_roll": probe_band_roll,
         "span_apply": probe_span_apply,
         "calib_drift": probe_calib_drift,
     }
