@@ -375,24 +375,26 @@ _REGISTRY: list[tuple[str, Callable[[SparkSession, str], DataFrame], str | None]
     ("snapshot_band_roll", q_snapshot_band_roll, SQL_SNAPSHOT_BAND_ROLL),
     ("band_skew_audit", q_band_skew_audit, SQL_BAND_SKEW_AUDIT),
     ("stream_snapshot_roll", q_stream_snapshot_roll, SQL_STREAM_SNAPSHOT_ROLL),
+    ("cdc_chunk_dedup", q_cdc_chunk_dedup, SQL_CDC_CHUNK_DEDUP),
 ]
 
 # --- r13 driver-window rotation (recomputed from CORRECTNESS_r01-r12) -----
 # The driver certifies positions 1-50 each round. CORRECTNESS_r12 landed
 # 50/50, so cumulative driver-green entering r13 is 305/305 and the only
-# debt is the 3 r13-session additions (never-driver-green by definition).
-# Window = those 3 + the 47 re-certification anchors with the OLDEST
+# debt is the 4 r13-session additions (never-driver-green by definition).
+# Window = those 4 + the 46 re-certification anchors with the OLDEST
 # driver evidence, RECOMPUTED from the committed CORRECTNESS_r01-r12
 # artifacts (max green round, declaration order as tiebreak) — never from
 # ROADMAP prose (r10-VERDICT wrong #2). That computation puts the five
 # last-green-r5 queries first (hll_merge_rollup, grouping_sets_revenue,
 # window_dist_funcs, lang_histograms, stats_corr — VERDICT r12 item 1),
-# then the first 42 of the last-green-r6 block in declaration order.
+# then the first 41 of the last-green-r6 block in declaration order.
 # tests/test_entry_contract.py pins the resulting window verbatim and
 # re-derives it from the artifacts.
 _R13_WINDOW = [
     # never-driver-green debt (r13 additions), window-start
     "snapshot_band_roll", "band_skew_audit", "stream_snapshot_roll",
+    "cdc_chunk_dedup",
     # re-certification anchors: the five last-green-r5 queries, then the
     # last-green-r6 block in declaration order
     "hll_merge_rollup", "grouping_sets_revenue", "window_dist_funcs",
@@ -408,7 +410,7 @@ _R13_WINDOW = [
     "daily_gapfill", "interval_join_hot_hours", "bucketed_join_revenue",
     "winsorized_lengths", "snapshot_diff", "weekly_growth",
     "top_customer_by_nation", "custom_feed_source", "stream_custom_source",
-    "dq_checks", "sessionize_udtf", "fellegi_sunter_scores", "cohens_kappa",
+    "dq_checks", "sessionize_udtf", "fellegi_sunter_scores",
 ]
 _BY_NAME = {t[0]: t for t in _REGISTRY}
 _REGISTRY = (

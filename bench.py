@@ -302,6 +302,7 @@ HEADLINE = [
     # r13 additions
     "snapshot_band_roll",
     "band_skew_audit",
+    "cdc_chunk_dedup",
 ]
 
 #: deliberate shadows: oracle-exact twins of faster default kernels, kept

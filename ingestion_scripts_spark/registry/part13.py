@@ -290,8 +290,72 @@ UNION ALL
 ORDER BY batch, status, id1, id2"""
 
 
+# ---------------------------------------------------------------------------
+# content-defined chunking dedup report (variable-length chunk store)
+# ---------------------------------------------------------------------------
+
+def q_cdc_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source storage-dedup report over content-defined chunks
+    (operators/chunking.py::cdc_dedup_report): every document is split
+    at token positions where the 4-token window hash ≡ 0 (mod 16) —
+    boundaries follow CONTENT, so shared regions between documents with
+    different prefixes produce identical chunk hashes (the LBFS/Rabin
+    scheme, the variable-length complement to the fixed-k span family).
+    A chunk occurrence is duplicate when its hash appeared earlier in
+    global (doc_id, start_pos) order; dedup_ppm is the exact-integer
+    token-mass savings a content-addressed chunk store would realize."""
+    from ingestion_scripts_spark.operators.chunking import cdc_dedup_report
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text", "source")  # noqa: F405
+    return cdc_dedup_report(docs, "doc_id", "text", "source")
+
+
+_CDC_H = "CAST(('0x' || substr(md5({x}), 1, 15)) AS BIGINT)"
+_CDC_WIN = _CDC_H.format(x="array_to_string(t[i-3:i], ' ')")
+_CDC_CHUNK = _CDC_H.format(x="array_to_string(p.t[c.start:c.endpos], ' ')")
+
+SQL_CDC_CHUNK_DEDUP = f"""
+WITH pos AS (
+  SELECT doc_id, source,
+         list_filter(string_split(lower(text), ' '), x -> x <> '') AS t
+  FROM documents),
+docs AS (SELECT doc_id, source, t, len(t) AS n FROM pos WHERE len(t) > 0),
+cand AS (
+  SELECT doc_id, u.i AS b
+  FROM docs, unnest(generate_series(4, n)) AS u(i)
+  WHERE n >= 4 AND ({_CDC_WIN}) % 16 = 0),
+bnd AS (
+  SELECT doc_id, b FROM cand
+  UNION
+  SELECT doc_id, n AS b FROM docs),
+chunk AS (
+  SELECT doc_id, b AS endpos,
+         coalesce(lag(b) OVER (PARTITION BY doc_id ORDER BY b), 0) + 1
+           AS start
+  FROM bnd),
+rows_ AS (
+  SELECT c.doc_id, p.source, c.start,
+         c.endpos - c.start + 1 AS clen,
+         {_CDC_CHUNK} AS chash
+  FROM chunk c JOIN docs p USING (doc_id)),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY chash ORDER BY doc_id, start)
+    AS rn
+  FROM rows_)
+SELECT source,
+       count(*)::BIGINT AS n_chunks,
+       sum(CASE WHEN rn >= 2 THEN 1 ELSE 0 END)::BIGINT AS dup_chunks,
+       CAST(sum(clen) AS BIGINT) AS total_tokens,
+       CAST(coalesce(sum(CASE WHEN rn >= 2 THEN clen END), 0) AS BIGINT)
+         AS dup_tokens,
+       CAST((coalesce(sum(CASE WHEN rn >= 2 THEN clen END), 0) * 1000000)
+            // sum(clen) AS BIGINT) AS dedup_ppm
+FROM ranked GROUP BY source ORDER BY source"""
+
+
 __all__ = list(_prev.__all__) + [  # noqa: PLE0605
     "q_snapshot_band_roll", "SQL_SNAPSHOT_BAND_ROLL",
     "q_band_skew_audit", "SQL_BAND_SKEW_AUDIT",
     "q_stream_snapshot_roll", "SQL_STREAM_SNAPSHOT_ROLL",
+    "q_cdc_chunk_dedup", "SQL_CDC_CHUNK_DEDUP",
 ]

@@ -51,20 +51,20 @@ def test_catalog_register_testdata(spark):
 
 
 #: the driver certifies registry positions 1-50 each round; this is the
-#: deliberate r13 window: the 3 r13-session additions (never-driver-green
+#: deliberate r13 window: the 4 r13-session additions (never-driver-green
 #: debt, window-start) + 47 re-certification anchors with the oldest
 #: driver evidence, RECOMPUTED from CORRECTNESS_r01-r12 (max green round,
 #: declaration order as tiebreak) — the five last-green-r5 queries
 #: (hll_merge_rollup, grouping_sets_revenue, window_dist_funcs,
 #: lang_histograms, stats_corr — VERDICT r12 item 1) lead the anchors,
-#: then the first 42 of the last-green-r6 block. CORRECTNESS_r12 landed
+#: then the first 41 of the last-green-r6 block. CORRECTNESS_r12 landed
 #: 50/50, so debt entering r13 was zero. r2's lesson: silent registry
 #: drift displaced fixed queries past position 50, so their fixes were
 #: never driver-certified — any change to this window must be a conscious
 #: edit of BOTH the registry and this pin.
 R13_WINDOW = [
     "snapshot_band_roll", "band_skew_audit", "stream_snapshot_roll",
-    "hll_merge_rollup", "grouping_sets_revenue", "window_dist_funcs",
+    "cdc_chunk_dedup", "hll_merge_rollup", "grouping_sets_revenue", "window_dist_funcs",
     "lang_histograms", "stats_corr", "semdedup", "cms_heavy_hitters",
     "doc_chunks", "gopher_rules", "priority_sample", "domain_caps",
     "orc_source", "unigram_ppl", "bpe_merges", "bpe_tokenize",
@@ -77,7 +77,7 @@ R13_WINDOW = [
     "daily_gapfill", "interval_join_hot_hours", "bucketed_join_revenue",
     "winsorized_lengths", "snapshot_diff", "weekly_growth",
     "top_customer_by_nation", "custom_feed_source", "stream_custom_source",
-    "dq_checks", "sessionize_udtf", "fellegi_sunter_scores", "cohens_kappa",
+    "dq_checks", "sessionize_udtf", "fellegi_sunter_scores",
 ]
 
 

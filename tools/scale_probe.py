@@ -577,6 +577,27 @@ def probe_span_apply(spark: SparkSession, scale: float) -> dict:
     return {"probe": "span_apply", "sizes": sizes, "walls": walls}
 
 
+def probe_cdc(spark: SparkSession, scale: float) -> dict:
+    from ingestion_scripts_spark.operators.chunking import cdc_dedup_report
+
+    sizes = [int(s * scale) for s in (100_000, 400_000, 1_600_000)]
+    walls = []
+    for n in sizes:
+        docs = _neardup_docs(spark, n, words=24).withColumn(
+            "source", (F.col("doc_id") % 8).cast("string")
+        )
+        walls.append(
+            _timed_collect(
+                lambda: cdc_dedup_report(docs).agg(
+                    F.sum("dup_tokens").alias("d"),
+                    F.sum("total_tokens").alias("t"),
+                )
+            )
+        )
+        release_caches()
+    return {"probe": "cdc", "sizes": sizes, "walls": walls}
+
+
 def probe_calib_drift(spark: SparkSession, scale: float) -> dict:
     from ingestion_scripts_spark.operators.profiling import calibration_drift
 
@@ -613,6 +634,7 @@ PROBES.update(
         "band_roll": probe_band_roll,
         "span_apply": probe_span_apply,
         "calib_drift": probe_calib_drift,
+        "cdc": probe_cdc,
     }
 )
 
