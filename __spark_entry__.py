@@ -33,7 +33,7 @@ from ingestion_scripts_spark.operators import keywords as K
 from ingestion_scripts_spark.operators import similarity as SIM
 from ingestion_scripts_spark.operators import text_analysis as TA
 
-from ingestion_scripts_spark.registry.part13 import *  # noqa: E402,F401,F403
+from ingestion_scripts_spark.registry.part14 import *  # noqa: E402,F401,F403
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -376,6 +376,11 @@ _REGISTRY: list[tuple[str, Callable[[SparkSession, str], DataFrame], str | None]
     ("band_skew_audit", q_band_skew_audit, SQL_BAND_SKEW_AUDIT),
     ("stream_snapshot_roll", q_stream_snapshot_roll, SQL_STREAM_SNAPSHOT_ROLL),
     ("cdc_chunk_dedup", q_cdc_chunk_dedup, SQL_CDC_CHUNK_DEDUP),
+    # --- r14 additions (registry/part14.py) ---
+    ("capped_band_roll", q_capped_band_roll, SQL_CAPPED_BAND_ROLL),
+    ("capped_roll_audit", q_capped_roll_audit, SQL_CAPPED_ROLL_AUDIT),
+    ("chunk_store_roll", q_chunk_store_roll, SQL_CHUNK_STORE_ROLL),
+    ("cdc_clamped_dedup", q_cdc_clamped_dedup, SQL_CDC_CLAMPED_DEDUP),
 ]
 
 # --- r13 driver-window rotation (recomputed from CORRECTNESS_r01-r12) -----

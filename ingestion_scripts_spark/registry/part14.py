@@ -1,0 +1,352 @@
+"""Registry implementation, part 14 — r14 additions (VERDICT r13 next-
+round items 2-4): the CAPPED band roll (stop-bucket hot-bucket
+remediation — the other half of ``band_table_stats``, which until now
+measured the quadratic risk without acting on it) with its exact
+skipped-pair-mass audit, the MAINTAINED chunk-store roll (the CDC
+analog of ``snapshot_band_roll`` — per-roll savings without re-ranking
+the corpus), and the CLAMPED content-defined chunker (min/max cuts as
+code, certified against a DuckDB recursive-CTE walk). Chained after
+part13 in the established pattern."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ingestion_scripts_spark.registry import part13 as _prev  # noqa: F401
+from ingestion_scripts_spark.registry.part13 import *  # noqa: F401,F403
+from ingestion_scripts_spark.registry.part13 import (  # not in the __all__ chain
+    _CDC_CHUNK,
+    _CDC_H,
+    _CDC_WIN,
+)
+
+
+# ---------------------------------------------------------------------------
+# capped band roll (stop-bucket hot-bucket remediation)
+# ---------------------------------------------------------------------------
+
+#: stop-bucket cap for the registry queries: binds at every test SF
+#: (sf0.01 documents has band buckets up to width 4; pair_mass 135/band),
+#: so the capped path is certified under a cap that actually drops mass,
+#: not a vacuous one.
+_CAP_W = 2
+
+
+def q_capped_band_roll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pair delta across a snapshot roll with STOP-BUCKET capping
+    (operators/dedup.py::capped_band_roll): same persisted-band-table
+    production shape and %4/%9 delta schedule as ``snapshot_band_roll``,
+    but any (band, bucket) wider than 2 in the candidate-generating table
+    is excluded from candidate generation — the hot-bucket remediation
+    ``band_table_stats`` only measured (VERDICT r13 missing #3). The
+    oracle recomputes both snapshots' band tables, drops hot buckets at
+    the same cap, and verifies pairs with a delta endpoint — certifying
+    that capping loses EXACTLY the hot-bucket discoveries and nothing
+    else. Validation runs against the full snapshot1 id set
+    (``base_ids``), closing the unbanded-short-doc guard gap
+    (ADVICE r13)."""
+    from ingestion_scripts_spark.operators.dedup import (
+        banded_buckets,
+        capped_band_roll,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")  # noqa: F405
+    base = docs.filter(F.col("doc_id") % 4 != 0)
+    inserts = docs.filter(F.col("doc_id") % 4 == 0)
+    delete_ids = base.filter(F.col("doc_id") % 9 == 0).select("doc_id")
+
+    state = _scratch(prefix="caproll_")  # noqa: F405
+    banded_buckets(base, "doc_id", "text").write.mode("overwrite").parquet(
+        f"{state}/bands_v1"
+    )
+    base_bands = spark.read.parquet(f"{state}/bands_v1")
+    _, delta, _ = capped_band_roll(
+        base_bands,
+        docs,
+        inserts,
+        delete_ids,
+        "doc_id",
+        "text",
+        threshold=0.8,
+        max_bucket_width=_CAP_W,
+        base_ids=base.select("doc_id"),
+    )
+    return delta.orderBy("status", "id1", "id2")
+
+
+_CAPPED_BANDED = f"""
+sh AS (SELECT doc_id, {_SH} AS sh FROM documents),
+sig AS (SELECT doc_id, sh, {_SIG} AS sig FROM sh WHERE len(sh) > 0),
+banded AS (
+  SELECT doc_id, b AS band,
+         md5(array_to_string(list_transform(sig[b*4+1:b*4+4], x -> x::VARCHAR), ',')) AS bucket
+  FROM sig, unnest([0,1,2,3]) AS u(b)),
+b1 AS (SELECT * FROM banded WHERE doc_id % 4 <> 0),
+b2 AS (SELECT * FROM banded
+       WHERE doc_id % 4 = 0 OR doc_id % 9 <> 0),
+ok1 AS (SELECT band, bucket FROM b1 GROUP BY band, bucket
+        HAVING count(*) <= {_CAP_W}),
+ok2 AS (SELECT band, bucket FROM b2 GROUP BY band, bucket
+        HAVING count(*) <= {_CAP_W})"""
+
+SQL_CAPPED_BAND_ROLL = f"""
+WITH {_CAPPED_BANDED},
+fcand AS (
+  SELECT DISTINCT least(a.doc_id, b.doc_id) AS id1,
+                  greatest(a.doc_id, b.doc_id) AS id2
+  FROM b2 a JOIN b2 b ON a.band = b.band AND a.bucket = b.bucket
+  JOIN ok2 ON a.band = ok2.band AND a.bucket = ok2.bucket
+  WHERE a.doc_id < b.doc_id
+    AND (a.doc_id % 4 = 0 OR b.doc_id % 4 = 0)),
+dcand AS (
+  SELECT DISTINCT least(a.doc_id, b.doc_id) AS id1,
+                  greatest(a.doc_id, b.doc_id) AS id2
+  FROM b1 a JOIN b1 b ON a.band = b.band AND a.bucket = b.bucket
+  JOIN ok1 ON a.band = ok1.band AND a.bucket = ok1.bucket
+  WHERE a.doc_id < b.doc_id
+    AND ((a.doc_id % 9 = 0 AND a.doc_id % 4 <> 0)
+      OR (b.doc_id % 9 = 0 AND b.doc_id % 4 <> 0))),
+formed AS (
+  SELECT id1, id2,
+         round(len(list_intersect(a.sh, b.sh))::DOUBLE /
+               len(list_distinct(a.sh || b.sh)), 6) AS jaccard
+  FROM fcand JOIN sh a ON fcand.id1 = a.doc_id
+             JOIN sh b ON fcand.id2 = b.doc_id
+  WHERE round(len(list_intersect(a.sh, b.sh))::DOUBLE /
+              len(list_distinct(a.sh || b.sh)), 6) >= 0.8),
+dissolved AS (
+  SELECT id1, id2,
+         round(len(list_intersect(a.sh, b.sh))::DOUBLE /
+               len(list_distinct(a.sh || b.sh)), 6) AS jaccard
+  FROM dcand JOIN sh a ON dcand.id1 = a.doc_id
+             JOIN sh b ON dcand.id2 = b.doc_id
+  WHERE round(len(list_intersect(a.sh, b.sh))::DOUBLE /
+              len(list_distinct(a.sh || b.sh)), 6) >= 0.8)
+SELECT id1, id2, jaccard, 'formed' AS status FROM formed
+UNION ALL
+SELECT id1, id2, jaccard, 'dissolved' AS status FROM dissolved
+ORDER BY status, id1, id2"""
+
+
+def q_capped_roll_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The capped roll's skipped-mass audit (the accounting half of the
+    remediation): per (side, band) — side 'next' audits snapshot2's
+    maintained band table, side 'base' snapshot1's — bucket counts, hot
+    (> cap) bucket counts, and the EXACT pair-mass split kept vs skipped,
+    with kept + skipped == that table's ``band_table_stats`` pair_mass
+    (ledgered law). What a roll deployment alerts on: skipped_pair_mass
+    is the candidate volume the cap refused to pay, named and bounded
+    instead of silently exploding the equi-join."""
+    from ingestion_scripts_spark.operators.dedup import (
+        banded_buckets,
+        capped_band_roll,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")  # noqa: F405
+    base = docs.filter(F.col("doc_id") % 4 != 0)
+    inserts = docs.filter(F.col("doc_id") % 4 == 0)
+    delete_ids = base.filter(F.col("doc_id") % 9 == 0).select("doc_id")
+    _, _, audit = capped_band_roll(
+        banded_buckets(base, "doc_id", "text"),
+        docs,
+        inserts,
+        delete_ids,
+        "doc_id",
+        "text",
+        threshold=0.8,
+        max_bucket_width=_CAP_W,
+        base_ids=base.select("doc_id"),
+    )
+    return audit
+
+
+SQL_CAPPED_ROLL_AUDIT = f"""
+WITH {_CAPPED_BANDED},
+w1 AS (SELECT band, bucket, count(*)::BIGINT AS w FROM b1 GROUP BY band, bucket),
+w2 AS (SELECT band, bucket, count(*)::BIGINT AS w FROM b2 GROUP BY band, bucket),
+sides AS (
+  SELECT 'next' AS side, band, w FROM w2
+  UNION ALL
+  SELECT 'base' AS side, band, w FROM w1)
+SELECT side, band,
+       count(*)::BIGINT AS n_buckets,
+       sum(CASE WHEN w > {_CAP_W} THEN 1 ELSE 0 END)::BIGINT AS n_hot_buckets,
+       CAST(coalesce(sum(CASE WHEN w <= {_CAP_W} THEN w * (w - 1) // 2 END), 0)
+            AS BIGINT) AS kept_pair_mass,
+       CAST(coalesce(sum(CASE WHEN w > {_CAP_W} THEN w * (w - 1) // 2 END), 0)
+            AS BIGINT) AS skipped_pair_mass
+FROM sides GROUP BY side, band ORDER BY side, band"""
+
+
+# ---------------------------------------------------------------------------
+# maintained chunk-store roll (CDC analog of the band roll)
+# ---------------------------------------------------------------------------
+
+def q_chunk_store_roll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-roll savings delta of a PERSISTED content-addressed chunk
+    store (operators/chunking.py::chunk_store_roll): snapshot1's store is
+    written to parquet (the state a prior roll would have left) and read
+    back; the roll chunk-hashes ONLY the delta (inserts + retired docs),
+    maintains refcounts by hash-keyed set algebra, and reports added /
+    removed / retained hash classes with exact stored vs logical token
+    mass (dup_tokens = the savings a store-once backend realizes). Same
+    %4/%9 delta schedule as the band roll; the oracle recomputes both
+    snapshots' stores from scratch and diffs them."""
+    from ingestion_scripts_spark.operators.chunking import (
+        build_chunk_store,
+        chunk_store_roll,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")  # noqa: F405
+    base = docs.filter(F.col("doc_id") % 4 != 0)
+    inserts = docs.filter(F.col("doc_id") % 4 == 0)
+    delete_ids = base.filter(F.col("doc_id") % 9 == 0).select("doc_id")
+
+    state = _scratch(prefix="chunkstore_")  # noqa: F405
+    build_chunk_store(base, "doc_id", "text").write.mode("overwrite").parquet(
+        f"{state}/store_v1"
+    )
+    store1 = spark.read.parquet(f"{state}/store_v1")
+    _, report = chunk_store_roll(
+        store1, base, inserts, delete_ids, "doc_id", "text"
+    )
+    return report
+
+
+_CDC_ROWS = f"""
+pos AS (
+  SELECT doc_id,
+         list_filter(string_split(lower(text), ' '), x -> x <> '') AS t
+  FROM documents),
+docs AS (SELECT doc_id, t, len(t) AS n FROM pos WHERE len(t) > 0),
+cand AS (
+  SELECT doc_id, u.i AS b
+  FROM docs, unnest(generate_series(4, n)) AS u(i)
+  WHERE n >= 4 AND ({{win}}) % 16 = 0),
+bnd AS (
+  SELECT doc_id, b FROM cand
+  UNION
+  SELECT doc_id, n AS b FROM docs),
+chunk AS (
+  SELECT doc_id, b AS endpos,
+         coalesce(lag(b) OVER (PARTITION BY doc_id ORDER BY b), 0) + 1
+           AS start
+  FROM bnd),
+rows_ AS (
+  SELECT c.doc_id, c.start,
+         c.endpos - c.start + 1 AS clen,
+         {{chash}} AS chash
+  FROM chunk c JOIN docs p USING (doc_id))"""
+
+SQL_CHUNK_STORE_ROLL = f"""
+WITH {_CDC_ROWS.format(win=_CDC_WIN, chash=_CDC_CHUNK)},
+s1 AS (
+  SELECT chash, min(clen) AS clen, count(*)::BIGINT AS refs
+  FROM rows_ WHERE doc_id % 4 <> 0 GROUP BY chash),
+s2 AS (
+  SELECT chash, min(clen) AS clen, count(*)::BIGINT AS refs
+  FROM rows_ WHERE doc_id % 4 = 0 OR doc_id % 9 <> 0 GROUP BY chash),
+merged AS (
+  SELECT coalesce(s2.chash, s1.chash) AS chash,
+         coalesce(s2.clen, s1.clen) AS clen,
+         CASE WHEN s1.chash IS NULL THEN 'added'
+              WHEN s2.chash IS NULL THEN 'removed'
+              ELSE 'retained' END AS status,
+         coalesce(s2.refs, s1.refs) AS refs
+  FROM s1 FULL OUTER JOIN s2 ON s1.chash = s2.chash)
+SELECT status,
+       count(*)::BIGINT AS n_hashes,
+       CAST(sum(clen) AS BIGINT) AS stored_tokens,
+       CAST(sum(refs * clen) AS BIGINT) AS logical_tokens,
+       CAST(sum(refs * clen) - sum(clen) AS BIGINT) AS dup_tokens
+FROM merged GROUP BY status ORDER BY status"""
+
+
+# ---------------------------------------------------------------------------
+# clamped content-defined chunking dedup (min/max cuts as code)
+# ---------------------------------------------------------------------------
+
+#: registry clamp parameters: bind on the test corpora (documents token
+#: counts straddle both; expected basic chunk ≈ 16 tokens, so min=8
+#: suppresses short candidates and max=24 forces cuts on candidate gaps).
+_CLAMP_MIN = 8
+_CLAMP_MAX = 24
+
+
+def q_cdc_clamped_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source storage-dedup report over CLAMPED content-defined
+    chunks (operators/chunking.py::cdc_chunks_clamped, min=8 / max=24,
+    window=4, divisor=16): the production CDC shape — a chunk ends at
+    the first candidate boundary at least min tokens in, is force-cut at
+    max, and the doc tail is the one sanctioned sub-min chunk. The
+    DuckDB twin re-derives the boundaries with a RECURSIVE walk (next
+    cut = min candidate in [start+min, start+max], else forced), so the
+    sequential Spark ``aggregate`` walk is certified against an
+    independent sequential formulation, not itself."""
+    from ingestion_scripts_spark.operators.chunking import cdc_dedup_report
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text", "source")  # noqa: F405
+    return cdc_dedup_report(
+        docs, "doc_id", "text", "source", min_len=_CLAMP_MIN, max_len=_CLAMP_MAX
+    )
+
+
+_CDC_WCHUNK = _CDC_H.format(
+    x="array_to_string(d.t[w.start_pos:w.endpos], ' ')"
+)
+
+SQL_CDC_CLAMPED_DEDUP = f"""
+WITH RECURSIVE pos AS (
+  SELECT doc_id, source,
+         list_filter(string_split(lower(text), ' '), x -> x <> '') AS t
+  FROM documents),
+docs AS (SELECT doc_id, source, t, len(t) AS n FROM pos WHERE len(t) > 0),
+cand AS (
+  SELECT doc_id, u.i AS b
+  FROM docs, unnest(generate_series(4, n)) AS u(i)
+  WHERE n >= 4 AND ({_CDC_WIN}) % 16 = 0),
+walk AS (
+  SELECT doc_id, CAST(0 AS BIGINT) AS endpos, 0 AS k FROM docs
+  UNION ALL
+  SELECT w.doc_id,
+         coalesce(
+           (SELECT min(c.b) FROM cand c
+            WHERE c.doc_id = w.doc_id
+              AND c.b >= w.endpos + {_CLAMP_MIN}
+              AND c.b <= w.endpos + {_CLAMP_MAX}),
+           least(w.endpos + {_CLAMP_MAX}, d.n)) AS endpos,
+         w.k + 1
+  FROM walk w JOIN docs d USING (doc_id)
+  WHERE w.endpos < d.n),
+steps AS (
+  SELECT doc_id, k AS chunk_idx, endpos,
+         lag(endpos) OVER (PARTITION BY doc_id ORDER BY k) + 1 AS start_pos
+  FROM walk),
+rows_ AS (
+  SELECT w.doc_id, d.source, w.start_pos,
+         w.endpos - w.start_pos + 1 AS clen,
+         {_CDC_WCHUNK} AS chash
+  FROM steps w JOIN docs d USING (doc_id)
+  WHERE w.chunk_idx >= 1),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY chash ORDER BY doc_id, start_pos)
+    AS rn
+  FROM rows_)
+SELECT source,
+       count(*)::BIGINT AS n_chunks,
+       sum(CASE WHEN rn >= 2 THEN 1 ELSE 0 END)::BIGINT AS dup_chunks,
+       CAST(sum(clen) AS BIGINT) AS total_tokens,
+       CAST(coalesce(sum(CASE WHEN rn >= 2 THEN clen END), 0) AS BIGINT)
+         AS dup_tokens,
+       CAST((coalesce(sum(CASE WHEN rn >= 2 THEN clen END), 0) * 1000000)
+            // sum(clen) AS BIGINT) AS dedup_ppm
+FROM ranked GROUP BY source ORDER BY source"""
+
+
+__all__ = list(_prev.__all__) + [  # noqa: PLE0605
+    "q_capped_band_roll", "SQL_CAPPED_BAND_ROLL",
+    "q_capped_roll_audit", "SQL_CAPPED_ROLL_AUDIT",
+    "q_chunk_store_roll", "SQL_CHUNK_STORE_ROLL",
+    "q_cdc_clamped_dedup", "SQL_CDC_CLAMPED_DEDUP",
+]
