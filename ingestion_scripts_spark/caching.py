@@ -24,6 +24,7 @@ from __future__ import annotations
 
 import logging
 import os
+import threading
 
 from pyspark.sql import DataFrame
 from pyspark.storagelevel import StorageLevel
@@ -92,12 +93,21 @@ def _iter_level_mode() -> str:
 #: plan-stat unavailable (exception fallback, safe/serialized direction).
 ITER_DECISIONS: list[tuple[int | None, bool]] = []
 _ITER_DECISIONS_MAX = 256
+#: ADVICE r13: the ring is process-global; concurrent queries interleave
+#: entries, so per-loop regime assertions are only meaningful in
+#: single-threaded probes/tests (the current consumers). The lock keeps
+#: append+trim ATOMIC under concurrency (no lost updates / races on the
+#: trim window) — it does not, and cannot, un-interleave entries;
+#: a multi-threaded harness that wants per-query attribution should
+#: scope its own ring around the loop it drives.
+_ITER_DECISIONS_LOCK = threading.Lock()
 
 
 def _record_iter_decision(est: int | None, ser: bool) -> None:
-    ITER_DECISIONS.append((est, ser))
-    if len(ITER_DECISIONS) > _ITER_DECISIONS_MAX:
-        del ITER_DECISIONS[: -_ITER_DECISIONS_MAX]
+    with _ITER_DECISIONS_LOCK:
+        ITER_DECISIONS.append((est, ser))
+        if len(ITER_DECISIONS) > _ITER_DECISIONS_MAX:
+            del ITER_DECISIONS[: -_ITER_DECISIONS_MAX]
     _log.debug(
         "iterative_checkpoint auto: plan-stat est=%s bytes (threshold %d) "
         "-> %s",

@@ -214,18 +214,32 @@ def cdc_dedup_report(
     group_col: str = "source",
     window: int = CDC_WINDOW,
     divisor: int = CDC_DIVISOR,
-    min_len: int | None = None,
-    max_len: int | None = None,
 ) -> DataFrame:
-    """Chunk-level storage-dedup report per ``group_col``: a chunk
-    OCCURRENCE is a duplicate when the same chunk_hash appeared earlier
-    in global (doc_id, start_pos) order (first copy is charged, every
-    repeat is savings — the store-once accounting a content-addressed
-    chunk store does). Returns (group, n_chunks, dup_chunks,
-    total_tokens, dup_tokens, dedup_ppm) with dedup_ppm exact-integer
-    micro-units, ordered by group. Pass ``min_len``/``max_len`` (both or
-    neither) to account over :func:`cdc_chunks_clamped` boundaries
-    instead of the basic scheme.
+    """Chunk-level storage-dedup report per ``group_col`` over the BASIC
+    scheme's boundaries — :func:`chunk_occurrence_report` applied to
+    :func:`cdc_chunks`; pass :func:`cdc_chunks_clamped` rows to the
+    report directly for the clamped scheme."""
+    return chunk_occurrence_report(
+        cdc_chunks(docs, id_col, text_col, window, divisor),
+        docs,
+        id_col,
+        group_col,
+    )
+
+
+def chunk_occurrence_report(
+    chunks: DataFrame,
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    group_col: str = "source",
+) -> DataFrame:
+    """Store-once accounting over ANY chunker's rows (basic or clamped —
+    the report is chunker-agnostic): a chunk OCCURRENCE is a duplicate
+    when the same chunk_hash appeared earlier in global (doc_id,
+    start_pos) order (first copy is charged, every repeat is savings —
+    the accounting a content-addressed chunk store does). Returns
+    (group, n_chunks, dup_chunks, total_tokens, dup_tokens, dedup_ppm)
+    with dedup_ppm exact-integer micro-units, ordered by group.
 
     Scale shape: one (chunk_hash)-keyed window for the occurrence rank
     (corpus-wide only per duplicated hash value), one keyed aggregation
@@ -233,18 +247,9 @@ def cdc_dedup_report(
     """
     from pyspark.sql import Window
 
-    if (min_len is None) != (max_len is None):
-        raise ValueError("pass both of min_len/max_len or neither")
-    chunked = (
-        cdc_chunks(docs, id_col, text_col, window, divisor)
-        if min_len is None
-        else cdc_chunks_clamped(
-            docs, id_col, text_col, window, divisor, min_len, max_len
-        )
-    )
-    chunks = chunked.join(docs.select(F.col(id_col), F.col(group_col)), id_col)
+    joined = chunks.join(docs.select(F.col(id_col), F.col(group_col)), id_col)
     w = Window.partitionBy("chunk_hash").orderBy(id_col, "start_pos")
-    ranked = chunks.withColumn("__rn", F.row_number().over(w))
+    ranked = joined.withColumn("__rn", F.row_number().over(w))
     dup = (F.col("__rn") >= 2).cast("int")
     return (
         ranked.groupBy(F.col(group_col).alias("grp"))

@@ -284,12 +284,16 @@ def q_cdc_clamped_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     cut = min candidate in [start+min, start+max], else forced), so the
     sequential Spark ``aggregate`` walk is certified against an
     independent sequential formulation, not itself."""
-    from ingestion_scripts_spark.operators.chunking import cdc_dedup_report
+    from ingestion_scripts_spark.operators.chunking import (
+        cdc_chunks_clamped,
+        chunk_occurrence_report,
+    )
 
     docs = _t(spark, sf_dir, "documents").select("doc_id", "text", "source")  # noqa: F405
-    return cdc_dedup_report(
-        docs, "doc_id", "text", "source", min_len=_CLAMP_MIN, max_len=_CLAMP_MAX
+    chunks = cdc_chunks_clamped(
+        docs, "doc_id", "text", min_len=_CLAMP_MIN, max_len=_CLAMP_MAX
     )
+    return chunk_occurrence_report(chunks, docs, "doc_id", "source")
 
 
 _CDC_WCHUNK = _CDC_H.format(

@@ -95,10 +95,9 @@ def test_operator_citations_name_a_real_callee():
     """op:-level entries must cite an operator the query actually calls —
     a copy-paste citation of an unrelated operator is a ledger bug."""
     qsrc = {}
-    sources = [
-        os.path.join(ROOT, f"ingestion_scripts_spark/registry/part{p:02d}.py")
-        for p in range(1, 14)
-    ] + [os.path.join(ROOT, "__spark_entry__.py")]
+    sources = sorted(
+        glob.glob(os.path.join(ROOT, "ingestion_scripts_spark/registry/part*.py"))
+    ) + [os.path.join(ROOT, "__spark_entry__.py")]
     for f in sources:
         src = open(f).read()
         tree = ast.parse(src)
