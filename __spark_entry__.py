@@ -383,44 +383,44 @@ _REGISTRY: list[tuple[str, Callable[[SparkSession, str], DataFrame], str | None]
     ("cdc_clamped_dedup", q_cdc_clamped_dedup, SQL_CDC_CLAMPED_DEDUP),
 ]
 
-# --- r13 driver-window rotation (recomputed from CORRECTNESS_r01-r12) -----
-# The driver certifies positions 1-50 each round. CORRECTNESS_r12 landed
-# 50/50, so cumulative driver-green entering r13 is 305/305 and the only
-# debt is the 4 r13-session additions (never-driver-green by definition).
+# --- r14 driver-window rotation (recomputed from CORRECTNESS_r01-r13) -----
+# The driver certifies positions 1-50 each round. CORRECTNESS_r13 landed
+# 50/50, so cumulative driver-green entering r14 is 309/309 and the only
+# debt is the 4 r14-session additions (never-driver-green by definition).
 # Window = those 4 + the 46 re-certification anchors with the OLDEST
-# driver evidence, RECOMPUTED from the committed CORRECTNESS_r01-r12
+# driver evidence, RECOMPUTED from the committed CORRECTNESS_r01-r13
 # artifacts (max green round, declaration order as tiebreak) — never from
-# ROADMAP prose (r10-VERDICT wrong #2). That computation puts the five
-# last-green-r5 queries first (hll_merge_rollup, grouping_sets_revenue,
-# window_dist_funcs, lang_histograms, stats_corr — VERDICT r12 item 1),
-# then the first 41 of the last-green-r6 block in declaration order.
-# tests/test_entry_contract.py pins the resulting window verbatim and
-# re-derives it from the artifacts.
-_R13_WINDOW = [
-    # never-driver-green debt (r13 additions), window-start
-    "snapshot_band_roll", "band_skew_audit", "stream_snapshot_roll",
-    "cdc_chunk_dedup",
-    # re-certification anchors: the five last-green-r5 queries, then the
-    # last-green-r6 block in declaration order
-    "hll_merge_rollup", "grouping_sets_revenue", "window_dist_funcs",
-    "lang_histograms", "stats_corr",
-    "semdedup", "cms_heavy_hitters", "doc_chunks", "gopher_rules",
-    "priority_sample", "domain_caps", "orc_source", "unigram_ppl",
-    "bpe_merges", "bpe_tokenize", "ivf_trained_topk", "hist_quantiles",
-    "dataset_split", "char_entropy", "min_price_supplier", "column_profile",
-    "bigram_backoff_ppl", "ann_recall", "zorder_layout", "observed_ingest",
-    "skew_report", "dataset_card", "session_funnel", "langid_confusion",
-    "cross_split_contamination", "first_touch_attribution",
-    "partitioned_sink", "dedup_best_survivor", "boilerplate_segments",
-    "daily_gapfill", "interval_join_hot_hours", "bucketed_join_revenue",
-    "winsorized_lengths", "snapshot_diff", "weekly_growth",
-    "top_customer_by_nation", "custom_feed_source", "stream_custom_source",
-    "dq_checks", "sessionize_udtf", "fellegi_sunter_scores",
+# ROADMAP prose (r10-VERDICT wrong #2). That computation puts the nine
+# last-green-r6 queries first (VERDICT r13 item 1 names exactly these
+# nine as the only >r8-stale records), then the first 37 of the
+# last-green-r8 block in declaration order. tests/test_entry_contract.py
+# pins the resulting window verbatim and re-derives it from the artifacts.
+_R14_WINDOW = [
+    # never-driver-green debt (r14 additions), window-start
+    "capped_band_roll", "capped_roll_audit", "chunk_store_roll",
+    "cdc_clamped_dedup",
+    # re-certification anchors: the nine last-green-r6 queries, then the
+    # last-green-r8 block in declaration order
+    "cohens_kappa", "calibration_bins", "hits_scores", "kneser_ney_ppl",
+    "dp_count_laplace", "rate_limit_replay", "stream_token_bucket",
+    "kcore_parts", "kcenter_coreset",
+    "top_orders", "region_revenue", "antijoin_new_users",
+    "dead_letter_routing", "semi_join_urgent", "cust_order_dist",
+    "rollup_revenue", "distinct_users", "asof_clicks",
+    "purchase_error_funnel", "small_quantity_revenue", "in_subquery_parts",
+    "hourly_windows", "stream_hourly_windows", "stream_sessionize",
+    "avg_precision_quality", "sq8_recall", "ndcg_quality", "zipf_slope",
+    "max_coverage", "source_unique_vocab", "ppr_coorder", "dedup_funnel",
+    "pq_recall", "conformal_gate", "isotonic_calibration",
+    "theil_sen_trend", "kmv_distinct", "wasserstein_drift",
+    "kendall_tau_daily", "mrr_quality", "link_prediction", "acf_daily",
+    "l_diversity", "ahash_image_neardup", "seasonal_revenue",
+    "community_modularity",
 ]
 _BY_NAME = {t[0]: t for t in _REGISTRY}
 _REGISTRY = (
-    [_BY_NAME[n] for n in _R13_WINDOW]
-    + [t for t in _REGISTRY if t[0] not in set(_R13_WINDOW)]
+    [_BY_NAME[n] for n in _R14_WINDOW]
+    + [t for t in _REGISTRY if t[0] not in set(_R14_WINDOW)]
 )
 
 

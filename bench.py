@@ -296,13 +296,21 @@ HEADLINE = [
     "longest_dup_span",
     "domain_dedup_stats",
     "incremental_value_stats",
-    "snapshot_dedup_delta",
+    # snapshot_dedup_delta (r10) left the headline in r14: it is now a
+    # thin re-sign-the-base wrapper kept as the roll law's full-recompute
+    # side; the headline prices the PRODUCTION maintained-state shape
+    # (snapshot_band_roll / capped_band_roll) instead (VERDICT r13 item 5)
     "span_removal_apply",
     "calibration_drift",
     # r13 additions
     "snapshot_band_roll",
     "band_skew_audit",
     "cdc_chunk_dedup",
+    # r14 additions
+    "capped_band_roll",
+    "capped_roll_audit",
+    "chunk_store_roll",
+    "cdc_clamped_dedup",
 ]
 
 #: deliberate shadows: oracle-exact twins of faster default kernels, kept

@@ -51,39 +51,43 @@ def test_catalog_register_testdata(spark):
 
 
 #: the driver certifies registry positions 1-50 each round; this is the
-#: deliberate r13 window: the 4 r13-session additions (never-driver-green
-#: debt, window-start) + 47 re-certification anchors with the oldest
-#: driver evidence, RECOMPUTED from CORRECTNESS_r01-r12 (max green round,
-#: declaration order as tiebreak) — the five last-green-r5 queries
-#: (hll_merge_rollup, grouping_sets_revenue, window_dist_funcs,
-#: lang_histograms, stats_corr — VERDICT r12 item 1) lead the anchors,
-#: then the first 41 of the last-green-r6 block. CORRECTNESS_r12 landed
-#: 50/50, so debt entering r13 was zero. r2's lesson: silent registry
-#: drift displaced fixed queries past position 50, so their fixes were
-#: never driver-certified — any change to this window must be a conscious
-#: edit of BOTH the registry and this pin.
-R13_WINDOW = [
-    "snapshot_band_roll", "band_skew_audit", "stream_snapshot_roll",
-    "cdc_chunk_dedup", "hll_merge_rollup", "grouping_sets_revenue", "window_dist_funcs",
-    "lang_histograms", "stats_corr", "semdedup", "cms_heavy_hitters",
-    "doc_chunks", "gopher_rules", "priority_sample", "domain_caps",
-    "orc_source", "unigram_ppl", "bpe_merges", "bpe_tokenize",
-    "ivf_trained_topk", "hist_quantiles", "dataset_split", "char_entropy",
-    "min_price_supplier", "column_profile", "bigram_backoff_ppl",
-    "ann_recall", "zorder_layout", "observed_ingest", "skew_report",
-    "dataset_card", "session_funnel", "langid_confusion",
-    "cross_split_contamination", "first_touch_attribution",
-    "partitioned_sink", "dedup_best_survivor", "boilerplate_segments",
-    "daily_gapfill", "interval_join_hot_hours", "bucketed_join_revenue",
-    "winsorized_lengths", "snapshot_diff", "weekly_growth",
-    "top_customer_by_nation", "custom_feed_source", "stream_custom_source",
-    "dq_checks", "sessionize_udtf", "fellegi_sunter_scores",
+#: deliberate r14 window: the 4 r14-session additions (never-driver-green
+#: debt, window-start) + 46 re-certification anchors with the oldest
+#: driver evidence, RECOMPUTED from CORRECTNESS_r01-r13 (max green round,
+#: declaration order as tiebreak) — the nine last-green-r6 queries
+#: (cohens_kappa, calibration_bins, hits_scores, kneser_ney_ppl,
+#: dp_count_laplace, rate_limit_replay, stream_token_bucket, kcore_parts,
+#: kcenter_coreset — VERDICT r13 item 1 names exactly these) lead the
+#: anchors, then the first 37 of the last-green-r8 block in declaration
+#: order (max staleness after this round: r8 → ≤ r9 next). CORRECTNESS_r13
+#: landed 50/50, so debt entering r14 was zero. r2's lesson: silent
+#: registry drift displaced fixed queries past position 50, so their
+#: fixes were never driver-certified — any change to this window must be
+#: a conscious edit of BOTH the registry and this pin.
+R14_WINDOW = [
+    "capped_band_roll", "capped_roll_audit", "chunk_store_roll",
+    "cdc_clamped_dedup",
+    "cohens_kappa", "calibration_bins", "hits_scores", "kneser_ney_ppl",
+    "dp_count_laplace", "rate_limit_replay", "stream_token_bucket",
+    "kcore_parts", "kcenter_coreset",
+    "top_orders", "region_revenue", "antijoin_new_users",
+    "dead_letter_routing", "semi_join_urgent", "cust_order_dist",
+    "rollup_revenue", "distinct_users", "asof_clicks",
+    "purchase_error_funnel", "small_quantity_revenue", "in_subquery_parts",
+    "hourly_windows", "stream_hourly_windows", "stream_sessionize",
+    "avg_precision_quality", "sq8_recall", "ndcg_quality", "zipf_slope",
+    "max_coverage", "source_unique_vocab", "ppr_coorder", "dedup_funnel",
+    "pq_recall", "conformal_gate", "isotonic_calibration",
+    "theil_sen_trend", "kmv_distinct", "wasserstein_drift",
+    "kendall_tau_daily", "mrr_quality", "link_prediction", "acf_daily",
+    "l_diversity", "ahash_image_neardup", "seasonal_revenue",
+    "community_modularity",
 ]
 
 
 def test_driver_window_is_pinned():
     names = list(E.queries().keys())
-    assert names[:50] == R13_WINDOW
+    assert names[:50] == R14_WINDOW
 
 
 def test_window_anchors_recomputed_from_artifacts():
@@ -99,8 +103,8 @@ def test_window_anchors_recomputed_from_artifacts():
     green_round: dict[str, int] = {}
     for path in sorted(glob.glob(os.path.join(root, "CORRECTNESS_r*.json"))):
         rnd = int(os.path.basename(path).split("_r")[1].split(".")[0])
-        if rnd > 12:
-            continue  # the window was computed entering r13; later
+        if rnd > 13:
+            continue  # the window was computed entering r14; later
             # artifacts certify it but must not retro-change the pin
         for name, rec in json.load(open(path)).items():
             if (

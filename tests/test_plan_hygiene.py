@@ -304,6 +304,9 @@ GLOBAL_SORT_ALLOWLIST = {
     'snapshot_dedup_delta', 'span_removal_apply',
     # r13 addition: same pair-delta presentation sort, persisted-band path
     'snapshot_band_roll',
+    # r14 addition: same pair-delta presentation sort, capped path (the
+    # sorted frame is the delta — delta-scaled by construction)
+    'capped_band_roll',
     'parse_struct_time', 'parse_zoned', 'pii_scrub',
     'pinball_loss_sources', 'ppr_coorder', 'quality_gate',
     'quality_score', 'rate_limit_replay', 'repetition_signals',
