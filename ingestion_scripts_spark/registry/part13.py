@@ -212,7 +212,9 @@ def q_stream_snapshot_roll(spark: SparkSession, sf_dir: str) -> DataFrame:
     verified pair delta. Three deterministic batches insert doc_id % 3
     == b; batch b additionally retires current members with doc_id % 7
     == b (batch 0 retires nothing — the corpus starts empty). State
-    round-trips through versioned parquet (bands_v{b}, corpus_v{b}) —
+    round-trips through versioned parquet (bands_v{b}, corpus_v{b}, and
+    the delta sink itself as delta_v{b} overwrites — replay-safe,
+    ADVICE r13, pinned by tests/test_r14_advice.py) —
     the ``stream_idempotent_sink`` replay pattern — so every trigger
     reads the PERSISTED band table a prior trigger wrote; the corpus is
     never re-signed.
