@@ -311,6 +311,10 @@ HEADLINE = [
     "capped_roll_audit",
     "chunk_store_roll",
     "cdc_clamped_dedup",
+    "hot_bucket_sweep",
+    "capped_sweep_recall",
+    "ivf_postings_roll",
+    "ivf_roll_serve",
 ]
 
 #: deliberate shadows: oracle-exact twins of faster default kernels, kept

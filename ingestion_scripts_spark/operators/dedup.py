@@ -1506,3 +1506,113 @@ def capped_band_roll(
         "side", "band"
     )
     return bb_maint, formed.unionByName(dissolved), audit
+
+
+def hot_bucket_sweep(
+    band_table: DataFrame,
+    texts: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.8,
+    n_shingle: int = 3,
+    num_hashes: int = 16,
+    max_bucket_width: int = 64,
+    neighbor_window: int = 8,
+) -> DataFrame:
+    """Offline recovery of the pairs a stop-bucket cap refused — the
+    "later re-cap or offline sweep" :func:`capped_band_roll`'s contract
+    defers (its band table keeps full fidelity for exactly this job).
+
+    A hot (band, bucket) of width w holds w·(w−1)/2 candidate pairs; an
+    online roll must refuse that mass, but an offline compaction can
+    afford a BOUNDED pass. This sweep is sorted-neighborhood restricted
+    to hot buckets (the SNM blocking move, Hernández & Stolfo SIGMOD'95,
+    applied inside an LSH bucket): hot-bucket members are re-signed
+    (members only — never the corpus), ordered within each bucket by
+    their full MinHash signature (similar docs sort near each other —
+    the signature IS a similarity-correlated key), and only rank
+    neighbors within ``neighbor_window`` become candidates. Cost is
+    Σ_hot w·window instead of Σ_hot w², verified pairs are exact-Jaccard
+    sound by construction, and with ``neighbor_window`` ≥ max hot width
+    the sweep is COMPLETE over hot buckets — capped-roll pairs ∪ sweep
+    pairs == uncapped pairs (ledgered law).
+
+    Inputs: ``band_table`` — a persisted (id, band, bucket) table (the
+    state :func:`snapshot_band_roll` maintains); ``texts`` — the doc
+    store, point-read for hot members and candidate endpoints only.
+    Returns distinct (id1, id2, jaccard) with id1 < id2, jaccard ≥
+    ``threshold``, each pair sharing ≥ 1 hot bucket.
+
+    Scale shape: one width aggregation (map-side combine), one semi-join
+    to pull hot members' texts, the delta-bounded signature pipeline of
+    :func:`minhash_signatures` over members only, ONE ranked window per
+    (band, bucket) — the partition key is the bucket, so the sort is
+    bucket-local, never global — and an equi-join on (band, bucket,
+    rank) built by exploding ``neighbor_window`` rank offsets (no range
+    join, no self-cartesian). Verification re-shingles candidate
+    endpoints only.
+    """
+    widths = band_table.groupBy("band", "bucket").agg(
+        F.count(F.lit(1)).alias("__w")
+    )
+    hot_keys = widths.filter(F.col("__w") > max_bucket_width).select(
+        "band", "bucket"
+    )
+    hot_rows = band_table.join(hot_keys, ["band", "bucket"])
+    members = hot_rows.select(id_col).distinct()
+    mem_texts = texts.select(id_col, text_col).join(members, id_col, "semi")
+    sigs = minhash_signatures(mem_texts, id_col, text_col, n_shingle, num_hashes)
+
+    w = Window.partitionBy("band", "bucket").orderBy(
+        F.col("sig"), F.col(id_col)
+    )
+    ranked = (
+        hot_rows.join(sigs, id_col)
+        .select(id_col, "band", "bucket", "sig")
+        .withColumn("rnk", F.row_number().over(w))
+    )
+    left = ranked.select(
+        F.col(id_col).alias("__a"), "band", "bucket", F.col("rnk").alias("__ra")
+    ).withColumn(
+        "__rb",
+        F.explode(
+            F.sequence(F.col("__ra") + 1, F.col("__ra") + neighbor_window)
+        ),
+    )
+    right = ranked.select(
+        F.col(id_col).alias("__b"), "band", "bucket", F.col("rnk").alias("__rb")
+    )
+    cand = (
+        left.join(right, ["band", "bucket", "__rb"])
+        .select(
+            F.least("__a", "__b").alias("id1"),
+            F.greatest("__a", "__b").alias("id2"),
+        )
+        .dropDuplicates(["id1", "id2"])
+    )
+
+    ends = (
+        cand.select(F.col("id1").alias(id_col))
+        .unionByName(cand.select(F.col("id2").alias(id_col)))
+        .distinct()
+    )
+    sh = texts.select(id_col, text_col).join(ends, id_col, "semi").select(
+        F.col(id_col).alias("__vid"),
+        shingles(F.col(text_col), n_shingle).alias("__sh"),
+    )
+    return (
+        cand.join(
+            sh.select(F.col("__vid").alias("id1"), F.col("__sh").alias("__sh1")),
+            "id1",
+        )
+        .join(
+            sh.select(F.col("__vid").alias("id2"), F.col("__sh").alias("__sh2")),
+            "id2",
+        )
+        .select(
+            "id1",
+            "id2",
+            F.round(jaccard(F.col("__sh1"), F.col("__sh2")), 6).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )

@@ -21,6 +21,8 @@ import hashlib
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from .dedup import _assert_disjoint_delta
+
 
 def spread(df: DataFrame) -> DataFrame:
     """CPU-parallelism guard for the corpus side of vector kernels.
@@ -876,6 +878,156 @@ def hard_negatives(
             F.round(dot(F.col("qv"), F.col("cv")), 6).alias("sim"),
         )
         .filter(F.col("sim") < F.lit(max_sim))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("match_id"))
+    return scored.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= k
+    )
+
+
+def ivf_postings_roll(
+    postings: DataFrame,
+    inserts: DataFrame,
+    delete_ids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    n_cells: int = 8,
+    centroids: list[list[float]] | None = None,
+    validate: bool = True,
+) -> tuple[DataFrame, DataFrame]:
+    """Maintained-state roll of a PERSISTED IVF postings table — the ANN
+    analog of ``dedup.snapshot_band_roll`` and ``chunking.
+    chunk_store_roll``: at 100 TB an ANN index is maintained state by
+    definition, yet ``ivf_ann_topk`` re-assigns the whole corpus to
+    coarse cells on every call (fine for a one-shot query, wrong as a
+    serving contract). Here the (id, cell) assignment PERSISTS (e.g. as
+    cell-partitioned parquet); a roll assigns cells for the DELTA only
+    and maintains the index by set algebra — P' = (P ∖ deletes) ∪
+    assign(inserts) — exactly the band-table move, applicable because
+    IVF assignment under FROZEN centroids is per-row derived state.
+    (Re-training centroids is a rebuild, not a roll — same as re-picking
+    LSH band parameters.)
+
+    Inputs: ``postings`` — the persisted (id, cell) table; ``inserts`` —
+    (id, vector) rows entering the corpus; ``delete_ids`` — one id
+    column leaving it. Returns ``(new_postings, audit)``:
+
+    * ``new_postings`` — (id, cell), identical to assigning snapshot2
+      from scratch (law-tested); write it cell-partitioned so serving
+      probes prune partitions;
+    * ``audit`` — one row per cell: ``n_before``, ``n_added``,
+      ``n_removed``, ``n_after`` (exact bigints, ordered by cell; cells
+      present on either side appear). The roll-time balance check:
+      a cell whose n_after drifts far above the mean is the IVF analog
+      of a hot LSH bucket (every probe of that cell scans its postings),
+      flagged here before serving pays it.
+
+    Scale shape: cell assignment (the only vector math) touches inserts
+    only; the maintained table is one anti-join + union, all keyed by
+    id; the audit is two (cell)-keyed counts with map-side combine full-
+    outer-joined on cell. Nothing is corpus-bounded except the pruned
+    scan of the postings table itself — unavoidable, since P' must be
+    written.
+    """
+    cents = centroids if centroids is not None else ivf_centroids(n_cells, dim)
+    did = delete_ids.columns[0]
+    dels = delete_ids.select(F.col(did).alias(id_col)).distinct()
+    if validate:
+        # same SCD delta contract as the band/chunk rolls; unlike the
+        # band table (whose sub-n_shingle docs carry no rows — the
+        # ADVICE-r13 guard gap), IVF assignment is TOTAL, so the
+        # postings id column IS the corpus membership set and this
+        # probe is complete without an external base_ids.
+        _assert_disjoint_delta(
+            postings.select(id_col), inserts.select(id_col), dels, id_col
+        )
+
+    ins = _normed(inserts, id_col, id_col, vec_col, "__qv").select(
+        id_col, ivf_cell(F.col("__qv"), cents).alias("cell")
+    )
+    surv = postings.join(dels, id_col, "left_anti")
+    new_postings = surv.unionByName(ins)
+
+    before = postings.groupBy("cell").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_before")
+    )
+    added = ins.groupBy("cell").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_added")
+    )
+    removed = (
+        postings.join(dels, id_col, "semi")
+        .groupBy("cell")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_removed"))
+    )
+    audit = (
+        before.join(added, "cell", "full_outer")
+        .join(removed, "cell", "full_outer")
+        .select(
+            "cell",
+            F.coalesce("n_before", F.lit(0)).cast("bigint").alias("n_before"),
+            F.coalesce("n_added", F.lit(0)).cast("bigint").alias("n_added"),
+            F.coalesce("n_removed", F.lit(0)).cast("bigint").alias("n_removed"),
+        )
+        .withColumn(
+            "n_after",
+            (F.col("n_before") + F.col("n_added") - F.col("n_removed")).cast(
+                "bigint"
+            ),
+        )
+        .orderBy("cell")
+    )
+    return new_postings, audit
+
+
+def ivf_serve_from_postings(
+    queries: DataFrame,
+    corpus: DataFrame,
+    postings: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    n_cells: int = 8,
+    k: int = 10,
+    probes: int = 1,
+    centroids: list[list[float]] | None = None,
+) -> DataFrame:
+    """Serve IVF top-k FROM a maintained postings table instead of
+    re-assigning the corpus per query — the read side of
+    :func:`ivf_postings_roll`'s contract. The corpus-side cell column
+    comes from the persisted index (a cell-keyed join / partition-pruned
+    read), so per-query work is: assign the QUERY to its ``probes``
+    nearest cells, pull only those cells' postings, point-join their
+    vectors from the corpus store by id, score one dot each.
+
+    Law-tested identity: on a postings table consistent with the corpus
+    (e.g. the output of a roll), this equals ``ivf_ann_topk`` recomputed
+    from scratch with the same centroids. Returns (query_id, match_id,
+    sim, rank) with rank ≤ k per query.
+    """
+    cents = centroids if centroids is not None else ivf_centroids(n_cells, dim)
+    q = _normed(queries, "query_id", id_col, vec_col, "qv")
+    if probes <= 1:
+        q = q.withColumn("cell", ivf_cell(F.col("qv"), cents))
+    else:
+        q = q.withColumn(
+            "cell", F.explode(ivf_probe_cells(F.col("qv"), cents, probes))
+        )
+    cand = postings.join(
+        F.broadcast(q.select("cell").distinct()), "cell"
+    )  # partition-pruned read when postings is cell-partitioned parquet
+    c = _normed(spread(corpus), "match_id", id_col, vec_col, "cv").join(
+        cand.select(F.col(id_col).alias("match_id"), "cell"), "match_id"
+    )
+    scored = (
+        F.broadcast(q)
+        .join(c, "cell")
+        .filter(F.col("query_id") != F.col("match_id"))
+        .select(
+            "query_id",
+            "match_id",
+            F.round(dot(F.col("qv"), F.col("cv")), 6).alias("sim"),
+        )
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("match_id"))
     return scored.withColumn("rank", F.row_number().over(w)).filter(

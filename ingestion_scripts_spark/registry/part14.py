@@ -13,6 +13,9 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ingestion_scripts_spark import oracle as O
+from ingestion_scripts_spark.caching import persist_tracked
+from ingestion_scripts_spark.operators import similarity as SIM
 from ingestion_scripts_spark.registry import part13 as _prev  # noqa: F401
 from ingestion_scripts_spark.registry.part13 import *  # noqa: F401,F403
 from ingestion_scripts_spark.registry.part13 import (  # not in the __all__ chain
@@ -348,9 +351,320 @@ SELECT source,
 FROM ranked GROUP BY source ORDER BY source"""
 
 
+# ---------------------------------------------------------------------------
+# hot-bucket sweep (offline recovery of cap-refused pairs)
+# ---------------------------------------------------------------------------
+
+#: sorted-neighborhood rank window for the registry sweep: binds at the
+#: test SFs (hot buckets at cap 2 have width 3-4, so window 2 certifies
+#: the BOUNDED path — rank-distance-3 candidates are genuinely skipped),
+#: while the full-window completeness law lives in tests/test_r14_sweep_ivf.py.
+_SWEEP_W = 2
+
+_SWEEP_CTES = f"""
+sh AS (SELECT doc_id, {_SH} AS sh FROM documents),
+sig AS (SELECT doc_id, sh, {_SIG} AS sig FROM sh WHERE len(sh) > 0),
+banded AS (
+  SELECT doc_id, b AS band,
+         md5(array_to_string(list_transform(sig[b*4+1:b*4+4], x -> x::VARCHAR), ',')) AS bucket
+  FROM sig, unnest([0,1,2,3]) AS u(b)),
+hot AS (SELECT band, bucket FROM banded GROUP BY band, bucket
+        HAVING count(*) > {_CAP_W}),
+mem AS (
+  SELECT b.doc_id, b.band, b.bucket, s.sig
+  FROM banded b JOIN hot USING (band, bucket) JOIN sig s USING (doc_id)),
+rk AS (
+  SELECT doc_id, band, bucket,
+         row_number() OVER (PARTITION BY band, bucket ORDER BY sig, doc_id)
+           AS rnk
+  FROM mem),
+scand AS (
+  SELECT DISTINCT least(a.doc_id, b.doc_id) AS id1,
+                  greatest(a.doc_id, b.doc_id) AS id2
+  FROM rk a JOIN rk b
+    ON a.band = b.band AND a.bucket = b.bucket
+   AND b.rnk > a.rnk AND b.rnk <= a.rnk + {_SWEEP_W}),
+sver AS (
+  SELECT id1, id2,
+         round(len(list_intersect(a.sh, b.sh))::DOUBLE /
+               len(list_distinct(a.sh || b.sh)), 6) AS jaccard
+  FROM scand JOIN sh a ON scand.id1 = a.doc_id
+             JOIN sh b ON scand.id2 = b.doc_id
+  WHERE round(len(list_intersect(a.sh, b.sh))::DOUBLE /
+              len(list_distinct(a.sh || b.sh)), 6) >= 0.8)"""
+
+
+def q_hot_bucket_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Offline recovery of the pairs the stop-bucket cap refused
+    (operators/dedup.py::hot_bucket_sweep): sorted-neighborhood inside
+    hot buckets — members of every (band, bucket) wider than the cap are
+    re-signed (members only), ordered by full MinHash signature, and only
+    rank neighbors within the window become candidates, so the pass costs
+    Sigma w*window instead of Sigma w^2. Cap 2 / window 2 both BIND at the
+    test SFs (width-4 buckets exist, so rank-distance-3 candidates are
+    certifiably skipped). With the capped roll this completes the
+    remediation contract: refuse online, account exactly, recover
+    offline."""
+    from ingestion_scripts_spark.operators.dedup import (
+        banded_buckets,
+        hot_bucket_sweep,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")  # noqa: F405
+    bands = banded_buckets(docs, "doc_id", "text")
+    return hot_bucket_sweep(
+        bands,
+        docs,
+        "doc_id",
+        "text",
+        threshold=0.8,
+        max_bucket_width=_CAP_W,
+        neighbor_window=_SWEEP_W,
+    ).orderBy("id1", "id2")
+
+
+SQL_HOT_BUCKET_SWEEP = f"""
+WITH {_SWEEP_CTES}
+SELECT id1, id2, jaccard FROM sver ORDER BY id1, id2"""
+
+
+def q_capped_sweep_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The measure-don't-guess closer of the remediation family: against
+    the UNCAPPED verified pair set, how many pairs the capped candidate
+    path finds ('capped_found' — pairs sharing >= 1 non-hot bucket), how
+    many the offline sweep recovers on top ('sweep_recovered'), and how
+    many remain lost at this window ('lost'). At 100 TB this is the
+    dashboard row that prices a cap/window choice: lost pair count is the
+    recall give-up, sweep_recovered is what the bounded offline pass buys
+    back."""
+    from ingestion_scripts_spark.operators.dedup import (
+        banded_buckets,
+        hot_bucket_sweep,
+        jaccard,
+        pairs_from_banded,
+        shingles,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")  # noqa: F405
+    # three consumers (widths, U, sweep) share the banding pipeline —
+    # persist so the signature lineage runs once
+    bands = persist_tracked(banded_buckets(docs, "doc_id", "text"))
+    widths = bands.groupBy("band", "bucket").agg(
+        F.count(F.lit(1)).alias("__w")
+    )
+    ok = widths.filter(F.col("__w") <= _CAP_W).select("band", "bucket")
+
+    sh = docs.select(
+        "doc_id", shingles(F.col("text"), 3).alias("__sh")
+    )
+
+    def verified(cand: DataFrame) -> DataFrame:
+        return (
+            cand.join(
+                sh.select(F.col("doc_id").alias("id1"), F.col("__sh").alias("__s1")),
+                "id1",
+            )
+            .join(
+                sh.select(F.col("doc_id").alias("id2"), F.col("__sh").alias("__s2")),
+                "id2",
+            )
+            .filter(F.round(jaccard(F.col("__s1"), F.col("__s2")), 6) >= 0.8)
+            .select("id1", "id2")
+        )
+
+    u = verified(
+        pairs_from_banded(bands, "doc_id").select(
+            F.col("id_a").alias("id1"), F.col("id_b").alias("id2")
+        )
+    )
+    c = verified(
+        pairs_from_banded(bands.join(ok, ["band", "bucket"]), "doc_id").select(
+            F.col("id_a").alias("id1"), F.col("id_b").alias("id2")
+        )
+    )
+    s = hot_bucket_sweep(
+        bands, docs, "doc_id", "text",
+        threshold=0.8, max_bucket_width=_CAP_W, neighbor_window=_SWEEP_W,
+    ).select("id1", "id2")
+
+    recovered = s.join(c, ["id1", "id2"], "left_anti")
+    lost = u.join(c, ["id1", "id2"], "left_anti").join(
+        s, ["id1", "id2"], "left_anti"
+    )
+
+    def cnt(df: DataFrame, name: str) -> DataFrame:
+        return df.agg(F.count(F.lit(1)).cast("bigint").alias("n_pairs")).select(
+            F.lit(name).alias("category"), "n_pairs"
+        )
+
+    return (
+        cnt(c, "capped_found")
+        .unionByName(cnt(recovered, "sweep_recovered"))
+        .unionByName(cnt(lost, "lost"))
+        .orderBy("category")
+    )
+
+
+SQL_CAPPED_SWEEP_RECALL = f"""
+WITH {_SWEEP_CTES},
+ok AS (SELECT band, bucket FROM banded GROUP BY band, bucket
+       HAVING count(*) <= {_CAP_W}),
+ucand AS (
+  SELECT DISTINCT least(a.doc_id, b.doc_id) AS id1,
+                  greatest(a.doc_id, b.doc_id) AS id2
+  FROM banded a JOIN banded b
+    ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id),
+uver AS (
+  SELECT id1, id2 FROM ucand
+  JOIN sh a ON ucand.id1 = a.doc_id JOIN sh b ON ucand.id2 = b.doc_id
+  WHERE round(len(list_intersect(a.sh, b.sh))::DOUBLE /
+              len(list_distinct(a.sh || b.sh)), 6) >= 0.8),
+ccand AS (
+  SELECT DISTINCT least(a.doc_id, b.doc_id) AS id1,
+                  greatest(a.doc_id, b.doc_id) AS id2
+  FROM banded a JOIN banded b
+    ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+  JOIN ok ON a.band = ok.band AND a.bucket = ok.bucket),
+cver AS (
+  SELECT id1, id2 FROM ccand
+  JOIN sh a ON ccand.id1 = a.doc_id JOIN sh b ON ccand.id2 = b.doc_id
+  WHERE round(len(list_intersect(a.sh, b.sh))::DOUBLE /
+              len(list_distinct(a.sh || b.sh)), 6) >= 0.8),
+recovered AS (SELECT id1, id2 FROM sver EXCEPT SELECT id1, id2 FROM cver),
+lost AS (
+  SELECT id1, id2 FROM uver
+  EXCEPT SELECT id1, id2 FROM cver
+  EXCEPT SELECT id1, id2 FROM sver)
+SELECT 'capped_found' AS category, count(*)::BIGINT AS n_pairs FROM cver
+UNION ALL
+SELECT 'lost', count(*)::BIGINT FROM lost
+UNION ALL
+SELECT 'sweep_recovered', count(*)::BIGINT FROM recovered
+ORDER BY category"""
+
+
+# ---------------------------------------------------------------------------
+# maintained IVF postings roll (ANN index as maintained state)
+# ---------------------------------------------------------------------------
+
+_IVF_NRM = (
+    "sqrt(list_sum(list_transform(range(1, len({0}) + 1), "
+    "i -> {0}[i] * {0}[i])))"
+).format
+
+
+def q_ivf_postings_roll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-cell maintenance audit of a PERSISTED IVF postings table
+    rolled under insert/retire deltas (operators/similarity.py::
+    ivf_postings_roll): snapshot1's (id, cell) assignment is written
+    cell-partitioned to parquet (the state a prior roll leaves), read
+    back, and rolled — cell assignment (the only vector math) touches
+    ONLY the delta; the index maintenance is one anti-join + union; the
+    audit full-outer-joins three cell-keyed counts. Same %4/%9 schedule
+    as the band/chunk rolls, frozen deterministic centroids (re-training
+    is a rebuild, not a roll)."""
+    emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")  # noqa: F405
+    base = emb.filter(F.col("vec_id") % 4 != 0)
+    inserts = emb.filter(F.col("vec_id") % 4 == 0)
+    delete_ids = base.filter(F.col("vec_id") % 9 == 0).select("vec_id")
+
+    empty_post = spark.createDataFrame([], "vec_id long, cell int")
+    empty_del = spark.createDataFrame([], "vec_id long")
+    # bootstrap from an empty table: disjoint by construction, skip probes
+    p1, _ = SIM.ivf_postings_roll(empty_post, base, empty_del, validate=False)
+    state = _scratch(prefix="ivfpost_")  # noqa: F405
+    p1.write.mode("overwrite").partitionBy("cell").parquet(f"{state}/post_v1")
+    postings1 = spark.read.parquet(f"{state}/post_v1")
+    _, audit = SIM.ivf_postings_roll(postings1, inserts, delete_ids)
+    return audit.select(
+        F.col("cell").cast("bigint").alias("cell"),
+        "n_before", "n_added", "n_removed", "n_after",
+    )
+
+
+def _sql_ivf_postings_roll() -> str:
+    cell = O.sql_ivf_cell("nv", _IVF_CENTS)
+    return f"""
+WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+n AS (SELECT vec_id, list_transform(v, x -> x / {_IVF_NRM('v')}) AS nv FROM v),
+cells AS (SELECT vec_id, {cell} AS cell FROM n),
+before_ AS (SELECT cell, count(*)::BIGINT AS n_before FROM cells
+            WHERE vec_id % 4 <> 0 GROUP BY cell),
+added AS (SELECT cell, count(*)::BIGINT AS n_added FROM cells
+          WHERE vec_id % 4 = 0 GROUP BY cell),
+removed AS (SELECT cell, count(*)::BIGINT AS n_removed FROM cells
+            WHERE vec_id % 4 <> 0 AND vec_id % 9 = 0 GROUP BY cell)
+SELECT cell::BIGINT AS cell,
+       coalesce(n_before, 0) AS n_before,
+       coalesce(n_added, 0) AS n_added,
+       coalesce(n_removed, 0) AS n_removed,
+       coalesce(n_before, 0) + coalesce(n_added, 0) - coalesce(n_removed, 0)
+         AS n_after
+FROM before_
+FULL OUTER JOIN added USING (cell)
+FULL OUTER JOIN removed USING (cell)
+ORDER BY cell"""
+
+
+def q_ivf_roll_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN top-k SERVED from the maintained postings table
+    (operators/similarity.py::ivf_serve_from_postings) — the read side of
+    the roll contract: the corpus-side cell column comes from the rolled,
+    cell-partitioned parquet index (probed cells prune partitions), so
+    per-query work is query assignment + point-joins; the corpus is never
+    re-assigned. Queries = snapshot2 members with vec_id % 50 = 0, k=5,
+    single probe — the oracle recomputes the same top-k from scratch on
+    snapshot2, certifying serve-from-rolled-state == recompute."""
+    emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")  # noqa: F405
+    base = emb.filter(F.col("vec_id") % 4 != 0)
+    inserts = emb.filter(F.col("vec_id") % 4 == 0)
+    delete_ids = base.filter(F.col("vec_id") % 9 == 0).select("vec_id")
+
+    empty_post = spark.createDataFrame([], "vec_id long, cell int")
+    empty_del = spark.createDataFrame([], "vec_id long")
+    p1, _ = SIM.ivf_postings_roll(empty_post, base, empty_del, validate=False)
+    p2, _ = SIM.ivf_postings_roll(p1, inserts, delete_ids)
+    state = _scratch(prefix="ivfserve_")  # noqa: F405
+    p2.write.mode("overwrite").partitionBy("cell").parquet(f"{state}/post_v2")
+    postings2 = spark.read.parquet(f"{state}/post_v2")
+
+    snap2 = emb.filter((F.col("vec_id") % 4 == 0) | (F.col("vec_id") % 9 != 0))
+    queries = snap2.filter(F.col("vec_id") % 50 == 0)
+    return SIM.ivf_serve_from_postings(
+        queries, snap2, postings2, k=5, probes=1
+    ).orderBy("query_id", "rank")
+
+
+def _sql_ivf_roll_serve() -> str:
+    cq = O.sql_ivf_cell("qv", _IVF_CENTS)
+    cc = O.sql_ivf_cell("cv", _IVF_CENTS)
+    return f"""
+WITH s2 AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+            WHERE vec_id % 4 = 0 OR vec_id % 9 <> 0),
+q0 AS (SELECT vec_id AS query_id, v FROM s2 WHERE vec_id % 50 = 0),
+q AS (SELECT query_id, qv, {cq} AS cell FROM
+      (SELECT query_id, list_transform(v, x -> x / {_IVF_NRM('v')}) AS qv FROM q0)),
+c0 AS (SELECT vec_id AS match_id, v FROM s2),
+c AS (SELECT match_id, cv, {cc} AS cell FROM
+      (SELECT match_id, list_transform(v, x -> x / {_IVF_NRM('v')}) AS cv FROM c0)),
+scored AS (
+  SELECT query_id, match_id, round({O.sql_dot('qv', 'cv', 'len(qv)')}, 6) AS sim
+  FROM q JOIN c USING (cell) WHERE query_id <> match_id),
+ranked AS (
+  SELECT query_id, match_id, sim,
+         row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, match_id ASC) AS rank
+  FROM scored)
+SELECT query_id, match_id, sim, rank FROM ranked WHERE rank <= 5
+ORDER BY query_id, rank"""
+
+
 __all__ = list(_prev.__all__) + [  # noqa: PLE0605
     "q_capped_band_roll", "SQL_CAPPED_BAND_ROLL",
     "q_capped_roll_audit", "SQL_CAPPED_ROLL_AUDIT",
     "q_chunk_store_roll", "SQL_CHUNK_STORE_ROLL",
     "q_cdc_clamped_dedup", "SQL_CDC_CLAMPED_DEDUP",
+    "q_hot_bucket_sweep", "SQL_HOT_BUCKET_SWEEP",
+    "q_capped_sweep_recall", "SQL_CAPPED_SWEEP_RECALL",
+    "q_ivf_postings_roll", "_sql_ivf_postings_roll",
+    "q_ivf_roll_serve", "_sql_ivf_roll_serve",
 ]

@@ -307,6 +307,11 @@ GLOBAL_SORT_ALLOWLIST = {
     # r14 addition: same pair-delta presentation sort, capped path (the
     # sorted frame is the delta — delta-scaled by construction)
     'capped_band_roll',
+    # r14 beyond-docket: hot_bucket_sweep's terminal sort is over the
+    # verified sweep pairs (bounded by Σ_hot w·window by construction);
+    # ivf_roll_serve's is the per-query rank presentation, same contract
+    # as the allowlisted ivf_ann_topk/lsh_ann_topk family
+    'hot_bucket_sweep', 'ivf_roll_serve',
     'parse_struct_time', 'parse_zoned', 'pii_scrub',
     'pinball_loss_sources', 'ppr_coorder', 'quality_gate',
     'quality_score', 'rate_limit_replay', 'repetition_signals',

@@ -772,6 +772,132 @@ def probe_cdc_clamped(spark: SparkSession, scale: float) -> dict:
     }
 
 
+def probe_sweep(spark: SparkSession, scale: float) -> dict:
+    """The offline hot-bucket sweep priced against the all-pairs pass it
+    bounds: W boilerplate clones collapse into one degenerate bucket per
+    band; enumerating + verifying every in-bucket pair
+    (pairs_from_banded) is O(W^2), while hot_bucket_sweep at a fixed
+    rank window pays O(W*window). walls_allpairs should show alpha~2,
+    walls_sweep ~linear — the measured form of the sweep's candidate
+    bound."""
+    from ingestion_scripts_spark.operators.dedup import (
+        banded_buckets,
+        hot_bucket_sweep,
+        jaccard,
+        pairs_from_banded,
+        shingles,
+    )
+
+    boiler = F.concat_ws(" ", *[F.lit(f"lorem{j}") for j in range(12)])
+
+    def corpus(n: int):
+        return spark.range(n).select(
+            F.col("id").alias("doc_id"), boiler.alias("text")
+        )
+
+    def run(n: int) -> tuple[float, float]:
+        docs = corpus(n)
+        bands = banded_buckets(docs, "doc_id", "text")
+
+        def allpairs():
+            cand = pairs_from_banded(bands, "doc_id").select(
+                F.col("id_a").alias("id1"), F.col("id_b").alias("id2")
+            )
+            sh = docs.select("doc_id", shingles(F.col("text"), 3).alias("sh"))
+            return (
+                cand.join(
+                    sh.select(F.col("doc_id").alias("id1"),
+                              F.col("sh").alias("s1")), "id1",
+                )
+                .join(
+                    sh.select(F.col("doc_id").alias("id2"),
+                              F.col("sh").alias("s2")), "id2",
+                )
+                .filter(F.round(jaccard(F.col("s1"), F.col("s2")), 6) >= 0.5)
+            )
+
+        w_all = _timed(allpairs)
+        release_caches()
+        w_sweep = _timed(
+            lambda: hot_bucket_sweep(
+                bands, docs, threshold=0.5, max_bucket_width=64,
+                neighbor_window=8,
+            )
+        )
+        release_caches()
+        return w_all, w_sweep
+
+    run(int(200 * scale))  # warm leg, discarded
+    sizes = [int(s * scale) for s in (500, 1_000, 2_000, 4_000)]
+    pairs = [run(n) for n in sizes]
+    return {
+        "probe": "sweep",
+        "sizes": sizes,
+        "walls_allpairs": [p[0] for p in pairs],
+        "walls_sweep": [p[1] for p in pairs],
+    }
+
+
+def probe_ivf_roll(spark: SparkSession, scale: float) -> dict:
+    """The maintained IVF postings table priced against from-scratch
+    re-assignment at the same snapshot roll: postings1 is parquet on
+    disk (a prior roll's output, written outside the timed region); the
+    timed roll assigns cells for a FIXED 2k-insert/1k-delete delta and
+    maintains the table by one anti-join + union, while the from-scratch
+    side re-runs the coarse quantizer (8 cells x 64-dim folds) over all
+    W corpus vectors. walls_scratch grows ~linearly in W; walls_roll's
+    only W-term is the pruned postings scan."""
+    import shutil
+    import tempfile
+
+    from ingestion_scripts_spark.operators import similarity as SIM
+
+    def vecs(ids):
+        return ids.select(
+            F.col("id").alias("vec_id"),
+            F.transform(
+                F.sequence(F.lit(0), F.lit(63)),
+                lambda d: (
+                    F.pmod(F.hash(F.col("id") * 64 + d), F.lit(2001))
+                    - F.lit(1000)
+                ).cast("double") / F.lit(1000.0),
+            ).alias("embedding"),
+        )
+
+    def run(n: int) -> tuple[float, float]:
+        base = vecs(spark.range(n))
+        inserts = vecs(spark.range(n, n + 2_000))
+        dels = spark.range(1_000).select(F.col("id").alias("vec_id"))
+        d = tempfile.mkdtemp(prefix="ivfroll_probe_")
+        empty = spark.createDataFrame([], "vec_id long, cell int")
+        nodel = spark.createDataFrame([], "vec_id long")
+        SIM.ivf_postings_roll(empty, base, nodel, validate=False)[
+            0
+        ].write.mode("overwrite").parquet(f"{d}/post_v1")
+        p1 = spark.read.parquet(f"{d}/post_v1")
+        snap2 = base.join(dels, "vec_id", "left_anti").unionByName(inserts)
+        w_scratch = _timed(
+            lambda: SIM.ivf_postings_roll(empty, snap2, nodel, validate=False)[0]
+        )
+        release_caches()
+        w_roll = _timed(
+            lambda: SIM.ivf_postings_roll(p1, inserts, dels, validate=False)[0]
+        )
+        release_caches()
+        shutil.rmtree(d, ignore_errors=True)
+        return w_scratch, w_roll
+
+    run(int(10_000 * scale))  # warm leg, discarded
+    sizes = [int(s * scale) for s in (100_000, 400_000, 1_600_000, 6_400_000)]
+    pairs = [run(n) for n in sizes]
+    return {
+        "probe": "ivf_roll",
+        "sizes": sizes,
+        "walls_scratch": [p[0] for p in pairs],
+        "walls_roll": [p[1] for p in pairs],
+    }
+
+
 PROBES.update(
     {
         "setsim": probe_setsim,
@@ -789,6 +915,8 @@ PROBES.update(
         "capped_roll": probe_capped_roll,
         "chunk_roll": probe_chunk_roll,
         "cdc_clamped": probe_cdc_clamped,
+        "sweep": probe_sweep,
+        "ivf_roll": probe_ivf_roll,
     }
 )
 
