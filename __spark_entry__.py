@@ -385,20 +385,22 @@ _REGISTRY: list[tuple[str, Callable[[SparkSession, str], DataFrame], str | None]
     ("capped_sweep_recall", q_capped_sweep_recall, SQL_CAPPED_SWEEP_RECALL),
     ("ivf_postings_roll", q_ivf_postings_roll, _sql_ivf_postings_roll()),
     ("ivf_roll_serve", q_ivf_roll_serve, _sql_ivf_roll_serve()),
+    ("stream_ivf_roll", q_stream_ivf_roll, _sql_stream_ivf_roll()),
 ]
 
 # --- r14 driver-window rotation (recomputed from CORRECTNESS_r01-r13) -----
 # The driver certifies positions 1-50 each round. CORRECTNESS_r13 landed
 # 50/50, so cumulative driver-green entering r14 is 309/309 and the only
-# debt is the 8 r14-session additions (never-driver-green by definition):
+# debt is the 9 r14-session additions (never-driver-green by definition):
 # the 4 docket queries plus the beyond-docket batch (hot-bucket sweep,
-# sweep recall, IVF postings roll + serve). Window = those 8 + the 42
-# re-certification anchors with the OLDEST driver evidence, RECOMPUTED
+# sweep recall, IVF postings roll + serve + streaming roll). Window =
+# those 9 + the 41 re-certification anchors with the OLDEST driver
+# evidence, RECOMPUTED
 # from the committed CORRECTNESS_r01-r13 artifacts (max green round,
 # declaration order as tiebreak) — never from ROADMAP prose (r10-VERDICT
 # wrong #2). That computation puts the nine last-green-r6 queries first
 # (VERDICT r13 item 1 names exactly these nine as the only >r8-stale
-# records), then the first 33 of the last-green-r8 block in declaration
+# records), then the first 32 of the last-green-r8 block in declaration
 # order. tests/test_entry_contract.py pins the resulting window verbatim
 # and re-derives it from the artifacts.
 _R14_WINDOW = [
@@ -407,7 +409,7 @@ _R14_WINDOW = [
     "capped_band_roll", "capped_roll_audit", "chunk_store_roll",
     "cdc_clamped_dedup",
     "hot_bucket_sweep", "capped_sweep_recall", "ivf_postings_roll",
-    "ivf_roll_serve",
+    "ivf_roll_serve", "stream_ivf_roll",
     # re-certification anchors: the nine last-green-r6 queries, then the
     # last-green-r8 block in declaration order
     "cohens_kappa", "calibration_bins", "hits_scores", "kneser_ney_ppl",
@@ -422,7 +424,7 @@ _R14_WINDOW = [
     "max_coverage", "source_unique_vocab", "ppr_coorder", "dedup_funnel",
     "pq_recall", "conformal_gate", "isotonic_calibration",
     "theil_sen_trend", "kmv_distinct", "wasserstein_drift",
-    "kendall_tau_daily", "mrr_quality", "link_prediction", "acf_daily",
+    "kendall_tau_daily", "mrr_quality", "link_prediction",
 ]
 _BY_NAME = {t[0]: t for t in _REGISTRY}
 _REGISTRY = (

@@ -347,6 +347,7 @@ STREAMING = [
     "stream_token_bucket",
     "stream_kmv_distinct",
     "stream_snapshot_roll",
+    "stream_ivf_roll",
 ]
 
 

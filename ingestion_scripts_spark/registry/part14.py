@@ -658,6 +658,157 @@ SELECT query_id, match_id, sim, rank FROM ranked WHERE rank <= 5
 ORDER BY query_id, rank"""
 
 
+# ---------------------------------------------------------------------------
+# streaming IVF postings roll (continuous ingest: inserts + retirements)
+# ---------------------------------------------------------------------------
+
+def _ivf_trigger(
+    spark: SparkSession,
+    batch_df: DataFrame,
+    state: str,
+    sink: str,
+    ver: dict,
+) -> None:
+    """One trigger of the streaming IVF postings roll — module-level so
+    the replay contract is unit-testable (tests/test_r14_sweep_ivf.py
+    invokes it twice with the same batch and asserts state AND sink are
+    unchanged). Same replay-safe design as part13's ``_roll_trigger``
+    (ADVICE r13): every write is a VERSIONED OVERWRITE (post_v{s},
+    audit_v{s}) keyed by the content-derived step (min(vec_id % 3) —
+    this harness's schedule), so a foreachBatch retry recomputes from
+    the still-present v{s-1} state and overwrites v{s} byte-identically;
+    the arrival counter only asserts the schedule. Unlike the band roll
+    the postings table IS the membership set (IVF assignment is total),
+    so retirements come from the state itself — one state table, no
+    separate corpus store."""
+    if batch_df.isEmpty():
+        return
+    step = batch_df.select(
+        F.min(F.col("vec_id") % 3).cast("int").alias("b")
+    ).collect()[0].b
+    assert step in (ver["n"], ver["n"] - 1), (
+        f"batch arrival out of order: content step {step}, expected "
+        f"{ver['n']} (or a replay of {ver['n'] - 1})"
+    )
+    if step == 0:
+        prev = spark.createDataFrame([], "vec_id long, cell int")
+    else:
+        prev = spark.read.parquet(f"{state}/post_v{step - 1}")
+    retire = prev.filter(F.col("vec_id") % 7 == step).select("vec_id")
+    # validate=False: the schedule is disjoint BY CONSTRUCTION (batch b
+    # inserts vec_id % 3 == b, never previously a member; retirements
+    # filter current members); the eager guard is certified on the batch
+    # path (ivf_postings_roll query + tests/test_r14_sweep_ivf.py)
+    new_post, audit = SIM.ivf_postings_roll(
+        prev, batch_df, retire, validate=False
+    )
+    new_post.write.mode("overwrite").parquet(f"{state}/post_v{step}")
+    audit.withColumn("batch", F.lit(step).cast("int")).write.mode(
+        "overwrite"
+    ).parquet(f"{sink}/audit_v{step}")
+    ver["n"] = step + 1
+
+
+def q_stream_ivf_roll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The maintained ANN index under continuous ingest: a REAL
+    Structured-Streaming job whose micro-batches carry vector inserts
+    AND retirements, rolling the persisted (id, cell) postings table
+    across triggers with ``ivf_postings_roll`` and emitting each
+    trigger's per-cell maintenance audit. Three deterministic batches
+    insert vec_id % 3 == b; batch b additionally retires current members
+    with vec_id % 7 == b (batch 0 starts from an empty index). State
+    round-trips through versioned parquet (post_v{b} / audit_v{b}
+    overwrites — replay-safe, the ADVICE-r13 pattern), so every trigger
+    reads the PERSISTED index a prior trigger wrote; no vector is ever
+    re-assigned. The oracle recomputes each batch's audit from the
+    membership algebra (the part13 ``_M1``/``_M2`` predicates over
+    vec_id) on one cells table. Latency model as for
+    ``stream_snapshot_roll``: wall ≈ trigger count × fixed per-trigger
+    overhead; the data-plane assignment at this SF is milliseconds."""
+    import glob
+    import os
+    import time
+
+    emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")  # noqa: F405
+    src = _scratch(prefix="ivfstream_src_")  # noqa: F405
+    for i in range(3):
+        emb.filter(F.col("vec_id") % 3 == i).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(f"{src}/b{i}")
+    now = time.time()
+    for i in range(3):
+        for pth in glob.glob(f"{src}/b{i}/*.parquet"):
+            os.utime(pth, (now - 300 + 50 * i, now - 300 + 50 * i))
+    state = _scratch(prefix="ivfstream_state_")  # noqa: F405
+    sink = _scratch(prefix="ivfstream_sink_") + "/out"  # noqa: F405
+    ver = {"n": 0}
+
+    def handle(batch_df: DataFrame, _bid: int) -> None:
+        _ivf_trigger(spark, batch_df, state, sink, ver)
+
+    stream = (
+        spark.readStream.schema(emb.schema)
+        .option("maxFilesPerTrigger", 1)
+        .option("recursiveFileLookup", "true")
+        .parquet(src)
+    )
+    q = (
+        stream.writeStream.foreachBatch(handle)
+        .option("checkpointLocation", _scratch(prefix="ckpt_"))  # noqa: F405
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return (
+        spark.read.option("recursiveFileLookup", "true")
+        .parquet(sink)
+        .select(
+            "batch",
+            F.col("cell").cast("bigint").alias("cell"),
+            "n_before", "n_added", "n_removed", "n_after",
+        )
+        .orderBy("batch", "cell")
+    )
+
+
+def _sql_stream_ivf_roll() -> str:
+    cell = O.sql_ivf_cell("nv", _IVF_CENTS)
+    m_after_0 = "(vec_id % 3 = 0)"
+    m_after_1 = f"(({m_after_0} AND vec_id % 7 <> 1) OR vec_id % 3 = 1)"
+    befores = {0: "FALSE", 1: m_after_0, 2: m_after_1}
+    parts = []
+    for b in (0, 1, 2):
+        removed = (
+            "FALSE" if b == 0 else f"({befores[b]} AND vec_id % 7 = {b})"
+        )
+        parts.append(f"""
+bb{b} AS (SELECT cell, count(*)::BIGINT AS n_before FROM cells
+          WHERE {befores[b]} GROUP BY cell),
+a{b} AS (SELECT cell, count(*)::BIGINT AS n_added FROM cells
+         WHERE vec_id % 3 = {b} GROUP BY cell),
+r{b} AS (SELECT cell, count(*)::BIGINT AS n_removed FROM cells
+         WHERE {removed} GROUP BY cell),
+aud{b} AS (
+  SELECT {b} AS batch, cell::BIGINT AS cell,
+         coalesce(n_before, 0) AS n_before,
+         coalesce(n_added, 0) AS n_added,
+         coalesce(n_removed, 0) AS n_removed,
+         coalesce(n_before, 0) + coalesce(n_added, 0)
+           - coalesce(n_removed, 0) AS n_after
+  FROM bb{b}
+  FULL OUTER JOIN a{b} USING (cell)
+  FULL OUTER JOIN r{b} USING (cell))""")
+    ctes = ",".join(parts)
+    return f"""
+WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+n AS (SELECT vec_id, list_transform(v, x -> x / {_IVF_NRM('v')}) AS nv FROM v),
+cells AS (SELECT vec_id, {cell} AS cell FROM n),{ctes}
+SELECT * FROM aud0
+UNION ALL SELECT * FROM aud1
+UNION ALL SELECT * FROM aud2
+ORDER BY batch, cell"""
+
+
 __all__ = list(_prev.__all__) + [  # noqa: PLE0605
     "q_capped_band_roll", "SQL_CAPPED_BAND_ROLL",
     "q_capped_roll_audit", "SQL_CAPPED_ROLL_AUDIT",
@@ -667,4 +818,5 @@ __all__ = list(_prev.__all__) + [  # noqa: PLE0605
     "q_capped_sweep_recall", "SQL_CAPPED_SWEEP_RECALL",
     "q_ivf_postings_roll", "_sql_ivf_postings_roll",
     "q_ivf_roll_serve", "_sql_ivf_roll_serve",
+    "q_stream_ivf_roll", "_sql_stream_ivf_roll", "_ivf_trigger",
 ]

@@ -51,16 +51,17 @@ def test_catalog_register_testdata(spark):
 
 
 #: the driver certifies registry positions 1-50 each round; this is the
-#: deliberate r14 window: the 8 r14-session additions (never-driver-green
+#: deliberate r14 window: the 9 r14-session additions (never-driver-green
 #: debt, window-start — the 4 docket queries plus the beyond-docket
-#: hot-bucket sweep / sweep recall / IVF postings roll / serve batch) +
-#: 42 re-certification anchors with the oldest driver evidence,
+#: hot-bucket sweep / sweep recall / IVF postings roll / serve /
+#: streaming roll batch) + 41 re-certification anchors with the oldest
+#: driver evidence,
 #: RECOMPUTED from CORRECTNESS_r01-r13 (max green round, declaration
 #: order as tiebreak) — the nine last-green-r6 queries (cohens_kappa,
 #: calibration_bins, hits_scores, kneser_ney_ppl, dp_count_laplace,
 #: rate_limit_replay, stream_token_bucket, kcore_parts, kcenter_coreset
 #: — VERDICT r13 item 1 names exactly these) lead the anchors, then the
-#: first 33 of the last-green-r8 block in declaration order (max
+#: first 32 of the last-green-r8 block in declaration order (max
 #: staleness after this round: r8 → ≤ r9 next). CORRECTNESS_r13 landed
 #: 50/50, so debt entering r14 was zero. r2's lesson: silent registry
 #: drift displaced fixed queries past position 50, so their fixes were
@@ -70,7 +71,7 @@ R14_WINDOW = [
     "capped_band_roll", "capped_roll_audit", "chunk_store_roll",
     "cdc_clamped_dedup",
     "hot_bucket_sweep", "capped_sweep_recall", "ivf_postings_roll",
-    "ivf_roll_serve",
+    "ivf_roll_serve", "stream_ivf_roll",
     "cohens_kappa", "calibration_bins", "hits_scores", "kneser_ney_ppl",
     "dp_count_laplace", "rate_limit_replay", "stream_token_bucket",
     "kcore_parts", "kcenter_coreset",
@@ -83,7 +84,7 @@ R14_WINDOW = [
     "max_coverage", "source_unique_vocab", "ppr_coorder", "dedup_funnel",
     "pq_recall", "conformal_gate", "isotonic_calibration",
     "theil_sen_trend", "kmv_distinct", "wasserstein_drift",
-    "kendall_tau_daily", "mrr_quality", "link_prediction", "acf_daily",
+    "kendall_tau_daily", "mrr_quality", "link_prediction",
 ]
 
 

@@ -335,3 +335,92 @@ def test_ivf_roll_delta_guard_fails_loudly(spark):
         SIM.ivf_postings_roll(
             p1, bad, deletes, dim=_DIM, n_cells=_CELLS
         )[0].collect()
+
+
+# --------------------------------------------------------------------------
+# streaming IVF roll laws (composition / replay / ordering)
+# --------------------------------------------------------------------------
+
+def _ivf_batches(spark):
+    return [
+        spark.createDataFrame(
+            [(i, _vec(i)) for i in range(60) if i % 3 == b],
+            "vec_id long, embedding array<double>",
+        )
+        for b in (0, 1, 2)
+    ]
+
+
+def test_stream_ivf_roll_equals_batch_composition(spark):
+    """Unrolled-batch law: the REAL streaming job ("stream_ivf_roll" —
+    versioned-parquet state, foreachBatch triggers, checkpoint) must
+    emit exactly what sequential batch composition of ivf_postings_roll
+    produces over the same %3-insert / %7-retire schedule — state
+    round-tripping adds nothing and loses nothing (template:
+    test_r13_new_ops.py::test_stream_snapshot_roll_equals_batch_composition)."""
+    import __spark_entry__ as E
+    from pyspark.sql import functions as F
+
+    q_stream = E.queries()["stream_ivf_roll"]
+    sf_dir = "/root/testdata/sf0.001"
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+
+    prev = spark.createDataFrame([], "vec_id long, cell int")
+    want = set()
+    for step in range(3):
+        inserts = emb.filter(F.col("vec_id") % 3 == step)
+        retire = prev.filter(F.col("vec_id") % 7 == step).select("vec_id")
+        new_post, audit = SIM.ivf_postings_roll(
+            prev, inserts, retire, validate=False
+        )
+        want |= {
+            (step, r.cell, r.n_before, r.n_added, r.n_removed, r.n_after)
+            for r in audit.collect()
+        }
+        # materialize state between rounds (collect+recreate) so the law
+        # side carries no growing lineage — mirrors the parquet round-trip
+        prev = spark.createDataFrame(
+            [(r.vec_id, r.cell) for r in new_post.collect()],
+            "vec_id long, cell int",
+        )
+
+    got = {
+        (r.batch, r.cell, r.n_before, r.n_added, r.n_removed, r.n_after)
+        for r in q_stream(spark, sf_dir).collect()
+    }
+    assert got == want and len(got) > 0
+    assert sum(1 for (_, _, _, _, rem, _) in got if rem > 0) > 0
+
+
+def test_stream_ivf_roll_replay_safe_and_ordered(spark, tmp_path):
+    """A retried trigger (same content step) leaves state and sink
+    unchanged — every write is a versioned overwrite keyed by the
+    content-derived step; an out-of-order batch fails loudly."""
+    from ingestion_scripts_spark.registry.part14 import _ivf_trigger
+
+    state, sink = str(tmp_path / "state"), str(tmp_path / "sink")
+    ver = {"n": 0}
+    batches = _ivf_batches(spark)
+    for b in batches:
+        _ivf_trigger(spark, b, state, sink, ver)
+
+    def snap():
+        post = sorted(
+            (r.vec_id, r.cell)
+            for r in spark.read.parquet(f"{state}/post_v2").collect()
+        )
+        aud = sorted(
+            tuple(r)
+            for r in spark.read.option("recursiveFileLookup", "true")
+            .parquet(sink)
+            .collect()
+        )
+        return post, aud
+
+    before = snap()
+    _ivf_trigger(spark, batches[2], state, sink, ver)  # foreachBatch retry
+    assert snap() == before
+    with pytest.raises(AssertionError, match="out of order"):
+        _ivf_trigger(spark, batches[0], state, sink, ver)

@@ -876,12 +876,23 @@ def probe_ivf_roll(spark: SparkSession, scale: float) -> dict:
         ].write.mode("overwrite").parquet(f"{d}/post_v1")
         p1 = spark.read.parquet(f"{d}/post_v1")
         snap2 = base.join(dels, "vec_id", "left_anti").unionByName(inserts)
-        w_scratch = _timed(
-            lambda: SIM.ivf_postings_roll(empty, snap2, nodel, validate=False)[0]
+
+        def cells(post):
+            # terminal per-cell count: count() alone would let Catalyst
+            # PRUNE the cell column and skip the quantizer under test
+            # (the _timed_collect lesson, span_removal_apply probe)
+            return post.groupBy("cell").agg(F.count(F.lit(1)).alias("n"))
+
+        w_scratch = _timed_collect(
+            lambda: cells(
+                SIM.ivf_postings_roll(empty, snap2, nodel, validate=False)[0]
+            )
         )
         release_caches()
-        w_roll = _timed(
-            lambda: SIM.ivf_postings_roll(p1, inserts, dels, validate=False)[0]
+        w_roll = _timed_collect(
+            lambda: cells(
+                SIM.ivf_postings_roll(p1, inserts, dels, validate=False)[0]
+            )
         )
         release_caches()
         shutil.rmtree(d, ignore_errors=True)
