@@ -149,6 +149,36 @@ COMMENT = {
         "point-lookups, never a corpus scan. Measured: ~3x faster than "
         "the re-signing path at every probed size (SCALING.md r13)."
     ),
+    "hot_bucket_sweep": (
+        "Offline hot-bucket recovery (r14): the width aggregation and "
+        "the member pull are (band, bucket) equi-joins; the signature "
+        "pipeline runs only behind the hot-member semi-join; ranking is "
+        "a row_number window PARTITIONED BY (band, bucket) — a "
+        "bucket-local sort, no global Exchange SinglePartition; the "
+        "candidate join is an equi-join on (band, bucket, rank) built "
+        "by exploding window offsets, so the plan carries no range "
+        "join and no bucket self-cartesian. Measured: flat ~4-5 s "
+        "while the all-pairs pass quadruples per doubling "
+        "(SCALING.md r14 addendum)."
+    ),
+    "ivf_postings_roll": (
+        "Maintained ANN index roll (r14): snapshot1's postings enter "
+        "as a PARQUET SCAN of (id, cell) — the 8-cell x 64-dim "
+        "quantizer fold appears only above the insert-side filter; "
+        "index maintenance is one left-anti join + union; the audit is "
+        "three cell-keyed partial-agg counts full-outer-joined on "
+        "cell. Measured: flat ~1-2 s vs corpus-linear re-assignment "
+        "(84 s at 6.4M vectors, SCALING.md r14 addendum)."
+    ),
+    "ivf_roll_serve": (
+        "Serving from the maintained index (r14): the query side is "
+        "BROADCAST (queries are few) and assigned to cells by the "
+        "quantizer expression; the corpus side joins the postings "
+        "table's cells by id — no corpus-side quantizer fold in the "
+        "tree; with cell-partitioned postings parquet the probed-cell "
+        "join prunes partitions. Top-k is a row_number window "
+        "partitioned by query_id."
+    ),
 }
 
 
