@@ -35,27 +35,14 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
-def assign_clusters(
-    pts: DataFrame, centroids: list[list[float]], vec_col: str = "v"
-) -> DataFrame:
-    """Append ``cluster_id`` / ``d2`` = argmin over literal centroids.
-
-    Rounded-distance argmin with lowest-id tie-break: the k×dim centroid
-    matrix is ONE nested-array literal and the per-centroid distances come
-    from a single ``transform`` over it (fold in index order — matches the
-    oracle's list_transform(range) sum order), so the expression tree is
-    O(1) HOFs instead of O(k) aggregate folds. Argmin = sort (d2, cid)
-    structs (field-order lexicographic), take the head — one expression,
-    no join, no shuffle.
-
-    The matrix literal is built as a single ``F.expr`` SQL string, not
-    nested ``F.array(F.lit(...))`` columns: k·dim literal Columns cost
-    k·dim py4j round-trips PER assignment build (k-means builds this 3+
-    times per fit — measured as seconds of pure driver time), while one
-    SQL string is one round-trip and a fast JVM parse. Elements render as
-    ``CAST('<repr>' AS DOUBLE)`` so the value round-trips bit-exactly.
-    """
-    vec = F.col(vec_col)
+def cluster_assignment(vec, centroids: list[list[float]]):
+    """The argmin struct ``(d, c)`` of :func:`assign_clusters` as a bare
+    Column over an arbitrary vector expression — split out (optimization
+    r14) so multi-codebook fits (product quantization trains one fit per
+    contiguous slice of the SAME vector) can assign every subspace in one
+    projection instead of one DataFrame pass per subspace. Semantics are
+    identical to :func:`assign_clusters`'s expression: rounded-distance
+    argmin, lowest-id tie-break, matrix as ONE ``F.expr`` literal."""
     matrix = F.expr(
         "array("
         + ",".join(
@@ -77,12 +64,35 @@ def assign_clusters(
             6,
         ),
     )
-    best = F.array_sort(
+    return F.array_sort(
         F.transform(
             dists,
             lambda d, i: F.struct(d.alias("d"), i.alias("c")),
         )
     ).getItem(0)
+
+
+def assign_clusters(
+    pts: DataFrame, centroids: list[list[float]], vec_col: str = "v"
+) -> DataFrame:
+    """Append ``cluster_id`` / ``d2`` = argmin over literal centroids.
+
+    Rounded-distance argmin with lowest-id tie-break: the k×dim centroid
+    matrix is ONE nested-array literal and the per-centroid distances come
+    from a single ``transform`` over it (fold in index order — matches the
+    oracle's list_transform(range) sum order), so the expression tree is
+    O(1) HOFs instead of O(k) aggregate folds. Argmin = sort (d2, cid)
+    structs (field-order lexicographic), take the head — one expression,
+    no join, no shuffle.
+
+    The matrix literal is built as a single ``F.expr`` SQL string, not
+    nested ``F.array(F.lit(...))`` columns: k·dim literal Columns cost
+    k·dim py4j round-trips PER assignment build (k-means builds this 3+
+    times per fit — measured as seconds of pure driver time), while one
+    SQL string is one round-trip and a fast JVM parse. Elements render as
+    ``CAST('<repr>' AS DOUBLE)`` so the value round-trips bit-exactly.
+    """
+    best = cluster_assignment(F.col(vec_col), centroids)
     return pts.withColumn("cluster_id", best["c"]).withColumn("d2", best["d"])
 
 

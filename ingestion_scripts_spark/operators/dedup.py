@@ -259,8 +259,24 @@ def banded_buckets(
     """(id, band, bucket): LSH band buckets — md5 over each band's
     signature slice. The shared front half of self-join (batch) and
     two-sided (incremental-vs-index) candidate generation."""
-    rows_per_band = num_hashes // bands
     sig = minhash_signatures(df, id_col, text_col, n_shingle, num_hashes)
+    return bands_from_signatures(sig, id_col, num_hashes, bands)
+
+
+def bands_from_signatures(
+    sig: DataFrame,
+    id_col: str,
+    num_hashes: int = 16,
+    bands: int = 4,
+) -> DataFrame:
+    """The banding tail of :func:`banded_buckets` over an existing
+    (id, sig) table — a pure projection (md5 per band slice), no shuffle.
+    Split out so callers that also need the raw signatures (e.g. the
+    hot-bucket sweep's rank ordering) can persist ONE signature table and
+    derive the band table from it instead of running the signature
+    pipeline twice (optimization r14, guide §2.4: remove duplicate
+    lineage, not just duplicate shuffles)."""
+    rows_per_band = num_hashes // bands
     return sig.select(
         id_col,
         F.explode(
@@ -1074,20 +1090,33 @@ def _assert_disjoint_delta(
     offending-id sample, consistent with the repo's fail-don't-corrupt
     convention for contract breaches (route-don't-crash applies to DATA
     rows, not to caller API misuse)."""
-    dup_base = insert_ids.join(base_ids, id_col, "semi")
-    if not dup_base.isEmpty():
-        sample = [r[0] for r in dup_base.limit(5).collect()]
+    # both probes in ONE action (optimization r14): the two delta-scaled
+    # semi-joins union with a kind tag and a single bounded collect
+    # replaces two isEmpty jobs (+ a collect per violation) — same loud
+    # failures, same precedence (base-collision checked first), half the
+    # guard's job count on every validated roll.
+    bad = (
+        insert_ids.join(base_ids, id_col, "semi")
+        .select(F.col(id_col), F.lit("base").alias("__kind"))
+        .unionByName(
+            insert_ids.join(delete_ids, id_col, "semi")
+            .select(F.col(id_col), F.lit("del").alias("__kind"))
+        )
+        .limit(10)
+        .collect()
+    )
+    dup_base = [r[0] for r in bad if r["__kind"] == "base"]
+    if dup_base:
         raise ValueError(
             "snapshot delta contract violated: insert ids already present "
             f"in base (an update is delete+insert of a NEW version id, the "
-            f"SCD shape): sample {sample}"
+            f"SCD shape): sample {dup_base[:5]}"
         )
-    dup_del = insert_ids.join(delete_ids, id_col, "semi")
-    if not dup_del.isEmpty():
-        sample = [r[0] for r in dup_del.limit(5).collect()]
+    dup_del = [r[0] for r in bad if r["__kind"] == "del"]
+    if dup_del:
         raise ValueError(
             "snapshot delta contract violated: ids present in BOTH inserts "
-            f"and delete_ids: sample {sample}"
+            f"and delete_ids: sample {dup_del[:5]}"
         )
 
 
@@ -1178,6 +1207,51 @@ def snapshot_band_delta(
     return delta
 
 
+def _verify_tagged_pairs(
+    cand: DataFrame,
+    texts_lk: DataFrame,
+    id_col: str,
+    text_col: str,
+    threshold: float,
+    n_shingle: int,
+) -> DataFrame:
+    """Jaccard-verify STATUS-TAGGED candidate pairs (id1, id2, status)
+    against a doc-store lookup in one pass: shingling is restricted to
+    candidate endpoints (semi-join — candidates are delta-scaled, so the
+    shuffled shingle-array volume stays delta-bounded instead of
+    corpus-bounded), and because the status tag rides the candidate row,
+    every status family shares the SAME endpoint-shingle build and verify
+    join instead of paying one per family (optimization r14, guide §1.2).
+    Returns (id1, id2, jaccard, status) with jaccard rounded to 6 dp and
+    filtered at ``threshold``."""
+    ends = (
+        cand.select(F.col("id1").alias(id_col))
+        .unionByName(cand.select(F.col("id2").alias(id_col)))
+        .distinct()
+    )
+    sh = texts_lk.join(ends, id_col, "semi").select(
+        F.col(id_col).alias("__vid"),
+        shingles(F.col(text_col), n_shingle).alias("__sh"),
+    )
+    return (
+        cand.join(
+            sh.select(F.col("__vid").alias("id1"), F.col("__sh").alias("__sh1")),
+            "id1",
+        )
+        .join(
+            sh.select(F.col("__vid").alias("id2"), F.col("__sh").alias("__sh2")),
+            "id2",
+        )
+        .select(
+            "id1",
+            "id2",
+            F.round(jaccard(F.col("__sh1"), F.col("__sh2")), 6).alias("jaccard"),
+            "status",
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
 def snapshot_band_roll(
     base_bands: DataFrame,
     texts: DataFrame,
@@ -1251,35 +1325,6 @@ def snapshot_band_roll(
     bb_maint = bb_surv.unionByName(bb_ins)  # B' — the next band table
     texts_lk = texts.select(id_col, text_col)
 
-    def _verified(cand: DataFrame, status: str) -> DataFrame:
-        # restrict shingling to candidate ENDPOINTS before the verify
-        # join: candidates are delta-scaled, so this keeps the shuffled
-        # shingle-array volume delta-bounded instead of corpus-bounded
-        ends = (
-            cand.select(F.col("id1").alias(id_col))
-            .unionByName(cand.select(F.col("id2").alias(id_col)))
-            .distinct()
-        )
-        sh = texts_lk.join(ends, id_col, "semi").select(
-            F.col(id_col).alias("__vid"),
-            shingles(F.col(text_col), n_shingle).alias("__sh"),
-        )
-        return (
-            cand.join(sh.select(F.col("__vid").alias("id1"),
-                                F.col("__sh").alias("__sh1")), "id1")
-            .join(sh.select(F.col("__vid").alias("id2"),
-                            F.col("__sh").alias("__sh2")), "id2")
-            .select(
-                "id1",
-                "id2",
-                F.round(jaccard(F.col("__sh1"), F.col("__sh2")), 6).alias(
-                    "jaccard"
-                ),
-            )
-            .filter(F.col("jaccard") >= threshold)
-            .withColumn("status", F.lit(status))
-        )
-
     def _cand(delta_bb: DataFrame, table_bb: DataFrame) -> DataFrame:
         return (
             delta_bb.select(F.col(id_col).alias("__d"), "band", "bucket")
@@ -1295,10 +1340,22 @@ def snapshot_band_roll(
             .dropDuplicates(["id1", "id2"])
         )
 
-    formed = _verified(_cand(bb_ins, bb_maint), "formed")
+    # ONE tagged verification pass over both candidate families
+    # (optimization r14, guide §1.2): formed and dissolved candidates are
+    # deduped within their own family, tagged, unioned, and verified
+    # against a single endpoint-shingle build — halves the semi-join +
+    # shingle + verify-join stages vs one pass per status; per-status
+    # results are unchanged (status rides the candidate row).
     bb_del = base_bands.join(dels, id_col, "semi")
-    dissolved = _verified(_cand(bb_del, base_bands), "dissolved")
-    return bb_maint, formed.unionByName(dissolved)
+    cand = _cand(bb_ins, bb_maint).withColumn(
+        "status", F.lit("formed")
+    ).unionByName(
+        _cand(bb_del, base_bands).withColumn("status", F.lit("dissolved"))
+    )
+    delta = _verify_tagged_pairs(
+        cand, texts_lk, id_col, text_col, threshold, n_shingle
+    )
+    return bb_maint, delta
 
 
 def band_table_stats(band_table: DataFrame, id_col: str = "doc_id") -> DataFrame:
@@ -1454,32 +1511,6 @@ def capped_band_roll(
             ["band", "bucket"],
         )
 
-    def _verified(cand: DataFrame, status: str) -> DataFrame:
-        ends = (
-            cand.select(F.col("id1").alias(id_col))
-            .unionByName(cand.select(F.col("id2").alias(id_col)))
-            .distinct()
-        )
-        sh = texts_lk.join(ends, id_col, "semi").select(
-            F.col(id_col).alias("__vid"),
-            shingles(F.col(text_col), n_shingle).alias("__sh"),
-        )
-        return (
-            cand.join(sh.select(F.col("__vid").alias("id1"),
-                                F.col("__sh").alias("__sh1")), "id1")
-            .join(sh.select(F.col("__vid").alias("id2"),
-                            F.col("__sh").alias("__sh2")), "id2")
-            .select(
-                "id1",
-                "id2",
-                F.round(jaccard(F.col("__sh1"), F.col("__sh2")), 6).alias(
-                    "jaccard"
-                ),
-            )
-            .filter(F.col("jaccard") >= threshold)
-            .withColumn("status", F.lit(status))
-        )
-
     def _cand(delta_bb: DataFrame, table_bb: DataFrame) -> DataFrame:
         return (
             delta_bb.select(F.col(id_col).alias("__d"), "band", "bucket")
@@ -1497,15 +1528,23 @@ def capped_band_roll(
 
     w_next = _widths(bb_maint)
     w_base = _widths(base_bands)
-    formed = _verified(_cand(bb_ins, _capped(bb_maint, w_next)), "formed")
+    # one tagged verification pass over both capped candidate families
+    # (same move as snapshot_band_roll, optimization r14, guide §1.2)
     bb_del = base_bands.join(dels, id_col, "semi")
-    dissolved = _verified(
-        _cand(bb_del, _capped(base_bands, w_base)), "dissolved"
+    cand = _cand(bb_ins, _capped(bb_maint, w_next)).withColumn(
+        "status", F.lit("formed")
+    ).unionByName(
+        _cand(bb_del, _capped(base_bands, w_base)).withColumn(
+            "status", F.lit("dissolved")
+        )
+    )
+    delta = _verify_tagged_pairs(
+        cand, texts_lk, id_col, text_col, threshold, n_shingle
     )
     audit = _audit(w_next, "next").unionByName(_audit(w_base, "base")).orderBy(
         "side", "band"
     )
-    return bb_maint, formed.unionByName(dissolved), audit
+    return bb_maint, delta, audit
 
 
 def hot_bucket_sweep(
@@ -1518,6 +1557,7 @@ def hot_bucket_sweep(
     num_hashes: int = 16,
     max_bucket_width: int = 64,
     neighbor_window: int = 8,
+    sig_table: DataFrame | None = None,
 ) -> DataFrame:
     """Offline recovery of the pairs a stop-bucket cap refused — the
     "later re-cap or offline sweep" :func:`capped_band_roll`'s contract
@@ -1551,44 +1591,24 @@ def hot_bucket_sweep(
     rank) built by exploding ``neighbor_window`` rank offsets (no range
     join, no self-cartesian). Verification re-shingles candidate
     endpoints only.
-    """
-    widths = band_table.groupBy("band", "bucket").agg(
-        F.count(F.lit(1)).alias("__w")
-    )
-    hot_keys = widths.filter(F.col("__w") > max_bucket_width).select(
-        "band", "bucket"
-    )
-    hot_rows = band_table.join(hot_keys, ["band", "bucket"])
-    members = hot_rows.select(id_col).distinct()
-    mem_texts = texts.select(id_col, text_col).join(members, id_col, "semi")
-    sigs = minhash_signatures(mem_texts, id_col, text_col, n_shingle, num_hashes)
 
-    w = Window.partitionBy("band", "bucket").orderBy(
-        F.col("sig"), F.col(id_col)
-    )
-    ranked = (
-        hot_rows.join(sigs, id_col)
-        .select(id_col, "band", "bucket", "sig")
-        .withColumn("rnk", F.row_number().over(w))
-    )
-    left = ranked.select(
-        F.col(id_col).alias("__a"), "band", "bucket", F.col("rnk").alias("__ra")
-    ).withColumn(
-        "__rb",
-        F.explode(
-            F.sequence(F.col("__ra") + 1, F.col("__ra") + neighbor_window)
-        ),
-    )
-    right = ranked.select(
-        F.col(id_col).alias("__b"), "band", "bucket", F.col("rnk").alias("__rb")
-    )
-    cand = (
-        left.join(right, ["band", "bucket", "__rb"])
-        .select(
-            F.least("__a", "__b").alias("id1"),
-            F.greatest("__a", "__b").alias("id2"),
-        )
-        .dropDuplicates(["id1", "id2"])
+    ``sig_table``: optional precomputed (id, sig) MinHash signatures (the
+    exact :func:`minhash_signatures` values). When the caller already
+    materialized signatures (e.g. it derived ``band_table`` from them via
+    :func:`bands_from_signatures`), passing them here skips the members-
+    only re-sign — identical values either way (signatures are a pure
+    function of the text), one signature pipeline instead of two.
+    """
+    cand = hot_bucket_sweep_candidates(
+        band_table,
+        texts,
+        id_col,
+        text_col,
+        n_shingle,
+        num_hashes,
+        max_bucket_width,
+        neighbor_window,
+        sig_table,
     )
 
     ends = (
@@ -1615,4 +1635,66 @@ def hot_bucket_sweep(
             F.round(jaccard(F.col("__sh1"), F.col("__sh2")), 6).alias("jaccard"),
         )
         .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def hot_bucket_sweep_candidates(
+    band_table: DataFrame,
+    texts: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_shingle: int = 3,
+    num_hashes: int = 16,
+    max_bucket_width: int = 64,
+    neighbor_window: int = 8,
+    sig_table: DataFrame | None = None,
+) -> DataFrame:
+    """The candidate-generation half of :func:`hot_bucket_sweep` —
+    distinct (id1, id2) rank-window neighbors inside hot buckets, BEFORE
+    Jaccard verification. Split out so composite queries (e.g. the
+    capped-sweep recall audit) can verify sweep candidates together with
+    other candidate sets in ONE shared Jaccard pass instead of paying the
+    shingle-join per candidate family (optimization r14, guide §1.2)."""
+    widths = band_table.groupBy("band", "bucket").agg(
+        F.count(F.lit(1)).alias("__w")
+    )
+    hot_keys = widths.filter(F.col("__w") > max_bucket_width).select(
+        "band", "bucket"
+    )
+    hot_rows = band_table.join(hot_keys, ["band", "bucket"])
+    if sig_table is None:
+        members = hot_rows.select(id_col).distinct()
+        mem_texts = texts.select(id_col, text_col).join(members, id_col, "semi")
+        sigs = minhash_signatures(
+            mem_texts, id_col, text_col, n_shingle, num_hashes
+        )
+    else:
+        sigs = sig_table.select(id_col, "sig")
+
+    w = Window.partitionBy("band", "bucket").orderBy(
+        F.col("sig"), F.col(id_col)
+    )
+    ranked = (
+        hot_rows.join(sigs, id_col)
+        .select(id_col, "band", "bucket", "sig")
+        .withColumn("rnk", F.row_number().over(w))
+    )
+    left = ranked.select(
+        F.col(id_col).alias("__a"), "band", "bucket", F.col("rnk").alias("__ra")
+    ).withColumn(
+        "__rb",
+        F.explode(
+            F.sequence(F.col("__ra") + 1, F.col("__ra") + neighbor_window)
+        ),
+    )
+    right = ranked.select(
+        F.col(id_col).alias("__b"), "band", "bucket", F.col("rnk").alias("__rb")
+    )
+    return (
+        left.join(right, ["band", "bucket", "__rb"])
+        .select(
+            F.least("__a", "__b").alias("id1"),
+            F.greatest("__a", "__b").alias("id2"),
+        )
+        .dropDuplicates(["id1", "id2"])
     )

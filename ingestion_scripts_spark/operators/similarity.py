@@ -736,18 +736,32 @@ def pq_recall(
     Truth: exact int64 micro-unit squared L2 (as in ``kcenter_greedy``).
     Both top-k sets break ties to the smaller id.
 
-    Scale shape: m independent kmeans fits over dim/m-wide slices (the
-    fit's own driver loop, O(ksub·dim) state); encoding is m narrow maps
-    joined on id; ADC is a broadcast(queries) x codes scan with m
-    broadcast-sized centroid-table joins (ksub rows each) and a windowed
-    top-k. The oracle re-trains all m codebooks from scratch in one
-    statement (prefixed unrolled-kmeans CTE chains), so codebook,
-    codes, ADC ranking and recall are ALL differentially pinned.
+    Scale shape: the m kmeans fits train over dim/m-wide slices of the
+    SAME checkpointed vector table, so the Lloyd loop is FUSED across
+    subspaces (optimization r14, guide §1.2 — fewer passes): each
+    iteration is ONE projection computing all m assignments (the per-
+    subspace :func:`clustering.cluster_assignment` argmin over a slice)
+    and ONE (subspace, cluster, dim)-keyed exact-integer re-center
+    aggregate (m·ksub·sub ≈ 1k rows collected, same O(m·ksub·dim) driver
+    state), instead of m independent fits each paying its own checkpoint,
+    seed collect and per-iteration pass — 3 actions total vs ~4m+1.
+    Arithmetic is bit-identical to :func:`clustering.kmeans_fit`: same
+    smallest-id init, same rounded-distance argmin, same int64 micro-unit
+    re-centering law, empty clusters keep their previous centroid.
+    Encoding is then one m-column projection (no id joins); ADC is a
+    broadcast(queries) x codes scan with m broadcast-sized centroid-table
+    joins (ksub rows each) and a windowed top-k. The oracle re-trains all
+    m codebooks from scratch in one statement (prefixed unrolled-kmeans
+    CTE chains), so codebook, codes, ADC ranking and recall are ALL
+    differentially pinned.
 
     Returns (query_id, n_truth, n_hit, recall).
     """
-    from .clustering import kmeans_fit
+    import math
 
+    from .clustering import cluster_assignment
+
+    r6 = lambda x: math.floor(x * 1000000.0 + 0.5) / 1000000.0  # noqa: E731
     sub = dim // m
     pts = df.select(
         F.col(id_col).alias("pid"),
@@ -756,22 +770,71 @@ def pq_recall(
     pts = spread(pts).localCheckpoint()
 
     spark = df.sparkSession
-    codes = None
-    cent_dfs = []
-    for j in range(m):
-        sl = pts.select("pid", F.slice("v", j * sub + 1, sub).alias("v"))
-        centroids, assigned = kmeans_fit(sl, vec_col="v", id_col="pid", k=ksub, iters=iters)
-        cj = assigned.select(
-            F.col("__id").alias("pid"), F.col("cluster_id").alias(f"c{j}")
+    seed_rows = pts.orderBy("pid").limit(ksub).collect()
+    cents: list[list[list[float]]] = [
+        [[r6(float(x)) for x in r["v"][j * sub : (j + 1) * sub]] for r in seed_rows]
+        for j in range(m)
+    ]
+    for _ in range(iters):
+        assigned = pts.select(
+            "v",
+            *[
+                cluster_assignment(F.slice(F.col("v"), j * sub + 1, sub), cents[j])[
+                    "c"
+                ].alias(f"c{j}")
+                for j in range(m)
+            ],
         )
-        codes = cj if codes is None else codes.join(cj, "pid")
-        cent_dfs.append(
-            spark.createDataFrame(
-                [(cid, vec) for cid, vec in enumerate(centroids)],
-                f"c{j} int, cent{j} array<double>",
+        stats = (
+            assigned.select(
+                F.explode(
+                    F.array(
+                        *[
+                            F.struct(
+                                F.lit(j).alias("j"),
+                                F.col(f"c{j}").alias("c"),
+                                F.slice(F.col("v"), j * sub + 1, sub).alias("s"),
+                            )
+                            for j in range(m)
+                        ]
+                    )
+                ).alias("e")
             )
+            .select("e.j", "e.c", F.posexplode("e.s").alias("pos", "val"))
+            .groupBy("j", "c", "pos")
+            .agg(
+                F.sum(
+                    F.floor(F.col("val") * 1000000.0 + 0.5).cast("bigint")
+                ).alias("s"),
+                F.count(F.lit(1)).alias("n"),
+            )
+            .collect()
         )
-    codes = codes.localCheckpoint()
+        new: list[dict[int, list[float]]] = [{} for _ in range(m)]
+        for r in stats:
+            new[r["j"]].setdefault(r["c"], [0.0] * sub)[r["pos"]] = (
+                math.floor(r["s"] / r["n"] + 0.5) / 1000000.0
+            )
+        cents = [
+            [new[j].get(c, cents[j][c]) for c in range(ksub)] for j in range(m)
+        ]
+
+    codes = pts.select(
+        "pid",
+        *[
+            cluster_assignment(F.slice(F.col("v"), j * sub + 1, sub), cents[j])[
+                "c"
+            ].alias(f"c{j}")
+            for j in range(m)
+        ],
+    )
+    cent_dfs = [
+        spark.createDataFrame(
+            [(cid, vec) for cid, vec in enumerate(cents[j])],
+            f"c{j} int, cent{j} array<double>",
+        )
+        for j in range(m)
+    ]
 
     qs = pts.filter((F.col("pid") % query_mod) == 0).select(
         F.col("pid").alias("query_id"), F.col("v").alias("qv")

@@ -6,10 +6,11 @@ previous part, and a cumulative ``__all__`` so the front door's single
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ingestion_scripts_spark import oracle as O
+from ingestion_scripts_spark.caching import persist_tracked
 from ingestion_scripts_spark.functions import text as X
 from ingestion_scripts_spark.operators import text_analysis as TA
 from ingestion_scripts_spark.registry import part06 as _prev
@@ -298,36 +299,67 @@ def q_dedup_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _t(spark, sf_dir, "documents")
 
-    surv1 = docs.groupBy(F.md5(F.col("text")).alias("__h")).agg(
-        F.min("doc_id").alias("doc_id")
+    # Plan shape (optimization r14, guide §1.2/§5): the four stage counts
+    # are counts of NESTED id sets (each removal set is a subset of the
+    # stage it removes from: removed2 ⊆ d1 ids by construction — id_b of a
+    # pair over d1; removed3 ⊆ d2 ids — segment stats are per-d2-doc), so
+    # instead of four union branches each re-running the upstream cascade
+    # (the s3 branch alone replayed exact-dedup + the full minhash verify
+    # + the segment pass), persist the three SMALL id sets and derive
+    # survivors arithmetically: n1 = |surv1|, n2 = n1 - |removed2|,
+    # n3 = n2 - |removed3|. The heavy pipelines each run exactly once; the
+    # cached state is ids only (the 100 TB-safe footprint).
+    surv1 = persist_tracked(
+        docs.groupBy(F.md5(F.col("text")).alias("__h"))
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id")
     )
-    d1 = docs.join(surv1.select("doc_id"), "doc_id")
+    d1 = docs.select("doc_id", "text").join(surv1, "doc_id")
     pairs = D2.minhash_dedup_pairs(d1, "doc_id", "text", threshold=0.8)
-    removed2 = pairs.select(F.col("id_b").alias("doc_id")).distinct()
+    removed2 = persist_tracked(
+        pairs.select(F.col("id_b").alias("doc_id")).distinct()
+    )
     d2 = d1.join(removed2, "doc_id", "left_anti")
     seg = D2.segment_dedup(d2, "doc_id", "text", seg_words=8, max_docs=1)
-    removed3 = seg.filter(2 * F.col("n_kept") < F.col("n_seg")).select("doc_id")
-    d3 = d2.join(removed3, "doc_id", "left_anti")
-
-    def stage(name: str, df: DataFrame) -> DataFrame:
-        return df.agg(
-            F.lit(name).alias("stage"),
-            F.count(F.lit(1)).cast("bigint").alias("survivors"),
-        )
-
-    counts = (
-        stage("s0_total", docs)
-        .unionByName(stage("s1_exact", d1))
-        .unionByName(stage("s2_minhash", d2))
-        .unionByName(stage("s3_segment", d3))
+    removed3 = persist_tracked(
+        seg.filter(2 * F.col("n_kept") < F.col("n_seg")).select("doc_id")
     )
-    return (
-        counts.withColumn(
-            "removed",
-            F.coalesce(F.lag("survivors").over(Window.orderBy("stage")), F.col("survivors"))
-            - F.col("survivors"),
+
+    def n(df: DataFrame, alias: str) -> DataFrame:
+        return df.agg(F.count(F.lit(1)).cast("bigint").alias(alias))
+
+    one = (
+        n(docs, "n0")
+        .crossJoin(n(surv1, "n1"))
+        .crossJoin(n(removed2, "r2"))
+        .crossJoin(n(removed3, "r3"))
+        .select(
+            "n0",
+            "n1",
+            (F.col("n1") - F.col("r2")).alias("n2"),
+            (F.col("n1") - F.col("r2") - F.col("r3")).alias("n3"),
         )
-        .select("stage", "survivors", "removed")
+    )
+
+    def st(name: str, surv, removed) -> Column:
+        return F.struct(
+            F.lit(name).alias("stage"),
+            surv.alias("survivors"),
+            removed.cast("bigint").alias("removed"),
+        )
+
+    return (
+        one.select(
+            F.explode(
+                F.array(
+                    st("s0_total", F.col("n0"), F.lit(0)),
+                    st("s1_exact", F.col("n1"), F.col("n0") - F.col("n1")),
+                    st("s2_minhash", F.col("n2"), F.col("n1") - F.col("n2")),
+                    st("s3_segment", F.col("n3"), F.col("n2") - F.col("n3")),
+                )
+            ).alias("x")
+        )
+        .select("x.stage", "x.survivors", "x.removed")
         .orderBy("stage")
     )
 

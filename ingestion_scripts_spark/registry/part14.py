@@ -150,8 +150,12 @@ def q_capped_roll_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     base = docs.filter(F.col("doc_id") % 4 != 0)
     inserts = docs.filter(F.col("doc_id") % 4 == 0)
     delete_ids = base.filter(F.col("doc_id") % 9 == 0).select("doc_id")
+    # the audit reads the base band table on BOTH sides ('next' via the
+    # maintained union, 'base' directly) — persist it so the base
+    # signature pipeline runs once (optimization r14; the roll queries
+    # get this for free from their parquet state round-trip)
     _, _, audit = capped_band_roll(
-        banded_buckets(base, "doc_id", "text"),
+        persist_tracked(banded_buckets(base, "doc_id", "text")),
         docs,
         inserts,
         delete_ids,
@@ -406,12 +410,18 @@ def q_hot_bucket_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     remediation contract: refuse online, account exactly, recover
     offline."""
     from ingestion_scripts_spark.operators.dedup import (
-        banded_buckets,
+        bands_from_signatures,
         hot_bucket_sweep,
+        minhash_signatures,
     )
 
     docs = _t(spark, sf_dir, "documents").select("doc_id", "text")  # noqa: F405
-    bands = banded_buckets(docs, "doc_id", "text")
+    # one signature pipeline: the band table is a projection of the
+    # persisted signatures and the sweep's rank ordering joins the same
+    # table instead of re-signing hot members (optimization r14; values
+    # are identical — signatures are a pure function of the text)
+    sigs = persist_tracked(minhash_signatures(docs, "doc_id", "text"))
+    bands = bands_from_signatures(sigs, "doc_id")
     return hot_bucket_sweep(
         bands,
         docs,
@@ -420,6 +430,7 @@ def q_hot_bucket_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         threshold=0.8,
         max_bucket_width=_CAP_W,
         neighbor_window=_SWEEP_W,
+        sig_table=sigs,
     ).orderBy("id1", "id2")
 
 
@@ -436,71 +447,117 @@ def q_capped_sweep_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     many remain lost at this window ('lost'). At 100 TB this is the
     dashboard row that prices a cap/window choice: lost pair count is the
     recall give-up, sweep_recovered is what the bounded offline pass buys
-    back."""
+    back.
+
+    Plan shape (optimization r14, guide §1.2/§2.4): the three pair sets
+    are NESTED (capped ⊆ uncapped; sweep candidates share a hot bucket so
+    they are banded pairs too), so instead of three candidate generations
+    and three Jaccard-verify joins this computes ONE candidate universe
+    with two per-pair flags — ``has_ok`` (shares ≥1 non-hot bucket ⇔
+    member of the capped set) and ``in_sweep`` (rank-window neighbor in a
+    hot bucket; verified ⇔ member of the sweep output, same threshold) —
+    runs the shingle-verify join ONCE over the universe, and reads all
+    three counts off one aggregate row. One signature pipeline feeds both
+    the band table and the sweep's rank ordering. Identical result set:
+    capped_found = verified ∧ has_ok; sweep_recovered = verified ∧
+    in_sweep ∧ ¬has_ok (= sweep \\ capped); lost = verified ∧ ¬has_ok ∧
+    ¬in_sweep (= uncapped \\ capped \\ sweep)."""
     from ingestion_scripts_spark.operators.dedup import (
-        banded_buckets,
-        hot_bucket_sweep,
+        bands_from_signatures,
+        hot_bucket_sweep_candidates,
         jaccard,
-        pairs_from_banded,
+        minhash_signatures,
         shingles,
     )
 
     docs = _t(spark, sf_dir, "documents").select("doc_id", "text")  # noqa: F405
-    # three consumers (widths, U, sweep) share the banding pipeline —
-    # persist so the signature lineage runs once
-    bands = persist_tracked(banded_buckets(docs, "doc_id", "text"))
-    widths = bands.groupBy("band", "bucket").agg(
-        F.count(F.lit(1)).alias("__w")
-    )
-    ok = widths.filter(F.col("__w") <= _CAP_W).select("band", "bucket")
+    # all consumers (pair universe, bucket widths, sweep ranks) share ONE
+    # persisted signature table; the band table is a cheap projection
+    sigs = persist_tracked(minhash_signatures(docs, "doc_id", "text"))
+    bands = bands_from_signatures(sigs, "doc_id")
 
-    sh = docs.select(
-        "doc_id", shingles(F.col("text"), 3).alias("__sh")
-    )
-
-    def verified(cand: DataFrame) -> DataFrame:
-        return (
-            cand.join(
-                sh.select(F.col("doc_id").alias("id1"), F.col("__sh").alias("__s1")),
-                "id1",
-            )
-            .join(
-                sh.select(F.col("doc_id").alias("id2"), F.col("__sh").alias("__s2")),
-                "id2",
-            )
-            .filter(F.round(jaccard(F.col("__s1"), F.col("__s2")), 6) >= 0.8)
-            .select("id1", "id2")
+    # candidate universe with the capped-membership flag: per (band,
+    # bucket), in-bucket combinations (same HOF expansion as
+    # pairs_from_banded) tagged with whether THIS bucket is non-hot, then
+    # one per-pair aggregate: has_ok = shares at least one non-hot bucket
+    pair_flags = (
+        bands.groupBy("band", "bucket")
+        .agg(F.array_sort(F.collect_list(F.col("doc_id"))).alias("ids"))
+        .filter(F.size("ids") > 1)
+        .select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(ids, (x, i) -> "
+                    "transform(slice(ids, i + 2, size(ids)), "
+                    "y -> struct(x AS id1, y AS id2))))"
+                )
+            ).alias("p"),
+            (F.size("ids") <= _CAP_W).alias("__okb"),
         )
-
-    u = verified(
-        pairs_from_banded(bands, "doc_id").select(
-            F.col("id_a").alias("id1"), F.col("id_b").alias("id2")
-        )
+        .groupBy("p.id1", "p.id2")
+        .agg(F.max("__okb").alias("has_ok"))
     )
-    c = verified(
-        pairs_from_banded(bands.join(ok, ["band", "bucket"]), "doc_id").select(
-            F.col("id_a").alias("id1"), F.col("id_b").alias("id2")
-        )
-    )
-    s = hot_bucket_sweep(
-        bands, docs, "doc_id", "text",
-        threshold=0.8, max_bucket_width=_CAP_W, neighbor_window=_SWEEP_W,
-    ).select("id1", "id2")
-
-    recovered = s.join(c, ["id1", "id2"], "left_anti")
-    lost = u.join(c, ["id1", "id2"], "left_anti").join(
-        s, ["id1", "id2"], "left_anti"
+    scand = hot_bucket_sweep_candidates(
+        bands,
+        docs,
+        "doc_id",
+        "text",
+        max_bucket_width=_CAP_W,
+        neighbor_window=_SWEEP_W,
+        sig_table=sigs,
+    ).withColumn("__sw", F.lit(True))
+    flagged = pair_flags.join(scand, ["id1", "id2"], "left").select(
+        "id1",
+        "id2",
+        "has_ok",
+        F.coalesce(F.col("__sw"), F.lit(False)).alias("in_sweep"),
     )
 
-    def cnt(df: DataFrame, name: str) -> DataFrame:
-        return df.agg(F.count(F.lit(1)).cast("bigint").alias("n_pairs")).select(
-            F.lit(name).alias("category"), "n_pairs"
+    sh = docs.select("doc_id", shingles(F.col("text"), 3).alias("__sh"))
+    verified = (
+        flagged.join(
+            sh.select(F.col("doc_id").alias("id1"), F.col("__sh").alias("__s1")),
+            "id1",
         )
-
+        .join(
+            sh.select(F.col("doc_id").alias("id2"), F.col("__sh").alias("__s2")),
+            "id2",
+        )
+        .filter(F.round(jaccard(F.col("__s1"), F.col("__s2")), 6) >= 0.8)
+        .select("has_ok", "in_sweep")
+    )
+    one = verified.agg(
+        F.coalesce(F.sum(F.col("has_ok").cast("bigint")), F.lit(0).cast("bigint"))
+        .alias("__c"),
+        F.coalesce(
+            F.sum((~F.col("has_ok") & F.col("in_sweep")).cast("bigint")),
+            F.lit(0).cast("bigint"),
+        ).alias("__r"),
+        F.coalesce(
+            F.sum((~F.col("has_ok") & ~F.col("in_sweep")).cast("bigint")),
+            F.lit(0).cast("bigint"),
+        ).alias("__l"),
+    )
     return (
-        cnt(c, "capped_found")
-        .unionByName(cnt(recovered, "sweep_recovered"))
-        .unionByName(cnt(lost, "lost"))
+        one.select(
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.lit("capped_found").alias("category"),
+                        F.col("__c").alias("n_pairs"),
+                    ),
+                    F.struct(
+                        F.lit("lost").alias("category"),
+                        F.col("__l").alias("n_pairs"),
+                    ),
+                    F.struct(
+                        F.lit("sweep_recovered").alias("category"),
+                        F.col("__r").alias("n_pairs"),
+                    ),
+                )
+            ).alias("x")
+        )
+        .select("x.category", "x.n_pairs")
         .orderBy("category")
     )
 
