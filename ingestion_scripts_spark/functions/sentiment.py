@@ -29,6 +29,7 @@ from __future__ import annotations
 import pandas as pd
 from pyspark.sql import Column
 from pyspark.sql import functions as F
+from .lits import string_array
 
 from .text import tokenize_ws
 
@@ -50,8 +51,8 @@ COMPOUND_ALPHA = 15.0  # VADER's normalization constant (published)
 
 
 def _score_expr(tokens: Column) -> Column:
-    pos_arr = F.array(*[F.lit(w) for w in POSITIVE_WORDS])
-    neg_arr = F.array(*[F.lit(w) for w in NEGATIVE_WORDS])
+    pos_arr = string_array(POSITIVE_WORDS)
+    neg_arr = string_array(NEGATIVE_WORDS)
     score_map = F.create_map(
         *[
             x

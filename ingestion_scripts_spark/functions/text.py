@@ -15,6 +15,7 @@ from __future__ import annotations
 import pandas as pd  # noqa: F401 — resolves pandas_udf deferred annotations
 from pyspark.sql import Column
 from pyspark.sql import functions as F
+from .lits import string_array
 
 #: ``string.punctuation`` as a char class valid in Java regex and RE2.
 #: Parity: reference ``src/reddit_consumer.py:62`` strips
@@ -105,7 +106,7 @@ def remove_stopwords(tokens: Column, stopwords: list[str] | None = None) -> Colu
     Implemented with the ``filter`` higher-order function, NOT
     ``array_except`` (which would also dedupe — SURVEY.md §2.6 F5 caveat).
     """
-    sw = F.array(*[F.lit(s) for s in (stopwords or STOPWORDS)])
+    sw = string_array(stopwords or STOPWORDS)
     return F.filter(tokens, lambda t: ~F.array_contains(sw, t))
 
 

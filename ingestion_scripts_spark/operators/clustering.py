@@ -33,6 +33,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from ..functions.lits import bigint_array
 
 
 def cluster_assignment(vec, centroids: list[list[float]]):
@@ -300,7 +301,7 @@ def kcenter_greedy(
     pts = spread(pts).localCheckpoint()
 
     def dist_to(center_vec: list[int]):
-        arr = F.array(*[F.lit(int(x)).cast("bigint") for x in center_vec])
+        arr = bigint_array(center_vec)
         return F.aggregate(
             F.zip_with(F.col("v"), arr, lambda a, b: (a - b) * (a - b)),
             F.lit(0).cast("bigint"),

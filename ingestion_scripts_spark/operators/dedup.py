@@ -29,6 +29,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+from ..functions.lits import bigint_array
 
 from ..caching import iterative_checkpoint, release_local_checkpoint
 from ..functions.text import hash64, let_, ngrams, tokenize_ws
@@ -538,7 +539,7 @@ def simhash(text_col: Column, bits: int = 32) -> Column:
     DuckDB twin keeps the expanded per-bit form; DuckDB planning is
     cheap.)
     """
-    masks = F.array(*[F.lit(1 << j).cast("bigint") for j in range(bits)])
+    masks = bigint_array([1 << j for j in range(bits)])
 
     def body(hashes: Column) -> Column:
         votes = F.aggregate(

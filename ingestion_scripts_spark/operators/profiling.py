@@ -29,6 +29,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+from ..functions.lits import bigint_array
 
 
 def snap_units(col: Column, scale: int) -> Column:
@@ -552,7 +553,7 @@ def ndcg_at_k(
     Two window passes over the same shuffle key + one keyed agg.
     """
     disc = ndcg_discounts_micro(k)
-    disc_arr = F.array(*[F.lit(d).cast("bigint") for d in disc])
+    disc_arr = bigint_array(disc)
     base = df.select(
         F.col(group_col).alias("g"),
         score.cast("bigint").alias("s"),

@@ -22,6 +22,7 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from .dedup import _assert_disjoint_delta
+from ..functions.lits import bigint_array, double_array
 
 
 def spread(df: DataFrame) -> DataFrame:
@@ -241,7 +242,7 @@ def lsh_bucket(vec: Column, planes: list[list[float]]) -> Column:
     """Sign-bit LSH bucket id: bit p set iff dot(vec, plane_p) > 0."""
     bucket = F.lit(0).cast("bigint")
     for p, row in enumerate(planes):
-        plane = F.array(*[F.lit(v) for v in row])
+        plane = double_array(row)
         bucket = bucket + F.when(
             dot(vec, plane) > 0, F.lit(1 << p).cast("bigint")
         ).otherwise(F.lit(0).cast("bigint"))
@@ -282,7 +283,7 @@ def ivf_cell(vec: Column, centroids: list[list[float]]) -> Column:
 def _ivf_dists(vec: Column, centroids: list[list[float]]) -> list[Column]:
     dists = []
     for row in centroids:
-        cen = F.array(*[F.lit(v) for v in row])
+        cen = double_array(row)
         dists.append(
             F.aggregate(
                 F.zip_with(vec, cen, lambda x, c: (x - c) * (x - c)),
@@ -407,7 +408,15 @@ def sparse_cosine_pairs(
 
     Returns (id_a, id_b, cos) with cos rounded to 4 dp.
     """
-    tf = (
+    from ingestion_scripts_spark.caching import persist_tracked
+
+    # the (doc, term, cnt) inverted index feeds FIVE consumers (dl, df,
+    # and through w: norms + both posting sides) and the optimizer does
+    # NOT dedupe the identical aggregate subtrees (12 copies of the
+    # term-explode lineage in the unpersisted plan — optimization r14,
+    # guide §5: reused + expensive-to-recompute ⇒ persist; MEMORY_AND_DISK
+    # degrades to spill at corpus scale)
+    tf = persist_tracked(
         docs.select(F.col(id_col).alias("__id"), F.explode(terms_col).alias("t"))
         .groupBy("__id", "t")
         .agg(F.count(F.lit(1)).alias("cnt"))
@@ -437,6 +446,8 @@ def sparse_cosine_pairs(
             .alias("wi"),
         )
     )
+    # three consumers of the weighted index (norms + both posting sides)
+    w = persist_tracked(w)
     norms = w.groupBy("__id").agg(F.sum(F.col("wi") * F.col("wi")).alias("n2"))
     a = w.select(F.col("__id").alias("id_a"), "t", F.col("wi").alias("wa"))
     b = w.select(F.col("__id").alias("id_b"), "t", F.col("wi").alias("wb"))
@@ -648,8 +659,8 @@ def sq8_quantize_recall(
     )
     pts = spread(pts).localCheckpoint()
     book = sq8_codebook(pts, "vm")
-    lo_arr = F.array(*[F.lit(l).cast("bigint") for l, _ in book])
-    rng_arr = F.array(*[F.lit(max(h - l, 1)).cast("bigint") for l, h in book])
+    lo_arr = bigint_array([l for l, _ in book])
+    rng_arr = bigint_array([max(h - l, 1) for l, h in book])
     fdiv = lambda a, b: F.floor(a / b).cast("bigint")  # noqa: E731 — see law note
     code = F.zip_with(
         F.zip_with(F.col("vm"), lo_arr, lambda x, l: x - l),

@@ -9,6 +9,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column
 from pyspark.sql import functions as F
+from ..functions.lits import string_array
 
 from ..functions.text import PUNCT_CLASS, hash64, tokenize_ws
 
@@ -46,7 +47,7 @@ def lang_scores(text_col: Column) -> dict[str, Column]:
     toks = tokenize_ws(F.lower(text_col))
 
     def _hits(words: list[str]):
-        marker = F.array(*[F.lit(w) for w in words])
+        marker = string_array(words)
         return lambda t: F.array_contains(marker, t)
 
     return {
@@ -105,7 +106,7 @@ def quality_score(text_col: Column) -> Column:
     # ~0 flags keyword-stuffed or non-linguistic content
     from ..functions.text import STOPWORDS
 
-    sw = F.array(*[F.lit(s) for s in STOPWORDS])
+    sw = string_array(STOPWORDS)
     n_stop = F.size(
         F.filter(tokenize_ws(F.lower(text_col)), lambda t: F.array_contains(sw, t))
     )
@@ -347,7 +348,7 @@ def gopher_rules(text_col: Column) -> Column:
     symbol_ratio = r4(n_symbols / nt)
     n_alpha_toks = F.size(F.filter(toks, lambda t: t.rlike("[A-Za-z]")))
     alpha_frac = r4(n_alpha_toks / nt)
-    low = F.array(*[F.lit(s) for s in GOPHER_STOPS])
+    low = string_array(GOPHER_STOPS)
     stop_hits = F.size(
         F.array_intersect(tokenize_ws(F.lower(text_col)), low)
     )

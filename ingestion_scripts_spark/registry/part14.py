@@ -630,7 +630,11 @@ def q_ivf_postings_roll(spark: SparkSession, sf_dir: str) -> DataFrame:
     # bootstrap from an empty table: disjoint by construction, skip probes
     p1, _ = SIM.ivf_postings_roll(empty_post, base, empty_del, validate=False)
     state = _scratch(prefix="ivfpost_")  # noqa: F405
-    p1.write.mode("overwrite").partitionBy("cell").parquet(f"{state}/post_v1")
+    # cluster by the partition key before the partitioned write (guide
+    # §6): one file per cell instead of tasks x cells splinters
+    p1.repartition("cell").write.mode("overwrite").partitionBy("cell").parquet(
+        f"{state}/post_v1"
+    )
     postings1 = spark.read.parquet(f"{state}/post_v1")
     _, audit = SIM.ivf_postings_roll(postings1, inserts, delete_ids)
     return audit.select(
@@ -682,7 +686,9 @@ def q_ivf_roll_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
     p1, _ = SIM.ivf_postings_roll(empty_post, base, empty_del, validate=False)
     p2, _ = SIM.ivf_postings_roll(p1, inserts, delete_ids)
     state = _scratch(prefix="ivfserve_")  # noqa: F405
-    p2.write.mode("overwrite").partitionBy("cell").parquet(f"{state}/post_v2")
+    p2.repartition("cell").write.mode("overwrite").partitionBy("cell").parquet(
+        f"{state}/post_v2"
+    )
     postings2 = spark.read.parquet(f"{state}/post_v2")
 
     snap2 = emb.filter((F.col("vec_id") % 4 == 0) | (F.col("vec_id") % 9 != 0))
