@@ -31,7 +31,11 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 from ..functions.lits import bigint_array
 
-from ..caching import iterative_checkpoint, release_local_checkpoint
+from ..caching import (
+    iterative_checkpoint,
+    persist_tracked,
+    release_local_checkpoint,
+)
 from ..functions.text import hash64, let_, ngrams, tokenize_ws
 from .text_analysis import r4
 
@@ -222,6 +226,23 @@ def minhash_signatures(
     sh = df.select(
         F.col(id_col), shingles(F.col(text_col), n_shingle).alias("sh")
     ).filter(F.size("sh") > 0)
+    return signatures_from_shingles(sh, id_col, num_hashes)
+
+
+def signatures_from_shingles(
+    sh: DataFrame,
+    id_col: str,
+    num_hashes: int = 16,
+) -> DataFrame:
+    """The signature tail of :func:`minhash_signatures` over an existing
+    (id, sh: array<string>) table with non-empty shingle sets — split out
+    so callers that ALSO need the raw shingles (every verify step does)
+    can persist ONE shingle table and derive signatures from it instead
+    of re-running the tokenize→ngram→distinct chain per consumer
+    (optimization r14, guide §2.4/§4: the shingle expression is the
+    CPU-heavy part of the whole MinHash family — lower+split+transform+
+    distinct over the full corpus — and the un-split pipeline evaluated
+    it three times per query: signature path plus both verify sides)."""
     hashed = (
         sh.select(id_col, F.explode("sh").alias("s"))
         .select(
@@ -453,11 +474,23 @@ def minhash_dedup_pairs(
     Returns (id_a, id_b, jaccard) for verified pairs ≥ threshold. Verification
     re-joins the shingle sets so LSH false positives are filtered; false
     negatives are the usual LSH tradeoff (prob. bounded by the band curve).
+
+    The shingle table is persisted ONCE and feeds the signature pipeline
+    AND both verify sides (optimization r14, guide §2.4/§4): un-split,
+    the tokenize→ngram→distinct chain — the CPU-heavy expression of the
+    whole family — executed 3x per query across this operator's 9
+    registry consumers. Values are unchanged: the signature path filters
+    empty shingle sets exactly as ``minhash_signatures`` did, and the
+    verify joins only ever see candidate ids, which are all non-empty.
     """
-    sh = df.select(
-        F.col(id_col), shingles(F.col(text_col), n_shingle).alias("sh")
+    sh = persist_tracked(
+        df.select(F.col(id_col), shingles(F.col(text_col), n_shingle).alias("sh"))
     )
-    cand = minhash_lsh_candidates(df, id_col, text_col, n_shingle, num_hashes, bands)
+    sig = signatures_from_shingles(
+        sh.filter(F.size("sh") > 0), id_col, num_hashes
+    )
+    banded = bands_from_signatures(sig, id_col, num_hashes, bands)
+    cand = pairs_from_banded(banded, id_col)
     return (
         cand.join(sh.withColumnRenamed(id_col, "id_a").withColumnRenamed("sh", "sh_a"), "id_a")
         .join(sh.withColumnRenamed(id_col, "id_b").withColumnRenamed("sh", "sh_b"), "id_b")
@@ -743,6 +776,7 @@ def connected_components(
     labels = edges.select(F.col("a").alias("node")).distinct().select(
         "node", F.col("node").alias("comp")
     )
+    prev_staged = None
     for _ in range(max_iter):
         nbr = (
             edges.join(
@@ -751,27 +785,28 @@ def connected_components(
             .groupBy("a")
             .agg(F.min("comp").alias("nbr_comp"))
         )
-        new_labels = (
-            labels.join(nbr, labels.node == nbr.a, "left")
-            .select(
+        # carry the previous label through the checkpoint so the changed-
+        # check is a scan of the materialized frame, not a node-keyed
+        # self-join + shuffle per round (optimization r14, guide §2.4)
+        staged = iterative_checkpoint(
+            labels.join(nbr, labels.node == nbr.a, "left").select(
                 "node",
                 F.least(
                     F.col("comp"), F.coalesce(F.col("nbr_comp"), F.col("comp"))
-                ).alias("comp"),
+                ).alias("__new"),
+                F.col("comp").alias("__prev"),
             )
         )
-        new_labels = iterative_checkpoint(new_labels)
         changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "node")
-            .filter(F.col("n.comp") != F.col("o.comp"))
-            .limit(1)
-            .count()
+            staged.filter(F.col("__new") != F.col("__prev")).limit(1).count()
         )
-        # prior round's label checkpoint is dead past the changed-check
-        # (round 1's labels frame is not a checkpoint; the helper no-ops)
-        release_local_checkpoint(labels)
-        labels = new_labels
+        # the prior round's STAGED checkpoint (labels is a lazy projection
+        # of it) is dead once the new round materialized — release its
+        # blocks directly (the projection frame would no-op the helper)
+        if prev_staged is not None:
+            release_local_checkpoint(prev_staged)
+        prev_staged = staged
+        labels = staged.select("node", F.col("__new").alias("comp"))
         if changed == 0:
             break
     else:

@@ -18,10 +18,38 @@ when ranks are used as relative ordering weights.)
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ..caching import iterative_checkpoint, release_local_checkpoint
+from ..caching import (
+    iterative_checkpoint,
+    persist_tracked,
+    release_local_checkpoint,
+)
+
+#: Row cap under which a KNOWN-COUNT round-state frame (survivor set,
+#: BFS frontier, settled-label set) is broadcast into its per-round join
+#: instead of shuffled. Checkpointed round state is an ExistingRDD with
+#: no Catalyst stats, so neither the planner nor AQE can ever pick the
+#: broadcast side on its own — every round of an iterative kernel pays
+#: full SortMergeJoin exchanges on BOTH sides (observed: 3 Exchanges per
+#: peel round in kcore_parts' sf0.1 plan). The kernels below track exact
+#: row counts anyway (convergence checks), so the decision is free and
+#: scale-adaptive: a 100 TB graph's round state exceeds the cap and
+#: keeps the shuffled join; a shrunken survivor set/frontier flips to
+#: broadcast exactly like AQE would with stats. 2M rows of bigint ≈
+#: 16 MB exec-side — env-tunable for cluster memory geometry.
+_BC_STATE_ROWS = int(os.environ.get("SPARK_GRAFT_BC_STATE_ROWS", "2000000"))
+
+
+def _bc_if_small(df: DataFrame, n_rows: int | None) -> DataFrame:
+    """Broadcast ``df`` when its exact row count is known and small."""
+    if n_rows is not None and n_rows <= _BC_STATE_ROWS:
+        return F.broadcast(df)
+    return df
+
 
 #: 1.0 in micro-units
 _ONE = 1_000_000
@@ -219,18 +247,33 @@ def bfs_hops(
         .distinct()
         .withColumn("hops", F.lit(0).cast("bigint"))
     )
+    # exact frontier/settled counts (the frontier count doubles as the
+    # emptiness convergence check, the settled count is a running sum —
+    # both free) let the per-hop joins broadcast their small side (r14,
+    # guide §3): checkpointed round state has no Catalyst stats, so the
+    # planner otherwise sort-merge-joins the FULL edge list against a
+    # frontier of a few thousand nodes every hop. Past the row cap the
+    # shuffled join returns — scale-adaptive, not a local[32] tune.
+    n_frontier = n_labels = labels.count()
     frontier = labels.select("node")
     for h in range(1, max_hops + 1):
         reached = (
-            frontier.join(esym, frontier["node"] == esym["a"])
+            _bc_if_small(frontier, n_frontier)
+            .join(esym, frontier["node"] == esym["a"])
             .select(F.col("b").alias("node"))
             .distinct()
         )
         fresh = iterative_checkpoint(
-            reached.join(labels.select("node"), "node", "left_anti")
+            reached.join(
+                _bc_if_small(labels.select("node"), n_labels),
+                "node",
+                "left_anti",
+            )
         )
-        if fresh.isEmpty():
+        n_frontier = fresh.count()
+        if n_frontier == 0:
             break
+        n_labels += n_frontier
         new_labels = iterative_checkpoint(
             labels.union(fresh.withColumn("hops", F.lit(h).cast("bigint")))
         )
@@ -382,6 +425,16 @@ def kcore_peel(
     alive = iterative_checkpoint(
         ed.select(F.col("a").alias("node")).distinct()
     )
+    # exact survivor count per round (a cheap scan of the just-
+    # materialized checkpoint) drives two optimizations (r14, guide
+    # §2/§3): (1) the survivor side broadcasts into both endpoint
+    # semi-joins once it fits — checkpointed state has no stats, so
+    # without this every round is 2 SortMergeJoins with full exchanges;
+    # (2) an unchanged count means fixpoint (survivors only ever
+    # shrink), so later rounds are provably identity and the loop exits
+    # — the fixed unroll stays result-identical because deg at fixpoint
+    # equals deg after any number of further rounds.
+    n_alive = alive.count()
     deg = None
     # two-generation checkpoint lag: the returned deg is LAZY over the
     # previous round's alive, so only the generation before THAT is dead
@@ -389,8 +442,12 @@ def kcore_peel(
     dead = None
     for _ in range(rounds):
         live = ed.join(
-            alive.select(F.col("node").alias("a")), "a"
-        ).join(alive.select(F.col("node").alias("b")), "b")
+            _bc_if_small(alive.select(F.col("node").alias("a")), n_alive),
+            "a",
+        ).join(
+            _bc_if_small(alive.select(F.col("node").alias("b")), n_alive),
+            "b",
+        )
         deg = (
             live.groupBy("a")
             .agg(F.count(F.lit(1)).cast("bigint").alias("core_deg"))
@@ -399,10 +456,14 @@ def kcore_peel(
         new_alive = iterative_checkpoint(
             deg.filter(F.col("core_deg") >= k).select("node")
         )
+        n_new = new_alive.count()
         if dead is not None:
             release_local_checkpoint(dead)
         dead = alive
         alive = new_alive
+        if n_new == n_alive:
+            break
+        n_alive = n_new
     return deg.filter(F.col("core_deg") >= k)
 
 
@@ -607,8 +668,12 @@ def modularity(
         .union(e.select(F.col("b").alias("node")))
         .distinct()
     )
-    full = nodes.join(lab, "node", "left").select(
-        "node", F.coalesce("lab", F.col("node")).alias("lab")
+    # consumed 3x (la, lb, per-community degree roll-up) — persist once
+    # so the nodes-distinct shuffle and the label join run once, not 3x
+    full = persist_tracked(
+        nodes.join(lab, "node", "left").select(
+            "node", F.coalesce("lab", F.col("node")).alias("lab")
+        )
     )
     la = full.select(F.col("node").alias("a"), F.col("lab").alias("la"))
     lb = full.select(F.col("node").alias("b"), F.col("lab").alias("lb"))

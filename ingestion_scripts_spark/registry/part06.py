@@ -836,7 +836,12 @@ def q_label_spread_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
         e.select(F.col("b").alias("a"), F.col("a").alias("b"), "w")
     )
     esym = persist_tracked(esym)
-    seeds = (
+    # seeds are consumed 3x per spread round (vote join, clamp anti-join,
+    # clamp union) — persisted so the distinct-over-edges shuffle runs
+    # once, and each spread round's vote-join + window-argmax lineage is
+    # similarly pinned below instead of re-expanding at every reference
+    # (r14, guide §1.2/§2.4)
+    seeds = persist_tracked(
         esym.select(F.col("a").alias("node"))
         .distinct()
         .where(F.col("node") % 97 == 0)
@@ -861,7 +866,7 @@ def q_label_spread_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
         return winner.join(seeds.select("node"), "node", "left_anti").unionByName(
             seeds
         )
-    labels = spread(spread(seeds))
+    labels = spread(persist_tracked(spread(seeds)))
     return labels.select(
         F.col("node").cast("bigint").alias("node"),
         F.col("label").cast("bigint").alias("label"),

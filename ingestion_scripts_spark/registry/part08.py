@@ -613,7 +613,14 @@ def q_community_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
     esym = e.select("a", "b", "w").union(
         e.select(F.col("b").alias("a"), F.col("a").alias("b"), "w")
     )
-    seeds = (
+    # the seed set and each spread round are consumed MANY times
+    # downstream (each spread reads seeds 3x; modularity reads the final
+    # labels 3x) — left lazy, the vote-join + window-argmax lineage
+    # re-expands at every reference (~104 cache scans with the whole
+    # aggregation tree above each re-executed; sf0.1 plan, r14). Persist
+    # each round once: the plan collapses to one vote-join + one argmax
+    # per round (guide §1.2/§2.4, same fix as sparse_cosine_pairs).
+    seeds = persist_tracked(
         esym.select(F.col("a").alias("node"))
         .distinct()
         .where(F.col("node") % 97 == 0)
@@ -638,7 +645,7 @@ def q_community_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
             seeds.select("node"), "node", "left_anti"
         ).unionByName(seeds)
 
-    labels = spread(spread(seeds))
+    labels = persist_tracked(spread(persist_tracked(spread(seeds))))
     return G.modularity(e.select("a", "b"), labels)
 
 
