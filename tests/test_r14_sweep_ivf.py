@@ -158,6 +158,29 @@ def _verified_pairs(docs, cand):
     }
 
 
+def test_sweep_equals_verified_candidates(spark):
+    """The split the capped_sweep_recall query relies on: hot_bucket_sweep
+    == Jaccard-verify(hot_bucket_sweep_candidates) — so verifying sweep
+    candidates inside a SHARED verify pass (one shingle join for all
+    candidate families) yields exactly the sweep's pair set."""
+    from ingestion_scripts_spark.operators.dedup import (
+        hot_bucket_sweep_candidates,
+    )
+
+    docs, _ = _sweep_corpus(spark)
+    bands = banded_buckets(docs, "doc_id", "text")
+    swept = {
+        (r.id1, r.id2)
+        for r in hot_bucket_sweep(
+            bands, docs, threshold=0.5, max_bucket_width=2, neighbor_window=2
+        ).collect()
+    }
+    cand = hot_bucket_sweep_candidates(
+        bands, docs, max_bucket_width=2, neighbor_window=2
+    )
+    assert _verified_pairs(docs, cand) == swept and len(swept) > 0
+
+
 def test_sweep_full_window_completes_capped_to_uncapped(spark):
     from pyspark.sql import functions as F
 
