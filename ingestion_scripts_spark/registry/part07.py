@@ -341,25 +341,29 @@ def q_dedup_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
 
-    def st(name: str, surv, removed) -> Column:
+    def st(surv, removed) -> Column:
         return F.struct(
-            F.lit(name).alias("stage"),
-            surv.alias("survivors"),
-            removed.cast("bigint").alias("removed"),
+            surv.alias("survivors"), removed.cast("bigint").alias("removed")
         )
 
+    # wide→long via unpivot, not explode(array(struct…)): Expand multiplies
+    # rows by a plan-time constant, so the plan-hygiene audit can still see
+    # the terminal presentation sort's input is bounded (a Generate over
+    # non-foldable struct values cannot prove that)
     return (
         one.select(
-            F.explode(
-                F.array(
-                    st("s0_total", F.col("n0"), F.lit(0)),
-                    st("s1_exact", F.col("n1"), F.col("n0") - F.col("n1")),
-                    st("s2_minhash", F.col("n2"), F.col("n1") - F.col("n2")),
-                    st("s3_segment", F.col("n3"), F.col("n2") - F.col("n3")),
-                )
-            ).alias("x")
+            st(F.col("n0"), F.lit(0)).alias("s0_total"),
+            st(F.col("n1"), F.col("n0") - F.col("n1")).alias("s1_exact"),
+            st(F.col("n2"), F.col("n1") - F.col("n2")).alias("s2_minhash"),
+            st(F.col("n3"), F.col("n2") - F.col("n3")).alias("s3_segment"),
         )
-        .select("x.stage", "x.survivors", "x.removed")
+        .unpivot(
+            [],
+            ["s0_total", "s1_exact", "s2_minhash", "s3_segment"],
+            "stage",
+            "x",
+        )
+        .select("stage", "x.survivors", "x.removed")
         .orderBy("stage")
     )
 

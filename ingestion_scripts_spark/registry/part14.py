@@ -538,26 +538,18 @@ def q_capped_sweep_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(0).cast("bigint"),
         ).alias("__l"),
     )
+    # wide→long via unpivot, not explode(array(struct…)): Expand keeps the
+    # terminal sort's input provably bounded for the plan-hygiene audit
+    # (same restructure as dedup_funnel's tail, registry/part07.py)
     return (
         one.select(
-            F.explode(
-                F.array(
-                    F.struct(
-                        F.lit("capped_found").alias("category"),
-                        F.col("__c").alias("n_pairs"),
-                    ),
-                    F.struct(
-                        F.lit("lost").alias("category"),
-                        F.col("__l").alias("n_pairs"),
-                    ),
-                    F.struct(
-                        F.lit("sweep_recovered").alias("category"),
-                        F.col("__r").alias("n_pairs"),
-                    ),
-                )
-            ).alias("x")
+            F.col("__c").alias("capped_found"),
+            F.col("__l").alias("lost"),
+            F.col("__r").alias("sweep_recovered"),
         )
-        .select("x.category", "x.n_pairs")
+        .unpivot(
+            [], ["capped_found", "lost", "sweep_recovered"], "category", "n_pairs"
+        )
         .orderBy("category")
     )
 
