@@ -21,11 +21,17 @@ from pyspark.sql import Column
 from pyspark.sql import functions as F
 
 
+def sql_double_array(vals) -> str:
+    """SQL text of an array<double> literal with bit-exact elements — for
+    embedding into larger single-parse ``F.expr`` strings (the HOF-heavy
+    expression builders in operators/similarity.py compose dozens of
+    these; one string parse replaces hundreds of py4j calls)."""
+    return "array(" + ",".join(f"CAST('{float(v)!r}' AS DOUBLE)" for v in vals) + ")"
+
+
 def double_array(vals) -> Column:
     """array<double> literal — one expression, bit-exact elements."""
-    return F.expr(
-        "array(" + ",".join(f"CAST('{float(v)!r}' AS DOUBLE)" for v in vals) + ")"
-    )
+    return F.expr(sql_double_array(vals))
 
 
 def bigint_array(vals) -> Column:

@@ -31,11 +31,7 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 from ..functions.lits import bigint_array
 
-from ..caching import (
-    iterative_checkpoint,
-    persist_tracked,
-    release_local_checkpoint,
-)
+from ..caching import iterative_checkpoint, release_local_checkpoint
 from ..functions.text import hash64, let_, ngrams, tokenize_ws
 from .text_analysis import r4
 
@@ -475,17 +471,20 @@ def minhash_dedup_pairs(
     re-joins the shingle sets so LSH false positives are filtered; false
     negatives are the usual LSH tradeoff (prob. bounded by the band curve).
 
-    The shingle table is persisted ONCE and feeds the signature pipeline
-    AND both verify sides (optimization r14, guide §2.4/§4): un-split,
-    the tokenize→ngram→distinct chain — the CPU-heavy expression of the
-    whole family — executed 3x per query across this operator's 9
-    registry consumers. Values are unchanged: the signature path filters
-    empty shingle sets exactly as ``minhash_signatures`` did, and the
-    verify joins only ever see candidate ids, which are all non-empty.
+    One shingle expression feeds the signature pipeline AND both verify
+    sides (r14 refactor). PERSISTING that table was measured and rejected
+    (optimization r14, guide §1/§5): shingle arrays blow the corpus up
+    ~3x, and materializing them into the block store cost 5-12% MORE
+    than letting each of the three consumers recompute the expression
+    inside its own scan stage (same-host A/B over dedup_recall /
+    incremental_near_dup / dedup_threshold_curve / minhash_near_dups at
+    sf0.1) — recompute pipelines into whole-stage codegen and never
+    touches storage. Values are unchanged either way: the signature path
+    filters empty shingle sets exactly as ``minhash_signatures`` did, and
+    the verify joins only ever see candidate ids, which are all
+    non-empty.
     """
-    sh = persist_tracked(
-        df.select(F.col(id_col), shingles(F.col(text_col), n_shingle).alias("sh"))
-    )
+    sh = df.select(F.col(id_col), shingles(F.col(text_col), n_shingle).alias("sh"))
     sig = signatures_from_shingles(
         sh.filter(F.size("sh") > 0), id_col, num_hashes
     )

