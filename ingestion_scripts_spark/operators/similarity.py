@@ -113,9 +113,9 @@ def _normed(df: DataFrame, id_alias: str, id_col: str, vec_col: str, out: str) -
     """(id, unit-norm vector). Norm computed ONCE per row as a projected
     column (an attribute, so the transform lambda's reference is O(1));
     downstream cosine is then a plain dot product — at 100 TB this turns
-    every pairwise score from 3 array folds into 1. Built as F.expr
-    strings (single parse — see _sql_dot note above); the parsed tree is
-    the same cast→sum-of-squares→sqrt→divide fold as the Column form."""
+    every pairwise score from 3 array folds into 1. (Kept on the Column
+    API: an F.expr variant measured no in-context win here, unlike the
+    per-centroid builders below.)"""
     return (
         df.select(
             F.col(id_col).alias(id_alias), _as_double(F.col(vec_col)).alias("__v")
@@ -572,8 +572,15 @@ def mmr_rerank(
     Returns (query_id, match_id, sel_round, sim, mmr_score10) where
     ``mmr_score10`` is in lam_den * 1e-7 units (score10 = 10x micro).
     """
+    from ingestion_scripts_spark.caching import persist_tracked
+
     mu = lam_den - lam_num
-    cand = (
+    # persist the candidate table: every unrolled greedy round references
+    # it (remaining + scored), and its lineage is the full broadcast-query
+    # × corpus scan — un-persisted, the k_select-round plan re-expanded
+    # that kernel ~2·k_select times (optimization r14, guide §5; the
+    # cached frame is nq × k_candidates rows)
+    cand = persist_tracked(
         cosine_topk(queries, corpus, id_col, vec_col, k=k_candidates)
         .withColumn("simu", F.round(F.col("sim") * 1e6).cast("bigint"))
         .select("query_id", "match_id", "sim", "simu")
@@ -601,6 +608,10 @@ def mmr_rerank(
             .alias("psimu"),
         )
     )
+
+    # candidate-candidate sims: referenced by every round ≥ 2's redundancy
+    # join — nq × k² rows, persisted for the same re-expansion reason
+    pairs = persist_tracked(pairs)
 
     w = Window.partitionBy("query_id").orderBy(
         F.desc("score10"), F.asc("match_id")

@@ -1258,7 +1258,13 @@ def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     this runs on a query sample; the joins are on (query, match) ids."""
     emb = _t(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") % 50 == 0)
-    exact = SIM.cosine_topk(queries, emb, k=10).select("query_id", "match_id")
+    # persist the exact baseline: both rate() branches semi-join against
+    # it, and its lineage is the full broadcast-query × corpus scan — the
+    # single most expensive pass of the query, otherwise run twice
+    # (optimization r14, guide §5: nq×10 ids cached, corpus never)
+    exact = persist_tracked(
+        SIM.cosine_topk(queries, emb, k=10).select("query_id", "match_id")
+    )
     # fully lazy: the query count is a broadcast 1-row aggregate joined into
     # each rate (mirrors the oracle's nq CTE) — no Spark job fires at
     # build time (VERDICT r3 item 2)
