@@ -1634,16 +1634,26 @@ def hot_bucket_sweep(
     only re-sign — identical values either way (signatures are a pure
     function of the text), one signature pipeline instead of two.
     """
-    cand = hot_bucket_sweep_candidates(
-        band_table,
-        texts,
-        id_col,
-        text_col,
-        n_shingle,
-        num_hashes,
-        max_bucket_width,
-        neighbor_window,
-        sig_table,
+    from ..caching import persist_tracked
+
+    # persist the candidate pairs: three consumers (both endpoint unions
+    # and the verify join) otherwise re-expand the whole width→hot→rank→
+    # window candidate pipeline — 221 Exchange nodes in the un-persisted
+    # sf0.1 plan vs one cached scan; the frame is bounded by
+    # Σ_hot w·window BY CONSTRUCTION, the exact bound this operator
+    # exists to enforce (optimization r14, guide §5)
+    cand = persist_tracked(
+        hot_bucket_sweep_candidates(
+            band_table,
+            texts,
+            id_col,
+            text_col,
+            n_shingle,
+            num_hashes,
+            max_bucket_width,
+            neighbor_window,
+            sig_table,
+        )
     )
 
     ends = (
