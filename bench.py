@@ -369,9 +369,13 @@ _PROBE_ITERS = 2_000_000
 _PROBE_IDLE_CALIB_SEC = 0.115
 #: a probe is "contended" when the median worker runs this much slower than
 #: the run's own serial reference — i.e. the cores local[N] is about to use
-#: are partly stolen. 1.6 sits well above idle jitter (±10% observed) and
-#: well below the 2-3× inflation real oversubscription produces.
-_PROBE_TAINT_RATIO = 1.6
+#: are partly stolen. Was 1.6 through r14; the r14 driver comparison
+#: ingested a snapshot whose mid-run probes drifted to 1.31-1.47× (a real
+#: steal spike that inflated several per-query medians) without tripping
+#: the gate, so r15 tightens it to 1.25 (VERDICT r14 item 6) — above the
+#: ±10% idle jitter, below the drift that demonstrably distorted medians.
+#: The gate only sets the `tainted` flag; timing methodology is unchanged.
+_PROBE_TAINT_RATIO = 1.25
 
 
 def _spin(n: int) -> float:
