@@ -1654,15 +1654,25 @@ def q_stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     name = "stream_sess_" + uuid.uuid4().hex[:8]
-    q = (
-        agg.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("complete")
-        .option("checkpointLocation", _scratch(prefix="ckpt_"))
-        .trigger(availableNow=True)
-        .start()
+    # state partitions sized to the stream's input bytes, not the core
+    # count (optimization r15, guide §2.2 — see stream_state_partitions)
+    from ingestion_scripts_spark.streaming.streams import (
+        scoped_shuffle_partitions,
+        stream_state_partitions,
     )
-    q.awaitTermination()
+
+    with scoped_shuffle_partitions(
+        spark, stream_state_partitions(spark, f"{sf_dir}/events.parquet")
+    ):
+        q = (
+            agg.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("complete")
+            .option("checkpointLocation", _scratch(prefix="ckpt_"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     return (
         spark.table(name)
         .select("user_id", "session_start", "session_end", "n_events")
@@ -1709,15 +1719,23 @@ def q_stream_hourly_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     name = "stream_hourly_" + uuid.uuid4().hex[:8]
-    q = (
-        agg.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("complete")
-        .option("checkpointLocation", _scratch(prefix="ckpt_"))
-        .trigger(availableNow=True)
-        .start()
+    from ingestion_scripts_spark.streaming.streams import (
+        scoped_shuffle_partitions,
+        stream_state_partitions,
     )
-    q.awaitTermination()
+
+    with scoped_shuffle_partitions(
+        spark, stream_state_partitions(spark, f"{sf_dir}/events.parquet")
+    ):
+        q = (
+            agg.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("complete")
+            .option("checkpointLocation", _scratch(prefix="ckpt_"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     return (
         spark.table(name)
         .select(
@@ -1753,15 +1771,23 @@ def q_stream_dedup_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     dedup = doubled.dropDuplicates(["event_id"]).select("event_id", "event_type")
     name = "stream_dedup_" + uuid.uuid4().hex[:8]
-    q = (
-        dedup.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("append")
-        .option("checkpointLocation", _scratch(prefix="ckpt_"))
-        .trigger(availableNow=True)
-        .start()
+    from ingestion_scripts_spark.streaming.streams import (
+        scoped_shuffle_partitions,
+        stream_state_partitions,
     )
-    q.awaitTermination()
+
+    with scoped_shuffle_partitions(
+        spark, stream_state_partitions(spark, f"{sf_dir}/events.parquet")
+    ):
+        q = (
+            dedup.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .option("checkpointLocation", _scratch(prefix="ckpt_"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     return (
         spark.table(name)
         .groupBy("event_type")

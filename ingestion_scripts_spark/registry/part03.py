@@ -365,6 +365,11 @@ def q_stream_stateful_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     counted = stateful_user_counts(stream, "user_id")
     name = "stream_state_" + uuid.uuid4().hex[:8]
+    # deliberately NOT byte-scoped (optimization r15): this stream is
+    # applyInPandasWithState over ~|users| groups — per-group Python
+    # overhead is the cost, so parallelism must track CORES, not input
+    # bytes (measured: partitions 32→1 took 2.9 s → 5.5 s while the
+    # JVM-stateful streams all improved; guide §4 boundary cost)
     q = (
         counted.writeStream.format("memory")
         .queryName(name)
@@ -413,15 +418,23 @@ def q_stream_wm_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         ["event_id"]
     )
     name = "wm_dedup_" + uuid.uuid4().hex[:8]
-    q = (
-        dedup.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("append")
-        .option("checkpointLocation", _scratch(prefix="ckpt_"))
-        .trigger(availableNow=True)
-        .start()
+    from ingestion_scripts_spark.streaming.streams import (
+        scoped_shuffle_partitions,
+        stream_state_partitions,
     )
-    q.awaitTermination()
+
+    with scoped_shuffle_partitions(
+        spark, stream_state_partitions(spark, f"{sf_dir}/events.parquet")
+    ):
+        q = (
+            dedup.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .option("checkpointLocation", _scratch(prefix="ckpt_"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     return (
         spark.table(name)
         .groupBy("event_type")
@@ -666,15 +679,23 @@ def q_stream_idempotent_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
         .parquet(src)
     )
     sink = _scratch(prefix="idem_sink_") + "/out"
-    q = (
-        stream.writeStream.foreachBatch(
-            make_foreach_batch_writer(sink, ["event_id"], audit=False)
-        )
-        .option("checkpointLocation", _scratch(prefix="ckpt_"))
-        .trigger(availableNow=True)
-        .start()
+    from ingestion_scripts_spark.streaming.streams import (
+        scoped_shuffle_partitions,
+        stream_state_partitions,
     )
-    q.awaitTermination()
+
+    with scoped_shuffle_partitions(
+        spark, stream_state_partitions(spark, src)
+    ):
+        q = (
+            stream.writeStream.foreachBatch(
+                make_foreach_batch_writer(sink, ["event_id"], audit=False)
+            )
+            .option("checkpointLocation", _scratch(prefix="ckpt_"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     return (
         spark.read.parquet(sink)
         .groupBy("event_type")
@@ -716,13 +737,21 @@ def q_stream_fanout_sinks(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).parquet(dead_path)
         batch_df.unpersist()
 
-    q = (
-        stream.writeStream.foreachBatch(route)
-        .option("checkpointLocation", _scratch(prefix="ckpt_"))
-        .trigger(availableNow=True)
-        .start()
+    from ingestion_scripts_spark.streaming.streams import (
+        scoped_shuffle_partitions,
+        stream_state_partitions,
     )
-    q.awaitTermination()
+
+    with scoped_shuffle_partitions(
+        spark, stream_state_partitions(spark, f"{sf_dir}/events.parquet")
+    ):
+        q = (
+            stream.writeStream.foreachBatch(route)
+            .option("checkpointLocation", _scratch(prefix="ckpt_"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     g = (
         spark.read.parquet(good_path)
         .groupBy("event_type")

@@ -754,15 +754,27 @@ def q_stream_state_reader(spark: SparkSession, sf_dir: str) -> DataFrame:
     counts = stream.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
     ckpt = _scratch(prefix="ckpt_statereader_")
     name = "state_probe_" + uuid.uuid4().hex[:8]
-    q = (
-        counts.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("complete")
-        .option("checkpointLocation", ckpt)
-        .trigger(availableNow=True)
-        .start()
+    # state partitions sized to the stream's input bytes, not the core
+    # count (optimization r15, guide §2.2 — see stream_state_partitions);
+    # the statestore read below lists whatever partition layout the query
+    # wrote, so the law is layout-invariant
+    from ingestion_scripts_spark.streaming.streams import (
+        scoped_shuffle_partitions,
+        stream_state_partitions,
     )
-    q.awaitTermination()
+
+    with scoped_shuffle_partitions(
+        spark, stream_state_partitions(spark, f"{sf_dir}/events.parquet")
+    ):
+        q = (
+            counts.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("complete")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     st = spark.read.format("statestore").load(ckpt)
     return st.select(
         F.col("key.event_type").alias("event_type"),
@@ -1834,13 +1846,21 @@ def q_stream_scd_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("recursiveFileLookup", "true")
         .parquet(src)
     )
-    q = (
-        stream.writeStream.foreachBatch(merge_batch)
-        .option("checkpointLocation", _scratch(prefix="ckpt_scd_"))
-        .trigger(availableNow=True)
-        .start()
+    from ingestion_scripts_spark.streaming.streams import (
+        scoped_shuffle_partitions,
+        stream_state_partitions,
     )
-    q.awaitTermination()
+
+    with scoped_shuffle_partitions(
+        spark, stream_state_partitions(spark, src)
+    ):
+        q = (
+            stream.writeStream.foreachBatch(merge_batch)
+            .option("checkpointLocation", _scratch(prefix="ckpt_scd_"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     return (
         spark.read.parquet(state["dir"])
         .select(

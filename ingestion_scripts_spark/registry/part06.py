@@ -331,15 +331,30 @@ def q_stream_quota_admission(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     admitted = quota_admit(stream, "source", "doc_id", quota=15)
     name = "stream_quota_" + uuid.uuid4().hex[:8]
-    q = (
-        admitted.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("update")
-        .option("checkpointLocation", _scratch(prefix="ckpt_"))
-        .trigger(availableNow=True)
-        .start()
+    # state partitions sized to the stream's input bytes, not the core
+    # count (optimization r15, guide §2.2 — see stream_state_partitions).
+    # This IS Python-stateful (applyInPandasWithState), but keyed by
+    # SOURCE — a schema-bounded handful of groups at any corpus scale —
+    # so per-trigger store commits dominate per-group Python work
+    # (measured 4.2 s → 1.7 s; contrast the user-keyed token_bucket/
+    # stateful_counts streams, which stay core-parallel)
+    from ingestion_scripts_spark.streaming.streams import (
+        scoped_shuffle_partitions,
+        stream_state_partitions,
     )
-    q.awaitTermination()
+
+    with scoped_shuffle_partitions(
+        spark, stream_state_partitions(spark, src)
+    ):
+        q = (
+            admitted.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("update")
+            .option("checkpointLocation", _scratch(prefix="ckpt_"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     return spark.table(name).orderBy("source", "admit_rank")
 
 
@@ -1663,6 +1678,11 @@ def q_stream_token_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         out = token_bucket_admit(stream, "user_id", "es", "event_id", per_s=36000)
         name = "stream_tb_" + uuid.uuid4().hex[:8]
+        # deliberately NOT byte-scoped (optimization r15): this stream is
+        # applyInPandasWithState over ~|users| groups — per-group Python
+        # overhead dominates, so parallelism must track CORES, not input
+        # bytes (measured: partitions 32→1 took 5.2 s → 8.3 s while the
+        # JVM-stateful streams all improved; guide §4 boundary cost)
         q = (
             out.writeStream.format("memory")
             .queryName(name)

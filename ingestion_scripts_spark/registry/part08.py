@@ -1289,13 +1289,23 @@ def q_stream_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("recursiveFileLookup", "true")
         .parquet(src)
     )
-    q = (
-        stream.writeStream.foreachBatch(handle)
-        .option("checkpointLocation", _scratch(prefix="ckpt_kmv_"))
-        .trigger(availableNow=True)
-        .start()
+    # per-trigger state merge runs over <=64-row-per-group frames: shuffle
+    # partitions sized to input bytes, not cores (optimization r15, §2.2)
+    from ingestion_scripts_spark.streaming.streams import (
+        scoped_shuffle_partitions,
+        stream_state_partitions,
     )
-    q.awaitTermination()
+
+    with scoped_shuffle_partitions(
+        spark, stream_state_partitions(spark, src)
+    ):
+        q = (
+            stream.writeStream.foreachBatch(handle)
+            .option("checkpointLocation", _scratch(prefix="ckpt_kmv_"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     final = spark.read.parquet(state_dir)
     return SK.kmv_estimate(final, k=64).orderBy("g")
 

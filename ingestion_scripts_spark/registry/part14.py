@@ -815,13 +815,23 @@ def q_stream_ivf_roll(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("recursiveFileLookup", "true")
         .parquet(src)
     )
-    q = (
-        stream.writeStream.foreachBatch(handle)
-        .option("checkpointLocation", _scratch(prefix="ckpt_"))  # noqa: F405
-        .trigger(availableNow=True)
-        .start()
+    # per-trigger postings-roll joins run over KB-sized deltas: shuffle
+    # partitions sized to input bytes, not cores (optimization r15, §2.2)
+    from ingestion_scripts_spark.streaming.streams import (
+        scoped_shuffle_partitions,
+        stream_state_partitions,
     )
-    q.awaitTermination()
+
+    with scoped_shuffle_partitions(
+        spark, stream_state_partitions(spark, src)
+    ):
+        q = (
+            stream.writeStream.foreachBatch(handle)
+            .option("checkpointLocation", _scratch(prefix="ckpt_"))  # noqa: F405
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     return (
         spark.read.option("recursiveFileLookup", "true")
         .parquet(sink)

@@ -909,8 +909,52 @@ def probe_ivf_roll(spark: SparkSession, scale: float) -> dict:
     }
 
 
+def probe_sweep_cache(spark: SparkSession, scale: float) -> dict:
+    """Boundedness of the r14 hot_bucket_sweep candidate persist (VERDICT
+    r14 item 8): the cached frame is claimed Σ_hot w·window-bounded BY
+    CONSTRUCTION — this probe measures the claim on the adversarial
+    corpus (W boilerplate clones = one degenerate bucket per band).
+    ``cands`` should grow ~linearly in W (alpha ≈ 1: rank-window
+    neighbors only) while the uncapped pair mass of the same buckets is
+    W(W-1)/2 per band (alpha = 2) — i.e. the cache grows with the
+    delta/window term, never the quadratic bucket mass, so persisting it
+    is safe at any corpus scale."""
+    from ingestion_scripts_spark.operators.dedup import (
+        banded_buckets,
+        hot_bucket_sweep_candidates,
+    )
+
+    boiler = F.concat_ws(" ", *[F.lit(f"lorem{j}") for j in range(12)])
+    sizes = [int(s * scale) for s in (1_000, 4_000, 16_000)]
+    walls, cands, pair_mass = [], [], []
+    for n in sizes:
+        docs = spark.range(n).select(
+            F.col("id").alias("doc_id"), boiler.alias("text")
+        )
+        bands = banded_buckets(docs, "doc_id", "text")
+        t0 = time.time()
+        c = hot_bucket_sweep_candidates(
+            bands, docs, max_bucket_width=64, neighbor_window=8
+        ).count()
+        walls.append(round(time.time() - t0, 2))
+        cands.append(c)
+        pair_mass.append(4 * n * (n - 1) // 2)  # 4 bands x all-pairs
+        release_caches()
+    return {
+        "probe": "sweep_cache",
+        "sizes": sizes,
+        "walls": walls,
+        "cands": cands,
+        "uncapped_pair_mass": pair_mass,
+        "alpha_cands": round(
+            math.log(cands[-1] / cands[0]) / math.log(sizes[-1] / sizes[0]), 3
+        ),
+    }
+
+
 PROBES.update(
     {
+        "sweep_cache": probe_sweep_cache,
         "setsim": probe_setsim,
         "sparse_cosine": probe_sparse_cosine,
         "dedup_funnel": probe_dedup_funnel,
