@@ -1014,23 +1014,13 @@ def connected_components_star(
         edges.select(F.col("a").alias("node")).distinct()
     )
 
-    prev_cnt = edges.count()
-    converged = prev_cnt == 0
-    for _ in range(max_iter):
-        if converged:
-            break
-        # Each round is ONE localCheckpoint: every intermediate below is at
-        # most a few shuffles downstream of the previous round's checkpoint,
-        # so lineage stays bounded without materializing large/small
-        # separately (the per-materialization fixed job cost dominated
-        # wall time on small graphs — 5 checkpoints/round was ~2.5x slower).
-
+    def _star_round(e: DataFrame) -> DataFrame:
         # large-star: for each u, m = min(N(u) ∪ {u}); emit (v, m) for v in N(u), v > u
-        nbr_min = edges.groupBy("a").agg(
+        nbr_min = e.groupBy("a").agg(
             F.least(F.min("b"), F.first("a")).alias("m")
         )
         large = (
-            edges.join(nbr_min, "a")
+            e.join(nbr_min, "a")
             .filter(F.col("b") > F.col("a"))
             .select(F.col("b").alias("a"), F.col("m").alias("b"))
             .filter(F.col("a") != F.col("b"))
@@ -1047,27 +1037,69 @@ def connected_components_star(
             .select(F.col("b").alias("a"), F.col("m").alias("b"))
             .union(m_small.select(F.col("a"), F.col("m").alias("b")))
         )
-        new_und = iterative_checkpoint(symmetrize_distinct(small))
+        return symmetrize_distinct(small)
 
-        # Fixed-point convergence: stop when the round changed nothing.
+    prev_cnt = edges.count()
+    converged = prev_cnt == 0
+    rounds_done = 0
+    # +2 detection slack: the windowed equality test sees a fixpoint
+    # reached at round R only at the next window boundary (≤ R+2), where
+    # the old per-round test saw it at R+1 — without the slack a graph
+    # converging at exactly round max_iter-1 would spuriously hit the
+    # unconverged error. Progress rounds are still bounded by max_iter's
+    # diameter-halving law; the confirmation round is verification, not
+    # progress, and is not budget-counted.
+    while rounds_done < max_iter + 2 and not converged:
+        # TWO rounds per localCheckpoint (optimization r15, §5 job count):
+        # the per-checkpoint fixed job cost dominated small-graph rounds
+        # (same measurement that rejected 5 checkpoints/round at ~2.5x),
+        # and two rounds keep lineage at 4 keyed shuffles off the previous
+        # checkpoint — still bounded. Convergence stays UNCONDITIONAL:
+        # E_{k+2} == E_k only *suggests* a fixpoint (it cannot distinguish
+        # one from a period-2 cycle of the round map by itself), so the
+        # suggestion is CONFIRMED by applying one more literal round and
+        # checking R(E) == E — the definition of the fixpoint, no appeal
+        # to the Kiveris potential argument. A genuine 2-cycle (none is
+        # believed to exist) would fail confirmation, keep looping, and
+        # hit the loud max_iter error — never silent wrong labels.
+        steps = min(2, max_iter + 2 - rounds_done)
+        cur = edges
+        for _ in range(steps):
+            cur = _star_round(cur)
+        new_und = iterative_checkpoint(cur)
+        rounds_done += steps
+
+        # Fixed-point convergence: stop when the window changed nothing.
         # Both sides are DISTINCT undirected edge sets, so set equality is
         # |A|==|B| plus one empty difference — exact, no shape heuristics.
         # (An earlier star-shape predicate mis-flagged every hub→leaf edge
         # of a finished star, so the loop silently ran all max_iter rounds.)
         new_cnt = new_und.count()
-        changed = new_cnt != prev_cnt or (
-            new_und.exceptAll(edges).limit(1).count() > 0
+        same = new_cnt == prev_cnt and (
+            new_und.exceptAll(edges).limit(1).count() == 0
         )
-        # the previous round's checkpoint has no consumers past the
+        # the previous window's checkpoint has no consumers past the
         # convergence check above — release its blocks NOW, or ~log(D)
         # dead edge sets accumulate in the BlockManager (measured: OOM at
         # 16M edges / 8 GiB heap, r10 scale probe; caching.py docstring)
         release_local_checkpoint(edges)
         edges = new_und
         prev_cnt = new_cnt
-        if not changed:
+        if same and steps == 2:
+            # confirmation round: E_{k+2} == E_k with two rounds inside the
+            # window — verify the fixpoint directly (R(E) == E)
+            conf = iterative_checkpoint(_star_round(edges))
+            conf_cnt = conf.count()
+            confirmed = conf_cnt == prev_cnt and (
+                conf.exceptAll(edges).limit(1).count() == 0
+            )
+            release_local_checkpoint(edges)
+            edges = conf
+            prev_cnt = conf_cnt
+            converged = confirmed
+        elif same:
+            # single-round window: E_{k+1} == E_k IS the fixpoint test
             converged = True
-            break
 
     if not converged:
         raise RuntimeError(

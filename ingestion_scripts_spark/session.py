@@ -36,6 +36,18 @@ def build_session(
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # let the planner pick shuffled-hash over sort-merge when its size
+        # conditions hold, and let AQE rewrite SMJ→SHJ at runtime when every
+        # post-shuffle partition is under 64 MiB (guide §3.1/§9; optimization
+        # r15). Scale-safe by construction: both paths only fire when the
+        # build side is provably small per partition, so the SHJ OOM risk
+        # sort-merge exists to avoid stays bounded at any corpus size.
+        # Adopted from a full-bench interleaved A/B (292 queries, per-query
+        # warmup, reps=2): geomean 0.978, 103 wins / 58 losses, the largest
+        # being the iterative join-heavy er_canonical_entities 10.2→8.2 s;
+        # sorts drop out of SMJ pipelines (plans/r15/*_{before,after}.txt).
+        .config("spark.sql.join.preferSortMergeJoin", "false")
+        .config("spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold", "64m")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         # testdata events.ts is parquet TIMESTAMP(NANOS), which the
